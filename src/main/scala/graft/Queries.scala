@@ -1,0 +1,690 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One registered query per operator of SURVEY.md §2 (+ north-star
+  * extensions), each with a DuckDB oracle.
+  *
+  * Cross-engine determinism rules used throughout (the oracle compare is a
+  * value hash, so results must match bit-for-bit):
+  *   - counts/ints: always exact.
+  *   - double sums/avgs: sum in decimal(18,2) (exact), cast the final value
+  *     to double — both engines convert the same exact decimal.
+  *   - scalar double expressions: written with the SAME shape/order on both
+  *     sides; IEEE-754 makes them bit-identical. No engine-native round()
+  *     on doubles (half-case behavior differs); where the reference rounds,
+  *     we use floor(x·10^d + 0.5)/10^d on both sides.
+  *   - timestamps: events.ts is ns in parquet; Spark truncates to µs on
+  *     read, so oracle SQL casts to µs (`cast(ts as timestamp)`) first.
+  *   - every query ends in a total ORDER BY (incl. tie-breaks); nullable
+  *     sort keys get NULLS FIRST in DuckDB to match Spark's asc default.
+  */
+private[graft] final case class QueryDef(
+    name: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+object Queries {
+
+  // ---- shared columns -----------------------------------------------------
+  /** `k` property extracted from the events.props JSON-ish string. */
+  private val kPat = "\"k\":\\s*(\\d+)"
+  private def kCol: Column = nullif(regexp_extract(col("props"), kPat, 1), lit("")).cast("int")
+  private val kSql = """cast(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') as int)"""
+
+  private def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+  /** Cross-engine-stable HALF_UP rounding: floor(x·10^d + 0.5)/10^d. */
+  private def rnd(c: Column, d: Int): Column = {
+    val f = math.pow(10, d)
+    floor(c * f + 0.5) / f
+  }
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  // ======================================================================
+  // S/P — scans, projections, regex extraction (SURVEY §2.1, §2.2)
+  // ======================================================================
+
+  /** S5/D5/D14/T1: pruned scan + filter + projection. The filter and the
+    * 3-column projection both push into the parquet scan.
+    */
+  private val s1 = QueryDef("s1_scan_project",
+    Some("""SELECT event_id, event_type, value FROM events
+           |WHERE value > 150 ORDER BY event_id""".stripMargin),
+    (s, d) => ev(s, d)
+      .select("event_id", "event_type", "value")
+      .filter(col("value") > 150)
+      .orderBy("event_id"))
+
+  /** P1/P4: single-group regex extract with null-on-miss semantics. */
+  private val p1 = QueryDef("p1_regex_extract",
+    Some(s"""SELECT event_id, $kSql AS k FROM events ORDER BY event_id"""),
+    (s, d) => ev(s, d).select(col("event_id"), kCol.as("k")).orderBy("event_id"))
+
+  /** P2/P3: alternation + first-match cascade via coalesce(nullif(...)). */
+  private val p2 = QueryDef("p2_coalesce_cascade",
+    Some("""SELECT coalesce(nullif(regexp_extract(text, '(spark[a-z]*)', 1), ''),
+           |                nullif(regexp_extract(text, '(hash[a-z]*)', 1), ''),
+           |                'none') AS tag, count(*) AS cnt
+           |FROM documents GROUP BY tag ORDER BY tag""".stripMargin),
+    (s, d) => docs(s, d)
+      .select(coalesce(
+        nullif(regexp_extract(col("text"), "(spark[a-z]*)", 1), lit("")),
+        nullif(regexp_extract(col("text"), "(hash[a-z]*)", 1), lit("")),
+        lit("none")).as("tag"))
+      .groupBy("tag").agg(count(lit(1)).as("cnt"))
+      .orderBy("tag"))
+
+  /** P6/P8: ordered multi-way contains classifier (first match wins). */
+  private val p6 = QueryDef("p6_contains_classifier",
+    Some("""SELECT CASE WHEN text LIKE '%spark%' THEN 'spark'
+           |            WHEN text LIKE '%stream%' THEN 'stream'
+           |            WHEN text LIKE '%window%' THEN 'window'
+           |            WHEN lower(text) LIKE '%join%' THEN 'join'
+           |            ELSE 'other' END AS category, count(*) AS cnt
+           |FROM documents GROUP BY category ORDER BY category""".stripMargin),
+    (s, d) => docs(s, d)
+      .select(when(col("text").contains("spark"), "spark")
+        .when(col("text").contains("stream"), "stream")
+        .when(col("text").contains("window"), "window")
+        .when(lower(col("text")).contains("join"), "join")
+        .otherwise("other").as("category"))
+      .groupBy("category").agg(count(lit(1)).as("cnt"))
+      .orderBy("category"))
+
+  /** P1-P8 end-to-end: synthesize an SSH-log line from each event row, run
+    * the full LogParser over it, emit the parsed fields. The oracle computes
+    * ground truth directly from the synthesis template — verifying the
+    * parser's regex alternation, cascade priority, classifier order, null
+    * discipline, and the year-2024 timestamp build.
+    */
+  private val pp = QueryDef("p_parse_ssh_roundtrip",
+    Some("""SELECT event_id,
+           |  CASE event_type WHEN 'error' THEN 'failed_password' WHEN 'signup' THEN 'invalid_user'
+           |       WHEN 'purchase' THEN 'auth_failure' WHEN 'click' THEN 'connection_closed'
+           |       ELSE 'disconnect' END AS event,
+           |  CASE WHEN event_type = 'purchase' THEN NULL
+           |       ELSE '10.0.' || (user_id % 200) || '.' || (event_id % 250) END AS ip,
+           |  CASE event_type WHEN 'error' THEN 'u' || user_id WHEN 'signup' THEN 'u' || user_id
+           |       WHEN 'purchase' THEN 'root' ELSE NULL END AS user,
+           |  CASE event_type WHEN 'error' THEN cast(1024 + event_id % 5000 AS int) ELSE NULL END AS port,
+           |  CASE event_type WHEN 'error' THEN 'ssh2' ELSE NULL END AS protocol_version,
+           |  CASE event_type WHEN 'click' THEN 'connection_closed'
+           |       WHEN 'view' THEN 'received_disconnect' ELSE NULL END AS disconnect_reason,
+           |  CASE event_type WHEN 'purchase' THEN 'unix' ELSE NULL END AS method,
+           |  make_timestamp(2024, 1, cast(event_id % 27 AS int) + 1, 3,
+           |                 cast(event_id % 60 AS int), cast(user_id % 60 AS double)) AS datetime
+           |FROM events ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      val msg = when(col("event_type") === "error",
+          format_string("Failed password for u%d from 10.0.%d.%d port %d ssh2",
+            col("user_id"), pmod(col("user_id"), lit(200)), pmod(col("event_id"), lit(250)),
+            lit(1024) + pmod(col("event_id"), lit(5000))))
+        .when(col("event_type") === "signup",
+          format_string("Invalid user u%d from 10.0.%d.%d",
+            col("user_id"), pmod(col("user_id"), lit(200)), pmod(col("event_id"), lit(250))))
+        .when(col("event_type") === "purchase",
+          format_string("pam_unix(sshd:auth): authentication failure; logname= uid=0 euid=0 tty=ssh ruser= rhost=10.0.%d.%d  user=root",
+            pmod(col("user_id"), lit(200)), pmod(col("event_id"), lit(250))))
+        .when(col("event_type") === "click",
+          format_string("Connection closed by 10.0.%d.%d [preauth]",
+            pmod(col("user_id"), lit(200)), pmod(col("event_id"), lit(250))))
+        .otherwise(
+          format_string("Received disconnect from 10.0.%d.%d: 11:  [preauth]",
+            pmod(col("user_id"), lit(200)), pmod(col("event_id"), lit(250))))
+      val line = concat(
+        format_string("Jan %d 03:%02d:%02d host sshd[%d]: ",
+          pmod(col("event_id"), lit(27)) + 1, pmod(col("event_id"), lit(60)),
+          pmod(col("user_id"), lit(60)), col("event_id")),
+        msg)
+      val raw = ev(s, d).select(col("event_id"), line.as("value"))
+      graft.ingest.LogParser.parse(raw)
+        .select("event_id", "event", "ip", "user", "port", "protocol_version",
+          "disconnect_reason", "method", "datetime")
+        .orderBy("event_id")
+    })
+
+  // ======================================================================
+  // D — dashboard-stage scalar ops (SURVEY §2.3)
+  // ======================================================================
+
+  /** D2/D3: timestamp synthesis from string parts (year-2024 convention). */
+  private val d2 = QueryDef("d2_timestamp_synthesis",
+    Some("""SELECT cast(strptime('2024 ' || strftime(cast(ts as timestamp), '%b') || ' ' ||
+           |         day(cast(ts as timestamp)) || ' ' || strftime(cast(ts as timestamp), '%H:%M:%S'),
+           |         '%Y %b %-d %H:%M:%S') AS date) AS date, count(*) AS cnt
+           |FROM events GROUP BY date ORDER BY date""".stripMargin),
+    (s, d) => ev(s, d)
+      .select(to_timestamp(
+        concat_ws(" ", lit("2024"), date_format(col("ts"), "MMM"),
+          dayofmonth(col("ts")).cast("string"), date_format(col("ts"), "HH:mm:ss")),
+        "yyyy MMM d HH:mm:ss").as("dt"))
+      .groupBy(to_date(col("dt")).as("date")).agg(count(lit(1)).as("cnt"))
+      .orderBy("date"))
+
+  /** D4/D6: set-membership predicate + binary label map. */
+  private val d6 = QueryDef("d6_label_map",
+    Some("""SELECT CASE WHEN event_type IN ('error','signup') THEN 'Suspicious' ELSE 'Normal' END AS label,
+           |       count(*) AS cnt FROM events GROUP BY label ORDER BY label""".stripMargin),
+    (s, d) => ev(s, d)
+      .select(when(col("event_type").isin("error", "signup"), "Suspicious")
+        .otherwise("Normal").as("label"))
+      .groupBy("label").agg(count(lit(1)).as("cnt")).orderBy("label"))
+
+  /** D7/D9/A5/T1: hour-of-day histogram with zero-padded label. */
+  private val d7 = QueryDef("d7_hour_histogram",
+    Some("""SELECT hour(cast(ts as timestamp)) AS hour,
+           |       lpad(cast(hour(cast(ts as timestamp)) as varchar), 2, '0') AS hour_label,
+           |       count(*) AS cnt
+           |FROM events GROUP BY 1, 2 ORDER BY hour""".stripMargin),
+    (s, d) => ev(s, d)
+      .groupBy(hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("hour"), lpad(col("hour").cast("string"), 2, "0").as("hour_label"), col("cnt"))
+      .orderBy("hour"))
+
+  /** D10/A5: daily counts with 'MMM dd' display format. */
+  private val d10 = QueryDef("d10_date_format",
+    Some("""SELECT cast(ts as date) AS date, strftime(cast(ts as date), '%b %d') AS date_label,
+           |       count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY date""".stripMargin),
+    (s, d) => ev(s, d)
+      .groupBy(to_date(col("ts")).as("date"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("date"), date_format(col("date"), "MMM dd").as("date_label"), col("cnt"))
+      .orderBy("date"))
+
+  // ======================================================================
+  // A — aggregations (SURVEY §2.4)
+  // ======================================================================
+
+  /** A1/A2/A3/D11: global metrics in one pass — count, distinct counts,
+    * conditional count, guarded percentage.
+    */
+  private val a1 = QueryDef("a1_global_metrics",
+    Some("""SELECT count(*) AS total_records,
+           |       count(DISTINCT user_id) AS unique_users,
+           |       count(DISTINCT event_type) AS distinct_events,
+           |       count(*) FILTER (WHERE event_type IN ('error','signup')) AS failed_events,
+           |       floor((count(*) FILTER (WHERE event_type IN ('error','signup'))) * cast(100.0 as double) / count(*) * 100 + 0.5) / 100 AS failed_rate_pct
+           |FROM events""".stripMargin),
+    (s, d) => ev(s, d).agg(
+      count(lit(1)).as("total_records"),
+      countDistinct(col("user_id")).as("unique_users"),
+      countDistinct(col("event_type")).as("distinct_events"),
+      cnt(col("event_type").isin("error", "signup")).as("failed_events"),
+      rnd(cnt(col("event_type").isin("error", "signup")) * 100.0 / count(lit(1)), 2)
+        .as("failed_rate_pct")))
+
+  /** A4/T2: frequency table (value_counts) ordered by count desc. */
+  private val a4 = QueryDef("a4_frequency",
+    Some("""SELECT event_type, count(*) AS cnt FROM events
+           |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin),
+    (s, d) => ev(s, d).groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("event_type")))
+
+  /** A6: two-key group-by size. */
+  private val a6 = QueryDef("a6_two_key_counts",
+    Some("""SELECT cast(ts as date) AS date, event_type, count(*) AS cnt
+           |FROM events GROUP BY 1, 2 ORDER BY date, event_type""".stripMargin),
+    (s, d) => ev(s, d)
+      .groupBy(to_date(col("ts")).as("date"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("date", "event_type"))
+
+  /** A7/A8/A12: pivot (long→wide) with explicit value list + row-wise total.
+    * The explicit value list avoids Spark's extra distinct-collect job.
+    */
+  private val a7 = QueryDef("a7_pivot",
+    Some("""SELECT user_id,
+           |  count(*) FILTER (WHERE event_type = 'click') AS click,
+           |  count(*) FILTER (WHERE event_type = 'error') AS error,
+           |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           |  count(*) FILTER (WHERE event_type = 'view') AS view,
+           |  count(*) AS total_events
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      ev(s, d).groupBy("user_id")
+        .pivot("event_type", types).count()
+        .na.fill(0L, types)
+        .withColumn("total_events", types.map(col).reduce(_ + _))
+        .orderBy("user_id")
+    })
+
+  /** A9/A10/A11: per-group distinct count, sorted collect-set, min/max. */
+  private val a9 = QueryDef("a9_entity_aggregates",
+    Some(s"""SELECT user_id,
+            |  count(DISTINCT $kSql) AS distinct_ks,
+            |  list_sort(list_distinct(list(event_type))) AS types,
+            |  cast(min(ts) as timestamp) AS first_seen,
+            |  cast(max(ts) as timestamp) AS last_seen
+            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    (s, d) => ev(s, d).groupBy("user_id").agg(
+      countDistinct(kCol).as("distinct_ks"),
+      sort_array(collect_set(col("event_type"))).as("types"),
+      min(col("ts")).as("first_seen"),
+      max(col("ts")).as("last_seen"))
+      .orderBy("user_id"))
+
+  /** A13: filtered group-count. */
+  private val a13 = QueryDef("a13_filtered_group_count",
+    Some("""SELECT user_id, count(*) AS error_cnt FROM events
+           |WHERE event_type = 'error' GROUP BY user_id ORDER BY user_id""".stripMargin),
+    (s, d) => ev(s, d).filter(col("event_type") === "error")
+      .groupBy("user_id").agg(count(lit(1)).as("error_cnt"))
+      .orderBy("user_id"))
+
+  /** A14: scalar stats — count/max/avg; avg via exact decimal sum ÷ count. */
+  private val a14 = QueryDef("a14_scalar_stats",
+    Some("""SELECT count(*) AS n, max(value) AS max_value,
+           |       cast(sum(cast(value as decimal(18,2))) as double) / count(*) AS avg_value
+           |FROM events""".stripMargin),
+    (s, d) => ev(s, d).agg(
+      count(lit(1)).as("n"),
+      max(col("value")).as("max_value"),
+      (sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_value")))
+
+  /** A15: fixed-width bucket histogram. */
+  private val a15 = QueryDef("a15_histogram",
+    Some("""SELECT cast(floor(value / 20) as bigint) AS bucket, count(*) AS cnt
+           |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin),
+    (s, d) => ev(s, d)
+      .groupBy(floor(col("value") / 20).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket"))
+
+  // ======================================================================
+  // J — joins (SURVEY §2.5) — events-domain grafts + TPC-H-style shapes
+  // ======================================================================
+
+  /** J1: aggregate-graft left join with null-fill (the reference's
+    * index.map pattern). Right side is a small aggregate → broadcast-hash.
+    */
+  private val j1 = QueryDef("j1_graft_left_join",
+    Some(s"""WITH base AS (SELECT user_id, count(*) AS total FROM events GROUP BY user_id),
+            |susp AS (SELECT user_id, list_sort(list_distinct(list(cast($kSql as varchar)))) AS error_ks
+            |         FROM events WHERE event_type = 'error' GROUP BY user_id)
+            |SELECT b.user_id AS user_id, b.total AS total,
+            |       coalesce(s.error_ks, []) AS error_ks
+            |FROM base b LEFT JOIN susp s ON b.user_id = s.user_id
+            |ORDER BY user_id""".stripMargin),
+    (s, d) => {
+      val base = ev(s, d).groupBy("user_id").agg(count(lit(1)).as("total"))
+      val susp = ev(s, d).filter(col("event_type") === "error")
+        .groupBy("user_id")
+        .agg(sort_array(collect_set(kCol.cast("string"))).as("error_ks"))
+      base.join(broadcast(susp), Seq("user_id"), "left")
+        .withColumn("error_ks", coalesce(col("error_ks"), typedlit(Seq.empty[String])))
+        .orderBy("user_id")
+    })
+
+  /** J4: left-semi join (customers having orders). */
+  private val j4 = QueryDef("j4_semi_join",
+    Some("""SELECT c_custkey, c_name FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+           |ORDER BY c_custkey""".stripMargin),
+    (s, d) => Tables.customer(s, d).as("c")
+      .join(Tables.orders(s, d).as("o"), col("c.c_custkey") === col("o.o_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey"))
+
+  /** J5: left-anti join (customers with no orders). */
+  private val j5 = QueryDef("j5_anti_join",
+    Some("""SELECT c_custkey, c_name FROM customer c
+           |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+           |ORDER BY c_custkey""".stripMargin),
+    (s, d) => Tables.customer(s, d).as("c")
+      .join(Tables.orders(s, d).as("o"), col("c.c_custkey") === col("o.o_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey"))
+
+  /** J6: 5-table star join — revenue per nation in EUROPE. Dimensions are
+    * broadcast; only the lineitem↔orders join shuffles. Revenue summed in
+    * exact decimal then cast to double.
+    */
+  private val j6 = QueryDef("j6_star_join_revenue",
+    Some("""SELECT n_name,
+           |  cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS revenue,
+           |  count(*) AS n_items
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'EUROPE'
+           |GROUP BY n_name ORDER BY n_name""".stripMargin),
+    (s, d) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .groupBy("n_name")
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    })
+
+  /** J7: broadcast join against a small dimension. */
+  private val j7 = QueryDef("j7_broadcast_join",
+    Some("""SELECT p_brand,
+           |  cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS revenue,
+           |  count(*) AS n_items
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+    (s, d) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    })
+
+  // ======================================================================
+  // The flagship: one-pass per-entity summary with score + classification
+  // (D12/D13/A9-A13/J2 — the reference's 8-pass per-IP build, in ONE pass)
+  // ======================================================================
+
+  private val j2 = QueryDef("j2_entity_summary",
+    Some(s"""WITH agg AS (
+            |  SELECT user_id,
+            |    count(*) AS total_events,
+            |    count(*) FILTER (WHERE event_type IN ('error','signup')) AS failed_events,
+            |    count(DISTINCT $kSql) AS distinct_ks,
+            |    count(*) FILTER (WHERE $kSql >= 90) AS root_attempts,
+            |    count(DISTINCT event_type) AS diversity,
+            |    cast(min(ts) as timestamp) AS first_seen,
+            |    cast(max(ts) as timestamp) AS last_seen
+            |  FROM events GROUP BY user_id),
+            |scored AS (
+            |  SELECT *, least(cast(100.0 as double),
+            |    cast(2.0 as double) * failed_events + cast(0.3 as double) * distinct_ks
+            |    + cast(0.05 as double) * total_events
+            |    + cast(15.0 as double) * (CASE WHEN root_attempts > 0 THEN 1 ELSE 0 END)
+            |    + cast(1.0 as double) * diversity) AS suspicious_score
+            |  FROM agg),
+            |profiled AS (
+            |  SELECT *,
+            |    least(cast(100.0 as double), cast(0.6 as double) * suspicious_score
+            |      + cast(5.0 as double) * root_attempts + cast(2.0 as double) * failed_events) AS att,
+            |    least(cast(100.0 as double), cast(1.5 as double) * diversity
+            |      + cast(0.6 as double) * distinct_ks) AS bot
+            |  FROM scored),
+            |legitd AS (
+            |  SELECT *, greatest(cast(0.0 as double), cast(100.0 as double) - att - bot) AS legit
+            |  FROM profiled)
+            |SELECT user_id, total_events, failed_events, distinct_ks, root_attempts, diversity,
+            |  first_seen, last_seen, suspicious_score,
+            |  floor(att * cast(100.0 as double) / (att + bot + legit) * 10 + 0.5) / 10 AS attacker_pct,
+            |  floor(bot * cast(100.0 as double) / (att + bot + legit) * 10 + 0.5) / 10 AS bot_pct,
+            |  floor(legit * cast(100.0 as double) / (att + bot + legit) * 10 + 0.5) / 10 AS authorized_pct
+            |FROM legitd ORDER BY suspicious_score DESC, user_id""".stripMargin),
+    (s, d) => entitySummary(ev(s, d)))
+
+  /** The one-pass summary used by j2/j3 and `SparkEntry.entry`. */
+  def entitySummary(events: DataFrame): DataFrame = {
+    val failed = cnt(col("event_type").isin("error", "signup"))
+    val base = events.groupBy("user_id").agg(
+      count(lit(1)).as("total_events"),
+      failed.as("failed_events"),
+      countDistinct(kCol).as("distinct_ks"),
+      cnt(kCol >= 90).as("root_attempts"),
+      countDistinct(col("event_type")).as("diversity"),
+      min(col("ts")).as("first_seen"),
+      max(col("ts")).as("last_seen"))
+    val scored = base.withColumn("suspicious_score",
+      least(lit(100.0),
+        lit(2.0) * col("failed_events") + lit(0.3) * col("distinct_ks") +
+          lit(0.05) * col("total_events") +
+          lit(15.0) * (col("root_attempts") > 0).cast("int") + lit(1.0) * col("diversity")))
+    val att = least(lit(100.0),
+      lit(0.6) * col("suspicious_score") + lit(5.0) * col("root_attempts") +
+        lit(2.0) * col("failed_events"))
+    val bot = least(lit(100.0), lit(1.5) * col("diversity") + lit(0.6) * col("distinct_ks"))
+    val withAb = scored.withColumn("att", att).withColumn("bot", bot)
+    val legit = greatest(lit(0.0), lit(100.0) - col("att") - col("bot"))
+    val total = col("att") + col("bot") + legit
+    withAb
+      .withColumn("attacker_pct", rnd(col("att") * 100.0 / total, 1))
+      .withColumn("bot_pct", rnd(col("bot") * 100.0 / total, 1))
+      .withColumn("authorized_pct", rnd(legit * 100.0 / total, 1))
+      .drop("att", "bot")
+      .orderBy(desc("suspicious_score"), col("user_id"))
+  }
+
+  /** J3: parameterized point lookup — the filter pushes into the scan. */
+  private val j3 = QueryDef("j3_point_lookup",
+    Some("""SELECT user_id, count(*) AS total, cast(min(ts) as timestamp) AS first_seen
+           |FROM events WHERE user_id = 7 GROUP BY user_id ORDER BY user_id""".stripMargin),
+    (s, d) => ev(s, d).filter(col("user_id") === 7)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("total"), min(col("ts")).as("first_seen"))
+      .orderBy("user_id"))
+
+  // ======================================================================
+  // T/W — sorts, top-k, windows (SURVEY §2.6, §2.7)
+  // ======================================================================
+
+  /** T2/T3: top-k (Spark plans TakeOrderedAndProject — no full sort). */
+  private val t2 = QueryDef("t2_topk",
+    Some("""SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+           |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin),
+    (s, d) => ev(s, d).groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("user_id")).limit(10))
+
+  /** T4: top-k + "Others" rollup via window ranking (draw_pie). */
+  private val t4 = QueryDef("t4_topk_others",
+    Some("""WITH counts AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+           |ranked AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, user_id) AS rn FROM counts)
+           |SELECT CASE WHEN rn <= 5 THEN cast(user_id as varchar) ELSE 'Others' END AS bucket,
+           |       sum(cnt) AS cnt
+           |FROM ranked GROUP BY bucket ORDER BY bucket""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = ev(s, d).groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(desc("cnt"), col("user_id"))
+      counts.withColumn("rn", row_number().over(w))
+        .withColumn("bucket",
+          when(col("rn") <= 5, col("user_id").cast("string")).otherwise(lit("Others")))
+        .groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+        .orderBy("bucket")
+    })
+
+  /** W: ranking window within partition. */
+  private val w1 = QueryDef("w1_window_rank",
+    Some("""WITH counts AS (SELECT event_type, user_id, count(*) AS cnt
+           |                FROM events GROUP BY event_type, user_id)
+           |SELECT event_type, user_id, cnt,
+           |       row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rn,
+           |       rank() OVER (PARTITION BY event_type ORDER BY cnt DESC) AS rnk
+           |FROM counts QUALIFY rn <= 5 ORDER BY event_type, rn""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = ev(s, d).groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy(desc("cnt"), col("user_id"))
+      val wr = Window.partitionBy("event_type").orderBy(desc("cnt"))
+      counts.withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(wr))
+        .filter(col("rn") <= 5)
+        .orderBy("event_type", "rn")
+    })
+
+  /** W: lag/lead delta per key. */
+  private val w2 = QueryDef("w2_window_lag",
+    Some("""SELECT event_id, user_id,
+           |       value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+           |FROM events ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      ev(s, d).select(col("event_id"), col("user_id"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .orderBy("event_id")
+    })
+
+  /** W: running sum (exact decimal accumulation). */
+  private val w3 = QueryDef("w3_running_sum",
+    Some("""SELECT event_id, user_id,
+           |  sum(cast(value as decimal(18,2))) OVER
+           |    (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS running_value
+           |FROM events ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d).select(col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(18,2)")).over(w).as("running_value"))
+        .orderBy("event_id")
+    })
+
+  /** W: moving aggregate over a row frame. */
+  private val w4 = QueryDef("w4_moving_avg",
+    Some("""SELECT event_id, user_id,
+           |  cast(sum(cast(value as decimal(18,2))) OVER w AS double) /
+           |    (count(*) OVER w) AS moving_avg
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS 2 PRECEDING)
+           |ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+      ev(s, d).select(col("event_id"), col("user_id"),
+        (sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("moving_avg"))
+        .orderBy("event_id")
+    })
+
+  // ---- set operations ----------------------------------------------------
+  private val su = QueryDef("set_union",
+    Some("""SELECT user_id FROM events WHERE event_type = 'click'
+           |UNION SELECT user_id FROM events WHERE event_type = 'purchase'
+           |ORDER BY user_id""".stripMargin),
+    (s, d) => {
+      val a = ev(s, d).filter(col("event_type") === "click").select("user_id")
+      val b = ev(s, d).filter(col("event_type") === "purchase").select("user_id")
+      a.union(b).distinct().orderBy("user_id")
+    })
+
+  private val si = QueryDef("set_intersect",
+    Some("""SELECT user_id FROM events WHERE event_type = 'click'
+           |INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'
+           |ORDER BY user_id""".stripMargin),
+    (s, d) => {
+      val a = ev(s, d).filter(col("event_type") === "click").select("user_id")
+      val b = ev(s, d).filter(col("event_type") === "purchase").select("user_id")
+      a.intersect(b).orderBy("user_id")
+    })
+
+  private val se = QueryDef("set_except",
+    Some("""SELECT user_id FROM events WHERE event_type = 'click'
+           |EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase'
+           |ORDER BY user_id""".stripMargin),
+    (s, d) => {
+      val a = ev(s, d).filter(col("event_type") === "click").select("user_id")
+      val b = ev(s, d).filter(col("event_type") === "purchase").select("user_id")
+      a.except(b).orderBy("user_id")
+    })
+
+  // ---- grouping sets -----------------------------------------------------
+  private val g1 = QueryDef("g1_rollup",
+    Some("""SELECT event_type, cast(ts as date) AS date, count(*) AS cnt,
+           |       grouping(event_type, cast(ts as date)) AS gid
+           |FROM events GROUP BY ROLLUP (event_type, cast(ts as date))
+           |ORDER BY gid, event_type NULLS FIRST, date NULLS FIRST""".stripMargin),
+    (s, d) => ev(s, d)
+      .rollup(col("event_type"), to_date(col("ts")).as("date"))
+      .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("event_type"), col("date")))
+
+  private val g2 = QueryDef("g2_cube",
+    Some("""SELECT event_type, (value > 100) AS high_value, count(*) AS cnt,
+           |       grouping(event_type, (value > 100)) AS gid
+           |FROM events GROUP BY CUBE (event_type, (value > 100))
+           |ORDER BY gid, event_type NULLS FIRST, high_value NULLS FIRST""".stripMargin),
+    (s, d) => ev(s, d)
+      .cube(col("event_type"), (col("value") > 100).as("high_value"))
+      .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("event_type"), col("high_value")))
+
+  // ======================================================================
+  // Streaming-shaped (batch-equivalent) windows — SURVEY §2.8 north star
+  // ======================================================================
+
+  /** Tumbling event-time window (batch equivalent of the streaming agg —
+    * the streaming parity test runs the same transform over MemoryStream).
+    */
+  private val st1 = QueryDef("st_tumbling_window",
+    Some("""SELECT date_trunc('hour', cast(ts as timestamp)) AS window_start,
+           |       event_type, count(*) AS cnt
+           |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+    (s, d) => ev(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))
+      .orderBy("window_start", "event_type"))
+
+  /** Sliding window (2h length, 1h slide): each event lands in 2 windows. */
+  private val st2 = QueryDef("st_sliding_window",
+    Some("""SELECT window_start, count(*) AS cnt FROM (
+           |  SELECT date_trunc('hour', cast(ts as timestamp)) - to_hours(o.o) AS window_start
+           |  FROM events, (VALUES (0), (1)) o(o))
+           |GROUP BY window_start ORDER BY window_start""".stripMargin),
+    (s, d) => ev(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("cnt"))
+      .orderBy("window_start"))
+
+  /** Batch sessionization: gap-based session ids via lag + running sum —
+    * the batch-SQL twin of streaming session windows / mapGroupsWithState.
+    */
+  private val st3 = QueryDef("st_sessionization",
+    Some("""WITH flagged AS (
+           |  SELECT user_id, ts,
+           |    CASE WHEN epoch_us(cast(ts as timestamp)) -
+           |              lag(epoch_us(cast(ts as timestamp))) OVER (PARTITION BY user_id ORDER BY event_id)
+           |           > 7200000000 THEN 1 ELSE 0 END AS new_session,
+           |    event_id
+           |  FROM events),
+           |sessions AS (
+           |  SELECT user_id,
+           |    sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS session_id,
+           |    ts FROM flagged)
+           |SELECT user_id, session_id, count(*) AS n_events,
+           |       cast(min(ts) as timestamp) AS session_start
+           |FROM sessions GROUP BY user_id, session_id
+           |ORDER BY user_id, session_id""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      val flagged = ev(s, d).select(col("user_id"), col("ts"), col("event_id"),
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+          > 7200000000L, 1L).otherwise(0L).as("new_session"))
+      val sessions = flagged.withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+        .orderBy("user_id", "session_id")
+    })
+
+  // ---- registry ----------------------------------------------------------
+  private[graft] val core: Seq[QueryDef] = Seq(
+    s1, p1, p2, p6, pp, d2, d6, d7, d10,
+    a1, a4, a6, a7, a9, a13, a14, a15,
+    j1, j2, j3, j4, j5, j6, j7,
+    t2, t4, w1, w2, w3, w4, su, si, se, g1, g2,
+    st1, st2, st3)
+
+  val all: Seq[QueryDef] = core ++ QueriesExt.all
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+}

@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Similarity, TextFunctions}
+import graft.multimodal.Multimodal
+
+/** North-star extension queries: text analysis, deduplication, similarity
+  * search, multimodal plumbing (builder prompt + SURVEY §7.2 step 5).
+  *
+  * Oracle-less entries (minhash/simhash/LSH-ANN) use engine-specific hash
+  * functions (xxhash64/murmur3) that no ANSI-SQL oracle can replicate; the
+  * driver records a rows-only check for them, and their correctness is
+  * covered by ScalaTest invariants (e.g. LSH candidates ⊇ exact near-dups
+  * on fixtures) instead.
+  */
+object QueriesExt {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  // ---- text analysis -----------------------------------------------------
+
+  private val tx1 = QueryDef("tx_token_counts",
+    Some("""SELECT doc_id,
+           |  array_length(regexp_split_to_array(text, '\s+')) AS n_tokens,
+           |  len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS n_bpeish,
+           |  n_chars
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) => docs(s, d).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"),
+      col("n_chars"))
+      .orderBy("doc_id"))
+
+  private val tx2 = QueryDef("tx_quality_features",
+    Some("""SELECT doc_id,
+           |  len(list_filter(string_split_regex(lower(text), '\s+'),
+           |      t -> t IN ('the','a','of','and','to','in','is'))) AS stopword_cnt,
+           |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * cast(1.0 as double) / length(text) AS alpha_ratio
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) => docs(s, d).select(col("doc_id"),
+      TextFunctions.stopwordCount(col("text")).as("stopword_cnt"),
+      (length(regexp_replace(col("text"), "[^A-Za-z]", "")) * lit(1.0) / length(col("text")))
+        .as("alpha_ratio"))
+      .orderBy("doc_id"))
+
+  private val tx3 = QueryDef("tx_lang_id",
+    Some("""WITH scored AS (
+           |  SELECT doc_id, lang,
+           |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('the','a','of','and'))) AS en_score,
+           |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('el','la','de','que'))) AS es_score,
+           |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('le','la','et','les'))) AS fr_score,
+           |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('der','die','und','das'))) AS de_score
+           |  FROM documents)
+           |SELECT doc_id, lang, en_score, es_score, fr_score, de_score,
+           |  CASE WHEN greatest(en_score, es_score, fr_score, de_score) = 0 THEN 'unknown'
+           |       WHEN en_score = greatest(en_score, es_score, fr_score, de_score) THEN 'en'
+           |       WHEN es_score = greatest(en_score, es_score, fr_score, de_score) THEN 'es'
+           |       WHEN fr_score = greatest(en_score, es_score, fr_score, de_score) THEN 'fr'
+           |       ELSE 'de' END AS predicted
+           |FROM scored ORDER BY doc_id""".stripMargin),
+    (s, d) => docs(s, d).select(col("doc_id"), col("lang"),
+      TextFunctions.langScore(col("text"), "en").as("en_score"),
+      TextFunctions.langScore(col("text"), "es").as("es_score"),
+      TextFunctions.langScore(col("text"), "fr").as("fr_score"),
+      TextFunctions.langScore(col("text"), "de").as("de_score"),
+      TextFunctions.predictedLang(col("text")).as("predicted"))
+      .orderBy("doc_id"))
+
+  private val tx4 = QueryDef("tx_fingerprint",
+    Some("""SELECT doc_id,
+           |  list_reduce(list_prepend(cast(7 as bigint),
+           |    list_transform(string_split(text, ''), x -> cast(ascii(x) as bigint))),
+           |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) => docs(s, d).select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id"))
+
+  // ---- deduplication -----------------------------------------------------
+
+  private val dd1 = QueryDef("dd_exact",
+    Some("""SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+           |       count(*) OVER (PARTITION BY text) AS group_size
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) => Dedup.exact(docs(s, d), "doc_id", "text")
+      .select("doc_id", "canonical_id", "group_size")
+      .orderBy("doc_id"))
+
+  /** Word-bigram Jaccard near-dup pairs (threshold 0.5; df-cap 100 on the
+    * inverted index). The data has a clean gap: injected near-dups sit at
+    * jaccard ≥ 0.9, random pairs at ≤ 0.15.
+    */
+  private val dd2 = QueryDef("dd_ngram_jaccard",
+    Some("""WITH sh AS (
+           |  SELECT doc_id AS doc, unnest(list_distinct(
+           |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS shingle
+           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
+           |capped AS (
+           |  SELECT doc, shingle FROM
+           |    (SELECT doc, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+           |  WHERE df <= 100),
+           |sizes AS (SELECT doc, count(*) AS n_shingles FROM capped GROUP BY doc),
+           |common AS (
+           |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+           |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc < b.doc
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b,
+           |  floor(c * cast(1.0 as double) / (sa.n_shingles + sb.n_shingles - c) * 10000 + 0.5) / 10000 AS jaccard
+           |FROM common
+           |JOIN sizes sa ON sa.doc = doc_a
+           |JOIN sizes sb ON sb.doc = doc_b
+           |WHERE c * cast(1.0 as double) / (sa.n_shingles + sb.n_shingles - c) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    (s, d) => Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 2,
+      threshold = 0.5, maxDf = 100)
+      .orderBy("doc_a", "doc_b"))
+
+  /** MinHash+LSH near-dup candidates (no ANSI oracle: murmur3-based
+    * signatures). Invariant-tested in ScalaTest instead.
+    */
+  private val dd3 = QueryDef("dd_minhash_lsh", None,
+    (s, d) => Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
+      shingleN = 2, k = 32, bands = 8, threshold = 0.5)
+      .orderBy("doc_a", "doc_b"))
+
+  /** SimHash Hamming-distance near-dups (no ANSI oracle: xxhash64-based). */
+  private val dd4 = QueryDef("dd_simhash", None,
+    (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 3)
+      .orderBy("doc_a", "doc_b"))
+
+  // ---- similarity search -------------------------------------------------
+
+  /** Identical left-fold dot product on both engines → bit-equal cosines. */
+  private val simDotSql =
+    """list_reduce(list_prepend(cast(0.0 as double),
+      |  [cast(%s.embedding[i] as double) * cast(%s.embedding[i] as double)
+      |   for i in range(1, len(%s.embedding) + 1)]), (a, b) -> a + b)""".stripMargin
+
+  private def dotSql(a: String, b: String) = simDotSql.format(a, b, a)
+
+  private val sm1 = QueryDef("sim_norms",
+    Some(s"""SELECT vec_id, label, sqrt(${dotSql("embeddings", "embeddings")}) AS l2_norm
+            |FROM embeddings ORDER BY vec_id""".stripMargin),
+    (s, d) => emb(s, d).select(col("vec_id"), col("label"),
+      Similarity.l2Norm(col("embedding")).as("l2_norm"))
+      .orderBy("vec_id"))
+
+  private val sm2 = QueryDef("sim_knn_brute",
+    Some(s"""WITH pairs AS (
+            |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            |    ${dotSql("q", "c")} /
+            |      (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})) AS cos
+            |  FROM embeddings q, embeddings c
+            |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+            |ranked AS (
+            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            |  FROM pairs)
+            |SELECT query_id, neighbor_id, cos, rank FROM ranked
+            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    (s, d) => Similarity.bruteForceTopK(
+      emb(s, d), emb(s, d).filter(col("vec_id") < 10), k = 5)
+      .orderBy("query_id", "rank"))
+
+  /** Embedding near-dup pairs blocked on label (cosine ≥ 0.45). */
+  private val sm3 = QueryDef("sim_near_dup",
+    Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |  ${dotSql("a", "b")} /
+            |    (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")})) AS cos
+            |FROM embeddings a JOIN embeddings b
+            |  ON a.label = b.label AND a.vec_id < b.vec_id
+            |WHERE ${dotSql("a", "b")} /
+            |    (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")})) >= 0.45
+            |ORDER BY id_a, id_b""".stripMargin),
+    (s, d) => Similarity.nearDupPairs(emb(s, d), "label", 0.45)
+      .orderBy("id_a", "id_b"))
+
+  /** LSH-bucketed ANN (no ANSI oracle: xxhash64-derived hyperplanes);
+    * recall-vs-brute-force is asserted in ScalaTest.
+    */
+  private val sm4 = QueryDef("sim_ann_lsh", None,
+    (s, d) => Similarity.lshTopK(
+      emb(s, d), emb(s, d).filter(col("vec_id") < 10), k = 5, tables = 4, bits = 8)
+      .orderBy("query_id", "rank"))
+
+  // ---- multimodal --------------------------------------------------------
+
+  /** Binary-column features via expressions only (payload = UTF-8 bytes). */
+  private val mm1 = QueryDef("mm_binary_features",
+    Some("""SELECT doc_id, octet_length(cast(text as blob)) AS n_bytes,
+           |       md5(text) AS payload_md5
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) => docs(s, d).select(col("doc_id"),
+      length(col("text").cast("binary")).as("n_bytes"),
+      md5(col("text").cast("binary")).as("payload_md5"))
+      .orderBy("doc_id"))
+
+  /** The stubbed decode pipeline (mapPartitions over binary payloads); the
+    * oracle recomputes the deterministic fake features in SQL.
+    */
+  private val mm2 = QueryDef("mm_decode_features",
+    Some("""WITH feats AS (
+           |  SELECT doc_id AS media_id,
+           |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           |    cast(length(text) as bigint) AS n_bytes,
+           |    list_reduce(list_prepend(cast(7 as bigint),
+           |      list_transform(string_split(text, ''), x -> cast(ascii(x) as bigint))),
+           |      (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+           |  FROM documents)
+           |SELECT media_id, modality, n_bytes, checksum,
+           |  CASE modality WHEN 'video' THEN greatest(1, n_bytes // 256)
+           |       WHEN 'audio' THEN greatest(1, n_bytes // 1024) ELSE 1 END AS frames_sampled
+           |FROM feats ORDER BY media_id""".stripMargin),
+    (s, d) => Multimodal.featuresPipeline(s, docs(s, d))
+      .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"),
+        col("frames_sampled").cast("long").as("frames_sampled"))
+      .orderBy("media_id"))
+
+  val all: Seq[QueryDef] = Seq(
+    tx1, tx2, tx3, tx4,
+    dd1, dd2, dd3, dd4,
+    sm1, sm2, sm3, sm4,
+    mm1, mm2)
+}

@@ -1,0 +1,135 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ingest.LogParser
+
+/** The reference dashboard's query workload (stats_dashboard.py:13-240) as
+  * composable DataFrame transforms over a parsed log table.
+  *
+  * Key structural fix vs. the reference: the per-IP summary there makes ~8
+  * separate full-frame passes (six `df.groupby('ip')` calls at
+  * stats_dashboard.py:103-117 plus two filtered re-scans). Here it is ONE
+  * `groupBy("ip")` pass — conditional aggregates replace the pivot-then-graft
+  * pattern — so at cluster scale the whole summary costs a single shuffle on
+  * `ip`. Hot attacker IPs skew that shuffle at 100 TB; AQE skew-join/salting
+  * is the mitigation (partial aggregation already cuts the map-side volume).
+  */
+object SshAnalytics {
+
+  import LogParser.suspiciousEvents
+
+  /** All 11 event tags, for explicit pivot value lists (pivot with a known
+    * value list avoids Spark's extra distinct-collect job).
+    */
+  val eventTags: Seq[String] = Seq(
+    "invalid_user", "failed_password", "auth_failure", "reverse_mapping_check",
+    "connection_closed", "disconnect", "no_identification",
+    "too_many_failures", "ignoring_max_retries", "failed_none", "other")
+
+  private def cnt(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+
+  /** Global dashboard metrics (stats_dashboard.py:35-42) in one pass. */
+  def globalMetrics(df: DataFrame): DataFrame =
+    df.agg(
+      count(lit(1)).as("total_records"),
+      countDistinct(col("user")).as("unique_users"),
+      countDistinct(col("ip")).as("unique_ips"),
+      countDistinct(col("event")).as("distinct_events"),
+      cnt(col("event").isin(suspiciousEvents: _*)).as("failed_events"),
+      round(cnt(col("event").isin(suspiciousEvents: _*)) * 100.0 / count(lit(1)), 2)
+        .as("failed_rate_pct"))
+
+  /** Per-event access evolution grouped by hour (stats_dashboard.py:60-63). */
+  def accessByHour(df: DataFrame, eventFilter: String): DataFrame =
+    df.filter(col("event") === eventFilter)
+      .groupBy(hour(col("datetime")).as("hour")).count()
+      .withColumn("hour_label", lpad(col("hour").cast("string"), 2, "0"))
+      .orderBy("hour")
+
+  /** Per-event access evolution grouped by day (stats_dashboard.py:65-69). */
+  def accessByDay(df: DataFrame, eventFilter: String): DataFrame =
+    df.filter(col("event") === eventFilter)
+      .groupBy(to_date(col("datetime")).as("date")).count()
+      .withColumn("date_label", date_format(col("date"), "MMM dd"))
+      .orderBy("date")
+
+  /** Suspicious-vs-Normal daily pivot (stats_dashboard.py:82-86). */
+  def suspiciousVsNormalDaily(df: DataFrame): DataFrame =
+    df.withColumn("event_type", LogParser.eventTypeCol(col("event")))
+      .groupBy(to_date(col("datetime")).as("date"))
+      .pivot("event_type", Seq("Suspicious", "Normal")).count()
+      .na.fill(0L, Seq("Suspicious", "Normal"))
+      .orderBy("date")
+
+  /** The per-IP summary (stats_dashboard.py:103-144) in ONE aggregation pass.
+    * Produces: the 11 pivoted event counts, total_events,
+    * distinct_source_ports, source_ports_list, first_seen, last_seen,
+    * failed_logins, failed_users, tried_root_admin, event_diversity,
+    * suspicious_score, attacker/bot/authorized percentages.
+    */
+  def ipEventSummary(df: DataFrame): DataFrame = {
+    val susp = col("event").isin(suspiciousEvents: _*)
+    val rootAdmin = lower(col("user")).isin("root", "admin")
+
+    val pivotCols = eventTags.map(t => cnt(col("event") === t).as(t))
+    val aggs = pivotCols ++ Seq(
+      count(lit(1)).as("total_events"),
+      countDistinct(col("port")).as("distinct_source_ports"),
+      sort_array(collect_set(col("port").cast("string"))).as("source_ports_list"),
+      min(col("datetime")).as("first_seen"),
+      max(col("datetime")).as("last_seen"),
+      cnt(susp).as("failed_logins"),
+      sort_array(collect_set(when(susp, coalesce(col("user"), lit(""))))).as("failed_users"),
+      cnt(rootAdmin).as("tried_root_admin"),
+      countDistinct(col("event")).as("event_diversity"))
+
+    val base = df.groupBy(col("ip")).agg(aggs.head, aggs.tail: _*)
+
+    val scored = base.withColumn("suspicious_score",
+      Scoring.suspiciousScore(col("failed_logins"), col("distinct_source_ports"),
+        col("total_events"), col("tried_root_admin"), col("event_diversity")))
+
+    val (attacker, bot, authorized) = Scoring.classifyProfile(
+      col("suspicious_score"), col("failed_logins"), col("distinct_source_ports"),
+      col("tried_root_admin"), col("event_diversity"))
+
+    scored
+      .withColumn("attacker_pct", attacker)
+      .withColumn("bot_pct", bot)
+      .withColumn("authorized_pct", authorized)
+      .orderBy(desc("suspicious_score"), col("ip"))
+  }
+
+  /** Global stats over the per-IP summary (stats_dashboard.py:149-158). */
+  def globalIpStats(summary: DataFrame): DataFrame =
+    summary.agg(
+      count(lit(1)).as("total_ips"),
+      cnt(col("failed_logins") > 0).as("failed_login_ips"),
+      cnt(col("tried_root_admin") > 0).as("root_admin_ips"),
+      cnt(col("total_events") > 100).as("ips_over_100_events"),
+      max(col("total_events")).as("max_events_per_ip"),
+      round(avg(col("total_events")), 2).as("avg_events_per_ip"),
+      round(avg(col("suspicious_score")), 2).as("avg_suspicious_score"),
+      cnt(col("suspicious_score") > 80).as("suspicious_over_80"))
+
+  /** Histogram of a numeric column by fixed-width buckets
+    * (stats_dashboard.py:163's nbins analog, engine-side).
+    */
+  def histogram(df: DataFrame, c: Column, width: Double): DataFrame =
+    df.groupBy(floor(c / width).as("bucket")).count().orderBy("bucket")
+
+  /** Top-k by count with an "Others" rollup bucket — the reference's
+    * draw_pie (stats_dashboard.py:217-224). Window ranking then
+    * re-aggregation; the window input is already the small aggregated
+    * count table, so the sort is cheap at any scale.
+    */
+  def topKWithOthers(counts: DataFrame, nameCol: String, countCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(desc(countCol), col(nameCol))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("bucket", when(col("rn") <= k, col(nameCol)).otherwise(lit("Others")))
+      .groupBy("bucket").agg(sum(col(countCol)).as(countCol))
+  }
+}

@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for a training-data pipeline.
+  *
+  * Scale design: every variant is shuffle-on-key, never all-pairs.
+  *   - exact: one hash-partitioned groupBy on a 64-bit content hash — at
+  *     100 TB this is the cheapest possible shape (map-side partial agg,
+  *     no row text shuffled when grouping by xxhash64).
+  *   - n-gram Jaccard: inverted-index join on shingles — candidate pairs
+  *     only where at least one shingle collides, with a document-frequency
+  *     cap on shingles so a stop-shingle can never produce a quadratic
+  *     bucket (the standard "stop the hub nodes" trick for skew).
+  *   - MinHash/LSH: fixed-width signatures (k hashes) then banding — the
+  *     join key is (band, bandHash), so shuffle volume is #docs × #bands
+  *     regardless of document size.
+  *   - SimHash: 64-bit signature; near-dup candidates via band equality on
+  *     signature quarters (Hamming ≤ 3 ⟹ one quarter equal, pigeonhole).
+  */
+object Dedup {
+
+  /** Exact dedup: canonical = min doc id among identical texts. Output keeps
+    * every row with its canonical id and group size (callers filter
+    * `canonical_id =!= id` to drop dups). At scale: group by xxhash64(text)
+    * first so the shuffle carries 8-byte keys, then resolve rare collisions
+    * within groups (omitted here: collision probability ~1e-10 at 1e9 docs
+    * is handled by comparing text within hash groups).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol))
+    docs.select(col(idCol), col(textCol))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col(idCol), col("canonical_id"), col("group_size"))
+  }
+
+  /** Doc → exploded distinct word-n-gram shingles, df-capped.
+    * `maxDf` drops shingles appearing in more than maxDf docs — bounds the
+    * inverted-index bucket size (quadratic-blowup guard).
+    */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, maxDf: Long): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("shingle"))
+    val capped = exploded
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    capped
+  }
+
+  /** N-gram Jaccard near-dup pairs via inverted-index self-join.
+    * Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold, doc_a < doc_b.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double, maxDf: Long = 100): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n, maxDf).cache()
+    val sizes = idx.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
+
+    val common = idx.as("a").join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+
+    // Cross-engine determinism: filter on the raw ratio, then round via
+    // floor(x·10^4 + 0.5)/10^4 (engine-native round() differs on half-cases).
+    val rawJaccard = col("common").cast("double") * 1.0 /
+      (col("size_a") + col("size_b") - col("common"))
+    common
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
+      .filter(rawJaccard >= threshold)
+      .withColumn("jaccard", floor(rawJaccard * 10000 + 0.5) / 10000)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: k independent hash functions h_i(s) = (a_i·x + b_i)
+    * mod p over 32-bit shingle hashes; signature = per-doc min of each h_i.
+    * Deterministic coefficients derived from the hash index.
+    */
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val shingleHashes = transform(shingles, s => pmod(hash(s).cast("long"), lit(MersennePrime)))
+    val sigs = (0 until k).map { i =>
+      val a = 2L * i + 1 // odd multipliers, coprime with 2^31-1's factors
+      val b = 0x9E3779B9L + i * 0x85EBCA6BL
+      array_min(transform(shingleHashes, x => pmod(lit(a) * x + lit(b % MersennePrime), lit(MersennePrime))))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash + LSH banding near-dup candidates, verified with signature
+    * similarity. bands×rows = k. Join key is (band, hash of band slice) —
+    * shuffle is O(docs × bands), never all-pairs.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val withSig = docs.select(col(idCol).as("doc"),
+        TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(array_distinct(col("sh")), k))
+      .drop("sh")
+      .cache()
+
+    val banded = withSig.select(col("doc"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
+      }: _*)).as("bb"))
+
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.bb") === col("b.bb") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+
+    cands
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k, 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /** SimHash: 64-bit signature — for each bit, sum ±1 weighted votes of the
+    * token hashes; bit = 1 if the sum is positive. Near-dups have small
+    * Hamming distance. Computed with higher-order functions only.
+    */
+  def simhash(text: Column): Column = {
+    val tokenHashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidate pairs: block on 16-bit signature quarters
+    * (Hamming ≤ 3 guarantees one equal quarter), verify Hamming ≤ maxDist.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("doc"), simhash(col(textCol)).as("sig")).cache()
+    val blocked = sigs.select(col("doc"), col("sig"),
+      explode(array((0 until 4).map { q =>
+        struct(lit(q).as("q"), shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL).as("qk"))
+      }: _*)).as("blk"))
+
+    val hamming = {
+      val x = col("a.sig").bitwiseXOR(col("b.sig"))
+      bit_count(x)
+    }
+
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

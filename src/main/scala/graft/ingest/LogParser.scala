@@ -1,0 +1,134 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** OpenSSH syslog parser — the reference's parse stage re-expressed as pure
+  * Catalyst column expressions (whole-stage-codegen friendly; zero UDFs).
+  *
+  * Semantics mirror `/root/reference/src/parse_logs.py` exactly:
+  *   - line grammar + match-or-drop filter (parse_logs.py:11-13)
+  *   - ip single-regex alternation, group-1-preferred (parse_logs.py:16-17)
+  *   - user first-match cascade of three patterns (parse_logs.py:19-22)
+  *   - field extractors, with Python's None for "no match" and empty string
+  *     for present-but-empty captures like `logname=` (parse_logs.py:24-46)
+  *   - 11-way first-match event classifier (parse_logs.py:48-69)
+  *   - protocol_version / 4-way disconnect_reason (parse_logs.py:71-82)
+  * plus the dashboard's derived `datetime` with the hard-coded year 2024
+  * (stats_dashboard.py:25-28).
+  *
+  * Scale note: this is a narrow map-only pipeline — `text scan → project →
+  * filter` with no shuffle. On a cluster it parallelizes by input split;
+  * every expression stays inside one WholeStageCodegen stage.
+  */
+object LogParser {
+
+  /** Line grammar: `Month Day HH:MM:SS host sshd[pid]: message`. */
+  val LinePattern = """(\w+)\s+(\d+)\s+([\d:]+)\s+(\S+)\s+sshd\[(\d+)\]:\s+(.*)"""
+
+  private def nullIfEmpty(c: Column): Column = nullif(c, lit(""))
+
+  /** Unanchored single-group extract; no-match → null (Python None parity). */
+  private def rx(c: Column, pattern: String, group: Int = 1): Column =
+    nullIfEmpty(regexp_extract(c, pattern, group))
+
+  /** Extractors whose capture may legitimately be empty (`([^\s]*)`):
+    * distinguish "key absent" (null) from "key present, empty value" ("").
+    */
+  private def rxMaybeEmpty(c: Column, key: String, pattern: String): Column =
+    when(c.contains(key), regexp_extract(c, pattern, 1)).otherwise(lit(null))
+
+  /** ip: one alternation regex searched once; group 1 preferred if non-empty,
+    * else group 2 of the *same* match — replicates Python's first-position
+    * search over `from ([\d\.]+)|\[(\d+\.\d+\.\d+\.\d+)\]`.
+    */
+  def ipCol(message: Column): Column = {
+    val pat = """from ([\d\.]+)|\[(\d+\.\d+\.\d+\.\d+)\]"""
+    coalesce(nullIfEmpty(regexp_extract(message, pat, 1)),
+             nullIfEmpty(regexp_extract(message, pat, 2)))
+  }
+
+  /** user: first-match cascade — `Invalid user (\S+)` > `user=(\S+)` >
+    * `for (\w+) from`; cascade priority is semantic (parse_logs.py:19-22).
+    */
+  def userCol(message: Column): Column =
+    coalesce(
+      rx(message, """Invalid user (\S+)"""),
+      rx(message, """user=(\S+)"""),
+      rx(message, """for (\w+) from"""))
+
+  /** 11-way first-match substring classifier (order is semantic). */
+  def eventCol(message: Column): Column =
+    when(message.contains("Invalid user"), "invalid_user")
+      .when(message.contains("Failed password"), "failed_password")
+      .when(message.contains("authentication failure"), "auth_failure")
+      .when(message.contains("reverse mapping"), "reverse_mapping_check")
+      .when(message.contains("Connection closed"), "connection_closed")
+      .when(message.contains("Received disconnect"), "disconnect")
+      .when(message.contains("Did not receive identification string"), "no_identification")
+      .when(message.contains("Too many authentication failures"), "too_many_failures")
+      .when(message.contains("ignoring max retries"), "ignoring_max_retries")
+      .when(message.contains("Failed none"), "failed_none")
+      .otherwise("other")
+
+  /** `ssh(\d)` → "ssh{n}", else null. */
+  def protocolVersionCol(message: Column): Column =
+    when(message.rlike("""ssh\d"""),
+      concat(lit("ssh"), regexp_extract(message, """ssh(\d)""", 1)))
+
+  /** 4-way disconnect classifier; last arm is case-insensitive. */
+  def disconnectReasonCol(message: Column): Column =
+    when(message.contains("Received disconnect"), "received_disconnect")
+      .when(message.contains("Connection closed"), "connection_closed")
+      .when(message.contains("Disconnected from"), "disconnected")
+      .when(lower(message).contains("timeout"), "timeout")
+
+  /** Dashboard-derived timestamp: hard-coded year 2024, `%Y %b %d %H:%M:%S`,
+    * null on parse failure (pandas errors='coerce' parity).
+    */
+  def datetimeCol(month: Column, day: Column, time: Column): Column =
+    try_to_timestamp(
+      concat_ws(" ", lit("2024"), month, day.cast("string"), time),
+      lit("yyyy MMM d HH:mm:ss"))
+
+  /** Suspicious/Normal binary label (stats_dashboard.py:82-83). */
+  val suspiciousEvents: Seq[String] = Seq("failed_password", "invalid_user", "auth_failure")
+  def eventTypeCol(event: Column): Column =
+    when(event.isin(suspiciousEvents: _*), "Suspicious").otherwise("Normal")
+
+  /** Full parse: raw-line DataFrame (one string column) → 19-column table +
+    * `datetime`. Non-matching lines are dropped (match-or-drop semantics).
+    * Works identically on batch (`spark.read.text`) and streaming
+    * (`spark.readStream.text`) inputs — it is a stateless projection.
+    */
+  def parse(lines: DataFrame, lineCol: String = "value"): DataFrame = {
+    val l = col(lineCol)
+    val parsed = lines
+      .withColumn("month", regexp_extract(l, LinePattern, 1))
+      .filter(col("month") =!= "") // match-or-drop (parse_logs.py:13)
+      .withColumn("day", regexp_extract(l, LinePattern, 2).cast(IntegerType))
+      .withColumn("time", regexp_extract(l, LinePattern, 3))
+      .withColumn("host", regexp_extract(l, LinePattern, 4))
+      .withColumn("pid", regexp_extract(l, LinePattern, 5).cast(IntegerType))
+      .withColumn("message", regexp_extract(l, LinePattern, 6))
+
+    val m = col("message")
+    parsed
+      .withColumn("ip", ipCol(m))
+      .withColumn("user", userCol(m))
+      .withColumn("port", rx(m, """port (\d+)""").cast(IntegerType))
+      .withColumn("event", eventCol(m))
+      .withColumn("rhost", rx(m, """rhost=([^\s]+)"""))
+      .withColumn("tty", rx(m, """tty=([^\s]+)"""))
+      .withColumn("logname", rxMaybeEmpty(m, "logname=", """logname=([^\s]*)"""))
+      .withColumn("uid", rx(m, """uid=(\d+)""").cast(IntegerType))
+      .withColumn("euid", rx(m, """euid=(\d+)""").cast(IntegerType))
+      .withColumn("ruser", rxMaybeEmpty(m, "ruser=", """ruser=([^\s]*)"""))
+      .withColumn("method", rx(m, """pam_(\w+)\(sshd:(\w+)\)""", 1))
+      .withColumn("protocol_version", protocolVersionCol(m))
+      .withColumn("disconnect_reason", disconnectReasonCol(m))
+      .withColumn("datetime", datetimeCol(col("month"), col("day"), col("time")))
+      .drop(lineCol)
+  }
+}

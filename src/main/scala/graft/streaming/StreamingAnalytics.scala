@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ingest.LogParser
+
+/** Structured Streaming variants of the batch pipeline (the reference has no
+  * streaming — its dashboard re-scans everything per refresh,
+  * stats_dashboard.py:13-18; this module is the north-star replacement).
+  *
+  * Every transform here takes a DataFrame and works identically on batch and
+  * streaming inputs — the parity tests exploit that by running the same
+  * function over `spark.read` and `MemoryStream` inputs. Watermarks bound
+  * state so a 100 TB/day stream holds only (watermark window × key
+  * cardinality) state, not history.
+  */
+object StreamingAnalytics {
+
+  /** Streaming ingest: raw log lines → parsed table. Stateless projection;
+    * on a cluster this is `readStream.text(dir)` over an arriving-files
+    * directory with the exact same parse expressions as batch.
+    */
+  def parseStream(lines: DataFrame): DataFrame = LogParser.parse(lines)
+
+  /** Tumbling event-time window counts per key with a watermark for late
+    * data. Emits (window_start, window_end, key, count).
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowLen: String, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(keyCol))
+      .count()
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col(keyCol), col("count"))
+
+  /** Sliding-window counts (windowLen, slide). */
+  def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    windowLen: String, slide: String,
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide).as("w"), col(keyCol))
+      .count()
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col(keyCol), col("count"))
+
+  /** Incremental per-entity summary — the streaming version of the per-IP
+    * summary: windowed conditional counts + distinct approximation. Exact
+    * distincts aren't incrementally maintainable without state explosion, so
+    * the streaming path uses approx_count_distinct (HLL) — the documented
+    * batch/stream precision tradeoff.
+    */
+  def entitySummaryStream(events: DataFrame, tsCol: String, keyCol: String,
+                          suspicious: Seq[String], typeCol: String,
+                          windowLen: String = "1 day",
+                          watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(keyCol))
+      .agg(
+        count(lit(1)).as("total_events"),
+        sum(when(col(typeCol).isin(suspicious: _*), 1L).otherwise(0L)).as("failed_events"),
+        approx_count_distinct(col(typeCol)).as("approx_diversity"),
+        min(col(tsCol)).as("first_seen"),
+        max(col(tsCol)).as("last_seen"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("total_events"),
+        col("failed_events"), col("approx_diversity"), col("first_seen"), col("last_seen"))
+
+  /** Session windows via the built-in session_window (gap-based). */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .count()
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col(keyCol), col("count"))
+}
