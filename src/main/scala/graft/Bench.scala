@@ -1,24 +1,53 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.immutable.ListMap
+
+/** Driver-run benchmark: one JSON line with per-query wall seconds.
+  *
+  * Failures are NOT silently swallowed (round-1 lesson: every events-based
+  * query failed on a parquet nanos type and the catch hid it): a failed
+  * query is reported in a `failed` list and its error printed to stderr.
+  * A small untimed warmup query absorbs JIT/codegen first-run cost, and
+  * caches are cleared between queries so one query's cached intermediates
+  * cannot skew another's memory budget.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.icu.caseMappings.enabled", "false") // ICU clinit costs minutes; JVM case mapping ≡ ICU on ASCII
+      .config("spark.local.dir", "/dev/shm/spark-local") // shuffle scratch on tmpfs: file create/mmap on this VM disk costs ms
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Untimed JIT/codegen/parquet-footer warmup.
+    try SparkEntry.queries("a14_scalar_stats")(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+
+    var failed = List.empty[String]
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = ListMap(names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        failed ::= name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
+    }: _*)
+
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fj = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

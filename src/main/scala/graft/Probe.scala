@@ -1,0 +1,63 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+import java.util.concurrent.ConcurrentHashMap
+
+/** Temporary perf probe with a built-in sampling profiler (not part of the
+  * driver contract).
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/spark-local") // shuffle scratch on tmpfs: file create/mmap on this VM disk costs ms
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val samples = new ConcurrentHashMap[String, Integer]()
+    @volatile var sampling = false
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling && sys.env.getOrElse("PROBE_SAMPLER", "on") == "on") {
+          Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
+            if (st.nonEmpty && t.getState == Thread.State.RUNNABLE &&
+                (t.getName.startsWith("Executor task") || t.getName == "main")) {
+              // first non-jvm-internal frame
+              val f = st.take(6).map(_.toString)
+                .find(s => !s.startsWith("java.lang.Thread"))
+                .getOrElse(st.head.toString)
+              samples.merge(s"${if (t.getName == "main") "MAIN" else "EXEC"} $f", 1, (a, b) => a + b)
+            }
+          }
+        }
+        Thread.sleep(100)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+
+    // untimed warmup
+    SparkEntry.queries("a14_scalar_stats")(spark, sfDir).count()
+
+    args.foreach { name =>
+      samples.clear()
+      sampling = true
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      sampling = false
+      println(f"PROBE $name: $n rows in $dt%.2f s")
+      if (dt > 5) {
+        samples.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (f, c) =>
+          println(f"  HOT $c%4d  $f")
+        }
+      }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -106,7 +106,7 @@ object Queries {
            |  CASE event_type WHEN 'error' THEN 'failed_password' WHEN 'signup' THEN 'invalid_user'
            |       WHEN 'purchase' THEN 'auth_failure' WHEN 'click' THEN 'connection_closed'
            |       ELSE 'disconnect' END AS event,
-           |  CASE WHEN event_type = 'purchase' THEN NULL
+           |  CASE WHEN event_type IN ('purchase', 'click') THEN NULL
            |       ELSE '10.0.' || (user_id % 200) || '.' || (event_id % 250) END AS ip,
            |  CASE event_type WHEN 'error' THEN 'u' || user_id WHEN 'signup' THEN 'u' || user_id
            |       WHEN 'purchase' THEN 'root' ELSE NULL END AS user,

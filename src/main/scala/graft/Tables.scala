@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -17,7 +18,18 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) in the driver's parquet — a type
+    * Spark 4 refuses by default ([PARQUET_TYPE_ILLEGAL]; nanosecond
+    * timestamps exceed TimestampType's microsecond precision). We read it
+    * as raw nanos via the legacy long mapping and truncate to µs — exactly
+    * what DuckDB's `cast(ts as timestamp)` does on the oracle side, so the
+    * two engines see identical instants.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // integral div: ns → µs
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

@@ -28,9 +28,20 @@ object Scoring {
   def botScore(diversity: Column, ports: Column): Column =
     least(lit(100.0), lit(1.5) * diversity + lit(2.0) * ports)
 
-  /** (attacker, bot, authorized) percentages, each `round(x·100/total, 1)`
-    * (stats_dashboard.py:127-143). Returned as three flat columns rather
-    * than a struct so oracle comparison is column-by-column.
+  /** Cross-engine-stable HALF_UP rounding: floor(x·10^d + 0.5)/10^d — the
+    * repo-wide determinism rule (engine-native round() differs across
+    * engines on half-cases; Python's round() is even half-even).
+    */
+  private def rnd(c: Column, d: Int): Column = {
+    val f = math.pow(10, d)
+    floor(c * f + 0.5) / f
+  }
+
+  /** (attacker, bot, authorized) percentages, each rounded to 1 decimal
+    * (stats_dashboard.py:127-143; the reference's Python round() is
+    * half-even — we use the repo's floor-based HALF_UP everywhere so the
+    * same query is oracle-checkable in DuckDB). Returned as three flat
+    * columns rather than a struct so oracle comparison is column-by-column.
     */
   def classifyProfile(score: Column, failed: Column, ports: Column,
                       root: Column, diversity: Column): (Column, Column, Column) = {
@@ -38,8 +49,8 @@ object Scoring {
     val bot = botScore(diversity, ports)
     val legit = greatest(lit(0.0), lit(100.0) - attacker - bot)
     val total = attacker + bot + legit
-    (round(attacker * 100.0 / total, 1),
-     round(bot * 100.0 / total, 1),
-     round(legit * 100.0 / total, 1))
+    (rnd(attacker * 100.0 / total, 1),
+     rnd(bot * 100.0 / total, 1),
+     rnd(legit * 100.0 / total, 1))
   }
 }

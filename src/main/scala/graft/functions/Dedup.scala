@@ -78,49 +78,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash signature: k independent hash functions h_i(s) = (a_i·x + b_i)
-    * mod p over 32-bit shingle hashes; signature = per-doc min of each h_i.
-    * Deterministic coefficients derived from the hash index.
+  /** MinHash signature: k permutation-style hashes over murmur3 shingle
+    * hashes, folded in ONE pass by the native
+    * [[NativeExpressions.MinHashSignature]] kernel. (The earlier
+    * HOF-composed version expanded to 32 interpreted re-evaluations of the
+    * shingle pipeline per row — 400+ s at sf0.1; this is milliseconds.)
     */
-  private val MersennePrime = 2147483647L // 2^31 - 1
-
-  def minhashSignature(shingles: Column, k: Int): Column = {
-    val shingleHashes = transform(shingles, s => pmod(hash(s).cast("long"), lit(MersennePrime)))
-    val sigs = (0 until k).map { i =>
-      val a = 2L * i + 1 // odd multipliers, coprime with 2^31-1's factors
-      val b = 0x9E3779B9L + i * 0x85EBCA6BL
-      array_min(transform(shingleHashes, x => pmod(lit(a) * x + lit(b % MersennePrime), lit(MersennePrime))))
-    }
-    array(sigs: _*)
-  }
+  def minhashSignature(shingles: Column, k: Int): Column =
+    NativeExpressions.minhashSignature(shingles, k)
 
   /** MinHash + LSH banding near-dup candidates, verified with signature
     * similarity. bands×rows = k. Join key is (band, hash of band slice) —
-    * shuffle is O(docs × bands), never all-pairs.
+    * shuffle is O(docs × bands), never all-pairs. The candidate self-join
+    * and its distinct carry ONLY (band-key, doc id) — signatures are
+    * re-attached to the surviving pairs afterwards, so no wide arrays move
+    * through the pair shuffle.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val withSig = docs.select(col(idCol).as("doc"),
+    val sigs = docs.select(col(idCol).as("doc"),
         TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(array_distinct(col("sh")), k))
-      .drop("sh")
+      .select(col("doc"), minhashSignature(col("sh"), k).as("sig"))
       .cache()
 
-    val banded = withSig.select(col("doc"), col("sig"),
+    val banded = sigs.select(col("doc"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
       }: _*)).as("bb"))
 
     val cands = banded.as("a").join(banded.as("b"),
         col("a.bb") === col("b.bb") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct() // narrow: two longs per row
 
     cands
+      .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / k, 4))
@@ -128,19 +124,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
-  /** SimHash: 64-bit signature — for each bit, sum ±1 weighted votes of the
-    * token hashes; bit = 1 if the sum is positive. Near-dups have small
-    * Hamming distance. Computed with higher-order functions only.
+  /** SimHash: 64-bit signature — for each bit, sum ±1 votes of the token
+    * xxhash64 bits; bit = 1 if the sum is positive. One native pass over
+    * the tokens ([[NativeExpressions.SimHash64]]).
     */
-  def simhash(text: Column): Column = {
-    val tokenHashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val votes = aggregate(tokenHashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
+  def simhash(text: Column): Column =
+    NativeExpressions.simhash64(TextFunctions.tokens(text))
 
   /** SimHash near-dup candidate pairs: block on 16-bit signature quarters
     * (Hamming ≤ 3 guarantees one equal quarter), verify Hamming ≤ maxDist.

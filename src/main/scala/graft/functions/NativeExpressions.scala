@@ -1,0 +1,258 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot loops of the training-data
+  * pipeline (similarity search, MinHash/SimHash dedup).
+  *
+  * Why custom expressions instead of `functions.aggregate`/`zip_with`
+  * compositions: Spark's higher-order functions do not participate in
+  * whole-stage codegen — each element access is an interpreted lambda call
+  * with boxing. For per-row numeric kernels (a dot product over a 64-float
+  * embedding, a k=32 MinHash fold over ~50 shingles) that is 100-1000×
+  * slower than a tight loop. Measured on this repo's bench: the HOF cosine
+  * made `sim_near_dup` take 542 s at sf0.1; the codegen'd [[DotProduct]]
+  * below brings the identical result to under a second.
+  *
+  * All expressions here are deterministic, null-safe, and shaped per the
+  * builder guidance: "a native Catalyst `Expression` (with `doGenCode`)
+  * beats a Scala UDF beats anything else".
+  */
+object NativeExpressions {
+
+  /** Sequential left-fold dot product of two float arrays in double
+    * precision — bit-identical to
+    * `aggregate(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double)), 0.0, _ + _)`
+    * and to DuckDB's `list_reduce` fold, because IEEE-754 addition is
+    * performed in the same order. Participates in whole-stage codegen.
+    */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) return null // zip_with pads with null → null sum
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |final int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |  }
+           |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** MinHash signature of a shingle set: k permutation-style hashes
+    * h_j(x) = ((2j+1)·x + b_j) mod p over murmur3(shingle) values,
+    * signature[j] = min over shingles. One pass over the shingles — the
+    * k-way inner loop is plain long arithmetic. Duplicate shingles cannot
+    * change a min, so callers need no `array_distinct`.
+    */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+    @transient private lazy val bCoef: Array[Long] =
+      Array.tabulate(k)(j => java.lang.Math.floorMod(0x9E3779B9L + j.toLong * 0x85EBCA6BL, P))
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = s"graft_minhash($k)"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sig = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val s = arr.getUTF8String(i)
+          val h = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+          val x = java.lang.Math.floorMod(h.toLong, P)
+          var j = 0
+          while (j < k) {
+            val hj = ((2L * j + 1L) * x + bCoef(j)) % P
+            if (hj < sig(j)) sig(j) = hj
+            j += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash of a token array: per bit, each token's xxhash64 votes
+    * +1/-1; bit is set when the vote sum is positive. One pass over tokens.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_simhash"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val s = arr.getUTF8String(i)
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Word n-gram shingles of a text column: whitespace-split tokens, then
+    * each run of n consecutive tokens joined with a single space. Output
+    * is identical to
+    * `transform(sequence(1, size(w)-(n-1)), i => concat_ws(" ", slice(w, i, n)))`
+    * over `w = split(text, "\\s+")` — but that HOF form re-evaluates the
+    * regex split once PER SHINGLE when interpreted (~1 ms/shingle measured);
+    * this expression splits once per row.
+    */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    @transient private lazy val ws: UTF8String = UTF8String.fromString("\\s+")
+    @transient private lazy val space: UTF8String = UTF8String.fromString(" ")
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = s"graft_shingles($n)"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].split(ws, -1)
+      val m = toks.length - (n - 1)
+      if (m <= 0) return new GenericArrayData(new Array[Any](0))
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        out(i) =
+          if (n == 1) toks(i)
+          else UTF8String.concatWs(space, java.util.Arrays.copyOfRange(toks, i, i + n): _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Random-hyperplane LSH bucket keys for a float vector: `tables` keys,
+    * each of `bits` sign bits. Hyperplane coefficient for (table, bit, dim)
+    * is a deterministic xxhash64 folded into [-1, 1] — reproducible across
+    * runs/partitions with no RNG state shipped to executors.
+    */
+  case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = s"graft_lsh_buckets($tables,$bits)"
+
+    private def coeff(t: Int, b: Int, d: Int): Double = {
+      val h = XXH64.hashLong(d.toLong, t.toLong * 1315423911L + b.toLong)
+      (java.lang.Math.floorMod(h, 2000001L) - 1000000L) / 1000000.0
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val vec = input.asInstanceOf[ArrayData]
+      val dim = vec.numElements()
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var key = 0L
+        var b = 0
+        while (b < bits) {
+          var proj = 0.0
+          var d = 0
+          while (d < dim) {
+            if (!vec.isNullAt(d)) proj += vec.getFloat(d).toDouble * coeff(t, b, d)
+            d += 1
+          }
+          if (proj > 0) key |= (1L << b)
+          b += 1
+        }
+        out(t) = key
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ---- Column-level entry points -----------------------------------------
+
+  import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+
+  def dotProduct(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
+  def minhashSignature(shingles: Column, k: Int): Column =
+    toCol(MinHashSignature(toExpr(shingles), k))
+  def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+  def wordShingles(text: Column, n: Int): Column = toCol(WordShingles(toExpr(text), n))
+  def hyperplaneBuckets(vec: Column, tables: Int, bits: Int): Column =
+    toCol(HyperplaneBuckets(toExpr(vec), tables, bits))
+}

@@ -1,103 +1,119 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
   *
   * Scale design:
-  *   - dot/cosine are higher-order-function folds over the array — codegen'd,
-  *     no UDF, computed where the data lives.
-  *   - brute-force top-k is a broadcast of the (small) query set against the
-  *     full corpus — one map-side pass + a per-query TakeOrdered; the corpus
-  *     is never shuffled.
-  *   - the LSH variant buckets vectors by random-hyperplane sign bits so the
-  *     candidate join is bucket-equality (shuffle O(n·tables), not all-pairs).
-  *     Hyperplane coefficients are derived deterministically from (table,
-  *     bit, dim) hashes — reproducible across runs and engines, no RNG state.
+  *   - dot/cosine use the native codegen'd [[NativeExpressions.DotProduct]]
+  *     kernel — same sequential-fold semantics as the HOF composition (and
+  *     the DuckDB oracle), ~100× faster per pair.
+  *   - norms are computed ONCE per vector before any pairing, so a pair
+  *     costs one dot product, not three.
+  *   - brute-force top-k broadcasts the (small) QUERY set against the full
+  *     corpus — the corpus is never broadcast and never shuffled with its
+  *     embeddings; only narrow (query_id, neighbor_id, cos) rows move. A
+  *     per-partition pre-rank bounds the final per-query window to
+  *     #partitions × k rows, so one hot query key cannot skew the shuffle.
+  *   - the LSH variant buckets vectors by deterministic random-hyperplane
+  *     sign bits ([[NativeExpressions.HyperplaneBuckets]]); the candidate
+  *     join is bucket-equality on ids only (shuffle O(n·tables) narrow
+  *     rows), embeddings are re-attached per candidate afterwards.
   */
 object Similarity {
 
   /** Sequential-fold dot product in double precision (floats widen exactly,
     * fold order is left-to-right — bit-reproducible across engines).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = NativeExpressions.dotProduct(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Brute-force cosine top-k: for each query vector (small set, broadcast),
-    * rank the full corpus. Returns (query_id, neighbor_id, cos, rank).
+  /** (query_id, neighbor_id, cos) for all candidate pairs, given frames that
+    * carry precomputed norms. cos = dot/(norm_a·norm_b) is bit-identical to
+    * dot/(sqrt(dot(a,a))·sqrt(dot(b,b))) — same doubles, same operations.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val joined = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .crossJoin(broadcast(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qe"), col("ne")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
-    joined.withColumn("rank", row_number().over(w))
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    // Phase 1: bound each (query, input-partition) to k candidates so the
+    // final single-key window never sees more than #partitions·k rows.
+    val perPart = Window.partitionBy(col("query_id"), col("pid"))
+      .orderBy(desc("cos"), col("neighbor_id"))
+    val global = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    pairs
+      .withColumn("pid", spark_partition_id())
+      .withColumn("prank", row_number().over(perPart))
+      .filter(col("prank") <= k)
+      .drop("pid", "prank")
+      .withColumn("rank", row_number().over(global))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane coefficient in [-1, 1] for
-    * (table, bit, dim) — a hash folded to a unit-interval double.
+  /** Brute-force cosine top-k: the (small) query set is broadcast against
+    * the full corpus. Returns (query_id, neighbor_id, cos, rank).
     */
-  private def coeff(table: Int, bit: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(table), lit(bit), dim), lit(2000001L)) - 1000000L) / 1000000.0
-
-  /** Random-hyperplane LSH bucket key: `bits` sign bits per table. */
-  def lshBucket(vec: Column, table: Int, bits: Int): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
-    val bitCols = (0 until bits).map { b =>
-      val proj = aggregate(
-        zip_with(vec, dims, (v, d) => v.cast("double") * coeff(table, b, d)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", l2Norm(col("qe")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .withColumn("nn", l2Norm(col("ne")))
+    val pairs = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cos"))
+    rankTopK(pairs, k)
   }
 
-  /** LSH-bucketed approximate nearest neighbors: candidates are corpus
-    * vectors sharing any table bucket with the query, then exact cosine +
-    * top-k within candidates. Recall grows with `tables`, cost with
-    * bucket occupancy (2^bits buckets per table).
+  /** Deterministic random-hyperplane LSH bucket keys (one per table). */
+  def lshBuckets(vec: Column, tables: Int, bits: Int): Column =
+    NativeExpressions.hyperplaneBuckets(vec, tables, bits)
+
+  /** LSH-bucketed approximate nearest neighbors: candidate (query, corpus)
+    * id pairs share at least one table bucket; exact cosine + top-k runs on
+    * candidates only. Recall grows with `tables`, cost with bucket
+    * occupancy (2^bits buckets per table).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               tables: Int = 4, bits: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def withBuckets(df: DataFrame, idAs: String, embAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
-        explode(array((0 until tables).map { t =>
-          struct(lit(t).as("t"), lshBucket(col("embedding"), t, bits).as("bk"))
-        }: _*)).as("bucket"))
+    def banded(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+        posexplode(lshBuckets(col("embedding"), tables, bits)).as(Seq("t", "bk")))
 
-    val qb = withBuckets(queries, "query_id", "qe")
-    val cb = withBuckets(corpus, "neighbor_id", "ne")
-
-    val cands = qb.join(cb, Seq("bucket"))
+    val cands = banded(queries, "query_id")
+      .join(banded(corpus, "neighbor_id"), Seq("t", "bk"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qe", "neighbor_id", "ne")
-      .distinct()
-      .withColumn("cos", cosine(col("qe"), col("ne")))
+      .select("query_id", "neighbor_id")
+      .distinct() // narrow: two longs per row
 
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", l2Norm(col("qe")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .withColumn("nn", l2Norm(col("ne")))
+    val pairs = cands
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cos"))
+    rankTopK(pairs, k)
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g.
-    * label): pairs with cosine ≥ threshold, id_a < id_b.
+    * label): pairs with cosine ≥ threshold, id_a < id_b. Norms are computed
+    * once per vector (before the pair join), a pair costs one codegen'd
+    * dot product.
     */
-  def nearDupPairs(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame =
-    vectors.as("a").join(vectors.as("b"),
+  def nearDupPairs(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val v = vectors.select(col("vec_id"), col(blockCol), col("embedding"))
+      .withColumn("nrm", l2Norm(col("embedding")))
+    v.as("a").join(v.as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .withColumn("cos",
+        dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
+  }
 }

@@ -84,12 +84,10 @@ object TextFunctions {
       lit(7L),
       (acc, code) => pmod(acc * 31L + code, lit(1000000007L)))
 
-  /** Word n-gram shingles of a document, as an array column. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val w = tokens(text)
-    when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
-      .otherwise(array())
-  }
+  /** Word n-gram shingles of a document, as an array column. Native
+    * single-pass kernel — see [[NativeExpressions.WordShingles]] for why
+    * the `transform`/`slice` HOF composition is not used.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    NativeExpressions.wordShingles(text, n)
 }

@@ -24,8 +24,12 @@ import org.apache.spark.sql.types.IntegerType
   */
 object LogParser {
 
-  /** Line grammar: `Month Day HH:MM:SS host sshd[pid]: message`. */
-  val LinePattern = """(\w+)\s+(\d+)\s+([\d:]+)\s+(\S+)\s+sshd\[(\d+)\]:\s+(.*)"""
+  /** Line grammar: `Month Day HH:MM:SS host sshd[pid]: message`. Anchored at
+    * line start (`^`) to match the reference's `re.match` semantics
+    * (parse_logs.py:13) — a line with a garbage prefix is dropped, not
+    * parsed from mid-line.
+    */
+  val LinePattern = """^(\w+)\s+(\d+)\s+([\d:]+)\s+(\S+)\s+sshd\[(\d+)\]:\s+(.*)"""
 
   private def nullIfEmpty(c: Column): Column = nullif(c, lit(""))
 

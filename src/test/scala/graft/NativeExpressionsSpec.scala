@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.{NativeExpressions, TextFunctions}
+import org.apache.spark.sql.functions._
+
+/** The native kernels must agree exactly with their higher-order-function
+  * reference formulations (which in turn match the DuckDB oracle folds).
+  */
+class NativeExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofDot = {
+    (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+  }
+
+  test("DotProduct is bit-identical to the sequential HOF fold") {
+    val df = Seq(
+      (Array(1.0f, 2.5f, -3.25f), Array(0.5f, 1.5f, 2.0f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.9f, 0.8f, 0.7f)),
+      (Array.fill(64)(0.123f), Array.fill(64)(-0.456f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      NativeExpressions.dotProduct($"a", $"b").as("native"),
+      hofDot($"a", $"b").as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("DotProduct null semantics: null array → null; length mismatch → null") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(1.0f))),
+      (None: Option[Array[Float]], Some(Array(1.0f)))
+    ).toDF("a", "b")
+    val rows = df.select(NativeExpressions.dotProduct($"a", $"b")).collect()
+    assert(rows.forall(_.isNullAt(0)))
+  }
+
+  test("WordShingles equals the transform/slice formulation") {
+    val texts = Seq("the quick brown fox jumps", "a b", "one", "", "x  y   z")
+    val df = texts.toDF("t")
+    val w = split($"t", "\\s+")
+    val hof = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1), i => concat_ws(" ", slice(w, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val rows = df.select(
+      TextFunctions.wordShingles($"t", 2).as("native"), hof.as("hof")).collect()
+    rows.foreach { r => assert(r.getSeq[String](0) == r.getSeq[String](1)) }
+  }
+
+  test("MinHash: identical shingle sets → identical signatures; est ≈ jaccard") {
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val df = Seq(a, a, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz").toDF("t")
+    val sigs = df.select(NativeExpressions.minhashSignature(
+      TextFunctions.wordShingles($"t", 1), 64)).collect()
+      .map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1)) // identical text → identical signature
+    val est = sigs(0).zip(sigs(2)).count { case (x, y) => x == y }.toDouble / 64
+    // true word-set jaccard = 9/11 ≈ 0.818; 64 hashes → est within ±0.25
+    assert(math.abs(est - 9.0 / 11) < 0.25, s"est=$est")
+  }
+
+  test("SimHash: identical text → distance 0, similar text → small distance") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val similar = (1 to 38).map(i => s"tok$i").mkString(" ") + " a b"
+    val other = (100 to 140).map(i => s"u$i").mkString(" ")
+    val df = Seq(base, base, similar, other).toDF("t")
+    val sigs = df.select(graft.functions.Dedup.simhash($"t")).collect().map(_.getLong(0))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sigs(0), sigs(1)) == 0)
+    assert(ham(sigs(0), sigs(2)) < ham(sigs(0), sigs(3)))
+  }
+
+  test("HyperplaneBuckets: deterministic; identical vectors share all buckets") {
+    val v = Array.tabulate(16)(i => (i * 0.3f) - 2f)
+    val df = Seq(v, v, v.map(x => -x)).toDF("e")
+    val rows = df.select(NativeExpressions.hyperplaneBuckets($"e", 4, 8)).collect()
+      .map(_.getSeq[Long](0))
+    assert(rows(0) == rows(1))
+    // negated vector flips every sign bit → shares no bucket with the original
+    assert(rows(0).zip(rows(2)).forall { case (x, y) => x != y })
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8 deterministic 8-dim vectors in 2 label blocks; vec 0 ≈ vec 1.
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(8)(d => math.sin(seed * 7.3 + d * 1.7).toFloat)
+  private val vectors = (0 until 8).map { i =>
+    val base = if (i == 1) vec(0) else vec(i)
+    val e = if (i == 1) base.updated(0, base(0) + 0.01f) else base
+    (i.toLong, e, i % 2)
+  }.toDF("vec_id", "embedding", "label")
+
+  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+    def dot(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  }
+
+  test("bruteForceTopK: ranks agree with locally computed cosines") {
+    val local = vectors.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val out = Similarity.bruteForceTopK(vectors, vectors.filter($"vec_id" === 0L), k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val expected = local.toSeq.filter(_._1 != 0L)
+      .map { case (id, e) => (id, cosLocal(local(0L), e)) }
+      .sortBy { case (id, c) => (-c, id) }.take(3)
+    assert(out.length == 3)
+    out.zip(expected).zipWithIndex.foreach { case (((gotId, gotCos, gotRank), (expId, expCos)), i) =>
+      assert(gotId == expId && gotRank == i + 1)
+      assert(math.abs(gotCos - expCos) < 1e-12)
+    }
+    // the near-identical vector 1 must be rank 1
+    assert(out.head._1 == 1L)
+  }
+
+  test("lshTopK: near-identical vector is recalled at rank 1") {
+    val out = Similarity.lshTopK(vectors, vectors.filter($"vec_id" === 0L),
+      k = 3, tables = 8, bits = 4)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.nonEmpty)
+    assert(out.head == (1L, 1)) // identical-up-to-epsilon vector shares buckets
+  }
+
+  test("nearDupPairs: finds the injected near-dup within its label block only") {
+    // vec 0 and 1 share label 0 (0%2=0, 1%2=1) — adjust: use a block col of all-same
+    val sameBlock = vectors.withColumn("blk", lit(1))
+    val pairs = Similarity.nearDupPairs(sameBlock, "blk", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.length < 5) // random sin-vectors shouldn't be near-dups at 0.999
+  }
+
+  test("l2Norm matches local math") {
+    val row = vectors.filter($"vec_id" === 2L)
+      .select(Similarity.l2Norm($"embedding")).head()
+    val local = math.sqrt(vec(2).map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(row.getDouble(0) - local) < 1e-12)
+  }
+}

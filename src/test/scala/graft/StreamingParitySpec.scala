@@ -1,0 +1,93 @@
+package graft
+
+import graft.streaming.StreamingAnalytics
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming parity: the same transform over a MemoryStream
+  * (complete/append mode) must equal its batch run on identical data.
+  */
+class StreamingParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Ev(ts: Timestamp, key: String)
+  private def t(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val events = Seq(
+    Ev(t(0), "a"), Ev(t(5), "a"), Ev(t(12), "b"),
+    Ev(t(20), "a"), Ev(t(31), "b"), Ev(t(45), "a"), Ev(t(59), "c"))
+
+  test("tumbling window counts: streaming equals batch") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    mem.addData(events.map(e => (e.ts, e.key)))
+    val sdf = StreamingAnalytics.tumblingCounts(
+      mem.toDF().toDF("ts", "key"), "ts", "key", "15 minutes")
+    val q = sdf.writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streaming = spark.table("tumbling_test")
+      .select("window_start", "key", "count")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = StreamingAnalytics.tumblingCounts(
+      events.map(e => (e.ts, e.key)).toDF("ts", "key"), "ts", "key", "15 minutes")
+      .select("window_start", "key", "count")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(streaming == batch && streaming.nonEmpty)
+  }
+
+  test("sliding window counts: streaming equals batch") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    mem.addData(events.map(e => (e.ts, e.key)))
+    val sdf = StreamingAnalytics.slidingCounts(
+      mem.toDF().toDF("ts", "key"), "ts", "key", "30 minutes", "15 minutes")
+    val q = sdf.writeStream.format("memory").queryName("sliding_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streaming = spark.table("sliding_test")
+      .select("window_start", "key", "count")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = StreamingAnalytics.slidingCounts(
+      events.map(e => (e.ts, e.key)).toDF("ts", "key"), "ts", "key", "30 minutes", "15 minutes")
+      .select("window_start", "key", "count")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streaming == batch && streaming.nonEmpty)
+  }
+
+  test("streaming parse: LogParser over a line stream equals batch parse") {
+    implicit val sq = spark.sqlContext
+    val lines = Seq(
+      "Dec 10 06:55:46 LabSZ sshd[24200]: Invalid user webmaster from 173.234.31.186",
+      "Dec 10 07:07:45 LabSZ sshd[24206]: Failed password for root from 52.80.34.196 port 36060 ssh2",
+      "garbage line that is dropped")
+    val mem = MemoryStream[String]
+    mem.addData(lines)
+    val sdf = StreamingAnalytics.parseStream(mem.toDF().toDF("value"))
+      .select("event", "ip", "user")
+    val q = sdf.writeStream.format("memory").queryName("parse_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streaming = spark.table("parse_test").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val batch = StreamingAnalytics.parseStream(lines.toDF("value"))
+      .select("event", "ip", "user").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(streaming == batch && streaming.size == 2)
+  }
+
+  test("session windows: gap-based sessionization groups correctly") {
+    val df = events.map(e => (e.ts, e.key)).toDF("ts", "key")
+    val out = StreamingAnalytics.sessionCounts(df, "ts", "key", "10 minutes")
+      .collect().map(r => (r.getString(2), r.getLong(3)))
+    // key a: events at 0,5,20,45 with 10-min gap → sessions {0,5},{20},{45}
+    val aCounts = out.filter(_._1 == "a").map(_._2).sorted.toSeq
+    assert(aCounts == Seq(1L, 1L, 2L))
+  }
+}

@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+For each <name>/ parquet in verify_out_dir with an entry in
+oracle_sql.json: run the oracle SQL in DuckDB over the sf parquet tables,
+sort columns by name, compare row count, schema (column names), and a
+value hash (stringified, row-sorted) — approximating the driver's check so
+mismatches surface before the round gate does.
+"""
+import json
+import sys
+import duckdb
+import pyarrow.parquet as pq
+import glob
+import hashlib
+import math
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr of float64 is exact roundtrip
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    h = hashlib.sha256()
+    for row in rows:
+        h.update(("|".join(norm_cell(row[i]) for i in order) + "\n").encode())
+    return h.hexdigest()
+
+
+def main(outdir, sfdir):
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    n_pass = n_fail = n_noracle = 0
+    for d in sorted(glob.glob(f"{outdir}/*/")):
+        name = d.rstrip("/").split("/")[-1]
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            print(f"{name}: NO SPARK OUTPUT")
+            n_fail += 1
+            continue
+        spark_tbl = pq.read_table(files[0])
+        if name not in oracle:
+            n_noracle += 1
+            print(f"{name}: no_oracle (rows={spark_tbl.num_rows})")
+            continue
+        try:
+            res = con.execute(oracle[name])
+            orows = res.fetchall()
+            ocols = [c[0] for c in res.description]
+        except Exception as e:
+            print(f"{name}: ORACLE SQL ERROR: {e}")
+            n_fail += 1
+            continue
+        scols = spark_tbl.column_names
+        srows = [tuple(spark_tbl.column(c)[i].as_py() for c in scols)
+                 for i in range(spark_tbl.num_rows)]
+        ok_rows = len(srows) == len(orows)
+        ok_schema = sorted(scols) == sorted(ocols)
+        ok_hash = False
+        if ok_rows and ok_schema:
+            ok_hash = table_hash(scols, srows) == table_hash(ocols, orows)
+        if ok_rows and ok_schema and ok_hash:
+            n_pass += 1
+            print(f"{name}: OK ({len(srows)} rows)")
+        else:
+            n_fail += 1
+            print(f"{name}: MISMATCH rows={ok_rows}({len(srows)}/{len(orows)}) "
+                  f"schema={ok_schema} hash={ok_hash}")
+            if not ok_schema:
+                print(f"   spark cols: {sorted(scols)}")
+                print(f"   oracle cols: {sorted(ocols)}")
+            elif ok_rows and not ok_hash:
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                shown = 0
+                for i, (sr, orr) in enumerate(zip(srows, orows)):
+                    ss = [norm_cell(sr[j]) for j in order_s]
+                    oo = [norm_cell(orr[j]) for j in order_o]
+                    if ss != oo and shown < 3:
+                        print(f"   row {i}: spark={ss}")
+                        print(f"   row {i}: oracle={oo}")
+                        shown += 1
+    print(f"\nPASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noracle}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
