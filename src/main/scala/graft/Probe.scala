@@ -14,6 +14,7 @@ object Probe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-local") // shuffle scratch on tmpfs: file create/mmap on this VM disk costs ms
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

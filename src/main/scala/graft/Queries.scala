@@ -147,9 +147,78 @@ object Queries {
         .orderBy("event_id")
     })
 
+  /** S2/S3: CSV sink + re-scan with explicit schema (the reference's
+    * parse→CSV→reload hop, parse_logs.py:110 / insert_mongo.py:7), then an
+    * aggregate over the reloaded table. Long/string columns only — CSV
+    * round-trips them exactly.
+    */
+  private val s2 = QueryDef("s2_csv_roundtrip",
+    Some("""SELECT event_type, count(*) AS cnt, sum(user_id) AS sum_users
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val path = s"/tmp/graft_s2_csv_${Integer.toHexString(d.hashCode)}"
+      ev(s, d).select("event_id", "event_type", "user_id")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("event_id LONG, event_type STRING, user_id LONG")
+        .csv(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("sum_users"))
+        .orderBy("event_type")
+    })
+
+  /** S4: parquet sink + re-scan (the rebuild's canonical store; the Mongo
+    * hop of insert_mongo.py:9-15 is an exchange format, not a semantic
+    * capability). Filter on the reloaded table pushes into the new scan.
+    */
+  private val s4 = QueryDef("s4_parquet_roundtrip",
+    Some("""SELECT event_type, count(*) AS cnt,
+           |       cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+           |FROM events WHERE value > 100 GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val path = s"/tmp/graft_s4_parquet_${Integer.toHexString(d.hashCode)}"
+      ev(s, d).select("event_id", "event_type", "value")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path).filter(col("value") > 100)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    })
+
   // ======================================================================
   // D — dashboard-stage scalar ops (SURVEY §2.3)
   // ======================================================================
+
+  /** D1: null-fill (fillna) — absent extraction → sentinel. */
+  private val d1 = QueryDef("d1_null_fill",
+    Some(s"""SELECT coalesce($kSql, -1) AS k_filled, count(*) AS cnt
+            |FROM events GROUP BY k_filled ORDER BY k_filled""".stripMargin),
+    (s, d) => ev(s, d).select(kCol.as("k_filled"))
+      .na.fill(-1, Seq("k_filled"))
+      .groupBy("k_filled").agg(count(lit(1)).as("cnt"))
+      .orderBy("k_filled"))
+
+  /** D8: case-fold + set membership (lower(user).isin('root','admin')). */
+  private val d8 = QueryDef("d8_casefold_membership",
+    Some("""SELECT count(*) FILTER (WHERE lower(upper(event_type)) IN ('error','signup')) AS privileged,
+           |       count(*) AS total FROM events""".stripMargin),
+    (s, d) => ev(s, d).agg(
+      cnt(lower(upper(col("event_type"))).isin("error", "signup")).as("privileged"),
+      count(lit(1)).as("total")))
+
+  /** D14/D15: column drop + rename (the per-IP drill-down table,
+    * stats_dashboard.py:213 / :77).
+    */
+  private val d14 = QueryDef("d14_drop_rename",
+    Some("""SELECT event_id, cast(ts as timestamp) AS event_time, value AS amount
+           |FROM events WHERE user_id = 7 ORDER BY event_time DESC, event_id""".stripMargin),
+    (s, d) => ev(s, d)
+      .filter(col("user_id") === 7)
+      .drop("event_type", "props", "user_id")
+      .withColumnRenamed("ts", "event_time")
+      .withColumnRenamed("value", "amount")
+      .orderBy(desc("event_time"), col("event_id")))
 
   /** D2/D3: timestamp synthesis from string parts (year-2024 convention). */
   private val d2 = QueryDef("d2_timestamp_synthesis",
@@ -675,7 +744,7 @@ object Queries {
 
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
-    s1, p1, p2, p6, pp, d2, d6, d7, d10,
+    s1, s2, s4, p1, p2, p6, pp, d1, d2, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15,
     j1, j2, j3, j4, j5, j6, j7,
     t2, t4, w1, w2, w3, w4, su, si, se, g1, g2,

@@ -184,6 +184,53 @@ object QueriesExt {
       emb(s, d), emb(s, d).filter(col("vec_id") < 10), k = 5, tables = 4, bits = 8)
       .orderBy("query_id", "rank"))
 
+  /** Generic sequential-fold dot product over two array-column refs. */
+  private def foldDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(cast(0.0 as double),
+       |  [cast($a[i] as double) * cast($b[i] as double)
+       |   for i in range(1, len($a) + 1)]), (x, y) -> x + y)""".stripMargin
+
+  /** IVF ANN — fully deterministic (centroids = first 16 corpus vectors,
+    * cosine folds identical on both engines), so unlike LSH it gets a real
+    * hash-checked oracle: assignment, probing, and ranking re-derived in
+    * ANSI SQL.
+    */
+  private val sm5 = QueryDef("sim_ivf",
+    Some(s"""WITH cents AS (
+            |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS ce
+            |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+            |vc AS (
+            |  SELECT e.vec_id, c.cidx,
+            |    ${foldDot("e.embedding", "c.ce")} /
+            |      (sqrt(${foldDot("e.embedding", "e.embedding")}) * sqrt(${foldDot("c.ce", "c.ce")})) AS cos
+            |  FROM embeddings e CROSS JOIN cents c),
+            |assign AS (
+            |  SELECT vec_id, cidx AS cell FROM
+            |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cidx) AS rn FROM vc)
+            |  WHERE rn = 1),
+            |qcells AS (
+            |  SELECT vec_id AS query_id, cidx AS cell FROM
+            |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cidx) AS rn
+            |     FROM vc WHERE vec_id < 10)
+            |  WHERE rn <= 4),
+            |pairs AS (
+            |  SELECT qc.query_id, a.vec_id AS neighbor_id,
+            |    ${foldDot("qe.embedding", "ne.embedding")} /
+            |      (sqrt(${foldDot("qe.embedding", "qe.embedding")}) * sqrt(${foldDot("ne.embedding", "ne.embedding")})) AS cos
+            |  FROM qcells qc
+            |  JOIN assign a ON a.cell = qc.cell
+            |  JOIN embeddings qe ON qe.vec_id = qc.query_id
+            |  JOIN embeddings ne ON ne.vec_id = a.vec_id
+            |  WHERE a.vec_id <> qc.query_id),
+            |ranked AS (
+            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            |  FROM pairs)
+            |SELECT query_id, neighbor_id, cos, rank FROM ranked
+            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    (s, d) => Similarity.ivfTopK(
+      emb(s, d), emb(s, d).filter(col("vec_id") < 10), k = 5, nCentroids = 16, nProbe = 4)
+      .orderBy("query_id", "rank"))
+
   // ---- multimodal --------------------------------------------------------
 
   /** Binary-column features via expressions only (payload = UTF-8 bytes). */
@@ -220,6 +267,6 @@ object QueriesExt {
   val all: Seq[QueryDef] = Seq(
     tx1, tx2, tx3, tx4,
     dd1, dd2, dd3, dd4,
-    sm1, sm2, sm3, sm4,
+    sm1, sm2, sm3, sm4, sm5,
     mm1, mm2)
 }

@@ -244,6 +244,49 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Indices of the `top` nearest centroids (by cosine, ties by index) for
+    * a float vector — the IVF assign/probe kernel. The centroid matrix is
+    * baked into the expression (it is small — the coarse quantizer), so
+    * assignment is a pure map: no shuffle, no window, no join. Dot products
+    * use the same sequential fold as [[DotProduct]].
+    */
+  case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], top: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    @transient private lazy val cNorms: Array[Double] =
+      centroids.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = s"graft_nearest_centroids(${centroids.length},$top)"
+
+    override def nullSafeEval(input: Any): Any = {
+      val vec = input.asInstanceOf[ArrayData]
+      val dim = vec.numElements()
+      var vn = 0.0
+      var d = 0
+      while (d < dim) { val x = vec.getFloat(d).toDouble; vn += x * x; d += 1 }
+      vn = math.sqrt(vn)
+      val cos = new Array[Double](centroids.length)
+      var j = 0
+      while (j < centroids.length) {
+        val c = centroids(j)
+        var acc = 0.0
+        var i = 0
+        val n = math.min(dim, c.length)
+        while (i < n) { acc += vec.getFloat(i).toDouble * c(i).toDouble; i += 1 }
+        cos(j) = if (vn == 0 || cNorms(j) == 0) -2.0 else acc / (vn * cNorms(j))
+        j += 1
+      }
+      val idx = Array.tabulate(centroids.length)(identity)
+        .sortBy(j => (-cos(j), j)).take(top)
+      new GenericArrayData(idx)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level entry points -----------------------------------------
 
   import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
@@ -255,4 +298,6 @@ object NativeExpressions {
   def wordShingles(text: Column, n: Int): Column = toCol(WordShingles(toExpr(text), n))
   def hyperplaneBuckets(vec: Column, tables: Int, bits: Int): Column =
     toCol(HyperplaneBuckets(toExpr(vec), tables, bits))
+  def nearestCentroids(vec: Column, centroids: Array[Array[Float]], top: Int): Column =
+    toCol(NearestCentroids(toExpr(vec), centroids, top))
 }

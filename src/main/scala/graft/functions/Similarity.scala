@@ -101,6 +101,38 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** IVF (inverted-file) approximate nearest neighbors — the classic
+    * coarse-quantizer scale path. Centroids are the first `nCentroids`
+    * corpus vectors (deterministic "training"; a production system would
+    * k-means them — the plumbing is identical). Every corpus vector is
+    * assigned to its nearest centroid in ONE map-only pass (the centroid
+    * matrix rides inside the native [[NativeExpressions.NearestCentroids]]
+    * expression — no join, no shuffle of embeddings); a query probes its
+    * `nProbe` nearest cells and ranks only those cells' vectors. At 100 TB:
+    * the corpus is hash-partitioned by cell once, queries broadcast.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents: Array[Array[Float]] = corpus.orderBy("vec_id")
+      .select("embedding").limit(nCentroids)
+      .collect().map(_.getSeq[Float](0).toArray)
+
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .withColumn("cell",
+        element_at(NativeExpressions.nearestCentroids(col("ne"), cents, 1), 1))
+      .withColumn("nn", l2Norm(col("ne")))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", l2Norm(col("qe")))
+      .select(col("query_id"), col("qe"), col("qn"),
+        explode(NativeExpressions.nearestCentroids(col("qe"), cents, nProbe)).as("cell"))
+
+    val pairs = c.join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cos"))
+    rankTopK(pairs, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g.
     * label): pairs with cosine ≥ threshold, id_a < id_b. Norms are computed
     * once per vector (before the pair join), a pair costs one codegen'd

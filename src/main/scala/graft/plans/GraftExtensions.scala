@@ -1,0 +1,55 @@
+package graft.plans
+
+import graft.functions.NativeExpressions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so the kernels are reachable from
+  * `spark.sql(...)` as well as the Column API:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  *   ...
+  * spark.sql("SELECT graft_dot(a.embedding, b.embedding) ...")
+  * }}}
+  *
+  * Integer parameters (k, n, tables, bits) must be literals — they shape
+  * the expression itself (signature width, shingle size).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (args: Seq[Expression]) =>
+        MinHashSignature(args(0), intLit(args(1), "graft_minhash k"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (args: Seq[Expression]) =>
+        WordShingles(args(0), intLit(args(1), "graft_shingles n"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_lsh_buckets"),
+      (args: Seq[Expression]) => HyperplaneBuckets(args(0),
+        intLit(args(1), "graft_lsh_buckets tables"),
+        intLit(args(2), "graft_lsh_buckets bits"))))
+  }
+}
