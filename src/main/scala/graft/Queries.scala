@@ -455,6 +455,68 @@ object Queries {
         .orderBy("p_brand")
     })
 
+  /** J8 (rebuild extra): as-of join — for each purchase, the most recent
+    * click of the same user at-or-before its timestamp. Sort-merge
+    * formulation via [[graft.operators.TemporalJoins.asOfJoin]]: one
+    * shuffle+sort, no range probe.
+    */
+  private val j8 = QueryDef("j8_asof_join",
+    Some("""WITH u AS (
+           |  SELECT user_id, cast(ts as timestamp) AS ts, event_id, value,
+           |         (event_type = 'click') AS is_c
+           |  FROM events WHERE event_type IN ('click','purchase')),
+           |marked AS (
+           |  SELECT *, last_value(CASE WHEN is_c THEN struct_pack(cts := ts, ceid := event_id, cval := value) END IGNORE NULLS)
+           |    OVER (PARTITION BY user_id
+           |          ORDER BY ts, is_c DESC,
+           |                   CASE WHEN is_c THEN event_id ELSE 9223372036854775807 END
+           |          ROWS UNBOUNDED PRECEDING) AS lastc
+           |  FROM u)
+           |SELECT event_id, user_id, ts, value,
+           |       lastc.cts AS click_ts, lastc.ceid AS click_event_id, lastc.cval AS click_value
+           |FROM marked WHERE NOT is_c ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      val base = ev(s, d)
+      val clicks = base.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      graft.operators.TemporalJoins
+        .asOfJoin(purchases, clicks, "user_id", "ts", "ts", "event_id", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("asof.ts").as("click_ts"), col("asof.event_id").as("click_event_id"),
+          col("asof.value").as("click_value"))
+        .orderBy("event_id")
+    })
+
+  /** J9 (rebuild extra): range join — per purchase, how many clicks of the
+    * same user in the preceding hour. Binned equi-join rewrite via
+    * [[graft.operators.TemporalJoins.rangeJoinCount]] (2 candidate bins
+    * per build row — bounded fan-out; Spark's native plan would be a
+    * nested loop).
+    */
+  private val j9 = QueryDef("j9_range_join",
+    Some("""WITH c AS (SELECT user_id, epoch_us(cast(ts as timestamp)) AS cus
+           |           FROM events WHERE event_type = 'click'),
+           |p AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts,
+           |             epoch_us(cast(ts as timestamp)) AS pus
+           |      FROM events WHERE event_type = 'purchase')
+           |SELECT p.event_id, p.user_id, p.ts, count(c.cus) AS window_count
+           |FROM p LEFT JOIN c
+           |  ON c.user_id = p.user_id AND c.cus >= p.pus - 3600000000 AND c.cus < p.pus
+           |GROUP BY p.event_id, p.user_id, p.ts
+           |ORDER BY p.event_id""".stripMargin),
+    (s, d) => {
+      val base = ev(s, d)
+      val clicks = base.filter(col("event_type") === "click").select("user_id", "ts")
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.operators.TemporalJoins
+        .rangeJoinCount(purchases, clicks, "user_id", "ts", "ts", "event_id", 3600000000L)
+        .select("event_id", "user_id", "ts", "window_count")
+        .orderBy("event_id")
+    })
+
   // ======================================================================
   // The flagship: one-pass per-entity summary with score + classification
   // (D12/D13/A9-A13/J2 — the reference's 8-pass per-IP build, in ONE pass)
@@ -746,7 +808,7 @@ object Queries {
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, p1, p2, p6, pp, d1, d2, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15,
-    j1, j2, j3, j4, j5, j6, j7,
+    j1, j2, j3, j4, j5, j6, j7, j8, j9,
     t2, t4, w1, w2, w3, w4, su, si, se, g1, g2,
     st1, st2, st3)
 

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.TemporalJoins
+import java.sql.Timestamp
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  // rights (clicks): (user, ts, id, value)
+  private val rights = Seq(
+    (1L, t(0), 100L, 1.0), (1L, t(10), 101L, 2.0), (1L, t(10), 102L, 3.0),
+    (2L, t(30), 200L, 9.0)
+  ).toDF("user_id", "ts", "event_id", "value")
+
+  // lefts (purchases)
+  private val lefts = Seq(
+    (1L, t(5), 500L, 0.0),   // after click 100 → match 100
+    (1L, t(10), 501L, 0.0),  // ties with clicks 101/102 → max id 102 wins
+    (1L, t(50), 502L, 0.0),  // → 102 (latest ts 10:10, max id)
+    (2L, t(20), 503L, 0.0),  // before user-2's only click → null
+    (3L, t(20), 504L, 0.0)   // user with no clicks → null
+  ).toDF("user_id", "ts", "event_id", "value")
+
+  test("asOfJoin: backward match with <= and max-ord tie-break") {
+    val out = TemporalJoins
+      .asOfJoin(lefts, rights, "user_id", "ts", "ts", "event_id", Seq("value"))
+      .select($"event_id", $"asof.event_id".as("m"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(500L) == 100L)
+    assert(out(501L) == 102L) // same-ts click visible; greatest event_id wins
+    assert(out(502L) == 102L)
+    assert(out(503L) == -1L)
+    assert(out(504L) == -1L)
+  }
+
+  test("rangeJoinCount: [ts - window, ts) counts incl. bin-boundary cases") {
+    val out = TemporalJoins
+      .rangeJoinCount(lefts, rights, "user_id", "ts", "ts", "event_id",
+        windowMicros = 10L * 60 * 1000000) // 10-minute window
+      .select("event_id", "window_count")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 500 @10:05: clicks in [09:55,10:05) → click@10:00 → 1
+    assert(out(500L) == 1L)
+    // 501 @10:10: [10:00,10:10) → click@10:00 only (10:10 excluded) → 1
+    assert(out(501L) == 1L)
+    // 502 @10:50: [10:40,10:50) → 0
+    assert(out(502L) == 0L)
+    // 503 user2 @10:20: click@10:30 is AFTER → 0
+    assert(out(503L) == 0L)
+    assert(out(504L) == 0L)
+  }
+}
