@@ -1,0 +1,91 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Plan-quality audit (not part of the driver contract): asserts the
+  * physical-plan properties the 100 TB design depends on — pushdown,
+  * pruning, broadcast placement, no stray shuffles — so a regression in
+  * plan shape fails loudly rather than silently costing a scan.
+  */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    var failures = 0
+    def check(name: String)(asserts: (String, String => Boolean)*): Unit = {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      if (sys.env.contains("DUMP_PLANS")) println(s"===== $name =====\n$plan")
+      asserts.foreach { case (what, pred) =>
+        val ok = pred(plan)
+        if (!ok) failures += 1
+        println(s"${if (ok) "PASS" else "FAIL"}  $name: $what")
+      }
+    }
+
+    // Scan pruning + predicate pushdown reach the parquet reader.
+    check("s1_scan_project")(
+      "filter pushed to parquet scan" -> (_.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,150.0)]")),
+      "only 3 columns read" -> (_.contains("ReadSchema: struct<event_id:bigint,event_type:string,value:double>")))
+
+    // Point lookup: equality predicate pushed down.
+    check("j3_point_lookup")(
+      "user_id=7 pushed to scan" -> (_.contains("EqualTo(user_id,7)")))
+
+    // Star join: every dimension broadcast (Spark may also broadcast
+    // orders at small SF — fine); the fact table must NEVER be broadcast.
+    check("j6_star_join_revenue")(
+      "dims broadcast (≥3 exchanges)" -> (p => "BroadcastExchange".r.findAllIn(p).size >= 3),
+      "lineitem never broadcast" -> (p =>
+        !p.split("BroadcastExchange").drop(1).exists(_.split("\\n").take(6)
+          .exists(_.contains("lineitem.parquet")))),
+      "region filter pushed" -> (_.contains("EqualTo(r_name,EUROPE)")))
+
+    // Pivot with explicit values: pivotfirst two-phase over a pre-aggregate,
+    // no extra distinct-collect pass (2 hash exchanges total), 2-col scan.
+    check("a7_pivot")(
+      "explicit-value pivotfirst" -> (_.contains("pivotfirst(event_type")),
+      "two hash exchanges (pre-agg + pivot)" ->
+        (p => "Exchange hashpartitioning".r.findAllIn(p).size == 2),
+      "scan pruned to 2 columns" ->
+        (_.contains("ReadSchema: struct<user_id:bigint,event_type:string>")))
+
+    // Entity summary: ONE scan of events feeds all 12 aggregates (the
+    // reference made 8 passes); the 2 exchanges are the inherent
+    // multi-countDistinct Expand rewrite, with map-side partial agg.
+    check("j2_entity_summary")(
+      "single events scan" -> (p => "FileScan parquet".r.findAllIn(p).size == 1),
+      "multi-distinct via Expand (not self-joins)" -> (_.contains("Expand")),
+      "≤2 hash exchanges" -> (p => "Exchange hashpartitioning".r.findAllIn(p).size <= 2))
+
+    // Brute-force KNN: query side broadcast, corpus never broadcast.
+    check("sim_knn_brute")(
+      "exactly one broadcast (the query set)" -> (p => "BroadcastExchange".r.findAllIn(p).size == 1),
+      "corpus scan not inside broadcast" -> (p => {
+        val i = p.indexOf("BroadcastExchange")
+        // the broadcast subtree must contain the vec_id<10 pushed filter
+        p.indexOf("LessThan(vec_id,10)", i) > i
+      }))
+
+    // As-of join: one shuffle for the union’d sort-merge formulation.
+    check("j8_asof_join")(
+      "single hash exchange (by user)" ->
+        (p => "Exchange hashpartitioning".r.findAllIn(p).size == 1))
+
+    // Top-k: planned as TakeOrderedAndProject, not global sort.
+    check("t2_topk")(
+      "TakeOrderedAndProject" -> (_.contains("TakeOrderedAndProject")))
+
+    println(if (failures == 0) "PLANCHECK OK" else s"PLANCHECK $failures FAILURES")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}
