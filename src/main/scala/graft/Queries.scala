@@ -357,6 +357,21 @@ object Queries {
       max(col("value")).as("max_value"),
       (sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_value")))
 
+  /** A16 (rebuild extra): exact per-group top-k via a custom Aggregator —
+    * constant-size (k) partial buffers merged map-side; the window
+    * formulation would shuffle every row of every key.
+    */
+  private val a16 = QueryDef("a16_topk_agg",
+    Some("""WITH ranked AS (
+           |  SELECT user_id, value,
+           |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC) AS rn
+           |  FROM events)
+           |SELECT user_id, list(value ORDER BY value DESC) AS top_values
+           |FROM ranked WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin),
+    (s, d) => ev(s, d).groupBy("user_id")
+      .agg(graft.functions.TopKAgg.topKValues(col("value"), 3).as("top_values"))
+      .orderBy("user_id"))
+
   /** A15: fixed-width bucket histogram. */
   private val a15 = QueryDef("a15_histogram",
     Some("""SELECT cast(floor(value / 20) as bigint) AS bucket, count(*) AS cnt
@@ -807,7 +822,7 @@ object Queries {
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, p1, p2, p6, pp, d1, d2, d6, d7, d8, d10, d14,
-    a1, a4, a6, a7, a9, a13, a14, a15,
+    a1, a4, a6, a7, a9, a13, a14, a15, a16,
     j1, j2, j3, j4, j5, j6, j7, j8, j9,
     t2, t4, w1, w2, w3, w4, su, si, se, g1, g2,
     st1, st2, st3)
