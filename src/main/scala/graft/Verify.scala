@@ -1,34 +1,52 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Queries run on a small thread pool — Spark schedules concurrent jobs
+  * from one session safely, and at sf0.01 per-query time is dominated by
+  * planning/codegen latency, not executor capacity, so 4-way overlap cuts
+  * the wall time ~3×. Failures print loudly (round-1 lesson: a swallowed
+  * parquet type error silently dropped 37 queries from the gate).
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.icu.caseMappings.enabled", "false") // ICU clinit costs minutes; JVM case mapping ≡ ICU on ASCII
+      .config("spark.sql.icu.caseMappings.enabled", "false") // ICU clinit costs minutes; JVM casing ≡ ICU on ASCII
       .config("spark.local.dir", "/dev/shm/spark-local") // shuffle scratch on tmpfs: file create/mmap on this VM disk costs ms
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    var nFailed = 0
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        nFailed += 1
-        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
-      }
-      spark.catalog.clearCache()
+
+    val nFailed = new AtomicInteger(0)
+    val pool = Executors.newFixedThreadPool(4)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            nFailed.incrementAndGet()
+            System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+          }
+      })
     }
-    if (nFailed > 0) System.err.println(s"[verify] $nFailed queries FAILED — outputs missing")
+    pool.shutdown()
+    pool.awaitTermination(2, TimeUnit.HOURS)
+    if (nFailed.get > 0)
+      System.err.println(s"[verify] ${nFailed.get} queries FAILED — outputs missing")
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -1,0 +1,23 @@
+package graft
+
+/** Driver-contract smoke: `SparkEntry.entry` must work on a session the
+  * DRIVER builds (no graft configs), and return rows at sf0.001.
+  */
+class EntrySpec extends SparkSpec {
+  test("entry returns rows on a plain session (driver smoke parity)") {
+    // TestSpark's session stands in for the driver's; Tables.events sets
+    // the nanos conf at runtime, so entry must not depend on builder confs.
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.contains("suspicious_score"))
+  }
+
+  test("queries and oracleSql keys are consistent") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle keys without queries: ${o.diff(q)}")
+    val noOracle = q.diff(o)
+    // only the engine-hash-based ops may lack oracles
+    assert(noOracle == Set("dd_minhash_lsh", "dd_simhash", "sim_ann_lsh"), s"unexpected: $noOracle")
+  }
+}
