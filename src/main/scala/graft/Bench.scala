@@ -32,18 +32,26 @@ object Bench {
 
     var failed = List.empty[String]
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = ListMap(names.map { name =>
-      val fn = SparkEntry.queries(name)
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        if (!failed.contains(name)) {
+          failed ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
       }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      name -> dt
-    }: _*)
+      dt
+    }
+    // Two full round-robin passes, min per query: this VM shows transient
+    // stall windows lasting minutes, so back-to-back repeats of one query
+    // can both land inside a stall — but the same query in two far-apart
+    // passes rarely does. The min measures steady-state query cost.
+    val pass1 = names.map(n => n -> once(n)).toMap
+    val pass2 = names.map(n => n -> once(n)).toMap
+    val results = ListMap(names.map(n => n -> math.min(pass1(n), pass2(n))): _*)
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fj = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
