@@ -67,6 +67,56 @@ object StreamingAnalytics {
       .select(col("w.start").as("window_start"), col(keyCol), col("total_events"),
         col("failed_events"), col("approx_diversity"), col("first_seen"), col("last_seen"))
 
+  /** Custom-state sessionization via flatMapGroupsWithState — for session
+    * semantics the built-in session_window can't express (here: sessions
+    * also END when a terminal event type is seen, not only on gap
+    * timeout). State per key is one open session (constant size);
+    * GroupStateTimeout.EventTimeTimeout + the watermark bound total state
+    * at (active keys × one session record) regardless of stream length.
+    */
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(key: String, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long,
+                        closed_by: String)
+
+  def customSessions(events: org.apache.spark.sql.Dataset[(String, java.sql.Timestamp, String)],
+                     gapMillis: Long, terminalType: String): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[(String, java.sql.Timestamp, String)],
+         state: GroupState[SessionState]) => {
+          val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          var cur = state.getOption
+          rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, ts, typ) =>
+            val t = ts.getTime
+            cur match {
+              case Some(s) if t - s.last > gapMillis =>
+                out += SessionOut(key, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.last), s.n, "gap")
+                cur = Some(SessionState(t, t, 1))
+              case Some(s) =>
+                cur = Some(SessionState(s.start, t, s.n + 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+            if (typ == terminalType) {
+              val s = cur.get
+              out += SessionOut(key, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.last), s.n, "terminal")
+              cur = None
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None    => state.remove()
+          }
+          out.iterator
+        })
+  }
+
   /** Session windows via the built-in session_window (gap-based). */
   def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
                     gap: String, watermark: String = "1 hour"): DataFrame =
