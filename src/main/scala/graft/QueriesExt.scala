@@ -68,6 +68,27 @@ object QueriesExt {
       TextFunctions.predictedLang(col("text")).as("predicted"))
       .orderBy("doc_id"))
 
+  /** Heuristic document quality score — the composed filter a training
+    * pipeline gates ingestion on (stopword ratio + length + alpha ratio,
+    * fixed weights, floor-rounded for cross-engine determinism).
+    */
+  private val tx5 = QueryDef("tx_quality_score",
+    Some("""SELECT doc_id,
+           |  floor(least(cast(1.0 as double),
+           |    cast(0.5 as double) * (CASE WHEN len(string_split_regex(text, '\s+')) > 0
+           |       THEN len(list_filter(string_split_regex(lower(text), '\s+'),
+           |              t -> t IN ('the','a','of','and','to','in','is')))
+           |            / cast(len(string_split_regex(text, '\s+')) as double)
+           |       ELSE cast(0.0 as double) END)
+           |    + cast(0.3 as double) * least(len(string_split_regex(text, '\s+')) / cast(100.0 as double), cast(1.0 as double))
+           |    + cast(0.2 as double) * (CASE WHEN length(text) > 0
+           |       THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * cast(1.0 as double) / length(text)
+           |       ELSE cast(0.0 as double) END)) * 10000 + 0.5) / 10000 AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) => docs(s, d).select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id"))
+
   private val tx4 = QueryDef("tx_fingerprint",
     Some("""SELECT doc_id,
            |  list_reduce(list_prepend(cast(7 as bigint),
@@ -265,7 +286,7 @@ object QueriesExt {
       .orderBy("media_id"))
 
   val all: Seq[QueryDef] = Seq(
-    tx1, tx2, tx3, tx4,
+    tx1, tx2, tx3, tx4, tx5,
     dd1, dd2, dd3, dd4,
     sm1, sm2, sm3, sm4, sm5,
     mm1, mm2)

@@ -44,7 +44,9 @@ object TextFunctions {
     val nTok = tokenCount(text).cast("double")
     val swRatio = when(nTok > 0, stopwordCount(text) / nTok).otherwise(lit(0.0))
     val lengthTerm = least(nTok / lit(100.0), lit(1.0))
-    round(least(lit(1.0), lit(0.5) * swRatio + lit(0.3) * lengthTerm + lit(0.2) * alphaRatio(text)), 4)
+    // floor-based HALF_UP — the repo-wide cross-engine rounding rule
+    floor(least(lit(1.0), lit(0.5) * swRatio + lit(0.3) * lengthTerm + lit(0.2) * alphaRatio(text))
+      * 10000 + 0.5) / 10000
   }
 
   /** Language-ID by marker-token voting: score per language = number of
