@@ -69,6 +69,26 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real pipeline would decode → scale → re-encode; the
+    * deterministic fake keeps every (targetW·targetH / meta_w·meta_h)-th
+    * byte, preserving the Spark-side contract — payload stays binary, new
+    * dims land in metadata, work is per-partition with no shuffle of the
+    * original bytes.
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // Real impl: one codec/scaler instance per partition.
+      rows.map { r =>
+        val inPixels = math.max(1L, r.meta_width.toLong * r.meta_height)
+        val outPixels = targetW.toLong * targetH
+        val stride = math.max(1L, inPixels / math.max(1L, outPixels)).toInt
+        val out = r.payload.grouped(stride).map(_.head).toArray // ??? codec here
+        MediaRow(r.media_id, r.modality, out, targetW, targetH)
+      }
+    }
+  }
+
   /** End-to-end: synthesize → repartition by id (even payload spread) →
     * per-partition decode → features table, payload dropped before any
     * downstream shuffle.
