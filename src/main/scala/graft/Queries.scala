@@ -95,6 +95,20 @@ object Queries {
       .groupBy("category").agg(count(lit(1)).as("cnt"))
       .orderBy("category"))
 
+  /** P (rebuild extra): structured JSON parsing of the props column via
+    * from_json with an explicit schema — the schema'd path (vs. the regex
+    * extraction of p1) a production pipeline uses for JSON-ish fields.
+    */
+  private val p9 = QueryDef("p9_from_json",
+    Some("""SELECT cast(json_extract_string(props, '$.k') as int) AS k, count(*) AS cnt
+           |FROM events GROUP BY k ORDER BY k""".stripMargin),
+    (s, d) => ev(s, d)
+      .select(from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+        .getField("k").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy("k"))
+
   /** P1-P8 end-to-end: synthesize an SSH-log line from each event row, run
     * the full LogParser over it, emit the parsed fields. The oracle computes
     * ground truth directly from the synthesis template — verifying the
@@ -821,7 +835,7 @@ object Queries {
 
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
-    s1, s2, s4, p1, p2, p6, pp, d1, d2, d6, d7, d8, d10, d14,
+    s1, s2, s4, p1, p2, p6, p9, pp, d1, d2, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16,
     j1, j2, j3, j4, j5, j6, j7, j8, j9,
     t2, t4, w1, w2, w3, w4, su, si, se, g1, g2,
