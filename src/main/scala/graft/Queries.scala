@@ -703,6 +703,21 @@ object Queries {
         .orderBy("event_id")
     })
 
+  /** W: exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition).
+    */
+  private val w5 = QueryDef("w5_percentiles",
+    Some("""SELECT event_type,
+           |       quantile_cont(value, 0.25) AS p25,
+           |       quantile_cont(value, 0.5) AS p50,
+           |       quantile_cont(value, 0.75) AS p75
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => ev(s, d).groupBy("event_type").agg(
+      expr("percentile(value, 0.25)").as("p25"),
+      expr("percentile(value, 0.5)").as("p50"),
+      expr("percentile(value, 0.75)").as("p75"))
+      .orderBy("event_type"))
+
   /** W: moving aggregate over a row frame. */
   private val w4 = QueryDef("w4_moving_avg",
     Some("""SELECT event_id, user_id,
@@ -838,7 +853,7 @@ object Queries {
     s1, s2, s4, p1, p2, p6, p9, pp, d1, d2, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16,
     j1, j2, j3, j4, j5, j6, j7, j8, j9,
-    t2, t4, w1, w2, w3, w4, su, si, se, g1, g2,
+    t2, t4, w1, w2, w3, w4, w5, su, si, se, g1, g2,
     st1, st2, st3)
 
   val all: Seq[QueryDef] = core ++ QueriesExt.all
