@@ -26,15 +26,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Untimed JIT/codegen/parquet-footer warmup.
-    try SparkEntry.queries("a14_scalar_stats")(spark, sfDir).count()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // Queries are executed through a no-op sink, not `.count()`: a count lets
+    // Catalyst drop the final ORDER BY, so sort cost would go unmeasured.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    // Untimed JIT/codegen/parquet-footer warmup. The one-row from_json keeps
+    // Jackson/json-codegen first-use init (~20 s) out of p9's timed pass.
+    try {
+      run(SparkEntry.queries("a14_scalar_stats")(spark, sfDir))
+      run(spark.range(1).selectExpr("""from_json('{"k":1}', 'k INT') AS j"""))
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     var failed = List.empty[String]
     val names = SparkEntry.queries.keys.toSeq.sorted
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try run(SparkEntry.queries(name)(spark, sfDir))
       catch { case e: Throwable =>
         if (!failed.contains(name)) {
           failed ::= name

@@ -84,6 +84,14 @@ object PlanCheck {
     check("t2_topk")(
       "TakeOrderedAndProject" -> (_.contains("TakeOrderedAndProject")))
 
+    // Exact dedup: narrow groupBy(hash)+join-back — rows reduce to (id, h)
+    // before any exchange. A regression to the window-over-text form would
+    // reintroduce a full-text shuffle.
+    check("dd_exact")(
+      "no Window over full text" -> (p => !p.contains("Window")),
+      "≤2 narrow hash exchanges" ->
+        (p => "Exchange hashpartitioning".r.findAllIn(p).size <= 2))
+
     println(if (failures == 0) "PLANCHECK OK" else s"PLANCHECK $failures FAILURES")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -167,7 +167,7 @@ object Queries {
     * round-trips them exactly.
     */
   private val s2 = QueryDef("s2_csv_roundtrip",
-    Some("""SELECT event_type, count(*) AS cnt, sum(user_id) AS sum_users
+    Some("""SELECT event_type, count(*) AS cnt, cast(sum(user_id) as bigint) AS sum_users
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     (s, d) => {
       val path = s"/tmp/graft_s2_csv_${Integer.toHexString(d.hashCode)}"
@@ -338,17 +338,21 @@ object Queries {
         .orderBy("user_id")
     })
 
-  /** A9/A10/A11: per-group distinct count, sorted collect-set, min/max. */
+  /** A9/A10/A11: per-group distinct count, sorted collect-set, min/max.
+    * The sorted set is emitted `array_join`ed to a comma string: semantics
+    * identical, but the checked column is scalar (the driver's comparator
+    * can't hash array cells).
+    */
   private val a9 = QueryDef("a9_entity_aggregates",
     Some(s"""SELECT user_id,
             |  count(DISTINCT $kSql) AS distinct_ks,
-            |  list_sort(list_distinct(list(event_type))) AS types,
+            |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
             |  cast(min(ts) as timestamp) AS first_seen,
             |  cast(max(ts) as timestamp) AS last_seen
             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
     (s, d) => ev(s, d).groupBy("user_id").agg(
       countDistinct(kCol).as("distinct_ks"),
-      sort_array(collect_set(col("event_type"))).as("types"),
+      array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
       min(col("ts")).as("first_seen"),
       max(col("ts")).as("last_seen"))
       .orderBy("user_id"))
@@ -380,10 +384,15 @@ object Queries {
            |  SELECT user_id, value,
            |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC) AS rn
            |  FROM events)
-           |SELECT user_id, list(value ORDER BY value DESC) AS top_values
+           |SELECT user_id,
+           |       array_to_string(list(cast(cast(value as decimal(18,2)) as varchar)
+           |                            ORDER BY value DESC), ',') AS top_values
            |FROM ranked WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin),
     (s, d) => ev(s, d).groupBy("user_id")
-      .agg(graft.functions.TopKAgg.topKValues(col("value"), 3).as("top_values"))
+      .agg(array_join(
+        transform(graft.functions.TopKAgg.topKValues(col("value"), 3),
+          x => x.cast("decimal(18,2)").cast("string")),
+        ",").as("top_values"))
       .orderBy("user_id"))
 
   /** A15: fixed-width bucket histogram. */
@@ -404,19 +413,20 @@ object Queries {
     */
   private val j1 = QueryDef("j1_graft_left_join",
     Some(s"""WITH base AS (SELECT user_id, count(*) AS total FROM events GROUP BY user_id),
-            |susp AS (SELECT user_id, list_sort(list_distinct(list(cast($kSql as varchar)))) AS error_ks
+            |susp AS (SELECT user_id,
+            |           array_to_string(list_sort(list_distinct(list(cast($kSql as varchar)))), ',') AS error_ks
             |         FROM events WHERE event_type = 'error' GROUP BY user_id)
             |SELECT b.user_id AS user_id, b.total AS total,
-            |       coalesce(s.error_ks, []) AS error_ks
+            |       coalesce(s.error_ks, '') AS error_ks
             |FROM base b LEFT JOIN susp s ON b.user_id = s.user_id
             |ORDER BY user_id""".stripMargin),
     (s, d) => {
       val base = ev(s, d).groupBy("user_id").agg(count(lit(1)).as("total"))
       val susp = ev(s, d).filter(col("event_type") === "error")
         .groupBy("user_id")
-        .agg(sort_array(collect_set(kCol.cast("string"))).as("error_ks"))
+        .agg(array_join(sort_array(collect_set(kCol.cast("string"))), ",").as("error_ks"))
       base.join(broadcast(susp), Seq("user_id"), "left")
-        .withColumn("error_ks", coalesce(col("error_ks"), typedlit(Seq.empty[String])))
+        .withColumn("error_ks", coalesce(col("error_ks"), lit("")))
         .orderBy("user_id")
     })
 
@@ -618,6 +628,52 @@ object Queries {
       .orderBy(desc("suspicious_score"), col("user_id"))
   }
 
+  /** The reference's `ip_type_profile` shape (stats_dashboard.py:137-143
+    * returns a 3-key dict per row): the classification percentages as ONE
+    * StructType column. The struct is built and carried through the plan;
+    * the checked value is its canonical JSON rendering (the driver's
+    * comparator needs a scalar cell), with fields cast to decimal(18,1) so
+    * both engines print identical fixed-scale numbers.
+    */
+  private val j10 = QueryDef("j2_profile_struct",
+    Some(s"""WITH agg AS (
+            |  SELECT user_id,
+            |    count(*) AS total_events,
+            |    count(*) FILTER (WHERE event_type IN ('error','signup')) AS failed_events,
+            |    count(DISTINCT $kSql) AS distinct_ks,
+            |    count(*) FILTER (WHERE $kSql >= 90) AS root_attempts,
+            |    count(DISTINCT event_type) AS diversity
+            |  FROM events GROUP BY user_id),
+            |scored AS (
+            |  SELECT *, least(cast(100.0 as double),
+            |    cast(2.0 as double) * failed_events + cast(0.3 as double) * distinct_ks
+            |    + cast(0.05 as double) * total_events
+            |    + cast(15.0 as double) * (CASE WHEN root_attempts > 0 THEN 1 ELSE 0 END)
+            |    + cast(1.0 as double) * diversity) AS suspicious_score
+            |  FROM agg),
+            |profiled AS (
+            |  SELECT *,
+            |    least(cast(100.0 as double), cast(0.6 as double) * suspicious_score
+            |      + cast(5.0 as double) * root_attempts + cast(2.0 as double) * failed_events) AS att,
+            |    least(cast(100.0 as double), cast(1.5 as double) * diversity
+            |      + cast(0.6 as double) * distinct_ks) AS bot
+            |  FROM scored),
+            |legitd AS (
+            |  SELECT *, greatest(cast(0.0 as double), cast(100.0 as double) - att - bot) AS legit
+            |  FROM profiled)
+            |SELECT user_id, to_json(struct_pack(
+            |  attacker := cast(floor(att * cast(100.0 as double) / (att + bot + legit) * 10 + 0.5) / 10 as decimal(18,1)),
+            |  bot := cast(floor(bot * cast(100.0 as double) / (att + bot + legit) * 10 + 0.5) / 10 as decimal(18,1)),
+            |  authorized := cast(floor(legit * cast(100.0 as double) / (att + bot + legit) * 10 + 0.5) / 10 as decimal(18,1)))) AS profile
+            |FROM legitd ORDER BY user_id""".stripMargin),
+    (s, d) => entitySummary(ev(s, d))
+      .select(col("user_id"),
+        to_json(struct(
+          col("attacker_pct").cast("decimal(18,1)").as("attacker"),
+          col("bot_pct").cast("decimal(18,1)").as("bot"),
+          col("authorized_pct").cast("decimal(18,1)").as("authorized"))).as("profile"))
+      .orderBy("user_id"))
+
   /** J3: parameterized point lookup — the filter pushes into the scan. */
   private val j3 = QueryDef("j3_point_lookup",
     Some("""SELECT user_id, count(*) AS total, cast(min(ts) as timestamp) AS first_seen
@@ -643,7 +699,7 @@ object Queries {
     Some("""WITH counts AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
            |ranked AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, user_id) AS rn FROM counts)
            |SELECT CASE WHEN rn <= 5 THEN cast(user_id as varchar) ELSE 'Others' END AS bucket,
-           |       sum(cnt) AS cnt
+           |       cast(sum(cnt) as bigint) AS cnt
            |FROM ranked GROUP BY bucket ORDER BY bucket""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -691,15 +747,15 @@ object Queries {
   /** W: running sum (exact decimal accumulation). */
   private val w3 = QueryDef("w3_running_sum",
     Some("""SELECT event_id, user_id,
-           |  sum(cast(value as decimal(18,2))) OVER
-           |    (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS running_value
+           |  cast(sum(cast(value as decimal(18,2))) OVER
+           |    (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) as double) AS running_value
            |FROM events ORDER BY event_id""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       ev(s, d).select(col("event_id"), col("user_id"),
-        sum(col("value").cast("decimal(18,2)")).over(w).as("running_value"))
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("running_value"))
         .orderBy("event_id")
     })
 
@@ -829,7 +885,7 @@ object Queries {
            |  FROM events),
            |sessions AS (
            |  SELECT user_id,
-           |    sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS session_id,
+           |    cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) as bigint) AS session_id,
            |    ts FROM flagged)
            |SELECT user_id, session_id, count(*) AS n_events,
            |       cast(min(ts) as timestamp) AS session_start
@@ -852,7 +908,7 @@ object Queries {
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, p1, p2, p6, p9, pp, d1, d2, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16,
-    j1, j2, j3, j4, j5, j6, j7, j8, j9,
+    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10,
     t2, t4, w1, w2, w3, w4, w5, su, si, se, g1, g2,
     st1, st2, st3)
 

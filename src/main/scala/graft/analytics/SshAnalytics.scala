@@ -29,6 +29,16 @@ object SshAnalytics {
 
   private def cnt(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
 
+  /** Cross-engine-stable HALF_UP rounding — floor(x·10^d + 0.5)/10^d. Native
+    * round() on doubles is banned repo-wide: its half-case behavior differs
+    * between engines, which would break the oracle the day these queries get
+    * hash-checked.
+    */
+  private def rnd(c: Column, d: Int): Column = {
+    val f = math.pow(10, d)
+    floor(c * f + 0.5) / f
+  }
+
   /** Global dashboard metrics (stats_dashboard.py:35-42) in one pass. */
   def globalMetrics(df: DataFrame): DataFrame =
     df.agg(
@@ -37,7 +47,7 @@ object SshAnalytics {
       countDistinct(col("ip")).as("unique_ips"),
       countDistinct(col("event")).as("distinct_events"),
       cnt(col("event").isin(suspiciousEvents: _*)).as("failed_events"),
-      round(cnt(col("event").isin(suspiciousEvents: _*)) * 100.0 / count(lit(1)), 2)
+      rnd(cnt(col("event").isin(suspiciousEvents: _*)) * 100.0 / count(lit(1)), 2)
         .as("failed_rate_pct"))
 
   /** Per-event access evolution grouped by hour (stats_dashboard.py:60-63). */
@@ -109,8 +119,8 @@ object SshAnalytics {
       cnt(col("tried_root_admin") > 0).as("root_admin_ips"),
       cnt(col("total_events") > 100).as("ips_over_100_events"),
       max(col("total_events")).as("max_events_per_ip"),
-      round(avg(col("total_events")), 2).as("avg_events_per_ip"),
-      round(avg(col("suspicious_score")), 2).as("avg_suspicious_score"),
+      rnd(avg(col("total_events")), 2).as("avg_events_per_ip"),
+      rnd(avg(col("suspicious_score")), 2).as("avg_suspicious_score"),
       cnt(col("suspicious_score") > 80).as("suspicious_over_80"))
 
   /** Histogram of a numeric column by fixed-width buckets

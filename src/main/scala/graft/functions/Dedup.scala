@@ -24,16 +24,22 @@ object Dedup {
 
   /** Exact dedup: canonical = min doc id among identical texts. Output keeps
     * every row with its canonical id and group size (callers filter
-    * `canonical_id =!= id` to drop dups). At scale: group by xxhash64(text)
-    * first so the shuffle carries 8-byte keys, then resolve rare collisions
-    * within groups (omitted here: collision probability ~1e-10 at 1e9 docs
-    * is handled by comparing text within hash groups).
+    * `canonical_id =!= id` to drop dups).
+    *
+    * Scale shape: rows reduce to (id, xxhash64(text)) BEFORE any exchange,
+    * so the shuffle carries 8-byte keys — full text never moves (the naive
+    * window-over-text formulation shuffles every document's bytes). The
+    * groupBy gets map-side partial aggregation, and the join-back hashes on
+    * the same key as the groupBy, so Catalyst reuses one exchange for both.
+    * A 64-bit collision (~1e-10 at 1e9 docs) would merge two distinct
+    * texts; callers needing certainty re-verify inside canonical groups —
+    * another narrow join — before deleting anything.
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol))
-    docs.select(col(idCol), col(textCol))
-      .withColumn("canonical_id", min(col(idCol)).over(w))
-      .withColumn("group_size", count(lit(1)).over(w))
+    val hashed = docs.select(col(idCol), xxhash64(col(textCol)).as("h"))
+    val groups = hashed.groupBy("h")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+    hashed.join(groups, "h")
       .select(col(idCol), col("canonical_id"), col("group_size"))
   }
 

@@ -80,40 +80,61 @@ object StreamingAnalytics {
                         closed_by: String)
 
   def customSessions(events: org.apache.spark.sql.Dataset[(String, java.sql.Timestamp, String)],
-                     gapMillis: Long, terminalType: String): org.apache.spark.sql.Dataset[SessionOut] = {
+                     gapMillis: Long, terminalType: String,
+                     watermarkDelay: String = "1 hour"): org.apache.spark.sql.Dataset[SessionOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
     events
+      .withWatermark("_2", watermarkDelay) // no-op on batch inputs
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: String, rows: Iterator[(String, java.sql.Timestamp, String)],
          state: GroupState[SessionState]) => {
-          val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
-          var cur = state.getOption
-          rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, ts, typ) =>
-            val t = ts.getTime
-            cur match {
-              case Some(s) if t - s.last > gapMillis =>
+          if (state.hasTimedOut) {
+            // Idle key past its gap: close and emit the open session, drop
+            // the state — total state stays (active keys × one record).
+            val closed = state.getOption.map(s => SessionOut(key,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+              s.n, "timeout"))
+            state.remove()
+            closed.iterator
+          } else {
+            val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            var cur = state.getOption
+            rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, ts, typ) =>
+              val t = ts.getTime
+              cur match {
+                case Some(s) if t - s.last > gapMillis =>
+                  out += SessionOut(key, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n, "gap")
+                  cur = Some(SessionState(t, t, 1))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, t, s.n + 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+              if (typ == terminalType) {
+                val s = cur.get
                 out += SessionOut(key, new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.last), s.n, "gap")
-                cur = Some(SessionState(t, t, 1))
+                  new java.sql.Timestamp(s.last), s.n, "terminal")
+                cur = None
+              }
+            }
+            cur match {
               case Some(s) =>
-                cur = Some(SessionState(s.start, t, s.n + 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+                state.update(s)
+                // Close the session once the watermark passes last+gap; the
+                // timestamp must be ahead of the current watermark, so clamp
+                // (a key already idle past its gap times out on the very next
+                // watermark advance). Batch runs have no watermark — there
+                // the timeout is set-and-ignored by design.
+                val wm = try state.getCurrentWatermarkMs()
+                  catch { case _: UnsupportedOperationException => Long.MinValue }
+                state.setTimeoutTimestamp(math.max(s.last + gapMillis, wm + 1))
+              case None => state.remove()
             }
-            if (typ == terminalType) {
-              val s = cur.get
-              out += SessionOut(key, new java.sql.Timestamp(s.start),
-                new java.sql.Timestamp(s.last), s.n, "terminal")
-              cur = None
-            }
+            out.iterator
           }
-          cur match {
-            case Some(s) => state.update(s)
-            case None    => state.remove()
-          }
-          out.iterator
         })
   }
 

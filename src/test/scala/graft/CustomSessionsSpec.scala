@@ -38,4 +38,30 @@ class CustomSessionsSpec extends SparkSpec {
     assert(out.contains(("u2", t(0), 1L, "gap")))
     assert(out.size == 2)
   }
+
+  test("idle key times out via watermark and emits its open session") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, String)]
+    val sessions = StreamingAnalytics.customSessions(
+      mem.toDS(), gapMillis = 10 * 60 * 1000, terminalType = "purchase",
+      watermarkDelay = "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("custom_sessions_timeout")
+      .outputMode("append").start()
+    // Batch 1: u1 has an open 2-event session, then goes idle forever.
+    mem.addData(Seq(("u1", t(0), "view"), ("u1", t(2), "click")))
+    q.processAllAvailable()
+    // Batch 2: another key advances the watermark past u1's last+gap
+    // (10:02 + 10 min < 10:40 - 1 min) → u1's state must time out.
+    mem.addData(Seq(("u9", t(40), "view")))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("custom_sessions_timeout")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(3), r.getString(4)))
+      .toSet
+    assert(out.contains(("u1", t(0), 2L, "timeout")))
+    // u9's session is still open (its timeout is ahead of the watermark).
+    assert(out.size == 1)
+  }
 }
