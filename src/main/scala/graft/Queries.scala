@@ -395,6 +395,26 @@ object Queries {
         ",").as("top_values"))
       .orderBy("user_id"))
 
+  /** A17 (rebuild extra): MapType column — per-user event_type→count as ONE
+    * map column (the dict-valued column shape the reference's pandas rows
+    * carry implicitly). The map is built in-plan (collect_list of entry
+    * structs, sorted for determinism, map_from_entries); the checked value
+    * is its canonical JSON rendering, which DuckDB re-derives with an
+    * ordered string_agg.
+    */
+  private val a17 = QueryDef("a17_map_column",
+    Some("""WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+           |           FROM events GROUP BY 1, 2)
+           |SELECT user_id,
+           |       '{' || string_agg('"' || event_type || '":' || cnt, ',' ORDER BY event_type) || '}' AS type_counts
+           |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin),
+    (s, d) => ev(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(to_json(map_from_entries(
+        sort_array(collect_list(struct(col("event_type"), col("cnt")))))).as("type_counts"))
+      .orderBy("user_id"))
+
   /** A15: fixed-width bucket histogram. */
   private val a15 = QueryDef("a15_histogram",
     Some("""SELECT cast(floor(value / 20) as bigint) AS bucket, count(*) AS cnt
@@ -907,7 +927,7 @@ object Queries {
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, p1, p2, p6, p9, pp, d1, d2, d6, d7, d8, d10, d14,
-    a1, a4, a6, a7, a9, a13, a14, a15, a16,
+    a1, a4, a6, a7, a9, a13, a14, a15, a16, a17,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10,
     t2, t4, w1, w2, w3, w4, w5, su, si, se, g1, g2,
     st1, st2, st3)

@@ -138,6 +138,51 @@ object QueriesExt {
       threshold = 0.5, maxDf = 100)
       .orderBy("doc_a", "doc_b"))
 
+  /** Near-dup clustering: connected components over the (hash-verified)
+    * Jaccard pair graph, canonical = min doc id per component, plus
+    * cluster size — the "keep one per near-dup cluster" dedup primitive.
+    * Oracle: recursive-CTE reachability over the same pairs.
+    */
+  private val dd5 = QueryDef("dd_cluster_canonical",
+    Some("""WITH RECURSIVE sh AS (
+           |  SELECT doc_id AS doc, unnest(list_distinct(
+           |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS shingle
+           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
+           |capped AS (
+           |  SELECT doc, shingle FROM
+           |    (SELECT doc, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+           |  WHERE df <= 100),
+           |sizes AS (SELECT doc, count(*) AS n_shingles FROM capped GROUP BY doc),
+           |common AS (
+           |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+           |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc < b.doc
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT doc_a, doc_b FROM common
+           |  JOIN sizes sa ON sa.doc = doc_a
+           |  JOIN sizes sb ON sb.doc = doc_b
+           |  WHERE c * cast(1.0 as double) / (sa.n_shingles + sb.n_shingles - c) >= 0.5),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |walk(node, reach) AS (
+           |  SELECT node, node FROM nodes
+           |  UNION
+           |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+           |cc AS (SELECT node, min(reach) AS canonical FROM walk GROUP BY node),
+           |lab AS (
+           |  SELECT d.doc_id, coalesce(cc.canonical, d.doc_id) AS canonical_id
+           |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id)
+           |SELECT doc_id, canonical_id,
+           |       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+           |FROM lab ORDER BY doc_id""".stripMargin),
+    (s, d) => graft.operators.Graphs.canonicalClusters(
+      docs(s, d), "doc_id",
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 2,
+        threshold = 0.5, maxDf = 100),
+      "doc_a", "doc_b")
+      .orderBy("doc_id"))
+
   /** MinHash+LSH near-dup candidates (no ANSI oracle: murmur3-based
     * signatures). Invariant-tested in ScalaTest instead.
     */
@@ -287,7 +332,7 @@ object QueriesExt {
 
   val all: Seq[QueryDef] = Seq(
     tx1, tx2, tx3, tx4, tx5,
-    dd1, dd2, dd3, dd4,
+    dd1, dd2, dd3, dd4, dd5,
     sm1, sm2, sm3, sm4, sm5,
     mm1, mm2)
 }
