@@ -1,6 +1,8 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives needed by the dedup pipeline (cluster the
@@ -14,59 +16,171 @@ import org.apache.spark.sql.functions._
   * terminates in a handful of rounds.
   *
   * Scale notes for 100 TB:
-  *   - per round: one shuffle to join labels onto edge endpoints + one
-  *     shuffle for the min-aggregate — both on 8-byte node ids; document
-  *     payloads never enter the graph.
-  *   - labels are cached per round and unpersisted as soon as the next
-  *     round is computed; `localCheckpoint` truncates the growing lineage
-  *     so round N's plan does not replay rounds 1..N-1.
-  *   - convergence is detected with a `limit(1).isEmpty` anti-check, not a
-  *     count of all rows — the job short-circuits on the first changed row.
-  *   - for adversarial long-path graphs, swap the propagation body for the
-  *     large-star/small-star rewrite (Kiveris et al., "Connected Components
-  *     in MapReduce and Beyond") — same driver-loop skeleton, O(log n)
+  *   - the (possibly expensive) edge plan is scanned ONCE: both edge
+  *     orientations come out of a single explode, and the result is
+  *     materialized pre-partitioned by `dst` — so the per-round
+  *     labels⋈edges join moves no edge bytes at all, and only the
+  *     min-aggregate shuffles (8-byte ids; document payloads never enter
+  *     the graph). One shuffle per round.
+  *   - each round's labels are `localCheckpoint`ed (truncates the growing
+  *     lineage so round N does not replay rounds 1..N-1) and the previous
+  *     round's checkpoint blocks are unpersisted as soon as the next round
+  *     is materialized — executor storage holds at most two label
+  *     snapshots at any time.
+  *   - convergence is a `changed` flag computed INSIDE the propagation
+  *     round (nbr_min < component) — detecting it is a short-circuiting
+  *     local scan of the already-materialized checkpoint blocks, not a
+  *     separate join job.
+  *   - a component with diameter > maxIter would exit with wrong,
+  *     partially-propagated labels — that silently corrupts canonical
+  *     dedup ids downstream, so non-convergence THROWS instead. For
+  *     adversarial long-path graphs, [[connectedComponentsLogN]] runs the
+  *     large-star/small-star rewrite (Kiveris et al., "Connected
+  *     Components in MapReduce and Beyond") which converges in O(log n)
   *     rounds; plain propagation is the right default for dedup shapes.
   */
 object Graphs {
+
+  /** `localCheckpoint` plus handles to the RDD blocks it persisted, so a
+    * superseded round can be freed (the Dataset API offers checkpointing
+    * but no unpersist of the underlying blocks).
+    */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    val added = sc.getPersistentRDDs.collect {
+      case (id, rdd) if !before.contains(id) => rdd
+    }.toSeq
+    (out, added)
+  }
+
+  /** Both orientations of an edge list from ONE scan of the input plan,
+    * materialized hash-partitioned by `dst` (the per-round join key).
+    */
+  private def symmetrized(edges: DataFrame, srcCol: String, dstCol: String): (DataFrame, Seq[RDD[_]]) =
+    checkpointTracked(edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("dst"))
+      .sortWithinPartitions("dst"))
 
   /** Connected components of an undirected edge list. Returns one row per
     * distinct node: (node, component) where component = min node id
     * reachable from it. Nodes appear only if they touch an edge — callers
     * left-join and coalesce to self for singletons.
+    *
+    * Throws IllegalStateException if the graph has not converged within
+    * `maxIter` rounds (diameter > maxIter) — wrong labels must never be
+    * returned silently.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 20): DataFrame = {
-    val sym = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
-      .cache()
+                          maxIter: Int = 50): DataFrame = {
+    val (sym, symBlocks) = symmetrized(edges, srcCol, dstCol)
 
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint() // materialize: each round builds on data, not lineage
+    var (labels, labelBlocks) = checkpointTracked(
+      sym.select(col("src").as("node")).distinct()
+        .withColumn("component", col("node")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // Neighbor messages: every edge forwards its dst's current label to src.
-      val msgs = sym.join(labels.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), col("component"))
-      val next = labels.union(msgs)
-        .groupBy("node").agg(min("component").as("component"))
-        .localCheckpoint()
-      converged = next.as("n").join(labels.as("l"), "node")
-        .filter(col("n.component") < col("l.component"))
-        .limit(1).isEmpty
-      labels = next
+      // Neighbor messages: every edge forwards its dst's current label to
+      // src. Both sides are already partitioned on dst → no exchange here;
+      // the min-aggregate is the round's single shuffle, and the join back
+      // onto `labels` is again exchange-free (both partitioned on node).
+      val nbrMin = sym
+        .join(labels.select(col("node").as("dst"), col("component").as("nbr")), "dst")
+        .select(col("src").as("node"), col("nbr"))
+        .groupBy("node").agg(min("nbr").as("nbr_min"))
+      val (next, nextBlocks) = checkpointTracked(
+        labels.join(nbrMin, "node")
+          .select(col("node"),
+            least(col("component"), col("nbr_min")).as("component"),
+            (col("nbr_min") < col("component")).as("changed")))
+      // Reads the blocks just materialized above — short-circuits on the
+      // first changed row, no shuffle, no recomputation.
+      converged = next.filter(col("changed")).limit(1).isEmpty
+      labelBlocks.foreach(_.unpersist(blocking = false))
+      labelBlocks = nextBlocks
+      labels = next.select("node", "component")
       iter += 1
     }
-    sym.unpersist()
+    symBlocks.foreach(_.unpersist(blocking = false))
+    if (!converged) {
+      labelBlocks.foreach(_.unpersist(blocking = false))
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — the graph has a component " +
+        s"with diameter > $maxIter; raise maxIter or use connectedComponentsLogN")
+    }
     labels
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al.) — the
+    * O(log n) variant for adversarial graphs (long paths, huge diameters)
+    * where plain propagation's diameter-many rounds would be the
+    * bottleneck. Maintains a parent pointer per node; each round:
+    *   large-star: every node links its LARGER neighbors (in the current
+    *     parent forest) to its minimum neighbor — halves tree heights;
+    *   small-star: every node links its parent and smaller neighbors to
+    *     the minimum — flattens stars.
+    * Here both are folded into one update per round over the symmetrized
+    * edge set lifted to parent space: parents(u) ← min over neighbors'
+    * parents and own parent, plus path-halving (parent ← parent-of-parent)
+    * which is what yields the logarithmic collapse. Same driver-loop
+    * skeleton, shuffles, and checkpoint discipline as
+    * [[connectedComponents]].
+    */
+  def connectedComponentsLogN(edges: DataFrame, srcCol: String, dstCol: String,
+                              maxIter: Int = 50): DataFrame = {
+    val (sym, symBlocks) = symmetrized(edges, srcCol, dstCol)
+
+    var (parents, parentBlocks) = checkpointTracked(
+      sym.select(col("src").as("node")).distinct()
+        .withColumn("parent", col("node")))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // Lift edges to parent space: candidate parent for u = min over
+      // {parent(v) : v neighbor of u}.
+      val nbrMin = sym
+        .join(parents.select(col("node").as("dst"), col("parent").as("np")), "dst")
+        .select(col("src").as("node"), col("np"))
+        .groupBy("node").agg(min("np").as("nbr_min"))
+      // Path-halving: follow the own-parent pointer one extra hop. This is
+      // the star-collapsing step that makes rounds logarithmic.
+      val grand = parents.select(col("node").as("p1"), col("parent").as("gp"))
+      val (next, nextBlocks) = checkpointTracked(
+        parents.join(nbrMin, Seq("node"), "left")
+          .join(grand, col("parent") === col("p1"), "left")
+          .select(col("node"),
+            least(col("parent"), coalesce(col("nbr_min"), col("parent")),
+              coalesce(col("gp"), col("parent"))).as("parent"),
+            (least(coalesce(col("nbr_min"), col("parent")),
+              coalesce(col("gp"), col("parent"))) < col("parent")).as("changed")))
+      converged = next.filter(col("changed")).limit(1).isEmpty
+      parentBlocks.foreach(_.unpersist(blocking = false))
+      parentBlocks = nextBlocks
+      parents = next.select("node", "parent")
+      iter += 1
+    }
+    symBlocks.foreach(_.unpersist(blocking = false))
+    if (!converged) {
+      parentBlocks.foreach(_.unpersist(blocking = false))
+      throw new IllegalStateException(
+        s"connectedComponentsLogN did not converge in $maxIter rounds")
+    }
+    parents.select(col("node"), col("parent").as("component"))
   }
 
   /** Cluster near-duplicate pairs and assign every doc a canonical id
     * (min doc id of its component; docs in no pair are their own
     * canonical) plus the cluster size. The "keep one per near-dup
-    * cluster" primitive of a training-data dedup pass.
+    * cluster" primitive of a training-data dedup pass. Cluster sizes come
+    * from a count window over the already-narrow (id, canonical) rows —
+    * one shuffle, no second scan of the labeled plan.
     */
   def canonicalClusters(docs: DataFrame, idCol: String,
                         pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
@@ -74,8 +188,8 @@ object Graphs {
     val labeled = docs.select(col(idCol))
       .join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("canonical_id"))
-    val sizes = labeled.groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
-    labeled.join(sizes, "canonical_id")
+    labeled
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("canonical_id")))
       .select(col(idCol), col("canonical_id"), col("cluster_size"))
   }
 }
