@@ -51,6 +51,10 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // clearCache frees table caches but NOT RDD/localCheckpoint blocks
+      // (e.g. connected-components round snapshots): without this, one
+      // query's leftover blocks tax every later query's memory budget.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       dt
     }
     // Two full round-robin passes, min per query: this VM shows transient

@@ -41,23 +41,30 @@ object Probe {
     sampler.setDaemon(true)
     sampler.start()
 
+    // Same action as Bench (noop sink, so computed columns and final sorts
+    // are actually evaluated — a count() lets Catalyst prune them), so
+    // Probe and Bench numbers are comparable.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
     // untimed warmup
-    SparkEntry.queries("a14_scalar_stats")(spark, sfDir).count()
+    run(SparkEntry.queries("a14_scalar_stats")(spark, sfDir))
 
     args.foreach { name =>
       samples.clear()
       sampling = true
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      run(SparkEntry.queries(name)(spark, sfDir))
       val dt = (System.nanoTime() - t0) / 1e9
       sampling = false
-      println(f"PROBE $name: $n rows in $dt%.2f s")
+      println(f"PROBE $name: $dt%.2f s")
       if (dt > 5) {
         samples.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (f, c) =>
           println(f"  HOT $c%4d  $f")
         }
       }
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

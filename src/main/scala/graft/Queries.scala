@@ -213,6 +213,19 @@ object Queries {
       .groupBy("k_filled").agg(count(lit(1)).as("cnt"))
       .orderBy("k_filled"))
 
+  /** D3 + S6: drop-null filter (na.drop on the nullable regex-extracted k)
+    * feeding a deterministic console sample — the `.show(10)` shape as an
+    * ordered LIMIT 10 (Spark plans TakeOrderedAndProject: no full sort, no
+    * full scan survives the limit pushdown at scale).
+    */
+  private val d3 = QueryDef("d3_dropna_sample",
+    Some(s"""SELECT event_id, $kSql AS k FROM events
+            |WHERE $kSql IS NOT NULL
+            |ORDER BY event_id LIMIT 10""".stripMargin),
+    (s, d) => ev(s, d).select(col("event_id"), kCol.as("k"))
+      .na.drop(Seq("k"))
+      .orderBy("event_id").limit(10))
+
   /** D8: case-fold + set membership (lower(user).isin('root','admin')). */
   private val d8 = QueryDef("d8_casefold_membership",
     Some("""SELECT count(*) FILTER (WHERE lower(upper(event_type)) IN ('error','signup')) AS privileged,
@@ -581,34 +594,43 @@ object Queries {
   // (D12/D13/A9-A13/J2 — the reference's 8-pass per-IP build, in ONE pass)
   // ======================================================================
 
+  /** Shared DuckDB CTE chain for the suspicion-scoring pipeline. The score
+    * weights live in exactly TWO places — [[entitySummary]] (Spark) and
+    * here (oracle); both j2_entity_summary and j2_profile_struct
+    * interpolate this constant, so a tuning change cannot drift the two
+    * oracles apart.
+    */
+  private val suspicionCtes =
+    s"""WITH agg AS (
+       |  SELECT user_id,
+       |    count(*) AS total_events,
+       |    count(*) FILTER (WHERE event_type IN ('error','signup')) AS failed_events,
+       |    count(DISTINCT $kSql) AS distinct_ks,
+       |    count(*) FILTER (WHERE $kSql >= 90) AS root_attempts,
+       |    count(DISTINCT event_type) AS diversity,
+       |    cast(min(ts) as timestamp) AS first_seen,
+       |    cast(max(ts) as timestamp) AS last_seen
+       |  FROM events GROUP BY user_id),
+       |scored AS (
+       |  SELECT *, least(cast(100.0 as double),
+       |    cast(2.0 as double) * failed_events + cast(0.3 as double) * distinct_ks
+       |    + cast(0.05 as double) * total_events
+       |    + cast(15.0 as double) * (CASE WHEN root_attempts > 0 THEN 1 ELSE 0 END)
+       |    + cast(1.0 as double) * diversity) AS suspicious_score
+       |  FROM agg),
+       |profiled AS (
+       |  SELECT *,
+       |    least(cast(100.0 as double), cast(0.6 as double) * suspicious_score
+       |      + cast(5.0 as double) * root_attempts + cast(2.0 as double) * failed_events) AS att,
+       |    least(cast(100.0 as double), cast(1.5 as double) * diversity
+       |      + cast(0.6 as double) * distinct_ks) AS bot
+       |  FROM scored),
+       |legitd AS (
+       |  SELECT *, greatest(cast(0.0 as double), cast(100.0 as double) - att - bot) AS legit
+       |  FROM profiled)""".stripMargin
+
   private val j2 = QueryDef("j2_entity_summary",
-    Some(s"""WITH agg AS (
-            |  SELECT user_id,
-            |    count(*) AS total_events,
-            |    count(*) FILTER (WHERE event_type IN ('error','signup')) AS failed_events,
-            |    count(DISTINCT $kSql) AS distinct_ks,
-            |    count(*) FILTER (WHERE $kSql >= 90) AS root_attempts,
-            |    count(DISTINCT event_type) AS diversity,
-            |    cast(min(ts) as timestamp) AS first_seen,
-            |    cast(max(ts) as timestamp) AS last_seen
-            |  FROM events GROUP BY user_id),
-            |scored AS (
-            |  SELECT *, least(cast(100.0 as double),
-            |    cast(2.0 as double) * failed_events + cast(0.3 as double) * distinct_ks
-            |    + cast(0.05 as double) * total_events
-            |    + cast(15.0 as double) * (CASE WHEN root_attempts > 0 THEN 1 ELSE 0 END)
-            |    + cast(1.0 as double) * diversity) AS suspicious_score
-            |  FROM agg),
-            |profiled AS (
-            |  SELECT *,
-            |    least(cast(100.0 as double), cast(0.6 as double) * suspicious_score
-            |      + cast(5.0 as double) * root_attempts + cast(2.0 as double) * failed_events) AS att,
-            |    least(cast(100.0 as double), cast(1.5 as double) * diversity
-            |      + cast(0.6 as double) * distinct_ks) AS bot
-            |  FROM scored),
-            |legitd AS (
-            |  SELECT *, greatest(cast(0.0 as double), cast(100.0 as double) - att - bot) AS legit
-            |  FROM profiled)
+    Some(s"""$suspicionCtes
             |SELECT user_id, total_events, failed_events, distinct_ks, root_attempts, diversity,
             |  first_seen, last_seen, suspicious_score,
             |  floor(att * cast(100.0 as double) / (att + bot + legit) * 10 + 0.5) / 10 AS attacker_pct,
@@ -656,31 +678,7 @@ object Queries {
     * both engines print identical fixed-scale numbers.
     */
   private val j10 = QueryDef("j2_profile_struct",
-    Some(s"""WITH agg AS (
-            |  SELECT user_id,
-            |    count(*) AS total_events,
-            |    count(*) FILTER (WHERE event_type IN ('error','signup')) AS failed_events,
-            |    count(DISTINCT $kSql) AS distinct_ks,
-            |    count(*) FILTER (WHERE $kSql >= 90) AS root_attempts,
-            |    count(DISTINCT event_type) AS diversity
-            |  FROM events GROUP BY user_id),
-            |scored AS (
-            |  SELECT *, least(cast(100.0 as double),
-            |    cast(2.0 as double) * failed_events + cast(0.3 as double) * distinct_ks
-            |    + cast(0.05 as double) * total_events
-            |    + cast(15.0 as double) * (CASE WHEN root_attempts > 0 THEN 1 ELSE 0 END)
-            |    + cast(1.0 as double) * diversity) AS suspicious_score
-            |  FROM agg),
-            |profiled AS (
-            |  SELECT *,
-            |    least(cast(100.0 as double), cast(0.6 as double) * suspicious_score
-            |      + cast(5.0 as double) * root_attempts + cast(2.0 as double) * failed_events) AS att,
-            |    least(cast(100.0 as double), cast(1.5 as double) * diversity
-            |      + cast(0.6 as double) * distinct_ks) AS bot
-            |  FROM scored),
-            |legitd AS (
-            |  SELECT *, greatest(cast(0.0 as double), cast(100.0 as double) - att - bot) AS legit
-            |  FROM profiled)
+    Some(s"""$suspicionCtes
             |SELECT user_id, to_json(struct_pack(
             |  attacker := cast(floor(att * cast(100.0 as double) / (att + bot + legit) * 10 + 0.5) / 10 as decimal(18,1)),
             |  bot := cast(floor(bot * cast(100.0 as double) / (att + bot + legit) * 10 + 0.5) / 10 as decimal(18,1)),
@@ -926,7 +924,7 @@ object Queries {
 
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
-    s1, s2, s4, p1, p2, p6, p9, pp, d1, d2, d6, d7, d8, d10, d14,
+    s1, s2, s4, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10,
     t2, t4, w1, w2, w3, w4, w5, su, si, se, g1, g2,

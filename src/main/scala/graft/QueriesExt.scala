@@ -60,12 +60,16 @@ object QueriesExt {
            |       WHEN fr_score = greatest(en_score, es_score, fr_score, de_score) THEN 'fr'
            |       ELSE 'de' END AS predicted
            |FROM scored ORDER BY doc_id""".stripMargin),
-    (s, d) => docs(s, d).select(col("doc_id"), col("lang"),
-      TextFunctions.langScore(col("text"), "en").as("en_score"),
-      TextFunctions.langScore(col("text"), "es").as("es_score"),
-      TextFunctions.langScore(col("text"), "fr").as("fr_score"),
-      TextFunctions.langScore(col("text"), "de").as("de_score"),
-      TextFunctions.predictedLang(col("text")).as("predicted"))
+    (s, d) => docs(s, d)
+      // ONE tokenization kernel pass per row; the per-language scores and
+      // the argmax are array extracts over the materialized counts (the
+      // two-step select keeps Catalyst from inlining the kernel 12×).
+      .select(col("doc_id"), col("lang"), TextFunctions.langScores(col("text")).as("sc"))
+      .select(col("doc_id"), col("lang"),
+        col("sc").getItem(0).as("en_score"), col("sc").getItem(1).as("es_score"),
+        col("sc").getItem(2).as("fr_score"), col("sc").getItem(3).as("de_score"))
+      .withColumn("predicted", TextFunctions.predictedFromScores(
+        col("en_score"), col("es_score"), col("fr_score"), col("de_score")))
       .orderBy("doc_id"))
 
   /** Heuristic document quality score — the composed filter a training

@@ -26,21 +26,36 @@ object Dedup {
     * every row with its canonical id and group size (callers filter
     * `canonical_id =!= id` to drop dups).
     *
-    * Scale shape: rows reduce to (id, xxhash64(text)) BEFORE any exchange,
-    * so the shuffle carries 8-byte keys — full text never moves (the naive
-    * window-over-text formulation shuffles every document's bytes). The
-    * groupBy gets map-side partial aggregation, and the join-back hashes on
-    * the same key as the groupBy, so Catalyst reuses one exchange for both.
-    * A 64-bit collision (~1e-10 at 1e9 docs) would merge two distinct
-    * texts; callers needing certainty re-verify inside canonical groups —
-    * another narrow join — before deleting anything.
+    * Scale shape (default, `verifyText = false`): rows reduce to
+    * (id, xxhash64(text)) BEFORE any exchange, so the shuffle carries
+    * 8-byte keys — full text never moves (the naive window-over-text
+    * formulation shuffles every document's bytes). The groupBy gets
+    * map-side partial aggregation, and the join-back hashes on the same
+    * key as the groupBy, so Catalyst reuses one exchange for both.
+    *
+    * A 64-bit collision (~1e-10 at 1e9 docs) would merge two DISTINCT
+    * texts in a primitive whose output drives row deletion — callers who
+    * can't accept that pass `verifyText = true`: grouping is then on
+    * (hash, text), so colliding-but-different texts stay separate groups.
+    * That variant shuffles the text bytes (the price of certainty); the
+    * hash still leads the key so groups stay balanced and comparisons
+    * short-circuit on the 8-byte prefix.
     */
-  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = docs.select(col(idCol), xxhash64(col(textCol)).as("h"))
-    val groups = hashed.groupBy("h")
-      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
-    hashed.join(groups, "h")
-      .select(col(idCol), col("canonical_id"), col("group_size"))
+  def exact(docs: DataFrame, idCol: String, textCol: String,
+            verifyText: Boolean = false): DataFrame = {
+    if (verifyText) {
+      val hashed = docs.select(col(idCol), col(textCol), xxhash64(col(textCol)).as("h"))
+      val groups = hashed.groupBy(col("h"), col(textCol))
+        .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+      hashed.join(groups, Seq("h", textCol))
+        .select(col(idCol), col("canonical_id"), col("group_size"))
+    } else {
+      val hashed = docs.select(col(idCol), xxhash64(col(textCol)).as("h"))
+      val groups = hashed.groupBy("h")
+        .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+      hashed.join(groups, "h")
+        .select(col(idCol), col("canonical_id"), col("group_size"))
+    }
   }
 
   /** Doc → exploded distinct word-n-gram shingles, df-capped.

@@ -26,10 +26,13 @@ object TextFunctions {
     */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  def stopwordCount(text: Column): Column = {
-    val toks = tokens(lower(text))
-    size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
-  }
+  /** Tokens of the casefolded text that belong to the stopword list —
+    * counted by the single-pass [[NativeExpressions.MarkerTokenCounts]]
+    * kernel (the `filter` HOF form runs interpreted, re-splitting per
+    * evaluation).
+    */
+  def stopwordCount(text: Column): Column =
+    NativeExpressions.markerTokenCounts(lower(text), Seq(stopwords)).getItem(0)
 
   def alphaRatio(text: Column): Column =
     when(length(text) > 0,
@@ -60,31 +63,43 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "et", "les"),
     "de" -> Seq("der", "die", "und", "das"))
 
-  def langScore(text: Column, lang: String): Column = {
-    val toks = tokens(lower(text))
-    size(filter(toks, t => t.isin(langMarkers(lang).map(lit(_)): _*)))
-  }
+  /** Fixed language order — index into [[langScores]]' output array. */
+  val langOrder: Seq[String] = Seq("en", "es", "fr", "de")
 
-  def predictedLang(text: Column): Column = {
-    // argmax with deterministic priority en > es > fr > de on ties
-    val en = langScore(text, "en"); val es = langScore(text, "es")
-    val fr = langScore(text, "fr"); val de = langScore(text, "de")
+  /** All four language scores from ONE tokenization pass (array column in
+    * [[langOrder]] order). Queries needing several scores should project
+    * this once and extract, rather than calling [[langScore]] per language.
+    */
+  def langScores(text: Column): Column =
+    NativeExpressions.markerTokenCounts(lower(text), langOrder.map(langMarkers))
+
+  def langScore(text: Column, lang: String): Column =
+    NativeExpressions.markerTokenCounts(lower(text), Seq(langMarkers(lang))).getItem(0)
+
+  /** Argmax with deterministic priority en > es > fr > de on ties, from
+    * already-computed score columns (one kernel pass upstream).
+    */
+  def predictedFromScores(en: Column, es: Column, fr: Column, de: Column): Column = {
     val m = greatest(en, es, fr, de)
     when(m === 0, lit("unknown"))
       .when(en === m, "en").when(es === m, "es")
       .when(fr === m, "fr").otherwise("de")
   }
 
+  def predictedLang(text: Column): Column = {
+    val sc = langScores(text)
+    predictedFromScores(sc.getItem(0), sc.getItem(1), sc.getItem(2), sc.getItem(3))
+  }
+
   /** Polynomial rolling-hash document fingerprint over characters:
-    * h = fold(h*31 + code) mod 1e9+7, seeded with 7. Implemented with the
-    * `aggregate` higher-order function — sequential fold, deterministic,
-    * cross-engine reproducible (same fold in ANSI SQL via list_reduce).
+    * h = fold(h*31 + code) mod 1e9+7, seeded with 7. Native single-pass
+    * kernel ([[NativeExpressions.FingerprintHash]]) — deterministic and
+    * cross-engine reproducible (same fold in ANSI SQL via list_reduce);
+    * the equivalent `aggregate`/`transform` HOF composition runs
+    * interpreted with per-character boxing.
     */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), ch => ascii(ch).cast("long")),
-      lit(7L),
-      (acc, code) => pmod(acc * 31L + code, lit(1000000007L)))
+    NativeExpressions.fingerprintHash(text)
 
   /** Word n-gram shingles of a document, as an array column. Native
     * single-pass kernel — see [[NativeExpressions.WordShingles]] for why

@@ -21,6 +21,14 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == (3L, 1L) && out(4L) == (4L, 1L))
   }
 
+  test("exact dedup with verifyText groups by (hash, text) and matches hash-only") {
+    val fast = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val safe = Dedup.exact(docs, "doc_id", "text", verifyText = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast == safe) // no collisions in fixture → identical output
+  }
+
   test("ngram jaccard: exact dup pair at 1.0, near dup above 0.5, others absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -44,6 +44,35 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getLong(0) == expected)
   }
 
+  // The native kernels must be drop-in replacements for the HOF forms the
+  // DuckDB oracles were written against — assert bit-identical results on
+  // edge cases (empty string, leading/trailing whitespace, punctuation).
+  private val edgeTexts = Seq(
+    "", " ", "a", "ab", "the cat and the dog in a box", " leading", "trailing ",
+    "  double  spaces  ", "the the the", "punct, marks! and-digits 42",
+    "el perro de la casa", "THE Cat AND a dog")
+
+  test("fingerprint kernel ≡ aggregate/transform/split HOF fold") {
+    val hof = aggregate(
+      transform(split($"t", ""), ch => ascii(ch).cast("long")),
+      lit(7L),
+      (acc, code) => pmod(acc * 31L + code, lit(1000000007L)))
+    edgeTexts.toDF("t")
+      .select(TextFunctions.fingerprint($"t").as("k"), hof.as("h"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+  }
+
+  test("marker-count kernel ≡ filter-HOF size over split tokens") {
+    def hofCount(markers: Seq[String]) =
+      size(filter(split(lower($"t"), "\\s+"), t => t.isin(markers.map(lit(_)): _*)))
+    val sets = TextFunctions.stopwords +: TextFunctions.langOrder.map(TextFunctions.langMarkers)
+    val kernel = graft.functions.NativeExpressions
+      .markerTokenCounts(lower($"t"), sets)
+    edgeTexts.toDF("t")
+      .select(kernel.as("k"), array(sets.map(hofCount): _*).as("h"))
+      .collect().foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1), r))
+  }
+
   test("wordShingles: n=2 over 4 tokens gives 3 shingles") {
     val r = Seq("a b c d").toDF("t")
       .select(TextFunctions.wordShingles($"t", 2)).head()
