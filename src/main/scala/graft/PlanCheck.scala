@@ -92,6 +92,20 @@ object PlanCheck {
       "≤2 narrow hash exchanges" ->
         (p => "Exchange hashpartitioning".r.findAllIn(p).size <= 2))
 
+    // Language-id: ONE tokenization kernel evaluation per row (the
+    // interpreted-HOF form evaluated 12 regex splits per row; a Catalyst
+    // projection collapse would inline the kernel once per extract).
+    check("tx_lang_id")(
+      "single marker-counts kernel in the plan" ->
+        (p => "graft_marker_counts".r.findAllIn(p).size == 1),
+      "no interpreted filter/aggregate HOFs" ->
+        (p => !p.contains("lambdafunction")))
+
+    // Fingerprint: native kernel, not the per-character HOF fold.
+    check("tx_fingerprint")(
+      "native fingerprint kernel" -> (_.contains("graft_fingerprint")),
+      "no interpreted HOF fold" -> (p => !p.contains("lambdafunction")))
+
     println(if (failures == 0) "PLANCHECK OK" else s"PLANCHECK $failures FAILURES")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -238,6 +238,42 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** All capture groups of ONE unanchored regex search, as an array —
+    * element i is group i+1, `""` for a matched-but-null optional group
+    * (mirroring `regexp_extract`'s empty-string convention), and NULL for
+    * a non-matching input. Replaces N same-pattern `regexp_extract` calls
+    * (each a full regex search per row) with a single search; the caller
+    * extracts array elements, which are free.
+    */
+  case class RegexpExtractGroups(child: Expression, pattern: String)
+      extends UnaryExpression with CodegenFallback {
+
+    @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_regexp_groups"
+
+    override def nullSafeEval(input: Any): Any = {
+      val m = compiled.matcher(input.asInstanceOf[UTF8String].toString)
+      if (!m.find()) null
+      else {
+        val n = m.groupCount()
+        val out = new Array[Any](n)
+        var i = 1
+        while (i <= n) {
+          val g = m.group(i)
+          out(i - 1) = UTF8String.fromString(if (g == null) "" else g)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Per-marker-set token membership counts in ONE tokenization pass:
     * splits the input on `\s+` (same regex split as `tokens()`) and counts,
     * for each of the given sets, how many tokens are members. Output(j) is
@@ -374,6 +410,8 @@ object NativeExpressions {
 
   def dotProduct(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
   def fingerprintHash(text: Column): Column = toCol(FingerprintHash(toExpr(text)))
+  def regexpGroups(text: Column, pattern: String): Column =
+    toCol(RegexpExtractGroups(toExpr(text), pattern))
   def markerTokenCounts(text: Column, sets: Seq[Seq[String]]): Column =
     toCol(MarkerTokenCounts(toExpr(text), sets))
   def minhashSignature(shingles: Column, k: Int): Column =

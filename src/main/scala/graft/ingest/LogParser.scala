@@ -45,12 +45,14 @@ object LogParser {
 
   /** ip: one alternation regex searched once; group 1 preferred if non-empty,
     * else group 2 of the *same* match — replicates Python's first-position
-    * search over `from ([\d\.]+)|\[(\d+\.\d+\.\d+\.\d+)\]`.
+    * search over `from ([\d\.]+)|\[(\d+\.\d+\.\d+\.\d+)\]`. Both groups come
+    * from a single [[graft.functions.NativeExpressions.RegexpExtractGroups]]
+    * search.
     */
   def ipCol(message: Column): Column = {
-    val pat = """from ([\d\.]+)|\[(\d+\.\d+\.\d+\.\d+)\]"""
-    coalesce(nullIfEmpty(regexp_extract(message, pat, 1)),
-             nullIfEmpty(regexp_extract(message, pat, 2)))
+    val g = graft.functions.NativeExpressions.regexpGroups(
+      message, """from ([\d\.]+)|\[(\d+\.\d+\.\d+\.\d+)\]""")
+    coalesce(nullIfEmpty(g.getItem(0)), nullIfEmpty(g.getItem(1)))
   }
 
   /** user: first-match cascade — `Invalid user (\S+)` > `user=(\S+)` >
@@ -108,14 +110,21 @@ object LogParser {
     */
   def parse(lines: DataFrame, lineCol: String = "value"): DataFrame = {
     val l = col(lineCol)
+    // ONE search of the line grammar yields all six groups (the per-group
+    // regexp_extract form re-ran the same regex 7×/row: 6 extracts + the
+    // pushed-down match-or-drop filter).
+    val g = col("_line_groups")
     val parsed = lines
-      .withColumn("month", regexp_extract(l, LinePattern, 1))
-      .filter(col("month") =!= "") // match-or-drop (parse_logs.py:13)
-      .withColumn("day", regexp_extract(l, LinePattern, 2).cast(IntegerType))
-      .withColumn("time", regexp_extract(l, LinePattern, 3))
-      .withColumn("host", regexp_extract(l, LinePattern, 4))
-      .withColumn("pid", regexp_extract(l, LinePattern, 5).cast(IntegerType))
-      .withColumn("message", regexp_extract(l, LinePattern, 6))
+      .withColumn("_line_groups",
+        graft.functions.NativeExpressions.regexpGroups(l, LinePattern))
+      .filter(g.isNotNull) // match-or-drop (parse_logs.py:13)
+      .withColumn("month", g.getItem(0))
+      .withColumn("day", g.getItem(1).cast(IntegerType))
+      .withColumn("time", g.getItem(2))
+      .withColumn("host", g.getItem(3))
+      .withColumn("pid", g.getItem(4).cast(IntegerType))
+      .withColumn("message", g.getItem(5))
+      .drop("_line_groups")
 
     val m = col("message")
     parsed
