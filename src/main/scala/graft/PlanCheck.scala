@@ -106,6 +106,14 @@ object PlanCheck {
       "native fingerprint kernel" -> (_.contains("graft_fingerprint")),
       "no interpreted HOF fold" -> (p => !p.contains("lambdafunction")))
 
+    // Bucketed co-located join: both sides pre-bucketed on user_id, so
+    // the join AND the downstream aggregate need no hash exchange at all
+    // (the only exchange is the final ORDER BY's range partitioning).
+    check("s7_bucketed_join")(
+      "zero hash exchanges (bucketing co-locates join + agg)" ->
+        (p => "Exchange hashpartitioning".r.findAllIn(p).size == 0),
+      "bucketed scan selected" -> (p => p.contains("SelectedBucketsCount")))
+
     println(if (failures == 0) "PLANCHECK OK" else s"PLANCHECK $failures FAILURES")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -200,6 +200,37 @@ object Queries {
         .orderBy("event_type")
     })
 
+  /** S (rebuild extra): bucketed sink + co-located join — the 100 TB
+    * technique for repeated joins/aggregations on one key: both sides are
+    * written `bucketBy(user_id)`, so the join AND the following aggregate
+    * run with ZERO hash exchanges (PlanCheck-asserted). On a cluster this
+    * is the difference between re-shuffling the fact table per query and
+    * never shuffling it at all.
+    */
+  private val s7 = QueryDef("s7_bucketed_join",
+    Some("""WITH t AS (SELECT user_id, count(*) AS total FROM events GROUP BY user_id)
+           |SELECT e.user_id AS user_id, t.total AS total,
+           |       cast(sum(cast(e.value as decimal(18,2))) as double) AS sum_value
+           |FROM events e JOIN t ON e.user_id = t.user_id
+           |GROUP BY 1, 2 ORDER BY user_id""".stripMargin),
+    (s, d) => {
+      val tag = Integer.toHexString(d.hashCode)
+      val evTab = s"graft_bkt_events_$tag"
+      val uTab = s"graft_bkt_users_$tag"
+      // tmpfs: file create/fsync on this VM's disk costs ms per call and
+      // the bucketed write creates 8 files per side
+      ev(s, d).select("event_id", "user_id", "value")
+        .write.mode("overwrite").option("path", s"/dev/shm/graft_bkt_ev_$tag")
+        .bucketBy(8, "user_id").sortBy("user_id").saveAsTable(evTab)
+      ev(s, d).groupBy("user_id").agg(count(lit(1)).as("total"))
+        .write.mode("overwrite").option("path", s"/dev/shm/graft_bkt_u_$tag")
+        .bucketBy(8, "user_id").sortBy("user_id").saveAsTable(uTab)
+      s.table(evTab).join(s.table(uTab), "user_id")
+        .groupBy("user_id", "total")
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("user_id")
+    })
+
   // ======================================================================
   // D — dashboard-stage scalar ops (SURVEY §2.3)
   // ======================================================================
@@ -924,7 +955,7 @@ object Queries {
 
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
-    s1, s2, s4, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
+    s1, s2, s4, s7, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10,
     t2, t4, w1, w2, w3, w4, w5, su, si, se, g1, g2,

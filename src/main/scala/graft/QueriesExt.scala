@@ -19,6 +19,43 @@ object QueriesExt {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
+  // ---- shared DuckDB fragments (single source of truth for the text
+  // heuristics: tx_* oracles and the composed pipe_clean_corpus oracle
+  // interpolate these, so a weight/marker change cannot drift them apart).
+
+  /** Tokens of lower(text) that are members of the given set. */
+  private def markerCountSql(markers: Seq[String]): String =
+    s"""len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> t IN (${markers.map(m => s"'$m'").mkString(",")})))""".stripMargin
+
+  /** The quality-score expression over a `text` column (weights mirror
+    * [[TextFunctions.qualityScore]]; floor-based HALF_UP rounding).
+    */
+  private val qualitySql =
+    s"""floor(least(cast(1.0 as double),
+       |    cast(0.5 as double) * (CASE WHEN len(string_split_regex(text, '\\s+')) > 0
+       |       THEN ${markerCountSql(TextFunctions.stopwords)}
+       |            / cast(len(string_split_regex(text, '\\s+')) as double)
+       |       ELSE cast(0.0 as double) END)
+       |    + cast(0.3 as double) * least(len(string_split_regex(text, '\\s+')) / cast(100.0 as double), cast(1.0 as double))
+       |    + cast(0.2 as double) * (CASE WHEN length(text) > 0
+       |       THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * cast(1.0 as double) / length(text)
+       |       ELSE cast(0.0 as double) END)) * 10000 + 0.5) / 10000""".stripMargin
+
+  /** Per-language marker scores as SELECT items (en_score..de_score). */
+  private val langScoreSqlItems: String =
+    TextFunctions.langOrder.map { l =>
+      s"${markerCountSql(TextFunctions.langMarkers(l))} AS ${l}_score"
+    }.mkString(",\n    ")
+
+  /** Argmax over the four *_score columns, priority en > es > fr > de. */
+  private val predictedSql =
+    """CASE WHEN greatest(en_score, es_score, fr_score, de_score) = 0 THEN 'unknown'
+      |       WHEN en_score = greatest(en_score, es_score, fr_score, de_score) THEN 'en'
+      |       WHEN es_score = greatest(en_score, es_score, fr_score, de_score) THEN 'es'
+      |       WHEN fr_score = greatest(en_score, es_score, fr_score, de_score) THEN 'fr'
+      |       ELSE 'de' END""".stripMargin
+
   // ---- text analysis -----------------------------------------------------
 
   private val tx1 = QueryDef("tx_token_counts",
@@ -46,20 +83,13 @@ object QueriesExt {
       .orderBy("doc_id"))
 
   private val tx3 = QueryDef("tx_lang_id",
-    Some("""WITH scored AS (
-           |  SELECT doc_id, lang,
-           |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('the','a','of','and'))) AS en_score,
-           |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('el','la','de','que'))) AS es_score,
-           |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('le','la','et','les'))) AS fr_score,
-           |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('der','die','und','das'))) AS de_score
-           |  FROM documents)
-           |SELECT doc_id, lang, en_score, es_score, fr_score, de_score,
-           |  CASE WHEN greatest(en_score, es_score, fr_score, de_score) = 0 THEN 'unknown'
-           |       WHEN en_score = greatest(en_score, es_score, fr_score, de_score) THEN 'en'
-           |       WHEN es_score = greatest(en_score, es_score, fr_score, de_score) THEN 'es'
-           |       WHEN fr_score = greatest(en_score, es_score, fr_score, de_score) THEN 'fr'
-           |       ELSE 'de' END AS predicted
-           |FROM scored ORDER BY doc_id""".stripMargin),
+    Some(s"""WITH scored AS (
+            |  SELECT doc_id, lang,
+            |    $langScoreSqlItems
+            |  FROM documents)
+            |SELECT doc_id, lang, en_score, es_score, fr_score, de_score,
+            |  $predictedSql AS predicted
+            |FROM scored ORDER BY doc_id""".stripMargin),
     (s, d) => docs(s, d)
       // ONE tokenization kernel pass per row; the per-language scores and
       // the argmax are array extracts over the materialized counts (the
@@ -77,18 +107,8 @@ object QueriesExt {
     * fixed weights, floor-rounded for cross-engine determinism).
     */
   private val tx5 = QueryDef("tx_quality_score",
-    Some("""SELECT doc_id,
-           |  floor(least(cast(1.0 as double),
-           |    cast(0.5 as double) * (CASE WHEN len(string_split_regex(text, '\s+')) > 0
-           |       THEN len(list_filter(string_split_regex(lower(text), '\s+'),
-           |              t -> t IN ('the','a','of','and','to','in','is')))
-           |            / cast(len(string_split_regex(text, '\s+')) as double)
-           |       ELSE cast(0.0 as double) END)
-           |    + cast(0.3 as double) * least(len(string_split_regex(text, '\s+')) / cast(100.0 as double), cast(1.0 as double))
-           |    + cast(0.2 as double) * (CASE WHEN length(text) > 0
-           |       THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * cast(1.0 as double) / length(text)
-           |       ELSE cast(0.0 as double) END)) * 10000 + 0.5) / 10000 AS quality
-           |FROM documents ORDER BY doc_id""".stripMargin),
+    Some(s"""SELECT doc_id, $qualitySql AS quality
+            |FROM documents ORDER BY doc_id""".stripMargin),
     (s, d) => docs(s, d).select(col("doc_id"),
       TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id"))
@@ -334,9 +354,52 @@ object QueriesExt {
         col("frames_sampled").cast("long").as("frames_sampled"))
       .orderBy("media_id"))
 
+  // ---- composed cleaning pipeline ---------------------------------------
+
+  /** The end-to-end shape a training-data ingest actually runs: exact
+    * dedup (keep canonical docs only) → quality gate → language gate →
+    * kept corpus. Every stage is one of the already-verified primitives;
+    * the oracle recomposes them from the shared SQL fragments above. At
+    * scale this is one narrow hash-shuffle (dedup) followed by map-only
+    * scoring+filters — document text never shuffles.
+    */
+  private val pl1 = QueryDef("pipe_clean_corpus",
+    Some(s"""WITH canon AS (
+            |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id
+            |  FROM documents),
+            |kept AS (
+            |  SELECT d.doc_id, d.text FROM documents d
+            |  JOIN canon c ON d.doc_id = c.doc_id
+            |  WHERE c.doc_id = c.canonical_id),
+            |feats AS (
+            |  SELECT doc_id, $qualitySql AS quality,
+            |    $langScoreSqlItems
+            |  FROM kept),
+            |pred AS (
+            |  SELECT *, $predictedSql AS predicted FROM feats)
+            |SELECT doc_id, quality FROM pred
+            |WHERE quality >= 0.35 AND predicted = 'en'
+            |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val base = docs(s, d)
+      val keepIds = Dedup.exact(base, "doc_id", "text")
+        .filter(col("doc_id") === col("canonical_id")).select("doc_id")
+      base.join(keepIds, "doc_id")
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.langScores(col("text")).as("sc"))
+        .select(col("doc_id"), col("quality"),
+          TextFunctions.predictedFromScores(
+            col("sc").getItem(0), col("sc").getItem(1),
+            col("sc").getItem(2), col("sc").getItem(3)).as("predicted"))
+        .filter(col("quality") >= 0.35 && col("predicted") === "en")
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] = Seq(
     tx1, tx2, tx3, tx4, tx5,
     dd1, dd2, dd3, dd4, dd5,
     sm1, sm2, sm3, sm4, sm5,
-    mm1, mm2)
+    mm1, mm2, pl1)
 }
