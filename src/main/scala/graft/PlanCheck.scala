@@ -114,6 +114,12 @@ object PlanCheck {
         (p => "Exchange hashpartitioning".r.findAllIn(p).size == 0),
       "bucketed scan selected" -> (p => p.contains("SelectedBucketsCount")))
 
+    // Salted skew join: the shuffle must partition on (event_type, salt),
+    // not event_type alone — that is the whole point of the salt.
+    check("j11_salted_skew_join")(
+      "shuffle keys include the salt" ->
+        (p => "hashpartitioning\\(event_type#\\d+L?, _salt".r.findFirstIn(p).isDefined))
+
     println(if (failures == 0) "PLANCHECK OK" else s"PLANCHECK $failures FAILURES")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -620,6 +620,36 @@ object Queries {
         .orderBy("event_id")
     })
 
+  /** J11 (rebuild extra): salted skew join — events' 5-value event_type is
+    * the canonical hot-key shape: a plain shuffle join would put each
+    * type's rows in ONE task. [[graft.operators.SkewJoins.saltedJoin]]
+    * spreads every key over 16 salt buckets (deterministic salt from the
+    * row id, small side exploded 16×). The merge hint forces the shuffle
+    * path the technique exists for — with a broadcastable 5-row dim Spark
+    * would otherwise broadcast and no skew could arise.
+    */
+  private val j11 = QueryDef("j11_salted_skew_join",
+    Some("""WITH dim AS (SELECT * FROM (VALUES
+           |    ('click', cast(0.0 as double)), ('error', cast(0.5 as double)),
+           |    ('purchase', cast(0.1 as double)), ('signup', cast(0.2 as double)),
+           |    ('view', cast(0.0 as double))) AS t(event_type, risk))
+           |SELECT e.event_type AS event_type, d.risk AS risk, count(*) AS cnt,
+           |       cast(sum(cast(e.value as decimal(18,2))) as double) AS sum_value
+           |FROM events e JOIN dim d ON e.event_type = d.event_type
+           |GROUP BY 1, 2 ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val dim = s.createDataFrame(Seq(
+        ("click", 0.0), ("error", 0.5), ("purchase", 0.1), ("signup", 0.2), ("view", 0.0)))
+        .toDF("event_type", "risk")
+      graft.operators.SkewJoins
+        .saltedJoin(ev(s, d), dim.hint("merge"), "event_type",
+          buckets = 16, saltSource = xxhash64(col("event_id")))
+        .groupBy("event_type", "risk")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    })
+
   // ======================================================================
   // The flagship: one-pass per-entity summary with score + classification
   // (D12/D13/A9-A13/J2 — the reference's 8-pass per-IP build, in ONE pass)
@@ -957,7 +987,7 @@ object Queries {
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, s7, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17,
-    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10,
+    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, su, si, se, g1, g2,
     st1, st2, st3)
 

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins.
+  *
+  * A shuffle join hash-partitions both sides by the join key, so a hot key
+  * lands ENTIRELY in one task — with 600k rows over 5 event types, a plain
+  * sort-merge join on event_type runs on 5 effective partitions no matter
+  * how many executors exist. Salting restores parallelism: the big side
+  * gets a deterministic salt in [0, buckets), the small side is exploded
+  * buckets×, and the join key becomes (key, salt) — each hot key now
+  * spreads over `buckets` tasks. Output is exactly the unsalted join.
+  *
+  * When to reach for which tool at 100 TB:
+  *   - small side fits in memory → `broadcast()` (no shuffle at all; the
+  *     salt is pointless). Salting is for the case where the small side is
+  *     too big to broadcast AND the key distribution is skewed.
+  *   - AQE's skew-join (spark.sql.adaptive.skewJoin) splits oversized
+  *     partitions at runtime for sort-merge joins; explicit salting still
+  *     wins when the skew is known ahead (no runtime replan, works for
+  *     aggregating windows too, bounded small-side duplication).
+  */
+object SkewJoins {
+
+  /** Inner equi-join with a salted key. `saltSource` must be a
+    * deterministic expression over the big side (e.g. a hash of a unique
+    * id) — `rand()` would break retry/replay determinism; a re-executed
+    * task must salt identically.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 buckets: Int, saltSource: Column): DataFrame = {
+    val salted = big.withColumn("_salt", pmod(saltSource, lit(buckets.toLong)).cast("int"))
+    val exploded = small.withColumn("_salt",
+      explode(array((0 until buckets).map(b => lit(b)): _*)))
+    salted.join(exploded, Seq(key, "_salt")).drop("_salt")
+  }
+}
