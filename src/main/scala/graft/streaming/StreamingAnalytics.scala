@@ -138,6 +138,23 @@ object StreamingAnalytics {
         })
   }
 
+  /** Streaming exact deduplication with BOUNDED state — the streaming lift
+    * of `Dedup.exact`'s narrow-key design: rows are keyed by the 8-byte
+    * xxhash64 of their content (document text never enters the dedup
+    * state), and `dropDuplicatesWithinWatermark` keeps a hash in state only
+    * until the event-time watermark passes it. A duplicate arriving within
+    * the watermark delay of its first copy is dropped; state on a
+    * 100 TB/day stream is (watermark window × arrival rate) hashes — an
+    * unbounded-state `dropDuplicates` would hold every hash ever seen.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("_h", xxhash64(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("_h")
+      .drop("_h")
+
   /** Session windows via the built-in session_window (gap-based). */
   def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
                     gap: String, watermark: String = "1 hour"): DataFrame =
