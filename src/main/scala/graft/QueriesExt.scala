@@ -123,6 +123,49 @@ object QueriesExt {
       TextFunctions.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id"))
 
+  /** Per-document top-3 terms by tf-idf — the classic feature-extraction
+    * shape: tokenize → per-(doc, term) tf → per-term df → idf = ln(N/df) →
+    * rank per doc. One narrow exchange per aggregate, N arrives as a
+    * broadcast 1-row cross join (never a driver collect). Scores are
+    * floor-rounded to 4 decimals on BOTH engines before ranking, so an
+    * ulp-level `ln` difference between libm and the JVM cannot flip a rank.
+    */
+  private val tx6 = QueryDef("tx_tfidf_topk",
+    Some("""WITH terms AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+           |  FROM documents),
+           |tf AS (
+           |  SELECT doc_id, term, count(*) AS tf FROM terms
+           |  WHERE length(term) > 0 GROUP BY 1, 2),
+           |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |scored AS (
+           |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+           |    floor(tf.tf * ln(n.n_docs * cast(1.0 as double) / dft.df) * 10000 + 0.5) / 10000 AS tfidf
+           |  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+           |  FROM scored)
+           |SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rn <= 3
+           |ORDER BY doc_id, tfidf DESC, term""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d)
+      val tf = base
+        .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = base.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dft, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          floor(col("tf") * log(col("n_docs") * lit(1.0) / col("df")) * 10000 + 0.5) / 10000)
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+        .orderBy(col("doc_id"), desc("tfidf"), col("term"))
+    })
+
   // ---- deduplication -----------------------------------------------------
 
   private val dd1 = QueryDef("dd_exact",
@@ -398,7 +441,7 @@ object QueriesExt {
     })
 
   val all: Seq[QueryDef] = Seq(
-    tx1, tx2, tx3, tx4, tx5,
+    tx1, tx2, tx3, tx4, tx5, tx6,
     dd1, dd2, dd3, dd4, dd5,
     sm1, sm2, sm3, sm4, sm5,
     mm1, mm2, pl1)
