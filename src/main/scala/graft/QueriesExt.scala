@@ -149,7 +149,6 @@ object QueriesExt {
            |SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rn <= 3
            |ORDER BY doc_id, tfidf DESC, term""".stripMargin),
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val base = docs(s, d)
       val tf = base
         .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("term"))
@@ -160,6 +159,14 @@ object QueriesExt {
       val scored = tf.join(dft, "term").crossJoin(broadcast(n))
         .withColumn("tfidf",
           floor(col("tf") * log(col("n_docs") * lit(1.0) / col("df")) * 10000 + 0.5) / 10000)
+      // Per-doc top-3 via a window, DELIBERATELY not the custom top-k
+      // Aggregator (a16's pattern): doc_id is high-cardinality with
+      // bounded rows per key (≤ unique terms per doc), so the per-doc
+      // window sort has no skew exposure, and the measured cost of the
+      // udaf's per-row object conversion exceeds the window sort here
+      // (3.8 s vs 2.0 s at sf0.1). The bounded-buffer aggregator is the
+      // right tool for HOT keys (few keys × many rows), not this shape.
+      import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf")
