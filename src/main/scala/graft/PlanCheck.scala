@@ -120,6 +120,12 @@ object PlanCheck {
       "shuffle keys include the salt" ->
         (p => "hashpartitioning\\(event_type#\\d+L?, _salt".r.findFirstIn(p).isDefined))
 
+    // Partitioned layout: the event_type predicate must prune partitions
+    // at the directory level (PartitionFilters), not ride as a data filter.
+    check("s8_partitioned_scan")(
+      "partition pruning at the source" ->
+        (p => "PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined))
+
     println(if (failures == 0) "PLANCHECK OK" else s"PLANCHECK $failures FAILURES")
     spark.stop()
     if (failures > 0) sys.exit(1)

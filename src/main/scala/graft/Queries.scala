@@ -231,6 +231,29 @@ object Queries {
         .orderBy("user_id")
     })
 
+  /** S (rebuild extra): hive-style partitioned layout + partition-pruned
+    * scan — THE 100 TB data-layout primitive: a filter on the partition
+    * column never touches the other partitions' files at all (directory
+    * pruning, before any I/O — stronger than row-group pushdown).
+    * PlanCheck asserts the predicate lands in `PartitionFilters`.
+    */
+  private val s8 = QueryDef("s8_partitioned_scan",
+    Some("""SELECT cast(ts as date) AS date, count(*) AS cnt,
+           |       cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+           |FROM events WHERE event_type = 'error'
+           |GROUP BY date ORDER BY date""".stripMargin),
+    (s, d) => {
+      val tag = Integer.toHexString(d.hashCode)
+      val path = s"/dev/shm/graft_part_ev_$tag"
+      ev(s, d).select(col("event_id"), col("ts"), col("value"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      s.read.parquet(path).filter(col("event_type") === "error")
+        .groupBy(to_date(col("ts")).as("date"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("date")
+    })
+
   // ======================================================================
   // D — dashboard-stage scalar ops (SURVEY §2.3)
   // ======================================================================
@@ -985,7 +1008,7 @@ object Queries {
 
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
-    s1, s2, s4, s7, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
+    s1, s2, s4, s7, s8, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, su, si, se, g1, g2,
