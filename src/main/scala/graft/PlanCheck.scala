@@ -126,6 +126,20 @@ object PlanCheck {
       "partition pruning at the source" ->
         (p => "PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined))
 
+    // Decontamination: the benchmark shingle set must be broadcast — the
+    // corpus side joins without shuffling its shingles (a sort-merge join
+    // here would shuffle every corpus shingle at 100 TB).
+    check("tx_decontaminate")(
+      "benchmark side broadcast" -> (_.contains("BroadcastHashJoin")),
+      "no sort-merge join of corpus shingles" -> (p => !p.contains("SortMergeJoin")))
+
+    // Sequence packing: the cumsum window must partition on (lang, shard) —
+    // a lang-only (or global) window funnels a whole language through one
+    // task at scale.
+    check("tx_pack")(
+      "window partitioned by (lang, shard)" ->
+        (p => "hashpartitioning\\(lang#\\d+, shard#\\d+".r.findFirstIn(p).isDefined))
+
     println(if (failures == 0) "PLANCHECK OK" else s"PLANCHECK $failures FAILURES")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Dedup, Similarity, TextFunctions}
 import graft.multimodal.Multimodal
@@ -171,6 +171,154 @@ object QueriesExt {
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf")
         .orderBy(col("doc_id"), desc("tfidf"), col("term"))
+    })
+
+  /** Benchmark decontamination — the training-data hygiene pass that drops
+    * documents overlapping an evaluation set: any training doc sharing a
+    * word 3-gram with a benchmark doc is flagged with its overlap count.
+    * (Real pipelines use 8-13-gram overlap; the synthetic docs are 10-99
+    * tokens, so 3-grams give the same selectivity here.)
+    *
+    * Scale shape: the benchmark suite is tiny next to a 100 TB corpus, so
+    * its distinct shingles are BROADCAST — the corpus side never shuffles
+    * its shingles for the join (PlanCheck-asserted); only the matched
+    * (doc_id, shingle) hits shuffle into the per-doc distinct count.
+    * Here both sides derive from one table split by `doc_id % 13`; in
+    * production the benchmark side is its own small table.
+    */
+  private val tx7 = QueryDef("tx_decontaminate",
+    Some("""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct(
+           |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS shingle
+           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
+           |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0)
+           |SELECT sh.doc_id, count(DISTINCT sh.shingle) AS n_hits
+           |FROM sh JOIN bench USING (shingle)
+           |WHERE sh.doc_id % 13 <> 0
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val sh = docs(s, d).select(col("doc_id"),
+        explode(array_distinct(TextFunctions.wordShingles(col("text"), 3))).as("shingle"))
+      val bench = sh.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select("shingle").distinct()
+      sh.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .join(broadcast(bench), "shingle")
+        .groupBy("doc_id").agg(count_distinct(col("shingle")).as("n_hits"))
+        .orderBy("doc_id")
+    })
+
+  /** PII redaction — scrub emails, IPv4 addresses, and user handles from
+    * log-ish lines (synthesized here from events, same template family as
+    * p_parse_ssh_roundtrip). Pure map-only regexp_replace chain — codegen'd,
+    * no shuffle, linear at any scale. Replacement ORDER matters (the email
+    * contains a user handle): emails → IPs → bare handles, and each count
+    * is taken on the stage's input, mirrored exactly in the oracle.
+    */
+  private val tx8 = QueryDef("tx_redact",
+    Some("""WITH raw AS (
+           |  SELECT event_id,
+           |    'Failed password for u' || user_id || ' from 10.0.' || (user_id % 200) ||
+           |    '.' || (event_id % 250) || ' port ' || (1024 + event_id % 5000) ||
+           |    ' ssh2 contact=u' || user_id || '@mail.example.com relay=192.168.' ||
+           |    (event_id % 200) || '.' || (user_id % 250) AS line
+           |  FROM events),
+           |red AS (
+           |  SELECT event_id,
+           |    regexp_replace(line, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g') AS t1,
+           |    regexp_replace(regexp_replace(regexp_replace(line,
+           |      '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+           |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           |      '\bu\d+\b', '<USER>', 'g') AS redacted
+           |  FROM raw)
+           |SELECT event_id,
+           |  (length(t1) - length(replace(t1, '<EMAIL>', ''))) // 7 AS n_emails,
+           |  (length(redacted) - length(replace(redacted, '<IP>', ''))) // 4 AS n_ips,
+           |  (length(redacted) - length(replace(redacted, '<USER>', ''))) // 6 AS n_users,
+           |  redacted
+           |FROM red ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      val emailPat = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+      val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val userPat = "\\bu\\d+\\b"
+      val line = concat(
+        format_string("Failed password for u%d from 10.0.%d.%d port %d ssh2",
+          col("user_id"), pmod(col("user_id"), lit(200)), pmod(col("event_id"), lit(250)),
+          lit(1024) + pmod(col("event_id"), lit(5000))),
+        format_string(" contact=u%d@mail.example.com relay=192.168.%d.%d",
+          col("user_id"), pmod(col("event_id"), lit(200)), pmod(col("user_id"), lit(250))))
+      // Counts come from placeholder occurrences in the redacted output
+      // (literal replace + length diff) — one regex pass per pattern
+      // instead of two (extract_all + replace measured ~2× slower).
+      def occurrences(c: Column, token: String): Column =
+        ((length(c) - length(call_function("replace", c, lit(token), lit("")))) / token.length)
+          .cast("long")
+      Tables.events(s, d).select(col("event_id"), line.as("line"))
+        .withColumn("t1", regexp_replace(col("line"), emailPat, "<EMAIL>"))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(col("t1"), ipPat, "<IP>"), userPat, "<USER>"))
+        .select(col("event_id"),
+          occurrences(col("t1"), "<EMAIL>").as("n_emails"),
+          occurrences(col("redacted"), "<IP>").as("n_ips"),
+          occurrences(col("redacted"), "<USER>").as("n_users"),
+          col("redacted"))
+        .orderBy("event_id")
+    })
+
+  /** Fixed-window document chunking with overlap (size 32, stride 24) —
+    * the sequence-preparation step before tokenized training: each doc
+    * explodes into overlapping token windows. Map-side explode with
+    * bounded fan-out (≤ ⌈len/stride⌉ chunks/doc); no shuffle beyond the
+    * final presentation sort.
+    */
+  private val tx9 = QueryDef("tx_chunk",
+    Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+           |st AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 24)) AS start FROM t)
+           |SELECT doc_id, cast((start - 1) // 24 + 1 as bigint) AS chunk_idx, start,
+           |  array_to_string(w[start:start+31], ' ') AS chunk,
+           |  least(32, len(w) - start + 1) AS chunk_tokens
+           |FROM st ORDER BY doc_id, start""".stripMargin),
+    (s, d) => docs(s, d)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1L), size(col("w")).cast("long"), lit(24L))).as("start"))
+      .select(col("doc_id"),
+        (floor((col("start") - 1) / 24) + 1).cast("long").as("chunk_idx"),
+        col("start"),
+        array_join(slice(col("w"), col("start").cast("int"), lit(32)), " ").as("chunk"),
+        least(lit(32L), size(col("w")) - col("start") + 1).as("chunk_tokens"))
+      .orderBy("doc_id", "start"))
+
+  /** Sequence packing — assign docs to fixed token-budget bins (256
+    * BPE-ish tokens) the way training pipelines pack variable-length
+    * sequences into context windows: cumulative token count within a
+    * (lang, shard) partition, bin = where the doc starts. Sharding by
+    * `doc_id % 8` inside each language is the scale move: a per-lang-only
+    * window would funnel a whole language through ONE task (lang is
+    * low-cardinality ⇒ guaranteed skew at 100 TB); per-(lang, shard)
+    * packing is embarrassingly parallel and loses nothing — packers only
+    * need bins to be full, not globally ordered.
+    */
+  private val tx10 = QueryDef("tx_pack",
+    Some("""SELECT doc_id, lang, doc_id % 8 AS shard,
+           |  len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS n_tok,
+           |  sum(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')))
+           |    OVER (PARTITION BY lang, doc_id % 8 ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok,
+           |  (sum(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')))
+           |    OVER (PARTITION BY lang, doc_id % 8 ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |   - len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))) // 256 AS bin_id
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d).select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(8)).as("shard"),
+        TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("cum_tok", sum("n_tok").over(w))
+        .withColumn("bin_id", floor((col("cum_tok") - col("n_tok")) / 256).cast("long"))
+        .orderBy("doc_id")
     })
 
   // ---- deduplication -----------------------------------------------------
@@ -448,7 +596,7 @@ object QueriesExt {
     })
 
   val all: Seq[QueryDef] = Seq(
-    tx1, tx2, tx3, tx4, tx5, tx6,
+    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10,
     dd1, dd2, dd3, dd4, dd5,
     sm1, sm2, sm3, sm4, sm5,
     mm1, mm2, pl1)

@@ -15,7 +15,11 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional extra args: run only these queries (local iteration aid;
+    // the driver always runs the full set)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,7 +35,9 @@ object Verify {
 
     val nFailed = new AtomicInteger(0)
     val pool = Executors.newFixedThreadPool(4)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .foreach { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
