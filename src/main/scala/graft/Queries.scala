@@ -1006,13 +1006,44 @@ object Queries {
         .orderBy("user_id", "session_id")
     })
 
+  /** Batch twin of the stream-stream interval join (the streaming parity
+    * test runs [[graft.streaming.StreamingAnalytics.intervalJoin]] itself
+    * over MemoryStreams): clicks following an error by the same user
+    * within 6 hours. At scale the equality key (user) carries the shuffle —
+    * one hash exchange per side — and the time bound is a post-join filter
+    * evaluated inside the sort-merge join; streaming state stays bounded
+    * by (watermark + window).
+    */
+  private val st4 = QueryDef("st4_interval_join",
+    Some("""SELECT e.user_id AS user_id, e.event_id AS err_id, c.event_id AS click_id,
+           |  (epoch_us(cast(c.ts as timestamp)) - epoch_us(cast(e.ts as timestamp))) // 1000000 AS gap_sec
+           |FROM events e JOIN events c
+           |  ON e.user_id = c.user_id AND e.event_type = 'error' AND c.event_type = 'click'
+           |  AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 6 HOUR
+           |ORDER BY err_id, click_id""".stripMargin),
+    (s, d) => {
+      val e = ev(s, d)
+      val errs = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("err_ts"),
+          col("user_id").as("user_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+          col("user_id").as("click_user"))
+      graft.streaming.StreamingAnalytics.intervalJoin(errs, clicks,
+        "user_id", "click_user", "err_ts", "click_ts", "6 hours")
+        .select(col("user_id"), col("err_id"), col("click_id"),
+          ((unix_micros(col("click_ts")) - unix_micros(col("err_ts"))) / 1000000L)
+            .cast("long").as("gap_sec"))
+        .orderBy("err_id", "click_id")
+    })
+
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, s7, s8, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, su, si, se, g1, g2,
-    st1, st2, st3)
+    st1, st2, st3, st4)
 
   val all: Seq[QueryDef] = core ++ QueriesExt.all
 

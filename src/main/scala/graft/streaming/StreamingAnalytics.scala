@@ -155,6 +155,30 @@ object StreamingAnalytics {
       .dropDuplicatesWithinWatermark("_h")
       .drop("_h")
 
+  /** Stream-stream interval join: each left row matched to right rows with
+    * the same key whose event time falls in [leftTs, leftTs + window] —
+    * the "did a click follow this error within N hours" correlation shape.
+    * Works identically on batch inputs (watermarks are no-ops there).
+    *
+    * Both sides carry watermarks and the join condition bounds the right
+    * time RELATIVE to the left time, which is exactly what Structured
+    * Streaming needs to evict join state: a buffered left row can be
+    * dropped once the right watermark passes leftTs + window, so state is
+    * (watermark delay + window) × arrival rate on each side — not the
+    * whole history. Inner-join matches emit immediately; only state
+    * cleanup waits on the watermark. All column names must be distinct
+    * across the two inputs (pre-rename in the caller).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTsCol: String, rightTsCol: String,
+                   window: String, watermark: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTsCol, watermark)
+      .join(right.withWatermark(rightTsCol, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTsCol) >= col(leftTsCol) &&
+          col(rightTsCol) <= col(leftTsCol) + expr(s"interval $window"))
+
   /** Session windows via the built-in session_window (gap-based). */
   def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
                     gap: String, watermark: String = "1 hour"): DataFrame =

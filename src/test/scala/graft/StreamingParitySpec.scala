@@ -82,6 +82,39 @@ class StreamingParitySpec extends SparkSpec {
     assert(streaming == batch && streaming.size == 2)
   }
 
+  test("stream-stream interval join: streaming equals batch") {
+    implicit val sq = spark.sqlContext
+    val errs = Seq((1L, t(0), "a"), (2L, t(10), "b"), (3L, t(40), "a"))
+    val clicks = Seq((10L, t(5), "a"), (11L, t(12), "a"), (12L, t(11), "b"),
+      (13L, t(55), "a"), (14L, t(30), "c"))
+    // 15-minute window: err1(a,@0) → clicks 10,11; err2(b,@10) → click 12;
+    // err3(a,@40) → click 13. Click 14 has no error key match.
+    def joined(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      StreamingAnalytics.intervalJoin(l, r, "err_key", "click_key",
+        "err_ts", "click_ts", "15 minutes", watermark = "5 minutes")
+        .select("err_id", "click_id")
+
+    val lMem = MemoryStream[(Long, Timestamp, String)]
+    val rMem = MemoryStream[(Long, Timestamp, String)]
+    lMem.addData(errs)
+    rMem.addData(clicks)
+    val sdf = joined(lMem.toDF().toDF("err_id", "err_ts", "err_key"),
+      rMem.toDF().toDF("click_id", "click_ts", "click_key"))
+    val q = sdf.writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streaming = spark.table("ssjoin_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val batch = joined(errs.toDF("err_id", "err_ts", "err_key"),
+      clicks.toDF("click_id", "click_ts", "click_key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streaming == batch)
+    assert(batch == Set((1L, 10L), (1L, 11L), (2L, 12L), (3L, 13L)))
+  }
+
   test("session windows: gap-based sessionization groups correctly") {
     val df = events.map(e => (e.ts, e.key)).toDF("ts", "key")
     val out = StreamingAnalytics.sessionCounts(df, "ts", "key", "10 minutes")
