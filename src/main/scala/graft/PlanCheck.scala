@@ -84,6 +84,14 @@ object PlanCheck {
     check("t2_topk")(
       "TakeOrderedAndProject" -> (_.contains("TakeOrderedAndProject")))
 
+    // Top-k + Others: no partition-less window (single-task sort of the
+    // whole counts table); membership comes from TakeOrderedAndProject +
+    // broadcast probe.
+    check("t4_topk_others")(
+      "no global window" -> (p => !p.contains("Window")),
+      "top-k via TakeOrderedAndProject" -> (_.contains("TakeOrderedAndProject")),
+      "membership broadcast" -> (_.contains("BroadcastHashJoin")))
+
     // Exact dedup: narrow groupBy(hash)+join-back — rows reduce to (id, h)
     // before any exchange. A regression to the window-over-text form would
     // reintroduce a full-text shuffle.

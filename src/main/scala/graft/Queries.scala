@@ -796,7 +796,11 @@ object Queries {
     (s, d) => ev(s, d).groupBy("user_id").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("user_id")).limit(10))
 
-  /** T4: top-k + "Others" rollup via window ranking (draw_pie). */
+  /** T4: top-k + "Others" rollup (draw_pie). Top-k membership via
+    * TakeOrderedAndProject + broadcast probe, NOT a global ranking window
+    * (which would single-partition the whole counts table — see
+    * [[graft.analytics.SshAnalytics.topKWithOthers]]).
+    */
   private val t4 = QueryDef("t4_topk_others",
     Some("""WITH counts AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
            |ranked AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, user_id) AS rn FROM counts)
@@ -804,13 +808,9 @@ object Queries {
            |       cast(sum(cnt) as bigint) AS cnt
            |FROM ranked GROUP BY bucket ORDER BY bucket""".stripMargin),
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val counts = ev(s, d).groupBy("user_id").agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(desc("cnt"), col("user_id"))
-      counts.withColumn("rn", row_number().over(w))
-        .withColumn("bucket",
-          when(col("rn") <= 5, col("user_id").cast("string")).otherwise(lit("Others")))
-        .groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+      graft.analytics.SshAnalytics.topKWithOthers(counts, "user_id", "cnt", 5)
+        .select(col("bucket").cast("string").as("bucket"), col("cnt"))
         .orderBy("bucket")
     })
 

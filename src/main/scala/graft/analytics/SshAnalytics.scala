@@ -130,16 +130,20 @@ object SshAnalytics {
     df.groupBy(floor(c / width).as("bucket")).count().orderBy("bucket")
 
   /** Top-k by count with an "Others" rollup bucket — the reference's
-    * draw_pie (stats_dashboard.py:217-224). Window ranking then
-    * re-aggregation; the window input is already the small aggregated
-    * count table, so the sort is cheap at any scale.
+    * draw_pie (stats_dashboard.py:217-224). NOT a global ranking window:
+    * a partition-less window funnels the whole counts table through one
+    * task (WindowExec warns about exactly this). Instead the top-k rows
+    * come from orderBy+limit — planned as TakeOrderedAndProject, a
+    * per-partition heap + driver merge of k rows — and are broadcast back
+    * as a membership probe. Same deterministic tie-break (count desc,
+    * name asc); the counts table itself never moves to one node.
     */
   def topKWithOthers(counts: DataFrame, nameCol: String, countCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(desc(countCol), col(nameCol))
-    counts
-      .withColumn("rn", row_number().over(w))
-      .withColumn("bucket", when(col("rn") <= k, col(nameCol)).otherwise(lit("Others")))
+    val topK = counts.orderBy(desc(countCol), col(nameCol)).limit(k)
+      .select(col(nameCol).as("_top_name"))
+    counts.join(broadcast(topK), col(nameCol) === col("_top_name"), "left")
+      .withColumn("bucket",
+        when(col("_top_name").isNotNull, col(nameCol).cast("string")).otherwise(lit("Others")))
       .groupBy("bucket").agg(sum(col(countCol)).as(countCol))
   }
 }
