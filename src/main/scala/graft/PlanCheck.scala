@@ -134,6 +134,12 @@ object PlanCheck {
       "partition pruning at the source" ->
         (p => "PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined))
 
+    // Optimizer-rule rewrite: size(regexp_extract_all(s, p, 0)) must be
+    // replaced by the counting kernel (no per-match array materialization).
+    check("tx_token_counts")(
+      "regexp-count rewrite fired" -> (_.contains("graft_regexp_count")),
+      "no materialized match array" -> (p => !p.contains("regexp_extract_all")))
+
     // Decontamination: the benchmark shingle set must be broadcast — the
     // corpus side joins without shuffling its shingles (a sort-merge join
     // here would shuffle every corpus shingle at 100 TB).

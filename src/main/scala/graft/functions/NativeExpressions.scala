@@ -404,6 +404,57 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Number of non-overlapping matches of `pattern` in a string — the
+    * result of `size(regexp_extract_all(s, pattern, 0))` without
+    * materializing the array of match strings (one allocation per match +
+    * an UnsafeArrayData build per row). Same `Matcher.find()` loop as
+    * RegexpExtractAll, so counts are identical, including zero-length
+    * match advancement. Installed by the optimizer rule
+    * [[graft.plans.RegexpCountRewrite]]; also usable directly.
+    */
+  case class RegexpCount(child: Expression, pattern: String)
+      extends UnaryExpression {
+
+    @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
+
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_regexp_count"
+
+    // Matcher reused across rows (same discipline as Spark's own
+    // RegExpExtractBase — per-instance transient state, reset per row).
+    @transient private lazy val reusedMatcher = compiled.matcher("")
+
+    override def nullSafeEval(input: Any): Any = {
+      val m = reusedMatcher.reset(input.asInstanceOf[UTF8String].toString)
+      var n = 0
+      while (m.find()) n += 1
+      n
+    }
+
+    // Participates in whole-stage codegen — a CodegenFallback here would
+    // break the surrounding codegen span and cost more than the saved
+    // array materialization (measured 2.5×).
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val patRef = ctx.addReferenceObj("graftRegexpCountPattern", compiled,
+        classOf[java.util.regex.Pattern].getName)
+      val m = ctx.addMutableState("java.util.regex.Matcher", "graftRcMatcher",
+        v => s"""$v = $patRef.matcher("");""")
+      nullSafeCodeGen(ctx, ev, s => {
+        val n = ctx.freshName("n")
+        s"""
+           |$m.reset($s.toString());
+           |int $n = 0;
+           |while ($m.find()) { $n++; }
+           |${ev.value} = $n;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level entry points -----------------------------------------
 
   import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
@@ -412,6 +463,8 @@ object NativeExpressions {
   def fingerprintHash(text: Column): Column = toCol(FingerprintHash(toExpr(text)))
   def regexpGroups(text: Column, pattern: String): Column =
     toCol(RegexpExtractGroups(toExpr(text), pattern))
+  def regexpCount(text: Column, pattern: String): Column =
+    toCol(RegexpCount(toExpr(text), pattern))
   def markerTokenCounts(text: Column, sets: Seq[Seq[String]]): Column =
     toCol(MarkerTokenCounts(toExpr(text), sets))
   def minhashSignature(shingles: Column, k: Int): Column =

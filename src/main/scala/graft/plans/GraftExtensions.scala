@@ -51,5 +51,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => HyperplaneBuckets(args(0),
         intLit(args(1), "graft_lsh_buckets tables"),
         intLit(args(2), "graft_lsh_buckets bits"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_regexp_count"),
+      new ExpressionInfo(classOf[RegexpCount].getName, "graft_regexp_count"),
+      (args: Seq[Expression]) => RegexpCount(args(0), args(1) match {
+        case Literal(p: org.apache.spark.unsafe.types.UTF8String, _) => p.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_regexp_count pattern must be a string literal, got: $other")
+      })))
+
+    // size(regexp_extract_all(s, p, 0)) → RegexpCount(s, p)
+    ext.injectOptimizerRule(_ => RegexpCountRewrite)
   }
 }

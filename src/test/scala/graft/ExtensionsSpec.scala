@@ -30,6 +30,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getInt(1) == 4)
   }
 
+  test("RegexpCountRewrite: size(regexp_extract_all) rewritten to the kernel, same results") {
+    // non-foldable input (derived from range's id) so neither constant
+    // folding nor ConvertToLocalRelation erases the expression before the
+    // injected rule batch runs
+    val df = spark.range(4)
+      .select(when(col("id") === 0, "a1 b22 c333!")
+        .when(col("id") === 1, "")
+        .when(col("id") === 2, "no digits here").as("s"))
+      .select(col("s"), size(regexp_extract_all(col("s"), lit("\\d+"), lit(0))).as("n"))
+    // rule fired: the optimized plan carries the kernel, not the array build
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_regexp_count") && !opt.toLowerCase.contains("regexp_extract_all"))
+    // results identical to the un-rewritten semantics (null → null)
+    val got = df.collect().map(r => if (r.isNullAt(1)) null else r.getInt(1)).toSeq
+    assert(got == Seq(3, 0, 0, null))
+    // SQL registration of the kernel itself
+    assert(spark.sql("SELECT graft_regexp_count('x1y2', '\\\\d') AS n").head().getInt(0) == 2)
+  }
+
+  test("RegexpCountRewrite: group index != 0 is NOT rewritten (error semantics preserved)") {
+    val df = spark.range(1)
+      .select(concat(lit("ab"), (col("id") * 0).cast("string")).as("s"))
+      .select(size(regexp_extract_all(col("s"), lit("(a)(b)"), lit(2))).as("n"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("graft_regexp_count"))
+    assert(df.head().getInt(0) == 1)
+  }
+
   test("graft_minhash rejects non-literal k") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_minhash(array('a'), cast(rand() * 4 as int))").collect()
