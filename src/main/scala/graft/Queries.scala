@@ -796,6 +796,25 @@ object Queries {
     (s, d) => ev(s, d).groupBy("user_id").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("user_id")).limit(10))
 
+  /** A (rebuild extra): HyperLogLog approximate distinct — the mergeable-
+    * sketch answer to count-distinct at 100 TB. Exact distinct must
+    * shuffle every distinct (group, value) pair; approx_count_distinct
+    * carries a constant-size HLL sketch per group that merges map-side,
+    * so shuffle volume is (groups × sketch size) regardless of value
+    * cardinality. Exact counts sit alongside for self-documenting error.
+    * No ANSI oracle (DuckDB's HLL is a different implementation ⇒
+    * different estimates) — driver records rows-only;
+    * TrainingPrepSpec asserts the rsd-derived error bound vs exact.
+    */
+  private val a18 = QueryDef("a18_approx_distinct", None,
+    (s, d) => ev(s, d).groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.005).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("event_id"), 0.005).as("approx_events"),
+        count(lit(1)).as("total"))
+      .orderBy("event_type"))
+
   /** T4: top-k + "Others" rollup (draw_pie). Top-k membership via
     * TakeOrderedAndProject + broadcast probe, NOT a global ranking window
     * (which would single-partition the whole counts table — see
@@ -1040,7 +1059,7 @@ object Queries {
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, s7, s8, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
-    a1, a4, a6, a7, a9, a13, a14, a15, a16, a17,
+    a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, su, si, se, g1, g2,
     st1, st2, st3, st4)

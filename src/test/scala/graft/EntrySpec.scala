@@ -17,7 +17,8 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without queries: ${o.diff(q)}")
     val noOracle = q.diff(o)
-    // only the engine-hash-based ops may lack oracles
-    assert(noOracle == Set("dd_minhash_lsh", "dd_simhash", "sim_ann_lsh"), s"unexpected: $noOracle")
+    // only engine-hash/sketch-based ops may lack oracles
+    assert(noOracle == Set("dd_minhash_lsh", "dd_simhash", "sim_ann_lsh",
+      "a18_approx_distinct"), s"unexpected: $noOracle")
   }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the training-data-prep queries over the real sf0.001
+  * tables (the oracle hash-checks exact values at sf0.01; these assert the
+  * STRUCTURAL properties a pipeline depends on).
+  */
+class TrainingPrepSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("tx_chunk: chunks tile every document exactly") {
+    val chunks = SparkEntry.queries("tx_chunk")(spark, sf)
+    val perDoc = chunks.groupBy("doc_id").agg(
+      max(col("start") + col("chunk_tokens") - 1).as("covered"),
+      count(lit(1)).as("n_chunks"),
+      max("chunk_idx").as("max_idx"),
+      min(col("chunk_tokens")).as("min_ct"),
+      max(col("chunk_tokens")).as("max_ct"))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).as("n_tokens"))
+    val joined = perDoc.join(docs, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      // last chunk ends exactly at the last token; indices are 1..n
+      assert(r.getAs[Long]("covered") == r.getAs[Int]("n_tokens").toLong)
+      assert(r.getAs[Long]("max_idx") == r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("min_ct") >= 1L && r.getAs[Long]("max_ct") <= 32L)
+    }
+  }
+
+  test("tx_pack: cumulative sums are consistent and bins move forward") {
+    val packed = SparkEntry.queries("tx_pack")(spark, sf).collect()
+    assert(packed.nonEmpty)
+    packed.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+      .foreach { case (_, rows) =>
+        val ordered = rows.sortBy(_.getAs[Long]("doc_id"))
+        var cum = 0L
+        var lastBin = -1L
+        ordered.foreach { r =>
+          cum += r.getAs[Long]("n_tok")
+          assert(r.getAs[Long]("cum_tok") == cum)
+          val bin = r.getAs[Long]("bin_id")
+          assert(bin >= lastBin)       // bins only move forward
+          lastBin = bin
+        }
+      }
+  }
+
+  test("tx_redact: output carries no unredacted PII and counts are positive") {
+    val red = SparkEntry.queries("tx_redact")(spark, sf)
+    val leftovers = red.filter(
+      col("redacted").rlike("\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}") ||
+      col("redacted").rlike("@") ||
+      col("redacted").rlike("\\bu\\d+\\b")).count()
+    assert(leftovers == 0)
+    val m = red.agg(min("n_ips").as("mi"), min("n_emails").as("me"),
+      min("n_users").as("mu")).head()
+    assert(m.getAs[Long]("mi") == 2L && m.getAs[Long]("me") == 1L
+      && m.getAs[Long]("mu") == 1L)
+  }
+
+  test("tx_decontaminate: hits are train-side docs with real overlap") {
+    val hits = SparkEntry.queries("tx_decontaminate")(spark, sf).collect()
+    assert(hits.nonEmpty)
+    hits.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 13 != 0)  // benchmark docs never flagged
+      assert(r.getAs[Long]("n_hits") >= 1L)
+    }
+  }
+
+  test("a18_approx_distinct: HLL estimates within the rsd-implied bound of exact") {
+    val rows = SparkEntry.queries("a18_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      // rsd 0.5%; allow 10 sigma + integer slack — a failure here means the
+      // sketch is broken, not unlucky
+      assert(math.abs(approx - exact) <= math.max(2.0, 0.05 * exact),
+        s"approx=$approx exact=$exact for ${r.getAs[String]("event_type")}")
+    }
+  }
+}
