@@ -321,6 +321,45 @@ object QueriesExt {
         .orderBy("doc_id")
     })
 
+  /** Mixture sampling + split assignment + reproducible shuffle — the last
+    * mile of corpus assembly, all via modular hashes so every run (and the
+    * oracle) agrees without RNG state:
+    *   - per-source mixture rates: keep doc when
+    *     (doc_id·p₁ mod 1000) < rate(source) — even-numbered sources at
+    *     100%, odd at 40% (web-vs-curated mixture weighting);
+    *   - train/val/test 80/10/10 on an independent multiplier, so split
+    *     membership is uncorrelated with sampling;
+    *   - shuffle_pos: an odd-multiplier bijection mod 2²⁰ — a
+    *     deterministic permutation, sorted by range partition. At corpus
+    *     scale the ids would feed xxhash64 instead of small primes (the
+    *     scheme is the same; small constants keep DuckDB overflow-free).
+    * Map-only: sampling and splitting never shuffle; the only exchange is
+    * the final reproducible-order sort.
+    */
+  private val tx11 = QueryDef("tx_sample_split",
+    Some("""SELECT doc_id, source,
+           |  CASE WHEN (doc_id * 1099511627791) % 10 <= 7 THEN 'train'
+           |       WHEN (doc_id * 1099511627791) % 10 = 8 THEN 'val'
+           |       ELSE 'test' END AS split,
+           |  ((doc_id % 1048576) * 2654435761 + 12345) % 1048576 AS shuffle_pos
+           |FROM documents
+           |WHERE (doc_id * 2654435761) % 1000 <
+           |      CASE WHEN cast(substr(source, 4) as int) % 2 = 0 THEN 1000 ELSE 400 END
+           |ORDER BY shuffle_pos, doc_id""".stripMargin),
+    (s, d) => {
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val rate = when(pmod(srcNum, lit(2)) === 0, lit(1000L)).otherwise(lit(400L))
+      val splitHash = pmod(col("doc_id") * 1099511627791L, lit(10L))
+      docs(s, d)
+        .filter(pmod(col("doc_id") * 2654435761L, lit(1000L)) < rate)
+        .withColumn("split",
+          when(splitHash <= 7, "train").when(splitHash === 8, "val").otherwise("test"))
+        .withColumn("shuffle_pos",
+          pmod(pmod(col("doc_id"), lit(1048576L)) * 2654435761L + 12345L, lit(1048576L)))
+        .select("doc_id", "source", "split", "shuffle_pos")
+        .orderBy("shuffle_pos", "doc_id")
+    })
+
   // ---- deduplication -----------------------------------------------------
 
   private val dd1 = QueryDef("dd_exact",
@@ -596,7 +635,7 @@ object QueriesExt {
     })
 
   val all: Seq[QueryDef] = Seq(
-    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10,
+    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11,
     dd1, dd2, dd3, dd4, dd5,
     sm1, sm2, sm3, sm4, sm5,
     mm1, mm2, pl1)
