@@ -895,6 +895,48 @@ object Queries {
       expr("percentile(value, 0.75)").as("p75"))
       .orderBy("event_type"))
 
+  /** W (rebuild extra): time-series gap fill — densify per-user hourly
+    * counts onto a complete hour grid (missing hours become explicit
+    * zeros) and run a cumulative count over the filled series. The
+    * resample step every monitoring/feature pipeline needs: windows over
+    * sparse series silently skip empty buckets.
+    *
+    * Scale shape: the grid is built per user by exploding a broadcast
+    * 1-row (min, max) bound — users × hours rows, but no global calendar
+    * table is shuffled; the explode is map-side on the (already narrow)
+    * distinct-user frame. Zero-fill is a left join on (user, hour); the
+    * cumsum re-partitions by user only.
+    */
+  private val w6 = QueryDef("w6_gap_fill",
+    Some("""WITH b AS (SELECT date_trunc('hour', min(cast(ts as timestamp))) mn,
+           |                  date_trunc('hour', max(cast(ts as timestamp))) mx FROM events),
+           |u AS (SELECT DISTINCT user_id FROM events),
+           |grid AS (SELECT u.user_id, unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS h FROM u, b),
+           |c AS (SELECT user_id, date_trunc('hour', cast(ts as timestamp)) h, count(*) cnt
+           |      FROM events GROUP BY 1, 2)
+           |SELECT g.user_id AS user_id, g.h AS hour, coalesce(c.cnt, 0) AS cnt,
+           |  cast(sum(coalesce(c.cnt, 0)) OVER (PARTITION BY g.user_id ORDER BY g.h
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_cnt
+           |FROM grid g LEFT JOIN c ON c.user_id = g.user_id AND c.h = g.h
+           |ORDER BY g.user_id, hour""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = ev(s, d).select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      val bounds = e.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      val grid = e.select("user_id").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hour"))
+      val counts = e.groupBy(col("user_id"), col("h").as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(counts, Seq("user_id", "hour"), "left")
+        .na.fill(0L, Seq("cnt"))
+        .withColumn("cum_cnt", sum(col("cnt")).over(w))
+        .orderBy("user_id", "hour")
+    })
+
   /** W: moving aggregate over a row frame. */
   private val w4 = QueryDef("w4_moving_avg",
     Some("""SELECT event_id, user_id,
@@ -1061,7 +1103,7 @@ object Queries {
     s1, s2, s4, s7, s8, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11,
-    t2, t4, w1, w2, w3, w4, w5, su, si, se, g1, g2,
+    t2, t4, w1, w2, w3, w4, w5, w6, su, si, se, g1, g2,
     st1, st2, st3, st4)
 
   val all: Seq[QueryDef] = core ++ QueriesExt.all
