@@ -61,9 +61,25 @@ object Bench {
     // stall windows lasting minutes, so back-to-back repeats of one query
     // can both land inside a stall — but the same query in two far-apart
     // passes rarely does. The min measures steady-state query cost.
+    //
+    // Tie-break pass: a query whose two passes disagree by >2x had at least
+    // one stall-contaminated pass — and for multi-job queries (the iterative
+    // connected-components loop spans ~15 driver-coordinated jobs) a stall
+    // can contaminate BOTH, since each pass crosses many stall-window
+    // opportunities (round 4 reported 44 s for a query that probes at
+    // 2-6 s). One more far-apart pass per disputed query bounds that risk.
     val pass1 = names.map(n => n -> once(n)).toMap
     val pass2 = names.map(n => n -> once(n)).toMap
-    val results = ListMap(names.map(n => n -> math.min(pass1(n), pass2(n))): _*)
+    val disputed = names.filter { n =>
+      val (a, b) = (pass1(n), pass2(n))
+      math.max(a, b) > 2 * math.min(a, b)
+    }
+    if (disputed.nonEmpty)
+      System.err.println(s"[bench] third pass for ${disputed.size} disputed: ${disputed.mkString(", ")}")
+    val pass3 = disputed.map(n => n -> once(n)).toMap
+    val results = ListMap(names.map { n =>
+      n -> math.min(math.min(pass1(n), pass2(n)), pass3.getOrElse(n, Double.MaxValue))
+    }: _*)
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fj = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{Dedup, Similarity, TextFunctions}
+import graft.functions.{Dedup, NativeExpressions, Similarity, TextFunctions}
 import graft.multimodal.Multimodal
 
 /** North-star extension queries: text analysis, deduplication, similarity
@@ -246,21 +246,22 @@ object QueriesExt {
           lit(1024) + pmod(col("event_id"), lit(5000))),
         format_string(" contact=u%d@mail.example.com relay=192.168.%d.%d",
           col("user_id"), pmod(col("event_id"), lit(200)), pmod(col("user_id"), lit(250))))
-      // Counts come from placeholder occurrences in the redacted output
-      // (literal replace + length diff) — one regex pass per pattern
-      // instead of two (extract_all + replace measured ~2× slower).
-      def occurrences(c: Column, token: String): Column =
-        ((length(c) - length(call_function("replace", c, lit(token), lit("")))) / token.length)
-          .cast("long")
+      // ONE alternation pass replaces the 3-pass regexp_replace chain and
+      // the 3 literal-replace count scans (6 string passes → 1). Pattern
+      // order email→IP→handle is the alternation priority, preserving the
+      // sequential-chain semantics the oracle still spells out: the
+      // replacement tokens cannot create or contain a pattern match, so
+      // chain and single pass agree (asserted on fixtures + sf0.001 data
+      // in TextFunctionsSpec, and by the unchanged oracle here).
+      val red = NativeExpressions.regexpReplaceMany(col("line"),
+        Seq(emailPat, ipPat, userPat), Seq("<EMAIL>", "<IP>", "<USER>"))
       Tables.events(s, d).select(col("event_id"), line.as("line"))
-        .withColumn("t1", regexp_replace(col("line"), emailPat, "<EMAIL>"))
-        .withColumn("redacted",
-          regexp_replace(regexp_replace(col("t1"), ipPat, "<IP>"), userPat, "<USER>"))
+        .select(col("event_id"), red.as("r"))
         .select(col("event_id"),
-          occurrences(col("t1"), "<EMAIL>").as("n_emails"),
-          occurrences(col("redacted"), "<IP>").as("n_ips"),
-          occurrences(col("redacted"), "<USER>").as("n_users"),
-          col("redacted"))
+          col("r.counts")(0).as("n_emails"),
+          col("r.counts")(1).as("n_ips"),
+          col("r.counts")(2).as("n_users"),
+          col("r.redacted").as("redacted"))
         .orderBy("event_id")
     })
 
@@ -301,13 +302,13 @@ object QueriesExt {
   private val tx10 = QueryDef("tx_pack",
     Some("""SELECT doc_id, lang, doc_id % 8 AS shard,
            |  len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS n_tok,
-           |  sum(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')))
+           |  cast(sum(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')))
            |    OVER (PARTITION BY lang, doc_id % 8 ORDER BY doc_id
-           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok,
-           |  (sum(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')))
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_tok,
+           |  cast((sum(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')))
            |    OVER (PARTITION BY lang, doc_id % 8 ORDER BY doc_id
            |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           |   - len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))) // 256 AS bin_id
+           |   - len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))) // 256 as bigint) AS bin_id
            |FROM documents ORDER BY doc_id""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -338,20 +339,25 @@ object QueriesExt {
     */
   private val tx11 = QueryDef("tx_sample_split",
     Some("""SELECT doc_id, source,
-           |  CASE WHEN (doc_id * 1099511627791) % 10 <= 7 THEN 'train'
-           |       WHEN (doc_id * 1099511627791) % 10 = 8 THEN 'val'
+           |  CASE WHEN ((doc_id % 1048576) * 1099511627791) % 10 <= 7 THEN 'train'
+           |       WHEN ((doc_id % 1048576) * 1099511627791) % 10 = 8 THEN 'val'
            |       ELSE 'test' END AS split,
            |  ((doc_id % 1048576) * 2654435761 + 12345) % 1048576 AS shuffle_pos
            |FROM documents
-           |WHERE (doc_id * 2654435761) % 1000 <
+           |WHERE ((doc_id % 1048576) * 2654435761) % 1000 <
            |      CASE WHEN cast(substr(source, 4) as int) % 2 = 0 THEN 1000 ELSE 400 END
            |ORDER BY shuffle_pos, doc_id""".stripMargin),
     (s, d) => {
       val srcNum = substring(col("source"), 4, 10).cast("int")
       val rate = when(pmod(srcNum, lit(2)) === 0, lit(1000L)).otherwise(lit(400L))
-      val splitHash = pmod(col("doc_id") * 1099511627791L, lit(10L))
+      // doc_id is reduced mod 2^20 BEFORE the prime multiply: 2^20 × prime
+      // stays < 2^63 on every scale factor, so the expression can never
+      // overflow — Spark would wrap silently while DuckDB throws, and the
+      // two engines would diverge exactly when doc_id crosses ~8.4e6.
+      val docIdRed = pmod(col("doc_id"), lit(1048576L))
+      val splitHash = pmod(docIdRed * 1099511627791L, lit(10L))
       docs(s, d)
-        .filter(pmod(col("doc_id") * 2654435761L, lit(1000L)) < rate)
+        .filter(pmod(docIdRed * 2654435761L, lit(1000L)) < rate)
         .withColumn("split",
           when(splitHash <= 7, "train").when(splitHash === 8, "val").otherwise("test"))
         .withColumn("shuffle_pos",

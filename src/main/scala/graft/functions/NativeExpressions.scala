@@ -455,6 +455,101 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** One-pass multi-pattern redaction: the patterns are combined into a
+    * single alternation `(p1)|(p2)|...|(pn)`; at each position the
+    * leftmost match wins with alternation-order priority, its pattern's
+    * replacement is appended, and per-pattern match counts are returned
+    * alongside the redacted string:
+    * `struct<redacted: string, counts: array<long>>`.
+    *
+    * Equivalent to the sequential chain
+    * `regexp_replace(...regexp_replace(s, p1, r1)..., pn, rn)` (with each
+    * count taken on that stage's output) when
+    *   (a) no replacement token matches, or creates a match of, any
+    *       pattern, and
+    *   (b) patterns contain no capture groups of their own (group i is the
+    *       combined alternation's i-th alternative).
+    * The 3-pass tx_redact chain this replaces re-scanned every string per
+    * pattern plus three literal-replace count scans — six string passes
+    * down to one.
+    */
+  case class RegexpReplaceMany(child: Expression, patterns: Seq[String],
+                               replacements: Seq[String])
+      extends UnaryExpression {
+    require(patterns.nonEmpty && patterns.length == replacements.length,
+      "patterns and replacements must pair up")
+
+    @transient private lazy val compiled = java.util.regex.Pattern.compile(
+      patterns.map(p => s"($p)").mkString("|"))
+    @transient private lazy val reusedMatcher = compiled.matcher("")
+    @transient private lazy val replArr: Array[String] = replacements.toArray
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("redacted", StringType, nullable = false),
+      StructField("counts", ArrayType(LongType, containsNull = false), nullable = false)))
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = s"graft_regexp_replace_many(${patterns.length})"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val m = reusedMatcher.reset(s)
+      val sb = new java.lang.StringBuilder(s.length)
+      val cnt = new Array[Long](replArr.length)
+      var last = 0
+      while (m.find()) {
+        sb.append(s, last, m.start())
+        var g = 1
+        while (g <= replArr.length && m.start(g) < 0) g += 1
+        sb.append(replArr(g - 1))
+        cnt(g - 1) += 1
+        last = m.end()
+      }
+      sb.append(s, last, s.length)
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(sb.toString), new GenericArrayData(cnt))
+    }
+
+    // Whole-stage codegen (CodegenFallback would break the surrounding
+    // span — see RegexpCount): same find loop, Matcher reused across rows.
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val patRef = ctx.addReferenceObj("graftRrmPattern", compiled,
+        classOf[java.util.regex.Pattern].getName)
+      val replRef = ctx.addReferenceObj("graftRrmRepls", replArr, "java.lang.String[]")
+      val m = ctx.addMutableState("java.util.regex.Matcher", "graftRrmMatcher",
+        v => s"""$v = $patRef.matcher("");""")
+      nullSafeCodeGen(ctx, ev, s => {
+        val str = ctx.freshName("str")
+        val sb = ctx.freshName("sb")
+        val cnt = ctx.freshName("cnt")
+        val last = ctx.freshName("last")
+        val g = ctx.freshName("g")
+        s"""
+           |java.lang.String $str = $s.toString();
+           |$m.reset($str);
+           |java.lang.StringBuilder $sb = new java.lang.StringBuilder($str.length());
+           |long[] $cnt = new long[${replArr.length}];
+           |int $last = 0;
+           |while ($m.find()) {
+           |  $sb.append($str, $last, $m.start());
+           |  int $g = 1;
+           |  while ($g <= ${replArr.length} && $m.start($g) < 0) $g++;
+           |  $sb.append($replRef[$g - 1]);
+           |  $cnt[$g - 1]++;
+           |  $last = $m.end();
+           |}
+           |$sb.append($str, $last, $str.length());
+           |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+           |  new java.lang.Object[] {
+           |    org.apache.spark.unsafe.types.UTF8String.fromString($sb.toString()),
+           |    new org.apache.spark.sql.catalyst.util.GenericArrayData($cnt) });
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level entry points -----------------------------------------
 
   import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
@@ -465,6 +560,8 @@ object NativeExpressions {
     toCol(RegexpExtractGroups(toExpr(text), pattern))
   def regexpCount(text: Column, pattern: String): Column =
     toCol(RegexpCount(toExpr(text), pattern))
+  def regexpReplaceMany(text: Column, patterns: Seq[String], replacements: Seq[String]): Column =
+    toCol(RegexpReplaceMany(toExpr(text), patterns, replacements))
   def markerTokenCounts(text: Column, sets: Seq[Seq[String]]): Column =
     toCol(MarkerTokenCounts(toExpr(text), sets))
   def minhashSignature(shingles: Column, k: Int): Column =

@@ -44,15 +44,26 @@ object Graphs {
   /** `localCheckpoint` plus handles to the RDD blocks it persisted, so a
     * superseded round can be freed (the Dataset API offers checkpointing
     * but no unpersist of the underlying blocks).
+    *
+    * The handle comes from the checkpointed Dataset's own plan — a
+    * `localCheckpoint` resolves to a `LogicalRDD` wrapping exactly the
+    * RDD that was persisted. Diffing the global `getPersistentRDDs`
+    * registry instead (the previous approach) races under concurrent
+    * queries: another query's `cache()` landing in the snapshot window
+    * would be claimed here and wrongly unpersisted later.
     */
   private def checkpointTracked(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint()
-    val added = sc.getPersistentRDDs.collect {
-      case (id, rdd) if !before.contains(id) => rdd
-    }.toSeq
-    (out, added)
+    val blocks = out.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Seq(lr.rdd)
+      case other =>
+        // Never steal someone else's blocks: if the plan shape ever stops
+        // being a bare LogicalRDD, prefer a bounded leak over a race.
+        System.err.println(
+          s"[graphs] localCheckpoint produced ${other.getClass.getSimpleName}; blocks not tracked")
+        Seq.empty
+    }
+    (out, blocks)
   }
 
   /** Both orientations of an edge list from ONE scan of the input plan,

@@ -28,12 +28,21 @@ object SkewJoins {
     * deterministic expression over the big side (e.g. a hash of a unique
     * id) — `rand()` would break retry/replay determinism; a re-executed
     * task must salt identically.
+    *
+    * A null `saltSource` row falls into bucket 0 (coalesce) rather than
+    * getting a null salt — a null salt would never equi-match and the row
+    * would silently vanish from what must behave exactly like the
+    * unsalted join. The salt column name is generated to not collide with
+    * a pre-existing `_salt` on either input.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int, saltSource: Column): DataFrame = {
-    val salted = big.withColumn("_salt", pmod(saltSource, lit(buckets.toLong)).cast("int"))
-    val exploded = small.withColumn("_salt",
+    val saltCol = Iterator.from(0).map(i => s"_graft_salt$i")
+      .find(c => !big.columns.contains(c) && !small.columns.contains(c)).get
+    val salted = big.withColumn(saltCol,
+      coalesce(pmod(saltSource, lit(buckets.toLong)).cast("int"), lit(0)))
+    val exploded = small.withColumn(saltCol,
       explode(array((0 until buckets).map(b => lit(b)): _*)))
-    salted.join(exploded, Seq(key, "_salt")).drop("_salt")
+    salted.join(exploded, Seq(key, saltCol)).drop(saltCol)
   }
 }

@@ -78,4 +78,36 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.wordShingles($"t", 2)).head()
     assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
   }
+
+  test("regexpReplaceMany ≡ sequential regexp_replace chain + count scans") {
+    val emailPat = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val userPat = "\\bu\\d+\\b"
+    val lines = Seq(
+      "", "no pii here", "u5@mail.example.com", "u5", "10.0.1.2",
+      "Failed password for u42 from 10.0.37.142 port 2211 ssh2 contact=u42@mail.example.com relay=192.168.11.92",
+      "u1 u2 u3", "a@b x@y.z", "1.2.3.4 5.6.7.8", "edge u7@h end u8 9.9.9.9",
+      "xu5@mail.example.com not-a-handle-start", "u5@ trailing-at")
+    def occurrences(c: org.apache.spark.sql.Column, token: String) =
+      ((length(c) - length(call_function("replace", c, lit(token), lit("")))) / token.length)
+        .cast("long")
+    val chain = lines.toDF("t")
+      .withColumn("t1", regexp_replace($"t", emailPat, "<EMAIL>"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace($"t1", ipPat, "<IP>"), userPat, "<USER>"))
+      .select($"t", occurrences($"t1", "<EMAIL>").as("e"),
+        occurrences($"redacted", "<IP>").as("i"),
+        occurrences($"redacted", "<USER>").as("u"), $"redacted")
+    val kernel = lines.toDF("t")
+      .select($"t", graft.functions.NativeExpressions.regexpReplaceMany(
+        $"t", Seq(emailPat, ipPat, userPat), Seq("<EMAIL>", "<IP>", "<USER>")).as("r"))
+    val ch = chain.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    kernel.collect().foreach { r =>
+      val s = r.getStruct(1)
+      val counts = s.getSeq[Long](1)
+      assert(ch(r.getString(0)) == ((counts(0), counts(1), counts(2), s.getString(0))),
+        s"for input '${r.getString(0)}'")
+    }
+  }
 }

@@ -5,9 +5,15 @@ Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
 
 For each <name>/ parquet in verify_out_dir with an entry in
 oracle_sql.json: run the oracle SQL in DuckDB over the sf parquet tables,
-sort columns by name, compare row count, schema (column names), and a
-value hash (stringified, row-sorted) — approximating the driver's check so
-mismatches surface before the round gate does.
+sort columns by name, compare row count, schema (column names AND
+normalized arrow types), and a value hash — approximating the driver's
+check so mismatches surface before the round gate does.
+
+Types are compared on the arrow representation of both sides (the oracle
+is fetched as arrow, not stringified python): a DuckDB windowed sum
+returning HUGEINT (decimal128) against a Spark bigint (int64) is a FAIL
+here, as it is at the driver — stringified comparison masked exactly that
+drift in round 4 (tx_pack).
 """
 import json
 import sys
@@ -19,6 +25,42 @@ import math
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def type_tag(t):
+    """Normalize an arrow type to the distinctions the driver's hash is
+    sensitive to — the PYTHON value kind: the driver hashes as_py values,
+    where int32/int64 both become `int` (round-4 evidence: 8 queries with
+    int32-vs-int64 drift were hash-green at the driver) but a DuckDB
+    HUGEINT becomes `Decimal` and fails even when numerically equal.
+    """
+    import pyarrow as pa
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_tag(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{type_tag(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{type_tag(t.key_type)},{type_tag(t.item_type)}>"
+    if pa.types.is_decimal(t):
+        return "decimal"  # as_py -> decimal.Decimal, distinct from int/float
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    return str(t)  # bool, duration, ... keep exact name
+
+
+def schema_tags(tbl):
+    return {f.name: type_tag(f.type) for f in tbl.schema}
 
 
 def norm_cell(v):
@@ -64,28 +106,36 @@ def main(outdir, sfdir):
             print(f"{name}: no_oracle (rows={spark_tbl.num_rows})")
             continue
         try:
-            res = con.execute(oracle[name])
-            orows = res.fetchall()
-            ocols = [c[0] for c in res.description]
+            otbl = con.execute(oracle[name]).arrow()
         except Exception as e:
             print(f"{name}: ORACLE SQL ERROR: {e}")
             n_fail += 1
             continue
+        ocols = otbl.column_names
+        orows = [tuple(otbl.column(c)[i].as_py() for c in ocols)
+                 for i in range(otbl.num_rows)]
         scols = spark_tbl.column_names
         srows = [tuple(spark_tbl.column(c)[i].as_py() for c in scols)
                  for i in range(spark_tbl.num_rows)]
         ok_rows = len(srows) == len(orows)
         ok_schema = sorted(scols) == sorted(ocols)
+        stags, otags = schema_tags(spark_tbl), schema_tags(otbl)
+        type_mismatch = ok_schema and {
+            c: (stags[c], otags[c]) for c in scols if stags[c] != otags[c]}
+        ok_types = ok_schema and not type_mismatch
         ok_hash = False
-        if ok_rows and ok_schema:
+        if ok_rows and ok_schema and ok_types:
             ok_hash = table_hash(scols, srows) == table_hash(ocols, orows)
-        if ok_rows and ok_schema and ok_hash:
+        if ok_rows and ok_schema and ok_types and ok_hash:
             n_pass += 1
             print(f"{name}: OK ({len(srows)} rows)")
         else:
             n_fail += 1
             print(f"{name}: MISMATCH rows={ok_rows}({len(srows)}/{len(orows)}) "
-                  f"schema={ok_schema} hash={ok_hash}")
+                  f"schema={ok_schema} types={ok_types} hash={ok_hash}")
+            if type_mismatch:
+                for c, (st, ot) in type_mismatch.items():
+                    print(f"   TYPE {c}: spark={st} oracle={ot}")
             if not ok_schema:
                 print(f"   spark cols: {sorted(scols)}")
                 print(f"   oracle cols: {sorted(ocols)}")
