@@ -67,24 +67,35 @@ object Bench {
     // connected-components loop spans ~15 driver-coordinated jobs) a stall
     // can contaminate BOTH, since each pass crosses many stall-window
     // opportunities (round 4 reported 44 s for a query that probes at
-    // 2-6 s). One more far-apart pass per disputed query bounds that risk.
+    // 2-6 s). Each disputed query gets one UNTIMED warm-up execution (JIT +
+    // FS cache for its specific code paths) immediately before its timed
+    // tie-break run, so the third sample measures steady state even when it
+    // lands close behind pass 2 in wall-clock.
     val pass1 = names.map(n => n -> once(n)).toMap
     val pass2 = names.map(n => n -> once(n)).toMap
+    // A failed query's time is its time-to-fail, not a cost — report null.
     val disputed = names.filter { n =>
       val (a, b) = (pass1(n), pass2(n))
-      math.max(a, b) > 2 * math.min(a, b)
+      !failed.contains(n) && math.max(a, b) > 2 * math.min(a, b)
     }
     if (disputed.nonEmpty)
-      System.err.println(s"[bench] third pass for ${disputed.size} disputed: ${disputed.mkString(", ")}")
-    val pass3 = disputed.map(n => n -> once(n)).toMap
+      System.err.println(s"[bench] warmup+third pass for ${disputed.size} disputed: ${disputed.mkString(", ")}")
+    val pass3 = disputed.map { n => once(n); n -> once(n) }.toMap
     val results = ListMap(names.map { n =>
-      n -> math.min(math.min(pass1(n), pass2(n)), pass3.getOrElse(n, Double.MaxValue))
+      n -> (if (failed.contains(n)) None
+            else Some(math.min(math.min(pass1(n), pass2(n)), pass3.getOrElse(n, Double.MaxValue))))
     }: _*)
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }.mkString("{", ",", "}")
     val fj = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    val total = results.values.flatten.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist to a file: console scrollback truncated the first ~17
+    // query entries of BENCH_r04/r05, hiding a fifth of the numbers.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

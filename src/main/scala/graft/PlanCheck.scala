@@ -126,7 +126,7 @@ object PlanCheck {
     // not event_type alone — that is the whole point of the salt.
     check("j11_salted_skew_join")(
       "shuffle keys include the salt" ->
-        (p => "hashpartitioning\\(event_type#\\d+L?, _salt".r.findFirstIn(p).isDefined))
+        (p => "hashpartitioning\\(event_type#\\d+L?, _graft_salt".r.findFirstIn(p).isDefined))
 
     // Partitioned layout: the event_type predicate must prune partitions
     // at the directory level (PartitionFilters), not ride as a data filter.

@@ -326,8 +326,10 @@ object QueriesExt {
     * mile of corpus assembly, all via modular hashes so every run (and the
     * oracle) agrees without RNG state:
     *   - per-source mixture rates: keep doc when
-    *     (doc_id·p₁ mod 1000) < rate(source) — even-numbered sources at
-    *     100%, odd at 40% (web-vs-curated mixture weighting);
+    *     ((doc_id mod 2²⁰)·p₁ mod 1000) < rate(source) — even-numbered
+    *     sources at 100%, odd at 40% (web-vs-curated mixture weighting);
+    *     the mod-2²⁰ reduction before the prime multiply keeps the product
+    *     overflow-free at every scale factor;
     *   - train/val/test 80/10/10 on an independent multiplier, so split
     *     membership is uncorrelated with sampling;
     *   - shuffle_pos: an odd-multiplier bijection mod 2²⁰ — a

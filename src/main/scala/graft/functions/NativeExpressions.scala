@@ -466,9 +466,19 @@ object NativeExpressions {
     * `regexp_replace(...regexp_replace(s, p1, r1)..., pn, rn)` (with each
     * count taken on that stage's output) when
     *   (a) no replacement token matches, or creates a match of, any
-    *       pattern, and
+    *       pattern,
     *   (b) patterns contain no capture groups of their own (group i is the
-    *       combined alternation's i-th alternative).
+    *       combined alternation's i-th alternative — enforced at
+    *       construction), and
+    *   (c) no two patterns can match overlapping spans with DIFFERENT start
+    *       positions: e.g. p1="b", p2="ab" on "ab" gives "a<1>" through the
+    *       chain but "<2>" in one pass, because the single pass scans
+    *       left-to-right and p2 wins at the earlier start. At identical
+    *       starts the alternation's order priority equals chain order, so
+    *       that case is safe. The tx_redact patterns satisfy (c): every
+    *       character an IPv4 or user-token match can contain is also legal
+    *       inside the email local-part class, so any overlap between two
+    *       patterns' matches begins at the same character.
     * The 3-pass tx_redact chain this replaces re-scanned every string per
     * pattern plus three literal-replace count scans — six string passes
     * down to one.
@@ -478,6 +488,11 @@ object NativeExpressions {
       extends UnaryExpression {
     require(patterns.nonEmpty && patterns.length == replacements.length,
       "patterns and replacements must pair up")
+    // Condition (b): a pattern with its own capture groups would shift the
+    // alternation's group numbering, sending the g<=n scan past replArr.
+    require(patterns.forall(p =>
+      java.util.regex.Pattern.compile(p).matcher("").groupCount() == 0),
+      "patterns must not contain capture groups (use (?:...) instead)")
 
     @transient private lazy val compiled = java.util.regex.Pattern.compile(
       patterns.map(p => s"($p)").mkString("|"))
