@@ -152,16 +152,31 @@ object Dedup {
   def simhash(text: Column): Column =
     NativeExpressions.simhash64(TextFunctions.tokens(text))
 
-  /** SimHash near-dup candidate pairs: block on 16-bit signature quarters
-    * (Hamming ≤ 3 guarantees one equal quarter), verify Hamming ≤ maxDist.
+  /** SimHash near-dup candidate pairs: the 64-bit signature is split into
+    * 8 byte-blocks and candidates are blocked on PAIRS of equal blocks
+    * (Manku et al., WWW'07 style multi-block keys). Pigeonhole: Hamming ≤ 6
+    * touches at most 6 of the 8 blocks, so some 2 blocks are untouched —
+    * and all C(8,2)=28 block pairs are enumerated, so every true pair lands
+    * in at least one shared bucket. Exact `bit_count` then verifies
+    * Hamming ≤ maxDist.
+    *
+    * Scale shape: the earlier single-quarter scheme (4×16-bit keys)
+    * guaranteed only Hamming ≤ 3, which RecallGateSpec measured at 0.60
+    * recall of true jaccard≥0.9 near-dups (their Hamming spans 0-5: ~10%
+    * token churn flips >3 of 64 bits). Fixing that by blocking on single
+    * 8-bit blocks would shrink keys to 256 buckets — n/256 occupancy goes
+    * quadratic in the self-join at corpus scale. Block-PAIR keys keep the
+    * effective key 16 bits wide (n/65536 occupancy, same as before) and
+    * buy the d≤6 guarantee for a 28-row-per-doc narrow explode.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 6): DataFrame = {
+    require(maxDist <= 6, "block-pair scheme guarantees recall only for maxDist <= 6")
     val sigs = docs.select(col(idCol).as("doc"), simhash(col(textCol)).as("sig")).cache()
-    val blocked = sigs.select(col("doc"), col("sig"),
-      explode(array((0 until 4).map { q =>
-        struct(lit(q).as("q"), shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL).as("qk"))
-      }: _*)).as("blk"))
+    def block(q: Int): Column = shiftright(col("sig"), q * 8).bitwiseAND(0xFFL)
+    val pairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield
+      struct(lit(i).as("i"), lit(j).as("j"), block(i).as("ki"), block(j).as("kj"))
+    val blocked = sigs.select(col("doc"), col("sig"), explode(array(pairs: _*)).as("blk"))
 
     val hamming = {
       val x = col("a.sig").bitwiseXOR(col("b.sig"))

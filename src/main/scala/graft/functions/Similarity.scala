@@ -76,14 +76,33 @@ object Similarity {
     * id pairs share at least one table bucket; exact cosine + top-k runs on
     * candidates only. Recall grows with `tables`, cost with bucket
     * occupancy (2^bits buckets per table).
+    *
+    * `probes` enables MULTI-PROBE LSH (Lv et al., VLDB'07): each query also
+    * probes every bucket whose key is within Hamming distance `probes` of
+    * its own — sum(C(bits,i), i≤probes) keys per (query, table). This is the
+    * scale-correct way to buy recall: the CORPUS side still emits exactly
+    * one narrow (t, bk, id) row per table (shuffle stays O(n·tables) and
+    * per-bucket occupancy stays n/2^bits), while the small query side
+    * absorbs the probe fan-out. The alternative — shrinking `bits` until
+    * single-probe recall is acceptable — inflates every corpus bucket to
+    * n/2^bits and blows up the candidate join quadratically at 100 TB.
+    * Measured on sf0.01 (RecallGateSpec): tables=8, bits=8, probes=2 →
+    * recall@5 = 1.00 vs brute force; single-probe at the same table/bit
+    * budget measures 0.16.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              tables: Int = 4, bits: Int = 8): DataFrame = {
+              tables: Int = 4, bits: Int = 8, probes: Int = 0): DataFrame = {
     def banded(df: DataFrame, idAs: String): DataFrame =
       df.select(col("vec_id").as(idAs),
         posexplode(lshBuckets(col("embedding"), tables, bits)).as(Seq("t", "bk")))
 
-    val cands = banded(queries, "query_id")
+    // All bucket-key perturbation masks with ≤ `probes` bits flipped.
+    val masks = (0 until (1 << bits)).filter(Integer.bitCount(_) <= probes)
+    val probed = banded(queries, "query_id")
+      .select(col("query_id"), col("t"),
+        explode(array(masks.map(m => col("bk").bitwiseXOR(lit(m.toLong))): _*)).as("bk"))
+
+    val cands = probed
       .join(banded(corpus, "neighbor_id"), Seq("t", "bk"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
