@@ -531,20 +531,57 @@ object QueriesExt {
        |  [cast($a[i] as double) * cast($b[i] as double)
        |   for i in range(1, len($a) + 1)]), (x, y) -> x + y)""".stripMargin
 
-  /** IVF ANN — fully deterministic (centroids = first 16 corpus vectors,
+  private def ivfCosSql(a: String, b: String): String =
+    s"${foldDot(a, b)} / (sqrt(${foldDot(a, a)}) * sqrt(${foldDot(b, b)}))"
+
+  /** One CTE block per Lloyd iteration, mirroring
+    * [[graft.functions.Similarity.ivfCentroids]] op-for-op: assignment by
+    * (cos DESC, cidx) under centroids c{i}; per-(cell, dim) mean as a left
+    * fold over members in vec_id order starting at 0.0 (same order, same
+    * double adds as Spark's sorted-collect_list aggregate); mean rounded
+    * to REAL (both engines: IEEE round-to-nearest); emptied cells keep
+    * their previous centroid via the LEFT JOIN coalesce.
+    */
+  private def lloydCteSql(iters: Int): String = (0 until iters).map { i =>
+    s"""a$i AS (
+       |  SELECT vec_id, cidx AS cell FROM (
+       |    SELECT e.vec_id, c.cidx,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${ivfCosSql("e.embedding", "c.ce")} DESC, c.cidx) AS rn
+       |    FROM embeddings e CROSS JOIN c$i c) WHERE rn = 1),
+       |m$i AS (
+       |  SELECT cell, d,
+       |    list_reduce(list_prepend(cast(0.0 as double), list(x ORDER BY vid)), (p, q) -> p + q)
+       |      / count(*) AS mu
+       |  FROM (
+       |    SELECT cell, u.d AS d, u.x AS x, u.vid AS vid FROM (
+       |      SELECT a.cell, unnest([{'d': i, 'x': cast(e.embedding[i] as double), 'vid': e.vec_id}
+       |                             for i in range(1, len(e.embedding) + 1)]) AS u
+       |      FROM a$i a JOIN embeddings e ON e.vec_id = a.vec_id))
+       |  GROUP BY cell, d),
+       |c${i + 1} AS (
+       |  SELECT p.cidx, coalesce(n.ce, p.ce) AS ce
+       |  FROM c$i p LEFT JOIN (
+       |    SELECT cell AS cidx, list(cast(mu as real) ORDER BY d) AS ce
+       |    FROM m$i GROUP BY cell) n ON n.cidx = p.cidx),""".stripMargin
+  }.mkString("\n")
+
+  /** IVF ANN — fully deterministic (k-means seeded from the first 16
+    * corpus vectors with order-fixed fold arithmetic — see [[lloydCteSql]],
     * cosine folds identical on both engines), so unlike LSH it gets a real
     * hash-checked oracle: assignment, probing, and ranking re-derived in
     * ANSI SQL.
     */
   private val sm5 = QueryDef("sim_ivf",
-    Some(s"""WITH cents AS (
+    Some(s"""WITH c0 AS (
             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS ce
             |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+            |${lloydCteSql(2)}
             |vc AS (
             |  SELECT e.vec_id, c.cidx,
             |    ${foldDot("e.embedding", "c.ce")} /
             |      (sqrt(${foldDot("e.embedding", "e.embedding")}) * sqrt(${foldDot("c.ce", "c.ce")})) AS cos
-            |  FROM embeddings e CROSS JOIN cents c),
+            |  FROM embeddings e CROSS JOIN c2 c),
             |assign AS (
             |  SELECT vec_id, cidx AS cell FROM
             |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cidx) AS rn FROM vc)

@@ -120,10 +120,50 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** Deterministic IVF training: `lloydIters` rounds of Lloyd's k-means,
+    * seeded from the first `nCentroids` corpus vectors (by vec_id). Fully
+    * reproducible cross-engine — every float op has a fixed order:
+    *   - assignment: nearest centroid by cosine, ties broken by centroid
+    *     index (the [[NativeExpressions.NearestCentroids]] order);
+    *   - update: per-(cell, dim) mean computed as a LEFT FOLD over members
+    *     in vec_id order (sort_array(collect_list) + aggregate), because a
+    *     parallel sum's combine order is nondeterministic in the last ulp
+    *     and a 1-ulp flip near a cell boundary would silently change
+    *     candidate sets vs the oracle;
+    *   - the double mean is rounded to float (IEEE round-to-nearest, same
+    *     on both engines); an emptied cell keeps its previous centroid.
+    * Each round is one distributed pass; only nCentroids×dim (cell, d, mu)
+    * aggregate rows come back to the driver — bounded by the centroid
+    * matrix size, like the seed collect. At 100 TB the ordered fold per
+    * cell is the one non-scalable piece of THIS trainer (it materializes
+    * each cell's member list on one task); production would train on a
+    * sample (IVF centroids need only a representative sketch of the
+    * distribution) and this signature accepts that: pass a sampled corpus.
+    */
+  def ivfCentroids(corpus: DataFrame, nCentroids: Int, lloydIters: Int): Array[Array[Float]] = {
+    var cents: Array[Array[Float]] = corpus.orderBy("vec_id")
+      .select("embedding").limit(nCentroids)
+      .collect().map(_.getSeq[Float](0).toArray)
+    for (_ <- 0 until lloydIters) {
+      val means = corpus.select(col("vec_id"),
+          element_at(NativeExpressions.nearestCentroids(col("embedding"), cents, 1), 1).as("cell"),
+          posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("xs"))
+        .select(col("cell"), col("d"),
+          (aggregate(col("xs"), lit(0.0),
+            (acc, s) => acc + s.getField("x").cast("double")) / size(col("xs"))).as("mu"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+      cents = next
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate nearest neighbors — the classic
-    * coarse-quantizer scale path. Centroids are the first `nCentroids`
-    * corpus vectors (deterministic "training"; a production system would
-    * k-means them — the plumbing is identical). Every corpus vector is
+    * coarse-quantizer scale path. Centroids come from the deterministic
+    * [[ivfCentroids]] k-means trainer. Every corpus vector is
     * assigned to its nearest centroid in ONE map-only pass (the centroid
     * matrix rides inside the native [[NativeExpressions.NearestCentroids]]
     * expression — no join, no shuffle of embeddings); a query probes its
@@ -131,10 +171,8 @@ object Similarity {
     * the corpus is hash-partitioned by cell once, queries broadcast.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents: Array[Array[Float]] = corpus.orderBy("vec_id")
-      .select("embedding").limit(nCentroids)
-      .collect().map(_.getSeq[Float](0).toArray)
+              nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    val cents = ivfCentroids(corpus, nCentroids, lloydIters)
 
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
       .withColumn("cell",

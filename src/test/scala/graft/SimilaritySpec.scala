@@ -54,6 +54,27 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.length < 5) // random sin-vectors shouldn't be near-dups at 0.999
   }
 
+  test("ivfCentroids: k-means cells are more balanced than the first-16 seed") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def maxCell(cents: Array[Array[Float]]): Long = emb.select(
+        element_at(graft.functions.NativeExpressions.nearestCentroids(
+          col("embedding"), cents, 1), 1).as("cell"))
+      .groupBy("cell").count().agg(max("count")).head().getLong(0)
+    val seed = Similarity.ivfCentroids(emb, nCentroids = 16, lloydIters = 0)
+    val trained = Similarity.ivfCentroids(emb, nCentroids = 16, lloydIters = 2)
+    val (seedMax, trainedMax) = (maxCell(seed), maxCell(trained))
+    info(s"max cell occupancy: first-16 seed = $seedMax, k-means(2) = $trainedMax (n=500, 16 cells)")
+    assert(trainedMax < seedMax) // Lloyd rounds must spread the hot cell
+    assert(trainedMax <= 3 * 500 / 16) // and no cell may hold >3x the even share
+  }
+
+  test("ivfCentroids is deterministic across invocations") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val a = Similarity.ivfCentroids(emb, 16, 2)
+    val b = Similarity.ivfCentroids(emb, 16, 2)
+    assert(a.map(_.toSeq) sameElements b.map(_.toSeq))
+  }
+
   test("l2Norm matches local math") {
     val row = vectors.filter($"vec_id" === 2L)
       .select(Similarity.l2Norm($"embedding")).head()
