@@ -128,6 +128,13 @@ object PlanCheck {
       "shuffle keys include the salt" ->
         (p => "hashpartitioning\\(event_type#\\d+L?, _graft_salt".r.findFirstIn(p).isDefined))
 
+    // Parser: ONE fused multi-pattern kernel evaluation per row — a
+    // projection collapse that inlined it into each of the 14 consuming
+    // columns would re-run all 13 regex searches per field.
+    check("p_parse_ssh_roundtrip")(
+      "single multi-regexp kernel in the plan" ->
+        (p => "graft_multi_regexp".r.findAllIn(p).size == 1))
+
     // Partitioned layout: the event_type predicate must prune partitions
     // at the directory level (PartitionFilters), not ride as a data filter.
     check("s8_partitioned_scan")(

@@ -58,7 +58,7 @@ object Probe {
       val dt = (System.nanoTime() - t0) / 1e9
       sampling = false
       println(f"PROBE $name: $dt%.2f s")
-      if (dt > 5) {
+      if (dt > sys.env.getOrElse("PROBE_HOT_MIN", "5").toDouble) {
         samples.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (f, c) =>
           println(f"  HOT $c%4d  $f")
         }

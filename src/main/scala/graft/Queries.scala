@@ -154,7 +154,18 @@ object Queries {
           pmod(col("event_id"), lit(27)) + 1, pmod(col("event_id"), lit(60)),
           pmod(col("user_id"), lit(60)), col("event_id")),
         msg)
-      val raw = ev(s, d).select(col("event_id"), line.as("value"))
+      // The events file is a single parquet split at small SF, so without a
+      // redistribution the CPU-heavy parse (14 regex searches + timestamp
+      // parse per row) runs on ONE task while the rest of the cluster
+      // idles. Shuffling the raw lines is cheap (narrow id+string rows)
+      // relative to parsing them — the same call you'd make after reading
+      // a non-splittable gzip log. Keyed on event_id for determinism.
+      // Explicit partition count: a bare repartition(col) is an AQE
+      // coalescible shuffle, and at ~10 MB the advisory size folds it back
+      // to one partition — exactly the serialization being fixed.
+      val raw = ev(s, d).select("event_id", "user_id", "event_type")
+        .repartition(s.sparkContext.defaultParallelism, col("event_id"))
+        .select(col("event_id"), line.as("value"))
       graft.ingest.LogParser.parse(raw)
         .select("event_id", "event", "ip", "user", "port", "protocol_version",
           "disconnect_reason", "method", "datetime")

@@ -246,16 +246,17 @@ object NativeExpressions {
     * extracts array elements, which are free.
     */
   case class RegexpExtractGroups(child: Expression, pattern: String)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
+    @transient private lazy val reusedMatcher = compiled.matcher("")
 
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = true
     override def prettyName: String = "graft_regexp_groups"
 
     override def nullSafeEval(input: Any): Any = {
-      val m = compiled.matcher(input.asInstanceOf[UTF8String].toString)
+      val m = reusedMatcher.reset(input.asInstanceOf[UTF8String].toString)
       if (!m.find()) null
       else {
         val n = m.groupCount()
@@ -268,6 +269,129 @@ object NativeExpressions {
         }
         new GenericArrayData(out)
       }
+    }
+
+    // Codegen'd (was CodegenFallback): the parser's line grammar runs this
+    // on every input row, and the fallback's per-row InternalRow boxing +
+    // interpreted dispatch showed up in Probe's profiler.
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val patRef = ctx.addReferenceObj("graftRegPattern", compiled,
+        classOf[java.util.regex.Pattern].getName)
+      val m = ctx.addMutableState("java.util.regex.Matcher", "graftRegMatcher",
+        v => s"""$v = $patRef.matcher("");""")
+      val arr = ctx.freshName("arr")
+      val g = ctx.freshName("g")
+      val v = ctx.freshName("v")
+      val n = ctx.freshName("n")
+      nullSafeCodeGen(ctx, ev, s => {
+        s"""
+           |$m.reset($s.toString());
+           |if (!$m.find()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $m.groupCount();
+           |  Object[] $arr = new Object[$n];
+           |  for (int $g = 1; $g <= $n; $g++) {
+           |    java.lang.String $v = $m.group($g);
+           |    $arr[$g - 1] = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |      $v == null ? "" : $v);
+           |  }
+           |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+           |}
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** First-match extraction for MANY independent patterns in ONE kernel.
+    * Each pattern is searched independently from position 0 — exactly one
+    * `regexp_extract`'s semantics per pattern (deliberately NOT a combined
+    * alternation: fields like `user=` must still match inside `ruser=...`
+    * the way an independent search does) — but the row's string is
+    * converted ONCE and all matchers are reused across rows. The output is
+    * a flat array in which pattern i's capture groups occupy slots
+    * [offset(i), offset(i)+groupCount(i)): a non-matching pattern leaves
+    * NULL in its slots, a matched-but-unparticipating group (the unused arm
+    * of an alternation) is NULL, and a matched empty capture is "" — so
+    * callers can distinguish key-absent from key-present-but-empty without
+    * a separate contains() probe. Replaces the SSH parser's 13 independent
+    * regexp searches (13 UTF8String→String conversions + 13 expression
+    * evaluations per row) with one fused, codegen'd pass.
+    */
+  case class MultiRegexpFirstMatch(child: Expression, patterns: Seq[String])
+      extends UnaryExpression {
+    require(patterns.nonEmpty, "at least one pattern")
+
+    @transient private lazy val compiled: Array[java.util.regex.Pattern] =
+      patterns.map(java.util.regex.Pattern.compile).toArray
+    @transient private lazy val matchers: Array[java.util.regex.Matcher] =
+      compiled.map(_.matcher(""))
+    @transient private lazy val groupCounts: Array[Int] =
+      compiled.map(_.matcher("").groupCount())
+    @transient private lazy val offsets: Array[Int] = groupCounts.scanLeft(0)(_ + _)
+    @transient private lazy val totalSlots: Int = offsets(patterns.length)
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = s"graft_multi_regexp(${patterns.length})"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val out = new Array[Any](totalSlots)
+      var i = 0
+      while (i < matchers.length) {
+        val m = matchers(i).reset(s)
+        if (m.find()) {
+          var g = 1
+          while (g <= groupCounts(i)) {
+            val v = m.group(g)
+            if (v != null) out(offsets(i) + g - 1) = UTF8String.fromString(v)
+            g += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    // Whole-stage codegen: the parser is a map-only hot path and a
+    // CodegenFallback here would break the surrounding span.
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val patRef = ctx.addReferenceObj("graftMrfPatterns", compiled,
+        "java.util.regex.Pattern[]")
+      val gcRef = ctx.addReferenceObj("graftMrfGroupCounts", groupCounts, "int[]")
+      val offRef = ctx.addReferenceObj("graftMrfOffsets", offsets, "int[]")
+      val ms = ctx.addMutableState("java.util.regex.Matcher[]", "graftMrfMatchers",
+        v => s"""$v = new java.util.regex.Matcher[${patterns.length}];
+                 |for (int i = 0; i < ${patterns.length}; i++) $v[i] = $patRef[i].matcher("");
+               """.stripMargin)
+      nullSafeCodeGen(ctx, ev, s => {
+        val str = ctx.freshName("str")
+        val arr = ctx.freshName("arr")
+        val i = ctx.freshName("i")
+        val g = ctx.freshName("g")
+        val v = ctx.freshName("v")
+        val m = ctx.freshName("m")
+        s"""
+           |java.lang.String $str = $s.toString();
+           |Object[] $arr = new Object[$totalSlots];
+           |for (int $i = 0; $i < ${patterns.length}; $i++) {
+           |  java.util.regex.Matcher $m = $ms[$i];
+           |  $m.reset($str);
+           |  if ($m.find()) {
+           |    for (int $g = 1; $g <= $gcRef[$i]; $g++) {
+           |      java.lang.String $v = $m.group($g);
+           |      if ($v != null) $arr[$offRef[$i] + $g - 1] =
+           |        org.apache.spark.unsafe.types.UTF8String.fromString($v);
+           |    }
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+         """.stripMargin
+      })
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -573,6 +697,8 @@ object NativeExpressions {
   def fingerprintHash(text: Column): Column = toCol(FingerprintHash(toExpr(text)))
   def regexpGroups(text: Column, pattern: String): Column =
     toCol(RegexpExtractGroups(toExpr(text), pattern))
+  def multiRegexpFirstMatch(text: Column, patterns: Seq[String]): Column =
+    toCol(MultiRegexpFirstMatch(toExpr(text), patterns))
   def regexpCount(text: Column, pattern: String): Column =
     toCol(RegexpCount(toExpr(text), pattern))
   def regexpReplaceMany(text: Column, patterns: Seq[String], replacements: Seq[String]): Column =

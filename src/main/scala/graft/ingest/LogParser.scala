@@ -37,12 +37,6 @@ object LogParser {
   private def rx(c: Column, pattern: String, group: Int = 1): Column =
     nullIfEmpty(regexp_extract(c, pattern, group))
 
-  /** Extractors whose capture may legitimately be empty (`([^\s]*)`):
-    * distinguish "key absent" (null) from "key present, empty value" ("").
-    */
-  private def rxMaybeEmpty(c: Column, key: String, pattern: String): Column =
-    when(c.contains(key), regexp_extract(c, pattern, 1)).otherwise(lit(null))
-
   /** ip: one alternation regex searched once; group 1 preferred if non-empty,
     * else group 2 of the *same* match — replicates Python's first-position
     * search over `from ([\d\.]+)|\[(\d+\.\d+\.\d+\.\d+)\]`. Both groups come
@@ -90,6 +84,33 @@ object LogParser {
       .when(message.contains("Disconnected from"), "disconnected")
       .when(lower(message).contains("timeout"), "timeout")
 
+  /** The 13 per-field message patterns, fused into ONE
+    * [[graft.functions.NativeExpressions.MultiRegexpFirstMatch]] pass in
+    * [[parse]]. Order is layout, not priority — each pattern is searched
+    * independently (so `user=` still matches inside `ruser=...`, exactly
+    * like the reference's unanchored re.search, parse_logs.py:19-46).
+    * `slot(i, g)` maps (pattern, group) → flat array index.
+    */
+  private val fieldPatterns: Seq[String] = Seq(
+    """from ([\d\.]+)|\[(\d+\.\d+\.\d+\.\d+)\]""", // 0: ip (2 groups)
+    """Invalid user (\S+)""",                      // 1: user cascade arm 1
+    """user=(\S+)""",                              // 2: user cascade arm 2
+    """for (\w+) from""",                          // 3: user cascade arm 3
+    """port (\d+)""",                              // 4
+    """rhost=([^\s]+)""",                          // 5
+    """tty=([^\s]+)""",                            // 6
+    """logname=([^\s]*)""",                        // 7 (empty capture legal)
+    """uid=(\d+)""",                               // 8
+    """euid=(\d+)""",                              // 9
+    """ruser=([^\s]*)""",                          // 10 (empty capture legal)
+    """pam_(\w+)\(sshd:(\w+)\)""",                 // 11: method (2 groups)
+    """ssh(\d)""")                                 // 12: protocol version
+  private val slotOffsets: Seq[Int] = fieldPatterns
+    .map(p => java.util.regex.Pattern.compile(p).matcher("").groupCount())
+    .scanLeft(0)(_ + _)
+  private def slot(fields: Column, pattern: Int, group: Int = 1): Column =
+    fields.getItem(slotOffsets(pattern) + group - 1)
+
   /** Dashboard-derived timestamp: hard-coded year 2024, `%Y %b %d %H:%M:%S`,
     * null on parse failure (pandas errors='coerce' parity).
     */
@@ -127,21 +148,31 @@ object LogParser {
       .drop("_line_groups")
 
     val m = col("message")
+    // ONE fused kernel searches all 13 field patterns per row (was 13
+    // independent regexp expressions, each converting the string again).
+    // Slot semantics: null = pattern absent, "" = present-but-empty capture
+    // — so the logname/ruser contains()-probe and the per-field
+    // nullif(...,'') wrappers fall away (their groups are +/\d classes that
+    // can never capture "", except logname/ruser where "" is the point).
+    val f = col("_fields")
     parsed
-      .withColumn("ip", ipCol(m))
-      .withColumn("user", userCol(m))
-      .withColumn("port", rx(m, """port (\d+)""").cast(IntegerType))
+      .withColumn("_fields",
+        graft.functions.NativeExpressions.multiRegexpFirstMatch(m, fieldPatterns))
+      .withColumn("ip", coalesce(slot(f, 0, 1), slot(f, 0, 2)))
+      .withColumn("user", coalesce(slot(f, 1), slot(f, 2), slot(f, 3)))
+      .withColumn("port", slot(f, 4).cast(IntegerType))
       .withColumn("event", eventCol(m))
-      .withColumn("rhost", rx(m, """rhost=([^\s]+)"""))
-      .withColumn("tty", rx(m, """tty=([^\s]+)"""))
-      .withColumn("logname", rxMaybeEmpty(m, "logname=", """logname=([^\s]*)"""))
-      .withColumn("uid", rx(m, """uid=(\d+)""").cast(IntegerType))
-      .withColumn("euid", rx(m, """euid=(\d+)""").cast(IntegerType))
-      .withColumn("ruser", rxMaybeEmpty(m, "ruser=", """ruser=([^\s]*)"""))
-      .withColumn("method", rx(m, """pam_(\w+)\(sshd:(\w+)\)""", 1))
-      .withColumn("protocol_version", protocolVersionCol(m))
+      .withColumn("rhost", slot(f, 5))
+      .withColumn("tty", slot(f, 6))
+      .withColumn("logname", slot(f, 7))
+      .withColumn("uid", slot(f, 8).cast(IntegerType))
+      .withColumn("euid", slot(f, 9).cast(IntegerType))
+      .withColumn("ruser", slot(f, 10))
+      .withColumn("method", slot(f, 11, 1))
+      .withColumn("protocol_version",
+        when(slot(f, 12).isNotNull, concat(lit("ssh"), slot(f, 12))))
       .withColumn("disconnect_reason", disconnectReasonCol(m))
       .withColumn("datetime", datetimeCol(col("month"), col("day"), col("time")))
-      .drop(lineCol)
+      .drop(lineCol, "_fields")
   }
 }
