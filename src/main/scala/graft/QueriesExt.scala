@@ -621,25 +621,50 @@ object QueriesExt {
       md5(col("text").cast("binary")).as("payload_md5"))
       .orderBy("doc_id"))
 
-  /** The stubbed decode pipeline (mapPartitions over binary payloads); the
-    * oracle recomputes the deterministic fake features in SQL.
+  /** REAL decode pipeline: PPM/PCM8/PPM-container payloads are synthesized
+    * as deterministic functions of the id, then genuinely parsed back
+    * (header + pixel rows) by mapPartitions decoders. The oracle recomputes
+    * the expected features from the synthesis formulas — it verifies that
+    * the byte-level decode recovered exactly what was encoded (same
+    * pattern as the parser roundtrip oracle). Mean intensities are exact:
+    * integer pixel sums divided once, identical on both engines.
     */
   private val mm2 = QueryDef("mm_decode_features",
-    Some("""WITH feats AS (
-           |  SELECT doc_id AS media_id,
-           |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-           |    cast(length(text) as bigint) AS n_bytes,
-           |    list_reduce(list_prepend(cast(7 as bigint),
-           |      list_transform(string_split(text, ''), x -> cast(ascii(x) as bigint))),
-           |      (a, b) -> (a * 31 + b) % 1000000007) AS checksum
-           |  FROM documents)
-           |SELECT media_id, modality, n_bytes, checksum,
-           |  CASE modality WHEN 'video' THEN greatest(1, n_bytes // 256)
-           |       WHEN 'audio' THEN greatest(1, n_bytes // 1024) ELSE 1 END AS frames_sampled
-           |FROM feats ORDER BY media_id""".stripMargin),
+    Some("""WITH m AS (
+           |  SELECT doc_id AS media_id, doc_id % 3 AS mod3 FROM documents),
+           |imgf AS (
+           |  SELECT media_id, 'image' AS modality,
+           |    cast(length('P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10)) + 3*w*h AS bigint) AS n_bytes,
+           |    cast(w AS int) AS width, cast(h AS int) AS height,
+           |    floor(list_sum([(media_id*7 + i*13) % 256 for i in range(0, 3*w*h)])::DOUBLE
+           |          / (3*w*h) * 10000 + 0.5) / 10000 AS mean_intensity,
+           |    1 AS frames_sampled
+           |  FROM (SELECT media_id, 8 + media_id % 16 AS w, 8 + media_id % 12 AS h
+           |        FROM m WHERE mod3 = 0)),
+           |audf AS (
+           |  SELECT media_id, 'audio' AS modality,
+           |    cast(length('A8' || chr(10) || n || chr(10)) + n AS bigint) AS n_bytes,
+           |    0 AS width, 0 AS height,
+           |    floor(list_sum([(media_id*5 + i*11) % 256 for i in range(0, n)])::DOUBLE
+           |          / n * 10000 + 0.5) / 10000 AS mean_intensity,
+           |    cast(greatest(1, n // 1024) AS int) AS frames_sampled
+           |  FROM (SELECT media_id, 200 + media_id % 800 AS n FROM m WHERE mod3 = 1)),
+           |vidf AS (
+           |  SELECT media_id, 'video' AS modality,
+           |    cast(length('V' || chr(10) || f || chr(10))
+           |         + f * (length('P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10)) + 3*w*h) AS bigint) AS n_bytes,
+           |    cast(w AS int) AS width, cast(h AS int) AS height,
+           |    floor(list_sum(flatten([[(media_id*7 + fr*17 + i*13) % 256 for i in range(0, 3*w*h)]
+           |                            for fr in range(0, f, 2)]))::DOUBLE
+           |          / (((f + 1) // 2) * 3*w*h) * 10000 + 0.5) / 10000 AS mean_intensity,
+           |    cast((f + 1) // 2 AS int) AS frames_sampled
+           |  FROM (SELECT media_id, 2 + media_id % 4 AS f, 8 + media_id % 8 AS w, 8 + media_id % 6 AS h
+           |        FROM m WHERE mod3 = 2))
+           |SELECT * FROM imgf UNION ALL SELECT * FROM audf UNION ALL SELECT * FROM vidf
+           |ORDER BY media_id""".stripMargin),
     (s, d) => Multimodal.featuresPipeline(s, docs(s, d))
-      .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"),
-        col("frames_sampled").cast("long").as("frames_sampled"))
+      .select("media_id", "modality", "n_bytes", "width", "height",
+        "mean_intensity", "frames_sampled")
       .orderBy("media_id"))
 
   // ---- composed cleaning pipeline ---------------------------------------
