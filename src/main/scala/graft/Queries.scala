@@ -913,16 +913,22 @@ object Queries {
     * sparse series silently skip empty buckets.
     *
     * Scale shape: the grid is built per user by exploding a broadcast
-    * 1-row (min, max) bound — users × hours rows, but no global calendar
-    * table is shuffled; the explode is map-side on the (already narrow)
-    * distinct-user frame. Zero-fill is a left join on (user, hour); the
-    * cumsum re-partitions by user only.
+    * each user's OWN [min, max] activity span (not the global calendar):
+    * at scale the global-span grid materializes |users|·|global hours|
+    * rows before the left join — per-user spans keep the grid proportional
+    * to actual activity, the explode is map-side on the (already narrow)
+    * per-user bounds aggregate, and no broadcast bounds row is needed.
+    * Semantics: hours outside a user's own first/last event are not
+    * zero-filled (gap-fill within each entity's lifetime — the usual
+    * time-series normalization); the oracle mirrors this.
+    * Zero-fill is a left join on (user, hour); the cumsum re-partitions
+    * by user only.
     */
   private val w6 = QueryDef("w6_gap_fill",
-    Some("""WITH b AS (SELECT date_trunc('hour', min(cast(ts as timestamp))) mn,
-           |                  date_trunc('hour', max(cast(ts as timestamp))) mx FROM events),
-           |u AS (SELECT DISTINCT user_id FROM events),
-           |grid AS (SELECT u.user_id, unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS h FROM u, b),
+    Some("""WITH u AS (SELECT user_id, date_trunc('hour', min(cast(ts as timestamp))) mn,
+           |                  date_trunc('hour', max(cast(ts as timestamp))) mx
+           |           FROM events GROUP BY user_id),
+           |grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM u),
            |c AS (SELECT user_id, date_trunc('hour', cast(ts as timestamp)) h, count(*) cnt
            |      FROM events GROUP BY 1, 2)
            |SELECT g.user_id AS user_id, g.h AS hour, coalesce(c.cnt, 0) AS cnt,
@@ -933,9 +939,8 @@ object Queries {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = ev(s, d).select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
-      val bounds = e.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
-      val grid = e.select("user_id").distinct()
-        .crossJoin(broadcast(bounds))
+      val grid = e.groupBy("user_id")
+        .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
         .select(col("user_id"),
           explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hour"))
       val counts = e.groupBy(col("user_id"), col("h").as("hour"))
