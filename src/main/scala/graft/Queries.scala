@@ -818,13 +818,30 @@ object Queries {
     * TrainingPrepSpec asserts the rsd-derived error bound vs exact.
     */
   private val a18 = QueryDef("a18_approx_distinct", None,
-    (s, d) => ev(s, d).groupBy("event_type")
-      .agg(
-        approx_count_distinct(col("user_id"), 0.005).as("approx_users"),
-        count_distinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("event_id"), 0.005).as("approx_events"),
+    (s, d) => {
+      // Two pitfalls engineered around, both measured at sf0.1:
+      // (1) the sketches and the exact distinct MUST NOT share one agg — a
+      // distinct aggregate in the same Aggregate triggers the Expand
+      // rewrite, whose partial aggregation keys on (event_type, value),
+      // and then EVERY one of those fine-grained groups carries full HLL
+      // buffers through the shuffle (gigabytes at scale). Split, the
+      // sketch agg has 5 groups with map-side merge and the exact agg
+      // shuffles narrow pairs; the 5-row results broadcast-join together.
+      // (2) rsd is 0.01, not arbitrarily tight: Spark's HLL agg buffer is
+      // one attribute PER 64-bit word (2^p registers), so per-row cost
+      // grows with precision — rsd 0.005 (p=16, ~6k buffer attributes per
+      // sketch) measured 10+ s where 0.01 (p=14) measures ~2.7 s.
+      val e = ev(s, d)
+      val approx = e.groupBy("event_type").agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        approx_count_distinct(col("event_id"), 0.01).as("approx_events"),
         count(lit(1)).as("total"))
-      .orderBy("event_type"))
+      val exact = e.groupBy("event_type").agg(
+        count_distinct(col("user_id")).as("exact_users"))
+      approx.join(broadcast(exact), "event_type")
+        .select("event_type", "approx_users", "exact_users", "approx_events", "total")
+        .orderBy("event_type")
+    })
 
   /** T4: top-k + "Others" rollup (draw_pie). Top-k membership via
     * TakeOrderedAndProject + broadcast probe, NOT a global ranking window

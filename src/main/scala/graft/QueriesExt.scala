@@ -368,6 +368,50 @@ object QueriesExt {
         .orderBy("shuffle_pos", "doc_id")
     })
 
+  /** Gopher-style repetition quality filters (Rae et al. 2021, table A1):
+    * duplicate-word fraction (1 − distinct/total tokens) and top-2-gram
+    * fraction (tokens covered by the most frequent bigram). Computed by the
+    * map-only [[graft.functions.NativeExpressions.RepetitionStats]] kernel —
+    * one pass per document, NO shuffle (the explode-bigrams + groupBy
+    * formulation the oracle uses would shuffle the corpus' entire token
+    * stream at 100 TB to answer a per-document question). Fractions use
+    * exact integer ratios divided once, so both engines agree bitwise; the
+    * keep flag applies the thresholds to the rounded values.
+    */
+  private val tx12 = QueryDef("tx_repetition",
+    Some("""WITH t AS (
+           |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+           |s AS (
+           |  SELECT doc_id, len(w) AS n_tok, len(list_distinct(w)) AS n_distinct,
+           |    coalesce(list_max(list_transform(
+           |      list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]),
+           |      b -> len(list_filter([w[i] || ' ' || w[i+1] for i in range(1, len(w))],
+           |                           x -> x = b)))), 0) AS top_bigram
+           |  FROM t),
+           |f AS (
+           |  SELECT doc_id, cast(n_tok AS int) AS n_tok,
+           |    floor((1 - n_distinct::DOUBLE / n_tok) * 10000 + 0.5) / 10000 AS dup_word_frac,
+           |    floor((2 * top_bigram::DOUBLE / n_tok) * 10000 + 0.5) / 10000 AS top_bigram_frac
+           |  FROM s)
+           |SELECT doc_id, n_tok, dup_word_frac, top_bigram_frac,
+           |  (dup_word_frac <= 0.65 AND top_bigram_frac <= 0.15) AS keep
+           |FROM f ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val st = graft.functions.NativeExpressions.repetitionStats(col("text"))
+      def round4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+      docs(s, d)
+        .select(col("doc_id"), st.as("st"))
+        .select(col("doc_id"),
+          col("st.n_tok").as("n_tok"),
+          round4(lit(1) - col("st.n_distinct").cast("double") / col("st.n_tok"))
+            .as("dup_word_frac"),
+          round4(col("st.top_bigram").cast("double") * 2 / col("st.n_tok"))
+            .as("top_bigram_frac"))
+        .withColumn("keep",
+          col("dup_word_frac") <= 0.65 && col("top_bigram_frac") <= 0.15)
+        .orderBy("doc_id")
+    })
+
   // ---- deduplication -----------------------------------------------------
 
   private val dd1 = QueryDef("dd_exact",
@@ -711,7 +755,7 @@ object QueriesExt {
     })
 
   val all: Seq[QueryDef] = Seq(
-    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11,
+    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12,
     dd1, dd2, dd3, dd4, dd5,
     sm1, sm2, sm3, sm4, sm5,
     mm1, mm2, pl1)

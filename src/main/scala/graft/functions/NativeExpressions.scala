@@ -440,6 +440,49 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Per-document repetition statistics in ONE tokenization pass:
+    * `struct<n_tok, n_distinct, top_bigram>` where top_bigram is the
+    * occurrence count of the most frequent word bigram (tokens joined with
+    * a single space). Feeds Gopher-style repetition quality filters
+    * (duplicate-word fraction, top-2-gram fraction — Rae et al. 2021,
+    * "Scaling Language Models", table A1 rules) as a MAP-ONLY per-row
+    * computation: the DataFrame-composition alternative explodes every
+    * bigram into a (doc, bigram) groupBy — a full shuffle of the corpus'
+    * token stream — to answer a question that is local to each document.
+    */
+  case class RepetitionStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    @transient private lazy val ws: UTF8String = UTF8String.fromString("\\s+")
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tok", IntegerType, nullable = false),
+      StructField("n_distinct", IntegerType, nullable = false),
+      StructField("top_bigram", IntegerType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_repetition_stats"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].split(ws, -1)
+      val distinct = new java.util.HashSet[UTF8String](toks.length * 2)
+      var i = 0
+      while (i < toks.length) { distinct.add(toks(i)); i += 1 }
+      val bigrams = new java.util.HashMap[String, Integer](toks.length * 2)
+      var top = 0
+      i = 0
+      while (i < toks.length - 1) {
+        val key = toks(i).toString + " " + toks(i + 1).toString
+        val c = bigrams.merge(key, 1, (a, b) => a + b)
+        if (c > top) top = c
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(toks.length, distinct.size, top)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Random-hyperplane LSH bucket keys for a float vector: `tables` keys,
     * each of `bits` sign bits. Hyperplane coefficient for (table, bit, dim)
     * is a deterministic xxhash64 folded into [-1, 1] — reproducible across
@@ -705,6 +748,7 @@ object NativeExpressions {
     toCol(RegexpReplaceMany(toExpr(text), patterns, replacements))
   def markerTokenCounts(text: Column, sets: Seq[Seq[String]]): Column =
     toCol(MarkerTokenCounts(toExpr(text), sets))
+  def repetitionStats(text: Column): Column = toCol(RepetitionStats(toExpr(text)))
   def minhashSignature(shingles: Column, k: Int): Column =
     toCol(MinHashSignature(toExpr(shingles), k))
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))

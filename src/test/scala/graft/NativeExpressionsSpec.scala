@@ -83,4 +83,14 @@ class NativeExpressionsSpec extends SparkSpec {
     // negated vector flips every sign bit → shares no bucket with the original
     assert(rows(0).zip(rows(2)).forall { case (x, y) => x != y })
   }
+
+  test("RepetitionStats: token/distinct/top-bigram counts, single-token edge") {
+    val df = Seq("a b a b c", "solo", "x x x x").toDF("t")
+    val rows = df.select(graft.functions.NativeExpressions.repetitionStats(col("t")).as("s"))
+      .select("s.n_tok", "s.n_distinct", "s.top_bigram").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(rows(0) == ((5, 3, 2)))  // "a b" occurs twice
+    assert(rows(1) == ((1, 1, 0)))  // no bigrams
+    assert(rows(2) == ((4, 1, 3)))  // "x x" three times
+  }
 }

@@ -76,7 +76,7 @@ class TrainingPrepSpec extends SparkSpec {
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
       val exact = r.getAs[Long]("exact_users").toDouble
-      // rsd 0.5%; allow 10 sigma + integer slack — a failure here means the
+      // rsd 1%; allow 5 sigma + integer slack — a failure here means the
       // sketch is broken, not unlucky
       assert(math.abs(approx - exact) <= math.max(2.0, 0.05 * exact),
         s"approx=$approx exact=$exact for ${r.getAs[String]("event_type")}")
