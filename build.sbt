@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}", // local[32] headroom (host has 128 GiB)
 )
+
+// Shipping gate: correctness specs + physical-plan assertions. PlanCheck
+// exits non-zero on FAIL, so `sbt gate` is red if either layer regresses.
+addCommandAlias("gate", ";test ;runMain graft.PlanCheck")
