@@ -109,6 +109,13 @@ object PlanCheck {
       "no interpreted filter/aggregate HOFs" ->
         (p => !p.contains("lambdafunction")))
 
+    // Repetition filters: ONE stats-kernel evaluation per row (three
+    // consuming fraction columns must not inline it 3×).
+    check("tx_repetition")(
+      "single repetition-stats kernel in the plan" ->
+        (p => "graft_repetition_stats".r.findAllIn(p).size == 1),
+      "no bigram explode/shuffle" -> (p => !p.contains("Generate")))
+
     // Fingerprint: native kernel, not the per-character HOF fold.
     check("tx_fingerprint")(
       "native fingerprint kernel" -> (_.contains("graft_fingerprint")),
