@@ -255,7 +255,13 @@ object QueriesExt {
       // in TextFunctionsSpec, and by the unchanged oracle here).
       val red = NativeExpressions.regexpReplaceMany(col("line"),
         Seq(emailPat, ipPat, userPat), Seq("<EMAIL>", "<IP>", "<USER>"))
-      Tables.events(s, d).select(col("event_id"), line.as("line"))
+      // Same single-split serialization fix as p_parse_ssh_roundtrip: the
+      // events file is one parquet split at small SF, so spread the narrow
+      // id columns across the cluster BEFORE the regex-heavy synthesis +
+      // redaction; explicit count so AQE can't coalesce the tiny shuffle.
+      Tables.events(s, d).select("event_id", "user_id")
+        .repartition(s.sparkContext.defaultParallelism, col("event_id"))
+        .select(col("event_id"), line.as("line"))
         .select(col("event_id"), red.as("r"))
         .select(col("event_id"),
           col("r.counts")(0).as("n_emails"),
