@@ -123,4 +123,26 @@ class StreamingParitySpec extends SparkSpec {
     val aCounts = out.filter(_._1 == "a").map(_._2).sorted.toSeq
     assert(aCounts == Seq(1L, 1L, 2L))
   }
+
+  test("stateless kernel projection (repetition stats): streaming equals batch") {
+    // the quality-filter kernels are stateless projections, so they drop
+    // into a readStream -> transform -> writeStream pipeline unchanged
+    implicit val sq = spark.sqlContext
+    val docs = Seq((1L, "a b a b c"), (2L, "x y z"), (3L, "q q q q"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs)
+    def stats(df: org.apache.spark.sql.DataFrame) = df.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.NativeExpressions.repetitionStats(col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_tok"), col("s.n_distinct"), col("s.top_bigram"))
+    val q = stats(mem.toDF()).writeStream.format("memory")
+      .queryName("rep_stats_test").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streaming = spark.table("rep_stats_test").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    val batch = stats(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(streaming == batch && streaming.size == 3)
+  }
 }
