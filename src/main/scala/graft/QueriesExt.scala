@@ -56,6 +56,29 @@ object QueriesExt {
       |       WHEN fr_score = greatest(en_score, es_score, fr_score, de_score) THEN 'fr'
       |       ELSE 'de' END""".stripMargin
 
+  /** Repetition-filter fragments (mirror
+    * [[NativeExpressions.RepetitionStats]] + the rounding convention),
+    * parameterized by a `regexp_split_to_array(text, '\s+')` expression so
+    * tx_repetition's oracle and the composed pipeline's oracle share one
+    * definition. Thresholds likewise shared below.
+    */
+  private def dupWordFracSql(w: String): String =
+    s"floor((1 - len(list_distinct($w))::DOUBLE / len($w)) * 10000 + 0.5) / 10000"
+  private def topBigramFracSql(w: String): String =
+    s"""floor((2 * coalesce(list_max(list_transform(
+       |      list_distinct([$w[i] || ' ' || $w[i+1] for i in range(1, len($w))]),
+       |      b -> len(list_filter([$w[i] || ' ' || $w[i+1] for i in range(1, len($w))],
+       |                           x -> x = b)))), 0)::DOUBLE / len($w)) * 10000 + 0.5) / 10000""".stripMargin
+  private val DupWordMax = 0.65
+  private val TopBigramMax = 0.15
+
+  /** Spark twins of the fragments, over a RepetitionStats struct column. */
+  private def round4Col(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+  private def dupWordFrac(st: Column): Column =
+    round4Col(lit(1) - st.getField("n_distinct").cast("double") / st.getField("n_tok"))
+  private def topBigramFrac(st: Column): Column =
+    round4Col(st.getField("top_bigram").cast("double") * 2 / st.getField("n_tok"))
+
   // ---- text analysis -----------------------------------------------------
 
   private val tx1 = QueryDef("tx_token_counts",
@@ -385,36 +408,26 @@ object QueriesExt {
     * keep flag applies the thresholds to the rounded values.
     */
   private val tx12 = QueryDef("tx_repetition",
-    Some("""WITH t AS (
-           |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
-           |s AS (
-           |  SELECT doc_id, len(w) AS n_tok, len(list_distinct(w)) AS n_distinct,
-           |    coalesce(list_max(list_transform(
-           |      list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]),
-           |      b -> len(list_filter([w[i] || ' ' || w[i+1] for i in range(1, len(w))],
-           |                           x -> x = b)))), 0) AS top_bigram
-           |  FROM t),
-           |f AS (
-           |  SELECT doc_id, cast(n_tok AS int) AS n_tok,
-           |    floor((1 - n_distinct::DOUBLE / n_tok) * 10000 + 0.5) / 10000 AS dup_word_frac,
-           |    floor((2 * top_bigram::DOUBLE / n_tok) * 10000 + 0.5) / 10000 AS top_bigram_frac
-           |  FROM s)
-           |SELECT doc_id, n_tok, dup_word_frac, top_bigram_frac,
-           |  (dup_word_frac <= 0.65 AND top_bigram_frac <= 0.15) AS keep
-           |FROM f ORDER BY doc_id""".stripMargin),
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents),
+            |f AS (
+            |  SELECT doc_id, cast(len(w) AS int) AS n_tok,
+            |    ${dupWordFracSql("w")} AS dup_word_frac,
+            |    ${topBigramFracSql("w")} AS top_bigram_frac
+            |  FROM t)
+            |SELECT doc_id, n_tok, dup_word_frac, top_bigram_frac,
+            |  (dup_word_frac <= $DupWordMax AND top_bigram_frac <= $TopBigramMax) AS keep
+            |FROM f ORDER BY doc_id""".stripMargin),
     (s, d) => {
-      val st = graft.functions.NativeExpressions.repetitionStats(col("text"))
-      def round4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
       docs(s, d)
-        .select(col("doc_id"), st.as("st"))
+        .select(col("doc_id"),
+          graft.functions.NativeExpressions.repetitionStats(col("text")).as("st"))
         .select(col("doc_id"),
           col("st.n_tok").as("n_tok"),
-          round4(lit(1) - col("st.n_distinct").cast("double") / col("st.n_tok"))
-            .as("dup_word_frac"),
-          round4(col("st.top_bigram").cast("double") * 2 / col("st.n_tok"))
-            .as("top_bigram_frac"))
+          dupWordFrac(col("st")).as("dup_word_frac"),
+          topBigramFrac(col("st")).as("top_bigram_frac"))
         .withColumn("keep",
-          col("dup_word_frac") <= 0.65 && col("top_bigram_frac") <= 0.15)
+          col("dup_word_frac") <= DupWordMax && col("top_bigram_frac") <= TopBigramMax)
         .orderBy("doc_id")
     })
 
@@ -721,6 +734,7 @@ object QueriesExt {
 
   /** The end-to-end shape a training-data ingest actually runs: exact
     * dedup (keep canonical docs only) → quality gate → language gate →
+    * repetition gate (Gopher rules, same thresholds as tx_repetition) →
     * kept corpus. Every stage is one of the already-verified primitives;
     * the oracle recomposes them from the shared SQL fragments above. At
     * scale this is one narrow hash-shuffle (dedup) followed by map-only
@@ -739,9 +753,14 @@ object QueriesExt {
             |    $langScoreSqlItems
             |  FROM kept),
             |pred AS (
-            |  SELECT *, $predictedSql AS predicted FROM feats)
-            |SELECT doc_id, quality FROM pred
-            |WHERE quality >= 0.35 AND predicted = 'en'
+            |  SELECT *, $predictedSql AS predicted FROM feats),
+            |reps AS (
+            |  SELECT doc_id, ${dupWordFracSql("w")} AS dwf, ${topBigramFracSql("w")} AS tbf
+            |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM kept))
+            |SELECT p.doc_id AS doc_id, p.quality AS quality FROM pred p
+            |JOIN reps r ON r.doc_id = p.doc_id
+            |WHERE p.quality >= 0.35 AND p.predicted = 'en'
+            |  AND r.dwf <= $DupWordMax AND r.tbf <= $TopBigramMax
             |ORDER BY doc_id""".stripMargin),
     (s, d) => {
       val base = docs(s, d)
@@ -750,12 +769,15 @@ object QueriesExt {
       base.join(keepIds, "doc_id")
         .select(col("doc_id"),
           TextFunctions.qualityScore(col("text")).as("quality"),
-          TextFunctions.langScores(col("text")).as("sc"))
+          TextFunctions.langScores(col("text")).as("sc"),
+          NativeExpressions.repetitionStats(col("text")).as("st"))
         .select(col("doc_id"), col("quality"),
           TextFunctions.predictedFromScores(
             col("sc").getItem(0), col("sc").getItem(1),
-            col("sc").getItem(2), col("sc").getItem(3)).as("predicted"))
-        .filter(col("quality") >= 0.35 && col("predicted") === "en")
+            col("sc").getItem(2), col("sc").getItem(3)).as("predicted"),
+          dupWordFrac(col("st")).as("dwf"), topBigramFrac(col("st")).as("tbf"))
+        .filter(col("quality") >= 0.35 && col("predicted") === "en" &&
+          col("dwf") <= DupWordMax && col("tbf") <= TopBigramMax)
         .select("doc_id", "quality")
         .orderBy("doc_id")
     })
