@@ -80,7 +80,16 @@ object Bench {
     }
     if (disputed.nonEmpty)
       System.err.println(s"[bench] warmup+third pass for ${disputed.size} disputed: ${disputed.mkString(", ")}")
-    val pass3 = disputed.map { n => once(n); n -> once(n) }.toMap
+    // Warm-up runs must not mark a query failed: a disputed query already
+    // has TWO successful timed passes, so a transient stall here would
+    // wrongly null out a valid measurement.
+    def onceQuiet(name: String): Unit = {
+      try run(SparkEntry.queries(name)(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: ${e.getMessage}") }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    val pass3 = disputed.map { n => onceQuiet(n); n -> once(n) }.toMap
     val results = ListMap(names.map { n =>
       n -> (if (failed.contains(n)) None
             else Some(math.min(math.min(pass1(n), pass2(n)), pass3.getOrElse(n, Double.MaxValue))))

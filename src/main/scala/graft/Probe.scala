@@ -7,6 +7,10 @@ import java.util.concurrent.ConcurrentHashMap
   * driver contract).
   */
 object Probe {
+  // profiler print threshold in seconds; malformed values fall back
+  private val hotMin: Double =
+    scala.util.Try(sys.env.getOrElse("PROBE_HOT_MIN", "5").toDouble).getOrElse(5.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -58,7 +62,7 @@ object Probe {
       val dt = (System.nanoTime() - t0) / 1e9
       sampling = false
       println(f"PROBE $name: $dt%.2f s")
-      if (dt > sys.env.getOrElse("PROBE_HOT_MIN", "5").toDouble) {
+      if (dt > hotMin) {
         samples.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (f, c) =>
           println(f"  HOT $c%4d  $f")
         }

@@ -73,11 +73,10 @@ object QueriesExt {
   private val TopBigramMax = 0.15
 
   /** Spark twins of the fragments, over a RepetitionStats struct column. */
-  private def round4Col(c: Column): Column = floor(c * 10000 + 0.5) / 10000
-  private def dupWordFrac(st: Column): Column =
-    round4Col(lit(1) - st.getField("n_distinct").cast("double") / st.getField("n_tok"))
-  private def topBigramFrac(st: Column): Column =
-    round4Col(st.getField("top_bigram").cast("double") * 2 / st.getField("n_tok"))
+  private def dupWordFrac(st: Column): Column = graft.functions.Rounding.round4(
+    lit(1) - st.getField("n_distinct").cast("double") / st.getField("n_tok"))
+  private def topBigramFrac(st: Column): Column = graft.functions.Rounding.round4(
+    st.getField("top_bigram").cast("double") * 2 / st.getField("n_tok"))
 
   // ---- text analysis -----------------------------------------------------
 
@@ -181,7 +180,8 @@ object QueriesExt {
       val n = base.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dft, "term").crossJoin(broadcast(n))
         .withColumn("tfidf",
-          floor(col("tf") * log(col("n_docs") * lit(1.0) / col("df")) * 10000 + 0.5) / 10000)
+          graft.functions.Rounding.round4(
+            col("tf") * log(col("n_docs") * lit(1.0) / col("df"))))
       // Per-doc top-3 via a window, DELIBERATELY not the custom top-k
       // Aggregator (a16's pattern): doc_id is high-cardinality with
       // bounded rows per key (≤ unique terms per doc), so the per-doc

@@ -17,8 +17,9 @@ import org.apache.spark.sql.expressions.Window
   *   - MinHash/LSH: fixed-width signatures (k hashes) then banding — the
   *     join key is (band, bandHash), so shuffle volume is #docs × #bands
   *     regardless of document size.
-  *   - SimHash: 64-bit signature; near-dup candidates via band equality on
-  *     signature quarters (Hamming ≤ 3 ⟹ one quarter equal, pigeonhole).
+  *   - SimHash: 64-bit signature; near-dup candidates via equality on
+  *     PAIRS of 8-bit signature blocks (Hamming ≤ 6 ⟹ two blocks clean ⟹
+  *     some enumerated block pair equal, pigeonhole).
   */
 object Dedup {
 
@@ -95,7 +96,7 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
       .filter(rawJaccard >= threshold)
-      .withColumn("jaccard", floor(rawJaccard * 10000 + 0.5) / 10000)
+      .withColumn("jaccard", Rounding.round4(rawJaccard))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
@@ -183,10 +184,14 @@ object Dedup {
       bit_count(x)
     }
 
+    // Filter BEFORE distinct: with 28 block-pair keys a true pair emits up
+    // to 28 duplicate candidate rows, and far pairs colliding on one bucket
+    // are dead weight — the Hamming check is a pure function of the pair,
+    // so filtering first is identical and shrinks the distinct's shuffle.
     blocked.as("a").join(blocked.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), hamming.as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }

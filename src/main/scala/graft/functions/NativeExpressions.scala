@@ -331,7 +331,8 @@ object NativeExpressions {
       compiled.map(_.matcher(""))
     @transient private lazy val groupCounts: Array[Int] =
       compiled.map(_.matcher("").groupCount())
-    @transient private lazy val offsets: Array[Int] = groupCounts.scanLeft(0)(_ + _)
+    @transient private lazy val offsets: Array[Int] =
+      multiRegexpSlotOffsets(patterns).toArray
     @transient private lazy val totalSlots: Int = offsets(patterns.length)
 
     override def dataType: DataType = ArrayType(StringType, containsNull = true)
@@ -463,16 +464,22 @@ object NativeExpressions {
     override def prettyName: String = "graft_repetition_stats"
 
     override def nullSafeEval(input: Any): Any = {
-      val toks = input.asInstanceOf[UTF8String].split(ws, -1)
-      val distinct = new java.util.HashSet[UTF8String](toks.length * 2)
+      val raw = input.asInstanceOf[UTF8String].split(ws, -1)
+      // stringify each token ONCE; the strings serve both the distinct set
+      // and the bigram keys (the naive loop converted every token twice)
+      val toks = new Array[String](raw.length)
+      val distinct = new java.util.HashSet[String](raw.length * 2)
       var i = 0
-      while (i < toks.length) { distinct.add(toks(i)); i += 1 }
-      val bigrams = new java.util.HashMap[String, Integer](toks.length * 2)
+      while (i < raw.length) {
+        toks(i) = raw(i).toString
+        distinct.add(toks(i))
+        i += 1
+      }
+      val bigrams = new java.util.HashMap[String, Integer](raw.length * 2)
       var top = 0
       i = 0
       while (i < toks.length - 1) {
-        val key = toks(i).toString + " " + toks(i + 1).toString
-        val c = bigrams.merge(key, 1, (a, b) => a + b)
+        val c = bigrams.merge(toks(i) + " " + toks(i + 1), 1, (a, b) => a + b)
         if (c > top) top = c
         i += 1
       }
@@ -742,6 +749,15 @@ object NativeExpressions {
     toCol(RegexpExtractGroups(toExpr(text), pattern))
   def multiRegexpFirstMatch(text: Column, patterns: Seq[String]): Column =
     toCol(MultiRegexpFirstMatch(toExpr(text), patterns))
+
+  /** THE slot layout of [[MultiRegexpFirstMatch]]'s output array:
+    * offsets(i) is where pattern i's group 1 lands, offsets(n) = total
+    * slots. Callers map (pattern, group) → index through this, never by
+    * re-deriving the layout — one source of truth for the flat packing.
+    */
+  def multiRegexpSlotOffsets(patterns: Seq[String]): Seq[Int] =
+    patterns.map(p => java.util.regex.Pattern.compile(p).matcher("").groupCount())
+      .scanLeft(0)(_ + _)
   def regexpCount(text: Column, pattern: String): Column =
     toCol(RegexpCount(toExpr(text), pattern))
   def regexpReplaceMany(text: Column, patterns: Seq[String], replacements: Seq[String]): Column =

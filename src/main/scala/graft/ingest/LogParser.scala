@@ -105,9 +105,8 @@ object LogParser {
     """ruser=([^\s]*)""",                          // 10 (empty capture legal)
     """pam_(\w+)\(sshd:(\w+)\)""",                 // 11: method (2 groups)
     """ssh(\d)""")                                 // 12: protocol version
-  private val slotOffsets: Seq[Int] = fieldPatterns
-    .map(p => java.util.regex.Pattern.compile(p).matcher("").groupCount())
-    .scanLeft(0)(_ + _)
+  private val slotOffsets: Seq[Int] =
+    graft.functions.NativeExpressions.multiRegexpSlotOffsets(fieldPatterns)
   private def slot(fields: Column, pattern: Int, group: Int = 1): Column =
     fields.getItem(slotOffsets(pattern) + group - 1)
 

@@ -3,6 +3,7 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets.US_ASCII
+import graft.functions.Rounding.round4
 
 /** Multimodal (image/audio/video) column handling.
   *
@@ -114,8 +115,6 @@ object Multimodal {
     (w, h, sum, pixOff, pixOff + n)
   }
 
-  private def round4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
-
   /** Per-partition decode → features. Parses the actual bytes:
     *   - image: PPM header + pixel mean;
     *   - audio: `A8` header + sample mean, frames = max(1, n/1024) blocks;
@@ -141,6 +140,8 @@ object Multimodal {
             require(sc.token() == "A8", "not an A8 audio payload")
             val n = sc.token().toInt
             val off = sc.pos + 1
+            require(n > 0, "empty A8 payload")
+            require(off + n <= bytes.length, "truncated A8 payload")
             var sum = 0L
             var i = 0
             while (i < n) { sum += bytes(off + i) & 0xFF; i += 1 }

@@ -26,7 +26,7 @@ class MultiRegexpPropSpec extends SparkSpec {
     """ssh(\d)""")
   private val groupCounts = patterns.map(p =>
     java.util.regex.Pattern.compile(p).matcher("").groupCount())
-  private val offsets = groupCounts.scanLeft(0)(_ + _)
+  private val offsets = NativeExpressions.multiRegexpSlotOffsets(patterns)
 
   private val fragment: Gen[String] = Gen.oneOf[Gen[String]](
     Gen.const(Gen.const("from 10.0.3.4")),
