@@ -211,6 +211,44 @@ object Queries {
         .orderBy("event_type")
     })
 
+  /** S (rebuild extra): JSON-lines sink + re-scan with EXPLICIT schema —
+    * the interchange format every ingest boundary still speaks. Explicit
+    * schema matters at scale: inference reads the data twice and can
+    * widen types differently per partition sample.
+    */
+  private val s9 = QueryDef("s9_jsonl_roundtrip",
+    Some("""SELECT event_type, count(*) AS cnt, cast(sum(user_id) as bigint) AS sum_users
+           |FROM events WHERE user_id % 3 = 0 GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val path = s"/tmp/graft_s9_jsonl_${Integer.toHexString(d.hashCode)}"
+      ev(s, d).select("event_id", "event_type", "user_id")
+        .write.mode("overwrite").json(path)
+      s.read.schema("event_id BIGINT, event_type STRING, user_id BIGINT").json(path)
+        .filter(pmod(col("user_id"), lit(3)) === 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("sum_users"))
+        .orderBy("event_type")
+    })
+
+  /** S (rebuild extra): ORC sink + re-scan — the other columnar format a
+    * switching user may already store; predicate pushes into the ORC scan
+    * the same as parquet.
+    */
+  private val s10 = QueryDef("s10_orc_roundtrip",
+    Some("""SELECT event_type, count(*) AS cnt,
+           |       cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+           |FROM events WHERE value <= 100 GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val path = s"/tmp/graft_s10_orc_${Integer.toHexString(d.hashCode)}"
+      ev(s, d).select("event_id", "event_type", "value")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path).filter(col("value") <= 100)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    })
+
   /** S (rebuild extra): bucketed sink + co-located join — the 100 TB
     * technique for repeated joins/aggregations on one key: both sides are
     * written `bucketBy(user_id)`, so the join AND the following aggregate
@@ -1133,7 +1171,7 @@ object Queries {
 
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
-    s1, s2, s4, s7, s8, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
+    s1, s2, s4, s7, s8, s9, s10, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, su, si, se, g1, g2,
