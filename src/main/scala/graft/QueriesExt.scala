@@ -450,10 +450,11 @@ object QueriesExt {
            |  SELECT doc_id AS doc, unnest(list_distinct(
            |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS shingle
            |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
+           |nd AS (SELECT count(*) AS n_docs FROM documents),
            |capped AS (
            |  SELECT doc, shingle FROM
            |    (SELECT doc, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
-           |  WHERE df <= 100),
+           |  WHERE df <= (SELECT greatest(100, 0.2 * n_docs) FROM nd)),
            |sizes AS (SELECT doc, count(*) AS n_shingles FROM capped GROUP BY doc),
            |common AS (
            |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
@@ -480,10 +481,11 @@ object QueriesExt {
            |  SELECT doc_id AS doc, unnest(list_distinct(
            |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS shingle
            |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
+           |nd AS (SELECT count(*) AS n_docs FROM documents),
            |capped AS (
            |  SELECT doc, shingle FROM
            |    (SELECT doc, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
-           |  WHERE df <= 100),
+           |  WHERE df <= (SELECT greatest(100, 0.2 * n_docs) FROM nd)),
            |sizes AS (SELECT doc, count(*) AS n_shingles FROM capped GROUP BY doc),
            |common AS (
            |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c

@@ -60,18 +60,31 @@ object Dedup {
   }
 
   /** Doc → exploded distinct word-n-gram shingles, df-capped.
-    * `maxDf` drops shingles appearing in more than maxDf docs — bounds the
-    * inverted-index bucket size (quadratic-blowup guard).
+    * The cap drops shingles appearing in more than
+    * `max(maxDf, maxDfFraction·|corpus|)` docs — bounds the inverted-index
+    * bucket size (quadratic-blowup guard). The cap MUST scale with the
+    * corpus: a fixed absolute cap silently changes semantics as data
+    * grows (at 10× this repo's sf0.01, a flat 100 capped away nearly every
+    * shingle of the small-vocabulary corpus, and "jaccard over surviving
+    * shingles" degenerated into noise — 1066 spurious pairs where the
+    * relative cap yields 256 real near-dups with a clean score gap). The
+    * corpus size arrives as a broadcast 1-row cross join, never a driver
+    * collect.
     */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, maxDf: Long): DataFrame = {
+                   n: Int, maxDf: Long, maxDfFraction: Double = 0.0): DataFrame = {
     val exploded = docs
       .select(col(idCol).as("doc"),
         explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("shingle"))
-    val capped = exploded
+    val withDf = exploded
       .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= maxDf)
-      .drop("df")
+    val capped =
+      if (maxDfFraction > 0) {
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        withDf.crossJoin(broadcast(nDocs))
+          .filter(col("df") <= greatest(lit(maxDf), col("n_docs") * maxDfFraction))
+          .drop("df", "n_docs")
+      } else withDf.filter(col("df") <= maxDf).drop("df")
     capped
   }
 
@@ -79,8 +92,9 @@ object Dedup {
     * Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold, doc_a < doc_b.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double, maxDf: Long = 100): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, n, maxDf).cache()
+                        n: Int, threshold: Double, maxDf: Long = 100,
+                        maxDfFraction: Double = 0.2): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n, maxDf, maxDfFraction).cache()
     val sizes = idx.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
 
     val common = idx.as("a").join(idx.as("b"),
