@@ -168,6 +168,16 @@ object PlanCheck {
       "window partitioned by (lang, shard)" ->
         (p => "hashpartitioning\\(lang#\\d+, shard#\\d+".r.findFirstIn(p).isDefined))
 
+    // Document-store connector: `find(filter, projection)` semantics — the
+    // filter and the column pruning must reach the DSv2 BatchScan, so
+    // non-matching documents and unused fields never materialize as rows.
+    check("s11_docstore_roundtrip")(
+      "filter pushed into docstore scan" ->
+        (p => p.contains("PushedFilters: [") && p.contains("In(event_type")
+          && p.contains("GreaterThan(user_id,100)")),
+      "projection pruned to the 2 used fields" ->
+        (_.contains("ReadFields: [event_type, user_id]")))
+
     println(if (failures == 0) "PLANCHECK OK" else s"PLANCHECK $failures FAILURES")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -249,6 +249,32 @@ object Queries {
         .orderBy("event_type")
     })
 
+  /** S11: document-store round-trip through the repo's own DataSource V2
+    * connector (`graft.sources.docstore.DocStoreSource`) — the real rebuild
+    * of the reference's MongoDB hop: `insert_mongo.py:9-15`
+    * (`collection.insert_many`) becomes the connector's task-committed
+    * write, and `stats_dashboard.py:13-16` (`collection.find({}, {"_id":0})`)
+    * becomes a scan whose filter AND projection push INTO the connector
+    * (PlanCheck asserts `PushedFilters`/`ReadFields` in the BatchScan):
+    * non-matching documents are dropped and absent fields skipped before
+    * any row is materialized — `find(filter, projection)` semantics, not
+    * scan-everything-then-filter.
+    */
+  private val s11 = QueryDef("s11_docstore_roundtrip",
+    Some("""SELECT event_type, count(*) AS cnt, cast(sum(user_id) as bigint) AS sum_users
+           |FROM events WHERE event_type IN ('click','view') AND user_id > 100
+           |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val path = s"/tmp/graft_s11_docstore_${Integer.toHexString(d.hashCode)}"
+      ev(s, d).select("event_id", "event_type", "user_id")
+        .write.format("docstore").mode("overwrite").save(path)
+      s.read.format("docstore").load(path)
+        .filter(col("event_type").isin("click", "view") && col("user_id") > 100)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("sum_users"))
+        .orderBy("event_type")
+    })
+
   /** S (rebuild extra): bucketed sink + co-located join — the 100 TB
     * technique for repeated joins/aggregations on one key: both sides are
     * written `bucketBy(user_id)`, so the join AND the following aggregate
@@ -1171,7 +1197,7 @@ object Queries {
 
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
-    s1, s2, s4, s7, s8, s9, s10, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
+    s1, s2, s4, s7, s8, s9, s10, s11, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, su, si, se, g1, g2,

@@ -1,0 +1,401 @@
+package graft.sources.docstore
+
+import java.util.UUID
+
+import scala.collection.JavaConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{JsonNodeFactory, ObjectNode}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage, SupportsTruncate}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Document-store source/sink: a full DataSource V2 connector.
+  *
+  * The reference persists parsed rows as schemaless documents in MongoDB
+  * (`insert_mongo.py:9-15`: `collection.insert_many(records)`) and reads
+  * them back with a projection (`stats_dashboard.py:13-16`:
+  * `collection.find({}, {"_id": 0})`). No mongod exists in this sandbox, so
+  * instead of a parquet stand-in this is a real connector with the same
+  * semantics a document store gives you:
+  *
+  *   - documents are JSON objects; ABSENT fields read back as null, and
+  *     null fields are written as absent (insert_many drops None the same
+  *     way once pandas NaN is cleaned);
+  *   - schema-on-read: the collection's schema travels in `_schema.json`
+  *     (or is supplied externally via `.schema(...)`);
+  *   - the dashboard's `find(filter, projection)` maps to Catalyst filter
+  *     pushdown + column pruning: pushed filters are evaluated on the
+  *     parsed document BEFORE rows are materialized, and only required
+  *     fields are converted (`find`'s projection doc).
+  *
+  * Scale design: all I/O goes through the Hadoop FileSystem API, so the
+  * same code runs against HDFS/S3 paths on a cluster. Reads plan one
+  * InputPartition per part file (writers shard the collection, readers
+  * parallelize over shards). Writes use the standard task-commit protocol:
+  * each task writes a hidden temp file and renames it into place on task
+  * commit, so speculative/failed tasks never leave partial shards visible.
+  *
+  * Supported field types: STRING, INT, BIGINT, DOUBLE, BOOLEAN — the
+  * document shapes the reference stores (all-nullable strings plus the
+  * numeric columns of the rebuild's tables).
+  */
+class DocStoreSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "docstore"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DocStore.readStoredSchema(DocStore.pathOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("docstore requires a 'path' option"))
+    DocStore.validateSchema(schema)
+    new DocStoreTable(path, schema)
+  }
+}
+
+private[docstore] object DocStore {
+  def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("docstore requires a 'path' option"))
+
+  def fs(path: Path): FileSystem = path.getFileSystem(new Configuration())
+
+  val SchemaFile = "_schema.json"
+
+  def readStoredSchema(dir: String): StructType = {
+    val p = new Path(dir, SchemaFile)
+    val f = fs(p)
+    if (!f.exists(p))
+      throw new IllegalArgumentException(
+        s"docstore collection at $dir has no $SchemaFile; write first or pass .schema(...)")
+    val in = f.open(p)
+    val ddl = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    StructType.fromDDL(ddl)
+  }
+
+  def writeStoredSchema(dir: String, schema: StructType): Unit = {
+    val p = new Path(dir, SchemaFile)
+    val f = fs(p)
+    val out = f.create(p, true)
+    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+  }
+
+  def validateSchema(schema: StructType): Unit = schema.fields.foreach { fld =>
+    fld.dataType match {
+      case StringType | IntegerType | LongType | DoubleType | BooleanType => ()
+      case dt => throw new IllegalArgumentException(
+        s"docstore does not support field '${fld.name}' of type ${dt.simpleString}; " +
+          "supported: string, int, bigint, double, boolean")
+    }
+  }
+
+  /** Shard files of the collection, sorted for deterministic planning. */
+  def listParts(dir: String): Array[Path] = {
+    val d = new Path(dir)
+    val f = fs(d)
+    if (!f.exists(d)) Array.empty
+    else f.listStatus(d).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".jsonl"))
+      .sortBy(_.getName)
+  }
+}
+
+private[docstore] class DocStoreTable(path: String, schema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"docstore:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DocStoreScanBuilder(path, schema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    DocStore.validateSchema(info.schema())
+    new DocStoreWriteBuilder(path, info.schema())
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Read path
+// ---------------------------------------------------------------------------
+
+private[docstore] class DocStoreScanBuilder(path: String, schema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = schema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** `find(filter)` support: accept the predicate shapes a document store
+    * serves (equality, range, membership, existence, prefix) on top-level
+    * fields; everything else stays a Spark-side residual.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition(DocStoreFilters.supported(schema, _))
+    pushed = sup
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = new DocStoreScan(path, schema, required, pushed)
+}
+
+private[docstore] class DocStoreScan(path: String, full: StructType,
+                                     required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"docstore $path, PushedFilters: [${pushed.mkString(", ")}], ReadFields: [${required.fieldNames.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    DocStore.listParts(path).map(p => DocStorePartition(p.toString): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocStoreReaderFactory(full, required, pushed)
+}
+
+private[docstore] case class DocStorePartition(file: String) extends InputPartition
+
+private[docstore] class DocStoreReaderFactory(full: StructType, required: StructType,
+                                              pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new DocStoreReader(partition.asInstanceOf[DocStorePartition].file, full, required, pushed)
+}
+
+/** Streams one shard: parse each line's document, evaluate pushed filters on
+  * the document (absent field = null, exactly `find`'s missing-field
+  * semantics), then materialize only the required fields.
+  */
+private[docstore] class DocStoreReader(file: String, full: StructType,
+                                       required: StructType, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val p = new Path(file)
+  private val in = DocStore.fs(p).open(p)
+  private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+  private val fullIdx: Map[String, StructField] = full.fields.map(f => f.name -> f).toMap
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      val line = lines.next()
+      if (line.nonEmpty) {
+        val doc = mapper.readTree(line)
+        if (pushed.forall(DocStoreFilters.eval(_, doc, fullIdx))) {
+          val vals = new Array[Any](required.length)
+          var i = 0
+          while (i < required.length) {
+            val fld = required.fields(i)
+            vals(i) = DocStoreFilters.fieldValue(doc.get(fld.name), fld.dataType)
+            i += 1
+          }
+          current = new GenericInternalRow(vals)
+          return true
+        }
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
+
+/** Filter support/evaluation shared by planner (supported) and reader
+  * (eval). Evaluation happens on the raw document node, pre-materialization.
+  */
+private[docstore] object DocStoreFilters {
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, _) => top(schema, a)
+    case GreaterThan(a, _) => top(schema, a)
+    case GreaterThanOrEqual(a, _) => top(schema, a)
+    case LessThan(a, _) => top(schema, a)
+    case LessThanOrEqual(a, _) => top(schema, a)
+    case In(a, _) => top(schema, a)
+    case IsNull(a) => top(schema, a)
+    case IsNotNull(a) => top(schema, a)
+    case StringStartsWith(a, _) => top(schema, a)
+    case _ => false
+  }
+  private def top(schema: StructType, attr: String): Boolean =
+    !attr.contains(".") && schema.fieldNames.contains(attr)
+
+  /** Spark-internal value (UTF8String for strings) for a JSON node, or null
+    * when the field is absent or JSON-null.
+    */
+  def fieldValue(node: JsonNode, dt: DataType): Any =
+    if (node == null || node.isNull) null
+    else dt match {
+      case StringType => UTF8String.fromString(node.asText())
+      case IntegerType => node.asInt()
+      case LongType => node.asLong()
+      case DoubleType => node.asDouble()
+      case BooleanType => node.asBoolean()
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+
+  /** External (JVM) value for comparison against Filter literals. */
+  private def external(node: JsonNode, dt: DataType): Any =
+    if (node == null || node.isNull) null
+    else dt match {
+      case StringType => node.asText()
+      case IntegerType => node.asInt()
+      case LongType => node.asLong()
+      case DoubleType => node.asDouble()
+      case BooleanType => node.asBoolean()
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+
+  private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
+    case (null, _) | (_, null) => None
+    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: Boolean, b: Boolean) => Some(a.compareTo(b))
+    // Numeric literals arrive typed per the column (Long for bigint, etc.);
+    // compare in double space to tolerate Int-vs-Long literal widths.
+    case (a: Number, b: Number) => Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+    case _ => None
+  }
+
+  def eval(f: Filter, doc: JsonNode, schema: Map[String, StructField]): Boolean = f match {
+    case EqualTo(a, v) => cmp(ext(doc, a, schema), v).contains(0)
+    case GreaterThan(a, v) => cmp(ext(doc, a, schema), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(ext(doc, a, schema), v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(ext(doc, a, schema), v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(ext(doc, a, schema), v).exists(_ <= 0)
+    case In(a, vs) => { val x = ext(doc, a, schema); x != null && vs.exists(v => cmp(x, v).contains(0)) }
+    case IsNull(a) => ext(doc, a, schema) == null
+    case IsNotNull(a) => ext(doc, a, schema) != null
+    case StringStartsWith(a, v) => ext(doc, a, schema) match {
+      case s: String => s.startsWith(v)
+      case _ => false
+    }
+    case other => throw new IllegalStateException(s"unsupported pushed filter: $other")
+  }
+  private def ext(doc: JsonNode, attr: String, schema: Map[String, StructField]): Any =
+    external(doc.get(attr), schema(attr).dataType)
+}
+
+// ---------------------------------------------------------------------------
+// Write path
+// ---------------------------------------------------------------------------
+
+private[docstore] class DocStoreWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new DocStoreWrite(path, schema, doTruncate)
+}
+
+private[docstore] class DocStoreWrite(path: String, schema: StructType, truncate: Boolean)
+    extends Write {
+  override def toBatch: BatchWrite = new DocStoreBatchWrite(path, schema, truncate)
+}
+
+private[docstore] class DocStoreBatchWrite(path: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // Driver-side, before any task runs: prepare the collection directory.
+    // Overwrite (insert after drop) removes existing shards; append keeps
+    // them — matching insert_many's append semantics.
+    val dir = new Path(path)
+    val f = DocStore.fs(dir)
+    if (truncate && f.exists(dir))
+      DocStore.listParts(path).foreach(p => f.delete(p, false))
+    if (!f.exists(dir)) f.mkdirs(dir)
+    new DocStoreWriterFactory(path, schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    // Shards were renamed into place by task commit; publish the schema last
+    // so a concurrent reader never sees a schema without data files.
+    DocStore.writeStoredSchema(path, schema)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = DocStore.fs(new Path(path))
+    messages.collect { case DocStoreCommit(Some(file)) => f.delete(new Path(file), false) }
+  }
+}
+
+private[docstore] case class DocStoreCommit(file: Option[String]) extends WriterCommitMessage
+
+private[docstore] class DocStoreWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DocStoreWriter(path, schema, partitionId, taskId)
+}
+
+/** One task = one shard. Rows stream to a hidden temp file; task commit
+  * renames it to its final `part-...jsonl` name (atomic on HDFS, and never
+  * visible to `listParts` before commit because temp names don't match the
+  * shard pattern). Null fields are OMITTED from the document — document
+  * stores don't write explicit nulls, and absent reads back as null.
+  */
+private[docstore] class DocStoreWriter(dir: String, schema: StructType,
+                                       partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val uuid = UUID.randomUUID().toString
+  private val tmp = new Path(dir, s".tmp-$partitionId-$taskId-$uuid")
+  private val fin = new Path(dir, f"part-$partitionId%05d-$taskId-$uuid.jsonl")
+  private var out: java.io.BufferedWriter = _
+  private var wrote = false
+
+  private def ensureOpen(): Unit = if (out == null) {
+    val f = DocStore.fs(tmp)
+    out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(f.create(tmp, true), "UTF-8"))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    ensureOpen()
+    val doc: ObjectNode = JsonNodeFactory.instance.objectNode()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        val fld = schema.fields(i)
+        fld.dataType match {
+          case StringType => doc.put(fld.name, row.getUTF8String(i).toString)
+          case IntegerType => doc.put(fld.name, row.getInt(i))
+          case LongType => doc.put(fld.name, row.getLong(i))
+          case DoubleType => doc.put(fld.name, row.getDouble(i))
+          case BooleanType => doc.put(fld.name, row.getBoolean(i))
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        }
+      }
+      i += 1
+    }
+    out.write(mapper.writeValueAsString(doc))
+    out.write('\n')
+    wrote = true
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    if (wrote) {
+      DocStore.fs(tmp).rename(tmp, fin)
+      DocStoreCommit(Some(fin.toString))
+    } else {
+      if (out != null) DocStore.fs(tmp).delete(tmp, false)
+      DocStoreCommit(None)   // empty partition: no shard file
+    }
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { out.close(); DocStore.fs(tmp).delete(tmp, false) }
+  }
+  override def close(): Unit = ()
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** The DataSource V2 document-store connector (graft.sources.docstore):
+  * round-trip identity incl. null/absent fields, filter + projection
+  * pushdown into the BatchScan, append vs overwrite semantics, and
+  * multi-shard parallel reads.
+  */
+class DocStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_docstore_$tag").toString
+    d
+  }
+
+  private val rows = Seq(
+    (1L, Some("alice"), Some(10.5), Some(true)),
+    (2L, Some("bob"), None, Some(false)),
+    (3L, None, Some(-2.25), None),
+    (4L, Some("carol"), Some(0.0), Some(true))
+  ).toDF("id", "name", "score", "flag")
+
+  test("round-trip identity: values, nulls, and absent fields survive") {
+    val dir = tmpDir("rt")
+    rows.write.format("docstore").mode("overwrite").save(dir)
+    val back = spark.read.format("docstore").load(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "score", "flag"))
+    assert(back.collect().toSet == rows.collect().toSet)
+    // Null fields are OMITTED from documents (document-store shape), not
+    // written as explicit JSON nulls.
+    val raw = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => p.contains("part-") && p.endsWith(".jsonl"))
+      .flatMap(p => scala.io.Source.fromFile(p).getLines().toList)
+    assert(raw.length == 4)
+    assert(!raw.exists(_.contains("null")))
+  }
+
+  test("filter and projection push into the connector scan") {
+    val dir = tmpDir("push")
+    rows.write.format("docstore").mode("overwrite").save(dir)
+    val q = spark.read.format("docstore").load(dir)
+      .filter(col("score") > 0.0 && col("name").isNotNull)
+      .select("id", "name")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThan(score,0.0)"), plan)
+    assert(plan.contains("IsNotNull(name)"), plan)
+    // Projection pruning: only the needed fields are materialized. `score`
+    // stays out of ReadFields even though it is filtered on — the filter
+    // runs on the parsed document, pre-materialization.
+    assert(plan.contains("ReadFields: [id, name]"), plan)
+    assert(q.collect().toSet == Set(Row(1L, "alice"))) // 0.0 and -2.25 fail >0, null-score row drops
+  }
+
+  test("unsupported predicates stay Spark-side as residuals, results still correct") {
+    val dir = tmpDir("resid")
+    rows.write.format("docstore").mode("overwrite").save(dir)
+    val q = spark.read.format("docstore").load(dir)
+      .filter(length(col("name")) === 5) // length() is not a pushable Filter
+      .select("id")
+    assert(q.collect().map(_.getLong(0)).toSet == Set(1L, 4L)) // alice, carol
+  }
+
+  test("append adds documents; overwrite truncates the collection") {
+    val dir = tmpDir("modes")
+    rows.limit(2).write.format("docstore").mode("overwrite").save(dir)
+    rows.filter(col("id") >= 3).write.format("docstore").mode("append").save(dir)
+    assert(spark.read.format("docstore").load(dir).count() == 4)
+    rows.limit(1).write.format("docstore").mode("overwrite").save(dir)
+    assert(spark.read.format("docstore").load(dir).count() == 1)
+  }
+
+  test("writer shards become read partitions (parallel scan)") {
+    val dir = tmpDir("shards")
+    spark.range(100).select(col("id"), (col("id") % 7).as("bucket"))
+      .repartition(4)
+      .write.format("docstore").mode("overwrite").save(dir)
+    val back = spark.read.format("docstore").load(dir)
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.agg(sum("id")).head.getLong(0) == 4950L)
+  }
+
+  test("missing field in stored docs reads as null under a wider external schema") {
+    val dir = tmpDir("evolve")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.format("docstore").mode("overwrite").save(dir)
+    val widened = spark.read.format("docstore")
+      .schema("id BIGINT, name STRING, extra DOUBLE").load(dir)
+    assert(widened.filter(col("extra").isNull).count() == 2)
+  }
+}
