@@ -471,6 +471,46 @@ object QueriesExt {
       threshold = 0.5, maxDf = 100)
       .orderBy("doc_a", "doc_b"))
 
+  /** Cross-document exact-substring duplication signal (the dedup shape of
+    * suffix-array substring dedup, re-expressed relationally): for each
+    * document, the fraction of its distinct word 5-grams that also occur
+    * in at least one OTHER document. High dup_frac marks boilerplate /
+    * templated / copied passages that exact and near-dup document matching
+    * both miss (the doc as a whole is unique, its passages are not).
+    *
+    * Scale shape: one shuffle, keyed by shingle, of (shingle, doc) pairs —
+    * same inverted-index discipline as dd_ngram_jaccard, and NO pair join
+    * at all (the per-shingle window computes document frequency in place).
+    * At 100 TB the shuffle key would be xxhash64(shingle) so only 8-byte
+    * keys move (the collision-tolerant choice Dedup.exact makes); here the
+    * raw shingle ships so the DuckDB oracle can replicate the grouping
+    * exactly. cross-doc df means distinct docs, so each doc contributes a
+    * shingle once (array_distinct before explode).
+    */
+  private val dd6 = QueryDef("dd_substring_dup",
+    Some("""WITH sh AS (
+           |  SELECT doc_id AS doc, unnest(list_distinct(
+           |    [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)])) AS shingle
+           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
+           |df AS (SELECT doc, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+           |SELECT doc AS doc_id, count(*) AS n_shingles,
+           |  cast(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) as bigint) AS dup_shingles,
+           |  floor(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * cast(1.0 as double)
+           |        / count(*) * 10000 + 0.5) / 10000 AS dup_frac
+           |FROM df GROUP BY doc ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = docs(s, d).select(col("doc_id"),
+        explode(array_distinct(TextFunctions.wordShingles(col("text"), 5))).as("shingle"))
+      val withDf = sh.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      withDf.groupBy("doc_id").agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_shingles"))
+        .withColumn("dup_frac", graft.functions.Rounding.round4(
+          col("dup_shingles").cast("double") / col("n_shingles")))
+        .orderBy("doc_id")
+    })
+
   /** Near-dup clustering: connected components over the (hash-verified)
     * Jaccard pair graph, canonical = min doc id per component, plus
     * cluster size — the "keep one per near-dup cluster" dedup primitive.
@@ -786,7 +826,7 @@ object QueriesExt {
 
   val all: Seq[QueryDef] = Seq(
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12,
-    dd1, dd2, dd3, dd4, dd5,
+    dd1, dd2, dd3, dd4, dd5, dd6,
     sm1, sm2, sm3, sm4, sm5,
     mm1, mm2, pl1)
 }
