@@ -441,20 +441,30 @@ object QueriesExt {
       .select("doc_id", "canonical_id", "group_size")
       .orderBy("doc_id"))
 
-  /** Word-bigram Jaccard near-dup pairs (threshold 0.5; df-cap 100 on the
-    * inverted index). The data has a clean gap: injected near-dups sit at
-    * jaccard ≥ 0.9, random pairs at ≤ 0.15.
+  /** Word 5-gram Jaccard near-dup pairs (threshold 0.5; ABSOLUTE df-cap
+    * 100 on the inverted index). The data has a clean gap: injected
+    * near-dups sit at jaccard ≥ 0.8, random pairs near 0.
+    *
+    * 5-gram + absolute cap is the scale-correct pairing, chosen against a
+    * measured alternative: this corpus's ~30-word vocabulary makes
+    * bigrams ubiquitous (df ≈ 0.17·N), so bigrams only work with a cap
+    * that grows with the corpus (0.2·N) — and a fractional cap's bucket
+    * self-join costs (0.2·N)² pairs, quadratic at scale (measured at
+    * sf0.1: 10.3M candidate pairs, 15.7 s). 5-gram diversity grows
+    * exponentially, so df collapses and cap 100 holds at every SF —
+    * 1 460 candidate pairs at sf0.1 for the IDENTICAL 256-pair (25 at
+    * sf0.01) jaccard≥0.5 truth set, verified pairwise in DuckDB against
+    * the bigram/relative-cap config before switching.
     */
   private val dd2 = QueryDef("dd_ngram_jaccard",
     Some("""WITH sh AS (
            |  SELECT doc_id AS doc, unnest(list_distinct(
-           |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS shingle
+           |    [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)])) AS shingle
            |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
-           |nd AS (SELECT count(*) AS n_docs FROM documents),
            |capped AS (
            |  SELECT doc, shingle FROM
            |    (SELECT doc, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
-           |  WHERE df <= (SELECT greatest(100, 0.2 * n_docs) FROM nd)),
+           |  WHERE df <= 100),
            |sizes AS (SELECT doc, count(*) AS n_shingles FROM capped GROUP BY doc),
            |common AS (
            |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
@@ -467,7 +477,7 @@ object QueriesExt {
            |JOIN sizes sb ON sb.doc = doc_b
            |WHERE c * cast(1.0 as double) / (sa.n_shingles + sb.n_shingles - c) >= 0.5
            |ORDER BY doc_a, doc_b""".stripMargin),
-    (s, d) => Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 2,
+    (s, d) => Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 5,
       threshold = 0.5, maxDf = 100)
       .orderBy("doc_a", "doc_b"))
 
@@ -519,13 +529,12 @@ object QueriesExt {
   private val dd5 = QueryDef("dd_cluster_canonical",
     Some("""WITH RECURSIVE sh AS (
            |  SELECT doc_id AS doc, unnest(list_distinct(
-           |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS shingle
+           |    [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)])) AS shingle
            |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
-           |nd AS (SELECT count(*) AS n_docs FROM documents),
            |capped AS (
            |  SELECT doc, shingle FROM
            |    (SELECT doc, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
-           |  WHERE df <= (SELECT greatest(100, 0.2 * n_docs) FROM nd)),
+           |  WHERE df <= 100),
            |sizes AS (SELECT doc, count(*) AS n_shingles FROM capped GROUP BY doc),
            |common AS (
            |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
@@ -552,7 +561,7 @@ object QueriesExt {
            |FROM lab ORDER BY doc_id""".stripMargin),
     (s, d) => graft.operators.Graphs.canonicalClusters(
       docs(s, d), "doc_id",
-      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 2,
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 5,
         threshold = 0.5, maxDf = 100),
       "doc_a", "doc_b")
       .orderBy("doc_id"))
@@ -562,7 +571,7 @@ object QueriesExt {
     */
   private val dd3 = QueryDef("dd_minhash_lsh", None,
     (s, d) => Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
-      shingleN = 2, k = 32, bands = 8, threshold = 0.5)
+      shingleN = 5, k = 32, bands = 8, threshold = 0.5)
       .orderBy("doc_a", "doc_b"))
 
   /** SimHash Hamming-distance near-dups (no ANSI oracle: xxhash64-based).

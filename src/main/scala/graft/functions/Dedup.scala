@@ -60,16 +60,22 @@ object Dedup {
   }
 
   /** Doc → exploded distinct word-n-gram shingles, df-capped.
-    * The cap drops shingles appearing in more than
-    * `max(maxDf, maxDfFraction·|corpus|)` docs — bounds the inverted-index
-    * bucket size (quadratic-blowup guard). The cap MUST scale with the
-    * corpus: a fixed absolute cap silently changes semantics as data
-    * grows (at 10× this repo's sf0.01, a flat 100 capped away nearly every
-    * shingle of the small-vocabulary corpus, and "jaccard over surviving
-    * shingles" degenerated into noise — 1066 spurious pairs where the
-    * relative cap yields 256 real near-dups with a clean score gap). The
-    * corpus size arrives as a broadcast 1-row cross join, never a driver
-    * collect.
+    * The ABSOLUTE cap `maxDf` drops shingles appearing in more than maxDf
+    * docs — it bounds the inverted-index bucket size, which is what keeps
+    * the self-join sub-quadratic: a bucket of df docs costs df² pairs, so
+    * the per-shingle join cost is capped at maxDf² regardless of corpus
+    * size. `maxDfFraction` (optional) RELAXES the cap to
+    * `max(maxDf, fraction·|corpus|)`; use it only when shingles are so
+    * non-discriminative that an absolute cap drops the true-pair signal —
+    * and know the price: a fractional cap's bucket cost grows as
+    * (fraction·N)², reintroducing the quadratic blowup at scale (measured
+    * here: bigram shingles + 0.2·N cap at sf0.1 computed 10.3M candidate
+    * pairs and 15.7 s where 5-gram shingles + absolute cap 100 computed
+    * 1 460 pairs in <1 s — SAME 256-pair truth set). The scale-correct
+    * lever for discriminativeness is a LONGER shingle (n-gram diversity
+    * grows exponentially in n, so df collapses), not a bigger cap. The
+    * corpus size, when used, arrives as a broadcast 1-row cross join,
+    * never a driver collect.
     */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, maxDf: Long, maxDfFraction: Double = 0.0): DataFrame = {
@@ -93,7 +99,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double, maxDf: Long = 100,
-                        maxDfFraction: Double = 0.2): DataFrame = {
+                        maxDfFraction: Double = 0.0): DataFrame = {
     val idx = shingleIndex(docs, idCol, textCol, n, maxDf, maxDfFraction).cache()
     val sizes = idx.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
 

@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage, SupportsTruncate}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -117,7 +118,8 @@ private[docstore] class DocStoreTable(path: String, schema: StructType)
   override def name(): String = s"docstore:$path"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocStoreScanBuilder(path, schema)
@@ -303,6 +305,51 @@ private[docstore] class DocStoreWriteBuilder(path: String, schema: StructType)
 private[docstore] class DocStoreWrite(path: String, schema: StructType, truncate: Boolean)
     extends Write {
   override def toBatch: BatchWrite = new DocStoreBatchWrite(path, schema, truncate)
+  override def toStreaming: StreamingWrite = {
+    // Complete/update modes would need per-epoch truncation; the document
+    // store is an append-only collection (insert_many), so only Append.
+    if (truncate) throw new UnsupportedOperationException(
+      "docstore streaming sink supports Append output mode only")
+    new DocStoreStreamingWrite(path, schema)
+  }
+}
+
+/** Streaming sink: each micro-batch epoch appends its own set of shards,
+  * tagged `part-e<epoch>-…`. Epoch commit is IDEMPOTENT: it deletes any
+  * same-epoch shards not in the committing attempt (leftovers of a failed
+  * or replayed attempt), so a replayed epoch REPLACES its earlier files
+  * instead of duplicating them — effective exactly-once into the
+  * collection, same discipline as a file-sink metadata log but enforced
+  * with the shard-name epoch tag.
+  */
+private[docstore] class DocStoreStreamingWrite(path: String, schema: StructType)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val dir = new Path(path)
+    val f = DocStore.fs(dir)
+    if (!f.exists(dir)) f.mkdirs(dir)
+    new DocStoreStreamingWriterFactory(path, schema)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.collect { case DocStoreCommit(Some(file)) => new Path(file).getName }.toSet
+    val f = DocStore.fs(new Path(path))
+    DocStore.listParts(path)
+      .filter(p => p.getName.startsWith(s"part-e$epochId-") && !committed.contains(p.getName))
+      .foreach(p => f.delete(p, false))
+    DocStore.writeStoredSchema(path, schema)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val f = DocStore.fs(new Path(path))
+    messages.collect { case DocStoreCommit(Some(file)) => f.delete(new Path(file), false) }
+  }
+}
+
+private[docstore] class DocStoreStreamingWriterFactory(path: String, schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new DocStoreWriter(path, schema, partitionId, taskId, Some(epochId))
 }
 
 private[docstore] class DocStoreBatchWrite(path: String, schema: StructType, truncate: Boolean)
@@ -346,12 +393,19 @@ private[docstore] class DocStoreWriterFactory(path: String, schema: StructType)
   * stores don't write explicit nulls, and absent reads back as null.
   */
 private[docstore] class DocStoreWriter(dir: String, schema: StructType,
-                                       partitionId: Int, taskId: Long)
+                                       partitionId: Int, taskId: Long,
+                                       epoch: Option[Long] = None)
     extends DataWriter[InternalRow] {
   private val mapper = new ObjectMapper()
   private val uuid = UUID.randomUUID().toString
   private val tmp = new Path(dir, s".tmp-$partitionId-$taskId-$uuid")
-  private val fin = new Path(dir, f"part-$partitionId%05d-$taskId-$uuid.jsonl")
+  // Streaming shards carry their epoch tag (the idempotent-replay key);
+  // batch shards use the plain numeric form, which can never collide with
+  // the `part-e…` pattern.
+  private val fin = new Path(dir, epoch match {
+    case Some(e) => s"part-e$e-$partitionId-$taskId-$uuid.jsonl"
+    case None => f"part-$partitionId%05d-$taskId-$uuid.jsonl"
+  })
   private var out: java.io.BufferedWriter = _
   private var wrote = false
 

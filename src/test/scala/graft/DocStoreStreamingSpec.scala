@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming ingestion into the docstore connector: micro-batches append
+  * epoch-tagged shards, the collection is readable (batch) after each
+  * epoch, and shard names carry the epoch id that makes commit replay
+  * idempotent.
+  */
+class DocStoreStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeStream append: epochs accumulate, batch read sees all documents") {
+    val dir = Files.createTempDirectory("graft_docstore_stream").toString
+    val ckpt = Files.createTempDirectory("graft_docstore_ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "name")
+      .writeStream.format("docstore")
+      .option("path", dir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+
+    in.addData((1L, "alice"), (2L, "bob"))
+    q.processAllAvailable()
+    assert(spark.read.format("docstore").load(dir).count() == 2)
+
+    in.addData((3L, "carol"))
+    q.processAllAvailable()
+    q.stop()
+
+    val back = spark.read.format("docstore").load(dir)
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "alice"), (2L, "bob"), (3L, "carol")))
+
+    // Shards are epoch-tagged — the idempotent-replay key: a replayed
+    // epoch's commit deletes the failed attempt's same-epoch files.
+    val shards = Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".jsonl")).map(p => p.substring(p.lastIndexOf('/') + 1))
+    assert(shards.nonEmpty && shards.forall(_.startsWith("part-e")), shards.mkString(", "))
+    assert(shards.map(_.split("-")(1)).distinct.length >= 2) // ≥2 distinct epochs
+  }
+
+  test("complete output mode is rejected (append-only collection)") {
+    val dir = Files.createTempDirectory("graft_docstore_badmode").toString
+    val ckpt = Files.createTempDirectory("graft_docstore_badmode_ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val agg = in.toDF().toDF("id", "name").groupBy("name").agg(count(lit(1)).as("n"))
+    val ex = intercept[Exception] {
+      val q = agg.writeStream.format("docstore")
+        .option("path", dir).option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      try { in.addData((1L, "x")); q.processAllAvailable() } finally q.stop()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(e => e +: chain(e.getCause))
+    assert(chain(ex).exists(e =>
+      e.isInstanceOf[UnsupportedOperationException] ||
+        String.valueOf(e.getMessage).contains("Append")), ex.toString)
+  }
+}

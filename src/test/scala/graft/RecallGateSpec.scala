@@ -16,7 +16,8 @@ package graft
   * so data-noise can't flake the suite, while a halving regression fails.
   */
 class RecallGateSpec extends SparkSpec {
-  private val sfDir = "/root/testdata/sf0.01"
+  // Override for a cross-SF audit: GRAFT_RECALL_SF_DIR=/root/testdata/sf0.1
+  private val sfDir = sys.env.getOrElse("GRAFT_RECALL_SF_DIR", "/root/testdata/sf0.01")
 
   private def idPairs(name: String): Set[(Long, Long)] =
     SparkEntry.queries(name)(spark, sfDir).collect()
