@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage, SupportsTruncate}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
@@ -134,10 +134,19 @@ private[docstore] class DocStoreTable(path: String, schema: StructType)
 // ---------------------------------------------------------------------------
 
 private[docstore] class DocStoreScanBuilder(path: String, schema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** `find(...).limit(n)`: each shard reader stops consuming after n
+    * surviving documents (post-filter). Partial push — Spark still applies
+    * the global limit across partitions.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed: Boolean = true
 
   /** `find(filter)` support: accept the predicate shapes a document store
     * serves (equality, range, membership, existence, prefix) on top-level
@@ -152,31 +161,35 @@ private[docstore] class DocStoreScanBuilder(path: String, schema: StructType)
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new DocStoreScan(path, schema, required, pushed)
+  override def build(): Scan = new DocStoreScan(path, schema, required, pushed, limit)
 }
 
 private[docstore] class DocStoreScan(path: String, full: StructType,
-                                     required: StructType, pushed: Array[Filter])
+                                     required: StructType, pushed: Array[Filter],
+                                     limit: Int)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"docstore $path, PushedFilters: [${pushed.mkString(", ")}], ReadFields: [${required.fieldNames.mkString(", ")}]"
+    s"docstore $path, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadFields: [${required.fieldNames.mkString(", ")}]" +
+      (if (limit >= 0) s", PushedLimit: $limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
     DocStore.listParts(path).map(p => DocStorePartition(p.toString): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocStoreReaderFactory(full, required, pushed)
+    new DocStoreReaderFactory(full, required, pushed, limit)
 }
 
 private[docstore] case class DocStorePartition(file: String) extends InputPartition
 
 private[docstore] class DocStoreReaderFactory(full: StructType, required: StructType,
-                                              pushed: Array[Filter])
+                                              pushed: Array[Filter], limit: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new DocStoreReader(partition.asInstanceOf[DocStorePartition].file, full, required, pushed)
+    new DocStoreReader(partition.asInstanceOf[DocStorePartition].file, full, required,
+      pushed, limit)
 }
 
 /** Streams one shard: parse each line's document, evaluate pushed filters on
@@ -184,7 +197,8 @@ private[docstore] class DocStoreReaderFactory(full: StructType, required: Struct
   * semantics), then materialize only the required fields.
   */
 private[docstore] class DocStoreReader(file: String, full: StructType,
-                                       required: StructType, pushed: Array[Filter])
+                                       required: StructType, pushed: Array[Filter],
+                                       limit: Int)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val p = new Path(file)
@@ -192,8 +206,10 @@ private[docstore] class DocStoreReader(file: String, full: StructType,
   private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
   private val fullIdx: Map[String, StructField] = full.fields.map(f => f.name -> f).toMap
   private var current: InternalRow = _
+  private var emitted = 0L
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     while (lines.hasNext) {
       val line = lines.next()
       if (line.nonEmpty) {
@@ -207,6 +223,7 @@ private[docstore] class DocStoreReader(file: String, full: StructType,
             i += 1
           }
           current = new GenericInternalRow(vals)
+          emitted += 1
           return true
         }
       }

@@ -66,6 +66,17 @@ class DocStoreSpec extends SparkSpec {
     assert(q.collect().map(_.getLong(0)).toSet == Set(1L, 4L)) // alice, carol
   }
 
+  test("limit pushes into the scan; filter+limit compose") {
+    val dir = tmpDir("limit")
+    spark.range(1000).selectExpr("id", "cast(id % 10 as double) as score")
+      .write.format("docstore").mode("overwrite").save(dir)
+    val q = spark.read.format("docstore").load(dir)
+      .filter(col("score") > 5.0).limit(7)
+    assert(q.queryExecution.executedPlan.toString.contains("PushedLimit: 7"))
+    val got = q.collect()
+    assert(got.length == 7 && got.forall(_.getDouble(1) > 5.0))
+  }
+
   test("append adds documents; overwrite truncates the collection") {
     val dir = tmpDir("modes")
     rows.limit(2).write.format("docstore").mode("overwrite").save(dir)
