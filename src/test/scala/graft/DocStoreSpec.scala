@@ -96,6 +96,19 @@ class DocStoreSpec extends SparkSpec {
     assert(back.agg(sum("id")).head.getLong(0) == 4950L)
   }
 
+  test("SQL DDL surface: CREATE TABLE ... USING docstore, INSERT, query") {
+    val dir = tmpDir("sql")
+    spark.sql("DROP TABLE IF EXISTS docstore_sql_t")
+    spark.sql(
+      s"CREATE TABLE docstore_sql_t (id BIGINT, name STRING, score DOUBLE) " +
+        s"USING docstore OPTIONS (path '$dir')")
+    spark.sql("INSERT INTO docstore_sql_t VALUES (1, 'alice', 10.5), (2, 'bob', NULL)")
+    val got = spark.sql(
+      "SELECT id, name FROM docstore_sql_t WHERE score IS NOT NULL").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "alice")))
+    spark.sql("DROP TABLE docstore_sql_t")
+  }
+
   test("missing field in stored docs reads as null under a wider external schema") {
     val dir = tmpDir("evolve")
     Seq((1L, "a"), (2L, "b")).toDF("id", "name")
