@@ -111,6 +111,118 @@ private[docstore] object DocStore {
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".jsonl"))
       .sortBy(_.getName)
   }
+
+  // ---- shard statistics (zone maps) ---------------------------------------
+
+  val StatsFile = "_stats.json"
+
+  /** Per-shard, per-field zone map: min/max over NON-NULL values plus the
+    * non-null count (and the shard's row count) — the parquet row-group
+    * statistics idea applied to document shards. Collected inline by each
+    * writer, merged at commit, used by the scan planner to skip whole
+    * shards a pushed filter can never match.
+    */
+  final case class FieldStat(min: Any, max: Any, nonNull: Long) extends Serializable
+  final case class ShardStat(count: Long, fields: Map[String, FieldStat]) extends Serializable
+
+  /** Total order used for both stats collection and prune decisions: the
+    * same comparison the filter evaluator applies to document values.
+    */
+  def cmpValues(x: Any, v: Any): Option[Int] = (x, v) match {
+    case (null, _) | (_, null) => None
+    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: Boolean, b: Boolean) => Some(a.compareTo(b))
+    case (a: Number, b: Number) => Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+    case _ => None
+  }
+
+  def readStats(dir: String): Map[String, ShardStat] = {
+    val p = new Path(dir, StatsFile)
+    val f = fs(p)
+    if (!f.exists(p)) return Map.empty
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val root = new ObjectMapper().readTree(txt)
+    def v(n: JsonNode): Any =
+      if (n == null || n.isNull) null
+      else if (n.isTextual) n.asText()
+      else if (n.isBoolean) n.asBoolean()
+      else if (n.isIntegralNumber) n.asLong()
+      else n.asDouble()
+    val out = Map.newBuilder[String, ShardStat]
+    root.fieldNames().asScala.foreach { shard =>
+      val s = root.get(shard)
+      val fields = Map.newBuilder[String, FieldStat]
+      val fn = s.get("fields")
+      if (fn != null) fn.fieldNames().asScala.foreach { fld =>
+        val e = fn.get(fld)
+        fields += fld -> FieldStat(v(e.get("min")), v(e.get("max")), e.get("nonNull").asLong())
+      }
+      out += shard -> ShardStat(s.get("count").asLong(), fields.result())
+    }
+    out.result()
+  }
+
+  def writeStats(dir: String, stats: Map[String, ShardStat]): Unit = {
+    val root = JsonNodeFactory.instance.objectNode()
+    def put(o: ObjectNode, k: String, x: Any): Unit = x match {
+      case null => o.putNull(k)
+      case s: String => o.put(k, s)
+      case b: java.lang.Boolean => o.put(k, b.booleanValue())
+      case i: java.lang.Integer => o.put(k, i.longValue())
+      case l: java.lang.Long => o.put(k, l.longValue())
+      case d: java.lang.Double => o.put(k, d.doubleValue())
+      case other => o.put(k, other.toString)
+    }
+    stats.toSeq.sortBy(_._1).foreach { case (shard, s) =>
+      val sn = root.putObject(shard)
+      sn.put("count", s.count)
+      val fn = sn.putObject("fields")
+      s.fields.toSeq.sortBy(_._1).foreach { case (fld, fs_) =>
+        val e = fn.putObject(fld)
+        put(e, "min", fs_.min); put(e, "max", fs_.max); e.put("nonNull", fs_.nonNull)
+      }
+    }
+    val p = new Path(dir, StatsFile)
+    val out = fs(p).create(p, true)
+    try out.write(new ObjectMapper().writeValueAsString(root).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** True when `filter` can be satisfied by SOME document in a shard with
+    * these stats — false means the planner may skip the shard. Sound under
+    * nulls: min/max cover non-null values only, and no comparison filter
+    * accepts a null. A field entirely absent from the stats map means the
+    * writer predates stats or the field was never non-null AND never
+    * tracked — keep the shard (prune only on positive evidence).
+    */
+  def shardMayMatch(filter: Filter, stat: ShardStat): Boolean = {
+    def fs_(a: String): Option[FieldStat] = stat.fields.get(a)
+    def lt(x: Any, y: Any): Boolean = cmpValues(x, y).exists(_ < 0)
+    def le(x: Any, y: Any): Boolean = cmpValues(x, y).exists(_ <= 0)
+    filter match {
+      case EqualTo(a, v) => fs_(a).forall(s =>
+        s.nonNull > 0 && le(s.min, v) && le(v, s.max))
+      case In(a, vs) => fs_(a).forall(s =>
+        s.nonNull > 0 && vs.exists(v => le(s.min, v) && le(v, s.max)))
+      case GreaterThan(a, v) => fs_(a).forall(s => s.nonNull > 0 && lt(v, s.max))
+      case GreaterThanOrEqual(a, v) => fs_(a).forall(s => s.nonNull > 0 && le(v, s.max))
+      case LessThan(a, v) => fs_(a).forall(s => s.nonNull > 0 && lt(s.min, v))
+      case LessThanOrEqual(a, v) => fs_(a).forall(s => s.nonNull > 0 && le(s.min, v))
+      case IsNotNull(a) => fs_(a).forall(_.nonNull > 0)
+      case IsNull(a) => fs_(a).forall(s => s.nonNull < stat.count)
+      case StringStartsWith(a, prefix) => fs_(a).forall { s =>
+        // any s with the prefix satisfies s >= prefix, so max < prefix
+        // proves no match; the min-side bound needs a prefix-successor
+        // computation — not worth the subtlety, keep the shard.
+        s.nonNull > 0 && (s.max match {
+          case mx: String => mx.compareTo(prefix) >= 0
+          case _ => true
+        })
+      }
+      case _ => true
+    }
+  }
 }
 
 private[docstore] class DocStoreTable(path: String, schema: StructType)
@@ -170,13 +282,32 @@ private[docstore] class DocStoreScan(path: String, full: StructType,
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Shard planning with zone-map pruning: a shard is skipped when any
+    * pushed (conjunctive) filter provably matches nothing in its
+    * min/max/non-null stats — parquet row-group skipping, at shard
+    * granularity. Shards without stats are always kept.
+    */
+  private lazy val planned: (Array[Path], Int) = {
+    val all = DocStore.listParts(path)
+    if (pushed.isEmpty) (all, all.length)
+    else {
+      val stats = DocStore.readStats(path)
+      val kept = all.filter { p =>
+        stats.get(p.getName).forall(st => pushed.forall(DocStore.shardMayMatch(_, st)))
+      }
+      (kept, all.length)
+    }
+  }
+
   override def description(): String =
     s"docstore $path, PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadFields: [${required.fieldNames.mkString(", ")}]" +
-      (if (limit >= 0) s", PushedLimit: $limit" else "")
+      (if (limit >= 0) s", PushedLimit: $limit" else "") +
+      s", Shards: ${planned._1.length}/${planned._2}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    DocStore.listParts(path).map(p => DocStorePartition(p.toString): InputPartition)
+    planned._1.map(p => DocStorePartition(p.toString): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocStoreReaderFactory(full, required, pushed, limit)
@@ -349,17 +480,19 @@ private[docstore] class DocStoreStreamingWrite(path: String, schema: StructType)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val committed = messages.collect { case DocStoreCommit(Some(file)) => new Path(file).getName }.toSet
+    val committed = messages.collect { case DocStoreCommit(Some(file), _) => new Path(file).getName }.toSet
     val f = DocStore.fs(new Path(path))
     DocStore.listParts(path)
       .filter(p => p.getName.startsWith(s"part-e$epochId-") && !committed.contains(p.getName))
       .foreach(p => f.delete(p, false))
+    // Merge AFTER the replay cleanup so stale same-epoch entries drop out.
+    DocStore.writeStats(path, DocStoreCommitOps.mergedStats(path, messages))
     DocStore.writeStoredSchema(path, schema)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = DocStore.fs(new Path(path))
-    messages.collect { case DocStoreCommit(Some(file)) => f.delete(new Path(file), false) }
+    messages.collect { case DocStoreCommit(Some(file), _) => f.delete(new Path(file), false) }
   }
 }
 
@@ -384,18 +517,38 @@ private[docstore] class DocStoreBatchWrite(path: String, schema: StructType, tru
     new DocStoreWriterFactory(path, schema)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    // Shards were renamed into place by task commit; publish the schema last
-    // so a concurrent reader never sees a schema without data files.
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // Shards were renamed into place by task commit. Zone maps: keep prior
+    // stats only for shards that still exist (truncate already removed old
+    // files), add this write's entries, publish stats then schema last so
+    // a concurrent reader never sees a schema without data files.
+    DocStore.writeStats(path, DocStoreCommitOps.mergedStats(path, messages))
     DocStore.writeStoredSchema(path, schema)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val f = DocStore.fs(new Path(path))
-    messages.collect { case DocStoreCommit(Some(file)) => f.delete(new Path(file), false) }
+    messages.collect { case DocStoreCommit(Some(file), _) => f.delete(new Path(file), false) }
   }
 }
 
-private[docstore] case class DocStoreCommit(file: Option[String]) extends WriterCommitMessage
+private[docstore] object DocStoreCommitOps {
+  /** Previous stats restricted to shards still on disk, plus the committed
+    * messages' fresh entries.
+    */
+  def mergedStats(path: String, messages: Array[WriterCommitMessage]): Map[String, DocStore.ShardStat] = {
+    val live = DocStore.listParts(path).map(_.getName).toSet
+    val prior = DocStore.readStats(path).filter { case (shard, _) => live.contains(shard) }
+    val fresh = messages.collect {
+      case DocStoreCommit(Some(file), Some(stat)) => new Path(file).getName -> stat
+    }.toMap
+    prior ++ fresh
+  }
+}
+
+private[docstore] case class DocStoreCommit(file: Option[String],
+                                            stat: Option[DocStore.ShardStat])
+    extends WriterCommitMessage
 
 private[docstore] class DocStoreWriterFactory(path: String, schema: StructType)
     extends DataWriterFactory {
@@ -425,6 +578,11 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
   })
   private var out: java.io.BufferedWriter = _
   private var wrote = false
+  // zone-map accumulators, one slot per field
+  private val mins = new Array[Any](schema.length)
+  private val maxs = new Array[Any](schema.length)
+  private val nonNull = new Array[Long](schema.length)
+  private var rows = 0L
 
   private def ensureOpen(): Unit = if (out == null) {
     val f = DocStore.fs(tmp)
@@ -438,30 +596,39 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
     while (i < schema.length) {
       if (!row.isNullAt(i)) {
         val fld = schema.fields(i)
-        fld.dataType match {
-          case StringType => doc.put(fld.name, row.getUTF8String(i).toString)
-          case IntegerType => doc.put(fld.name, row.getInt(i))
-          case LongType => doc.put(fld.name, row.getLong(i))
-          case DoubleType => doc.put(fld.name, row.getDouble(i))
-          case BooleanType => doc.put(fld.name, row.getBoolean(i))
+        val ext: Any = fld.dataType match {
+          case StringType => val s = row.getUTF8String(i).toString; doc.put(fld.name, s); s
+          case IntegerType => val v = row.getInt(i); doc.put(fld.name, v); v
+          case LongType => val v = row.getLong(i); doc.put(fld.name, v); v
+          case DoubleType => val v = row.getDouble(i); doc.put(fld.name, v); v
+          case BooleanType => val v = row.getBoolean(i); doc.put(fld.name, v); v
           case other => throw new IllegalStateException(s"unreachable: $other")
         }
+        if (nonNull(i) == 0 || DocStore.cmpValues(ext, mins(i)).exists(_ < 0)) mins(i) = ext
+        if (nonNull(i) == 0 || DocStore.cmpValues(ext, maxs(i)).exists(_ > 0)) maxs(i) = ext
+        nonNull(i) += 1
       }
       i += 1
     }
+    rows += 1
     out.write(mapper.writeValueAsString(doc))
     out.write('\n')
     wrote = true
   }
 
+  private def shardStat: DocStore.ShardStat = DocStore.ShardStat(rows,
+    schema.fields.zipWithIndex.map { case (fld, i) =>
+      fld.name -> DocStore.FieldStat(mins(i), maxs(i), nonNull(i))
+    }.toMap)
+
   override def commit(): WriterCommitMessage = {
     if (out != null) out.close()
     if (wrote) {
       DocStore.fs(tmp).rename(tmp, fin)
-      DocStoreCommit(Some(fin.toString))
+      DocStoreCommit(Some(fin.toString), Some(shardStat))
     } else {
       if (out != null) DocStore.fs(tmp).delete(tmp, false)
-      DocStoreCommit(None)   // empty partition: no shard file
+      DocStoreCommit(None, None)   // empty partition: no shard file
     }
   }
 

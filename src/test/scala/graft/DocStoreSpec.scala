@@ -96,6 +96,49 @@ class DocStoreSpec extends SparkSpec {
     assert(back.agg(sum("id")).head.getLong(0) == 4950L)
   }
 
+  test("zone-map shard pruning: range-disjoint shards are skipped by a pushed filter") {
+    val dir = tmpDir("zonemap")
+    // repartitionByRange → shards with disjoint id ranges → perfect zone maps
+    spark.range(1000).selectExpr("id", "concat('u', lpad(cast(id as string), 4, '0')) as name")
+      .repartitionByRange(4, col("id"))
+      .write.format("docstore").mode("overwrite").save(dir)
+
+    val q = spark.read.format("docstore").load(dir).filter(col("id") >= 900)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Shards: 1/4"), plan)
+    assert(q.count() == 100)
+
+    // equality point lookup: one shard
+    val point = spark.read.format("docstore").load(dir).filter(col("id") === 17)
+    assert(point.queryExecution.executedPlan.toString.contains("Shards: 1/4"))
+    assert(point.count() == 1)
+
+    // string prefix below every shard's min: zero shards read
+    val none = spark.read.format("docstore").load(dir).filter(col("name").startsWith("zzz"))
+    assert(none.count() == 0)
+    assert(none.queryExecution.executedPlan.toString.contains("Shards: 0/4"))
+
+    // unpruned full scan still sees everything
+    assert(spark.read.format("docstore").load(dir).count() == 1000)
+  }
+
+  test("zone maps survive append and stay consistent after overwrite") {
+    val dir = tmpDir("zonemap2")
+    spark.range(0, 100).toDF("id").coalesce(1)
+      .write.format("docstore").mode("overwrite").save(dir)
+    spark.range(1000, 1100).toDF("id").coalesce(1)
+      .write.format("docstore").mode("append").save(dir)
+    val hi = spark.read.format("docstore").load(dir).filter(col("id") >= 1000)
+    assert(hi.queryExecution.executedPlan.toString.contains("Shards: 1/2"))
+    assert(hi.count() == 100)
+    // overwrite resets stats along with data
+    spark.range(5).toDF("id").coalesce(1)
+      .write.format("docstore").mode("overwrite").save(dir)
+    val all = spark.read.format("docstore").load(dir).filter(col("id") >= 0)
+    assert(all.queryExecution.executedPlan.toString.contains("Shards: 1/1"))
+    assert(all.count() == 5)
+  }
+
   test("SQL DDL surface: CREATE TABLE ... USING docstore, INSERT, query") {
     val dir = tmpDir("sql")
     spark.sql("DROP TABLE IF EXISTS docstore_sql_t")
