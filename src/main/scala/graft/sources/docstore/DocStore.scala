@@ -12,7 +12,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage, SupportsTruncate}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
@@ -247,11 +249,48 @@ private[docstore] class DocStoreTable(path: String, schema: StructType)
 
 private[docstore] class DocStoreScanBuilder(path: String, schema: StructType)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var aggPushed: Option[Aggregation] = None
+
+  /** Metadata-only aggregates: an ungrouped, unfiltered COUNT/COUNT(col)/
+    * MIN/MAX is answered ENTIRELY from the committed zone maps — no shard
+    * is opened (`collection.estimated_document_count()` economics). Only
+    * complete pushdown is offered, and only when every live shard has a
+    * stats entry; any filter, grouping, or other aggregate declines and
+    * takes the normal scan path.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canAnswerFromStats(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = canAnswerFromStats(agg)
+    if (ok) aggPushed = Some(agg)
+    ok
+  }
+
+  private def topField(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 &&
+        schema.fieldNames.contains(nr.fieldNames()(0)) => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  private def canAnswerFromStats(agg: Aggregation): Boolean = {
+    if (pushed.nonEmpty || limit >= 0 || agg.groupByExpressions().nonEmpty) return false
+    val supportedFuncs = agg.aggregateExpressions().forall {
+      case _: CountStar => true
+      case c: Count => !c.isDistinct && topField(c.column()).isDefined
+      case m: Min => topField(m.column()).isDefined
+      case m: Max => topField(m.column()).isDefined
+      case _ => false
+    }
+    if (!supportedFuncs) return false
+    val stats = DocStore.readStats(path)
+    val parts = DocStore.listParts(path)
+    parts.forall(p => stats.contains(p.getName)) // every shard covered
+  }
 
   /** `find(...).limit(n)`: each shard reader stops consuming after n
     * surviving documents (post-filter). Partial push — Spark still applies
@@ -273,8 +312,72 @@ private[docstore] class DocStoreScanBuilder(path: String, schema: StructType)
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new DocStoreScan(path, schema, required, pushed, limit)
+  override def build(): Scan = aggPushed match {
+    case Some(agg) => new DocStoreAggScan(path, schema, agg)
+    case None => new DocStoreScan(path, schema, required, pushed, limit)
+  }
 }
+
+/** Scan for a completely-pushed aggregate: emits the ONE result row,
+  * computed on the driver from `_stats.json` — no shard file is opened.
+  */
+private[docstore] class DocStoreAggScan(path: String, schema: StructType, agg: Aggregation)
+    extends Scan with Batch {
+
+  private def fieldName(e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e.asInstanceOf[NamedReference].fieldNames()(0)
+  private def fieldType(n: String): DataType = schema(n).dataType
+
+  override def readSchema(): StructType = StructType(agg.aggregateExpressions().zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (m: Min, i) => StructField(s"agg_$i", fieldType(fieldName(m.column())), nullable = true)
+    case (m: Max, i) => StructField(s"agg_$i", fieldType(fieldName(m.column())), nullable = true)
+    case (other, _) => throw new IllegalStateException(s"unreachable: $other")
+  })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"docstore $path, PushedAggregates: [${agg.aggregateExpressions().mkString(", ")}] (stats-only, no shard read)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val stats = DocStore.readStats(path)
+    val live = DocStore.listParts(path).map(_.getName)
+    val shardStats = live.flatMap(stats.get)
+    def internal(x: Any): Any = x match {
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    }
+    val vals: Array[Any] = agg.aggregateExpressions().map {
+      case _: CountStar => shardStats.map(_.count).sum
+      case c: Count =>
+        val f = fieldName(c.column()); shardStats.map(_.fields(f).nonNull).sum
+      case m: Min =>
+        val f = fieldName(m.column())
+        internal(shardStats.flatMap(s => Option(s.fields(f).min))
+          .reduceOption((a, b) => if (DocStore.cmpValues(a, b).exists(_ <= 0)) a else b).orNull)
+      case m: Max =>
+        val f = fieldName(m.column())
+        internal(shardStats.flatMap(s => Option(s.fields(f).max))
+          .reduceOption((a, b) => if (DocStore.cmpValues(a, b).exists(_ >= 0)) a else b).orNull)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    Array(DocStoreAggPartition(vals))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private val vals = partition.asInstanceOf[DocStoreAggPartition].values
+        private var done = false
+        override def next(): Boolean = if (done) false else { done = true; true }
+        override def get(): InternalRow = new GenericInternalRow(vals)
+        override def close(): Unit = ()
+      }
+  }
+}
+
+private[docstore] case class DocStoreAggPartition(values: Array[Any]) extends InputPartition
 
 private[docstore] class DocStoreScan(path: String, full: StructType,
                                      required: StructType, pushed: Array[Filter],

@@ -139,6 +139,25 @@ class DocStoreSpec extends SparkSpec {
     assert(all.count() == 5)
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answered from stats, no shard read") {
+    val dir = tmpDir("aggpush")
+    rows.repartition(2).write.format("docstore").mode("overwrite").save(dir)
+    val q = spark.read.format("docstore").load(dir)
+      .agg(count(lit(1)).as("n"), count(col("score")).as("n_score"),
+        min(col("score")).as("mn"), max(col("name")).as("mx"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), plan)
+    assert(plan.contains("no shard read"), plan)
+    val r = q.head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)) ==
+      (4L, 3L, -2.25, "carol"))
+    // a filter disables the metadata path and still computes correctly
+    val f = spark.read.format("docstore").load(dir)
+      .filter(col("score") > 0.0).agg(count(lit(1)))
+    assert(!f.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(f.head.getLong(0) == 1L)
+  }
+
   test("SQL DDL surface: CREATE TABLE ... USING docstore, INSERT, query") {
     val dir = tmpDir("sql")
     spark.sql("DROP TABLE IF EXISTS docstore_sql_t")
