@@ -127,15 +127,51 @@ private[docstore] object DocStore {
   final case class FieldStat(min: Any, max: Any, nonNull: Long) extends Serializable
   final case class ShardStat(count: Long, fields: Map[String, FieldStat]) extends Serializable
 
-  /** Total order used for both stats collection and prune decisions: the
-    * same comparison the filter evaluator applies to document values.
+  /** Total order used by the filter evaluator, the stats accumulators, and
+    * the prune decisions — ONE definition so the three can never diverge
+    * (a pruning order differing from the evaluation order makes zone maps
+    * unsound). Integral/integral compares exactly in long space (a double
+    * detour would collapse bigints differing only beyond 2^53); a floating
+    * operand compares in double space, where Double.compare's NaN-largest
+    * order matches Spark SQL's NaN ordering.
     */
   def cmpValues(x: Any, v: Any): Option[Int] = (x, v) match {
     case (null, _) | (_, null) => None
     case (a: String, b: String) => Some(a.compareTo(b))
     case (a: Boolean, b: Boolean) => Some(a.compareTo(b))
-    case (a: Number, b: Number) => Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+    case (a: Number, b: Number) =>
+      val integral = (n: Number) => n.isInstanceOf[java.lang.Long] || n.isInstanceOf[java.lang.Integer]
+      if (integral(a) && integral(b)) Some(java.lang.Long.compare(a.longValue(), b.longValue()))
+      else Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
     case _ => None
+  }
+
+  /** Schema-aware stats read: coerces each field's min/max to its DECLARED
+    * type — the JSON round-trip reads every integral as Long (an int
+    * column's stats must come back Int or a pushed MIN/MAX row would carry
+    * the wrong box), and non-finite doubles travel as the sentinel strings
+    * "NaN"/"Infinity"/"-Infinity" (Jackson has no literal for them), which
+    * must parse back to doubles for a double column. Fields absent from
+    * the schema pass through unchanged.
+    */
+  def readStats(dir: String, schema: StructType): Map[String, ShardStat] = {
+    def coerce(x: Any, dt: DataType): Any = (x, dt) match {
+      case (null, _) => null
+      case (n: Number, IntegerType) => Int.box(n.intValue())
+      case (n: Number, LongType) => Long.box(n.longValue())
+      case (n: Number, DoubleType) => Double.box(n.doubleValue())
+      case (s: String, DoubleType) => Double.box(s.toDouble) // NaN / ±Infinity sentinels
+      case (other, _) => other
+    }
+    readStats(dir).map { case (shard, st) =>
+      shard -> st.copy(fields = st.fields.map { case (name, fst) =>
+        schema.fields.find(_.name == name) match {
+          case Some(fld) => name -> FieldStat(
+            coerce(fst.min, fld.dataType), coerce(fst.max, fld.dataType), fst.nonNull)
+          case None => name -> fst
+        }
+      })
+    }
   }
 
   def readStats(dir: String): Map[String, ShardStat] = {
@@ -173,7 +209,10 @@ private[docstore] object DocStore {
       case b: java.lang.Boolean => o.put(k, b.booleanValue())
       case i: java.lang.Integer => o.put(k, i.longValue())
       case l: java.lang.Long => o.put(k, l.longValue())
-      case d: java.lang.Double => o.put(k, d.doubleValue())
+      case d: java.lang.Double =>
+        // Jackson has no JSON literal for non-finite doubles; store the
+        // Double.toString sentinel, re-parsed by the schema-aware read.
+        if (d.isNaN || d.isInfinite) o.put(k, d.toString) else o.put(k, d.doubleValue())
       case other => o.put(k, other.toString)
     }
     stats.toSeq.sortBy(_._1).foreach { case (shard, s) =>
@@ -258,16 +297,22 @@ private[docstore] class DocStoreScanBuilder(path: String, schema: StructType)
 
   /** Metadata-only aggregates: an ungrouped, unfiltered COUNT/COUNT(col)/
     * MIN/MAX is answered ENTIRELY from the committed zone maps — no shard
-    * is opened (`collection.estimated_document_count()` economics). Only
-    * complete pushdown is offered, and only when every live shard has a
-    * stats entry; any filter, grouping, or other aggregate declines and
-    * takes the normal scan path.
+    * is opened (`collection.estimated_document_count()` economics, except
+    * exact). Complete pushdown is offered only when every live shard has a
+    * stats entry COVERING every referenced field (a shard written under a
+    * narrower schema has no entry for a later field — declining beats a
+    * wrong answer); any filter, limit, grouping, or other aggregate
+    * declines and takes the normal scan path. The (stats, shard-list)
+    * snapshot taken at push time is the one the scan executes against, so
+    * a shard committed between planning and execution cannot be silently
+    * half-counted.
     */
+  private var aggSnapshot: Seq[DocStore.ShardStat] = Seq.empty
+
   override def supportCompletePushDown(agg: Aggregation): Boolean = canAnswerFromStats(agg)
-  override def pushAggregation(agg: Aggregation): Boolean = {
-    val ok = canAnswerFromStats(agg)
-    if (ok) aggPushed = Some(agg)
-    ok
+  override def pushAggregation(agg: Aggregation): Boolean = canAnswerFromStats(agg) && {
+    aggPushed = Some(agg)
+    true
   }
 
   private def topField(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -279,17 +324,21 @@ private[docstore] class DocStoreScanBuilder(path: String, schema: StructType)
 
   private def canAnswerFromStats(agg: Aggregation): Boolean = {
     if (pushed.nonEmpty || limit >= 0 || agg.groupByExpressions().nonEmpty) return false
+    val referenced = Seq.newBuilder[String]
     val supportedFuncs = agg.aggregateExpressions().forall {
       case _: CountStar => true
-      case c: Count => !c.isDistinct && topField(c.column()).isDefined
-      case m: Min => topField(m.column()).isDefined
-      case m: Max => topField(m.column()).isDefined
+      case c: Count => !c.isDistinct && topField(c.column()).exists { f => referenced += f; true }
+      case m: Min => topField(m.column()).exists { f => referenced += f; true }
+      case m: Max => topField(m.column()).exists { f => referenced += f; true }
       case _ => false
     }
     if (!supportedFuncs) return false
-    val stats = DocStore.readStats(path)
-    val parts = DocStore.listParts(path)
-    parts.forall(p => stats.contains(p.getName)) // every shard covered
+    val fields = referenced.result()
+    val stats = DocStore.readStats(path, schema)
+    val covered = DocStore.listParts(path).map(p => stats.get(p.getName)).toSeq
+    val ok = covered.forall(_.exists(st => fields.forall(st.fields.contains)))
+    if (ok) aggSnapshot = covered.flatten
+    ok
   }
 
   /** `find(...).limit(n)`: each shard reader stops consuming after n
@@ -313,15 +362,17 @@ private[docstore] class DocStoreScanBuilder(path: String, schema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def build(): Scan = aggPushed match {
-    case Some(agg) => new DocStoreAggScan(path, schema, agg)
+    case Some(agg) => new DocStoreAggScan(path, schema, agg, aggSnapshot)
     case None => new DocStoreScan(path, schema, required, pushed, limit)
   }
 }
 
 /** Scan for a completely-pushed aggregate: emits the ONE result row,
-  * computed on the driver from `_stats.json` — no shard file is opened.
+  * computed on the driver from the push-time zone-map snapshot — no shard
+  * file is opened and no re-listing races with concurrent commits.
   */
-private[docstore] class DocStoreAggScan(path: String, schema: StructType, agg: Aggregation)
+private[docstore] class DocStoreAggScan(path: String, schema: StructType, agg: Aggregation,
+                                        snapshot: Seq[DocStore.ShardStat])
     extends Scan with Batch {
 
   private def fieldName(e: org.apache.spark.sql.connector.expressions.Expression): String =
@@ -341,24 +392,21 @@ private[docstore] class DocStoreAggScan(path: String, schema: StructType, agg: A
     s"docstore $path, PushedAggregates: [${agg.aggregateExpressions().mkString(", ")}] (stats-only, no shard read)"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val stats = DocStore.readStats(path)
-    val live = DocStore.listParts(path).map(_.getName)
-    val shardStats = live.flatMap(stats.get)
     def internal(x: Any): Any = x match {
       case s: String => UTF8String.fromString(s)
       case other => other
     }
     val vals: Array[Any] = agg.aggregateExpressions().map {
-      case _: CountStar => shardStats.map(_.count).sum
+      case _: CountStar => snapshot.map(_.count).sum
       case c: Count =>
-        val f = fieldName(c.column()); shardStats.map(_.fields(f).nonNull).sum
+        val f = fieldName(c.column()); snapshot.map(_.fields(f).nonNull).sum
       case m: Min =>
         val f = fieldName(m.column())
-        internal(shardStats.flatMap(s => Option(s.fields(f).min))
+        internal(snapshot.flatMap(s => Option(s.fields(f).min))
           .reduceOption((a, b) => if (DocStore.cmpValues(a, b).exists(_ <= 0)) a else b).orNull)
       case m: Max =>
         val f = fieldName(m.column())
-        internal(shardStats.flatMap(s => Option(s.fields(f).max))
+        internal(snapshot.flatMap(s => Option(s.fields(f).max))
           .reduceOption((a, b) => if (DocStore.cmpValues(a, b).exists(_ >= 0)) a else b).orNull)
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
@@ -395,7 +443,7 @@ private[docstore] class DocStoreScan(path: String, full: StructType,
     val all = DocStore.listParts(path)
     if (pushed.isEmpty) (all, all.length)
     else {
-      val stats = DocStore.readStats(path)
+      val stats = DocStore.readStats(path, full)
       val kept = all.filter { p =>
         stats.get(p.getName).forall(st => pushed.forall(DocStore.shardMayMatch(_, st)))
       }
@@ -513,15 +561,9 @@ private[docstore] object DocStoreFilters {
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
 
-  private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
-    case (null, _) | (_, null) => None
-    case (a: String, b: String) => Some(a.compareTo(b))
-    case (a: Boolean, b: Boolean) => Some(a.compareTo(b))
-    // Numeric literals arrive typed per the column (Long for bigint, etc.);
-    // compare in double space to tolerate Int-vs-Long literal widths.
-    case (a: Number, b: Number) => Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
-    case _ => None
-  }
+  // The single shared order: evaluation MUST use the same comparison the
+  // zone-map pruning uses, or a pruned shard could contain a matching doc.
+  private def cmp(x: Any, v: Any): Option[Int] = DocStore.cmpValues(x, v)
 
   def eval(f: Filter, doc: JsonNode, schema: Map[String, StructField]): Boolean = f match {
     case EqualTo(a, v) => cmp(ext(doc, a, schema), v).contains(0)
@@ -727,7 +769,10 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
   override def commit(): WriterCommitMessage = {
     if (out != null) out.close()
     if (wrote) {
-      DocStore.fs(tmp).rename(tmp, fin)
+      // Hadoop FileSystem signals rename failure by RETURNING false — an
+      // unchecked rename would report a committed shard that doesn't exist.
+      if (!DocStore.fs(tmp).rename(tmp, fin))
+        throw new java.io.IOException(s"docstore: failed to commit shard $tmp -> $fin")
       DocStoreCommit(Some(fin.toString), Some(shardStat))
     } else {
       if (out != null) DocStore.fs(tmp).delete(tmp, false)

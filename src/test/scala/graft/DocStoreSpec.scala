@@ -158,6 +158,49 @@ class DocStoreSpec extends SparkSpec {
     assert(f.head.getLong(0) == 1L)
   }
 
+  test("aggregate pushdown declines for a field missing from stored stats (wider schema)") {
+    val dir = tmpDir("aggdecline")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.format("docstore").mode("overwrite").save(dir)
+    val q = spark.read.format("docstore")
+      .schema("id BIGINT, name STRING, extra DOUBLE").load(dir)
+      .agg(count(col("extra")).as("n"), min(col("extra")).as("mn"))
+    assert(!q.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    val r = q.head
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+
+  test("aggregate pushdown returns correctly-boxed int min/max and exact bigint extremes") {
+    val dir = tmpDir("aggbox")
+    val big = 9007199254740993L // 2^53 + 1: double space would collapse it
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(5, big), Row(-3, big - 1))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("l", org.apache.spark.sql.types.LongType))))
+      .write.format("docstore").mode("overwrite").save(dir)
+    val q = spark.read.format("docstore").load(dir)
+      .agg(min(col("i")).as("mi"), max(col("i")).as("ma"), max(col("l")).as("ml"))
+    assert(q.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    val r = q.head
+    assert((r.getInt(0), r.getInt(1), r.getLong(2)) == (-3, 5, big))
+  }
+
+  test("NaN double stats survive the round-trip without corrupting pruning") {
+    val dir = tmpDir("nan")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(1L, Double.NaN), Row(2L, 1.0))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+      .coalesce(1).write.format("docstore").mode("overwrite").save(dir)
+    // max accumulates to NaN (Spark's NaN-largest order); the shard must
+    // NOT be pruned for score > 0.5, and both rows match Spark semantics.
+    val q = spark.read.format("docstore").load(dir).filter(col("score") > 0.5)
+    assert(q.queryExecution.executedPlan.toString.contains("Shards: 1/1"))
+    assert(q.count() == 2) // NaN > 0.5 is true in Spark SQL
+  }
+
   test("SQL DDL surface: CREATE TABLE ... USING docstore, INSERT, query") {
     val dir = tmpDir("sql")
     spark.sql("DROP TABLE IF EXISTS docstore_sql_t")
