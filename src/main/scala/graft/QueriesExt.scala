@@ -431,6 +431,49 @@ object QueriesExt {
         .orderBy("doc_id")
     })
 
+  /** Mixture planning — the "data mixing" step of assembling a pretraining
+    * corpus: given target mixture weights over a stratum (language), find
+    * the LARGEST total char budget B that the corpus can serve WITHOUT
+    * upsampling any stratum (B = min_i chars_i / w_i — the binding stratum
+    * samples at rate 1.0), then the per-stratum sampling rate
+    * w_i·B / chars_i that realizes the target mixture within that budget.
+    * Downstream, tx_sample_split's deterministic doc_id gate applies these
+    * rates.
+    *
+    * Scale shape: one partial-aggregated shuffle to 5 stratum rows, the
+    * budget bound as a broadcast 1-row cross join (never a driver
+    * collect) — the whole plan is corpus-size-independent after the first
+    * map-side combine.
+    */
+  private val tx13 = QueryDef("tx_mixture_plan",
+    Some("""WITH bl AS (
+           |  SELECT lang, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS chars
+           |  FROM documents GROUP BY lang),
+           |w AS (SELECT lang, n_docs, chars,
+           |        cast(CASE lang WHEN 'en' THEN 0.4 WHEN 'es' THEN 0.2 WHEN 'de' THEN 0.2
+           |                  WHEN 'zh' THEN 0.1 ELSE 0.1 END as double) AS weight
+           |      FROM bl),
+           |b AS (SELECT min(chars / weight) AS budget FROM w)
+           |SELECT lang, n_docs, chars, weight,
+           |  cast(floor(weight * budget) as bigint) AS planned_chars,
+           |  floor(weight * budget / chars * 10000 + 0.5) / 10000 AS rate
+           |FROM w, b ORDER BY lang""".stripMargin),
+    (s, d) => {
+      val weight = when(col("lang") === "en", 0.4)
+        .when(col("lang") === "es", 0.2).when(col("lang") === "de", 0.2)
+        .when(col("lang") === "zh", 0.1).otherwise(0.1)
+      val byLang = docs(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .withColumn("weight", weight)
+      val bounds = byLang.agg(min(col("chars") / col("weight")).as("budget"))
+      byLang.crossJoin(broadcast(bounds))
+        .withColumn("planned_chars", floor(col("weight") * col("budget")).cast("bigint"))
+        .withColumn("rate", graft.functions.Rounding.round4(
+          col("weight") * col("budget") / col("chars")))
+        .drop("budget")
+        .orderBy("lang")
+    })
+
   // ---- deduplication -----------------------------------------------------
 
   private val dd1 = QueryDef("dd_exact",
@@ -834,7 +877,7 @@ object QueriesExt {
     })
 
   val all: Seq[QueryDef] = Seq(
-    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12,
+    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13,
     dd1, dd2, dd3, dd4, dd5, dd6,
     sm1, sm2, sm3, sm4, sm5,
     mm1, mm2, pl1)

@@ -214,6 +214,25 @@ class DocStoreSpec extends SparkSpec {
     spark.sql("DROP TABLE docstore_sql_t")
   }
 
+  test("compact merges small shards, preserves data, keeps zone maps working") {
+    import graft.sources.docstore.DocStoreMaintenance
+    val dir = tmpDir("compact")
+    // simulate streaming small files: 5 separate single-shard appends
+    (0 until 5).foreach { i =>
+      spark.range(i * 100, (i + 1) * 100).toDF("id").coalesce(1)
+        .write.format("docstore").mode(if (i == 0) "overwrite" else "append").save(dir)
+    }
+    assert(spark.read.format("docstore").load(dir).rdd.getNumPartitions == 5)
+    DocStoreMaintenance.compact(spark, dir, 2)
+    val back = spark.read.format("docstore").load(dir)
+    assert(back.rdd.getNumPartitions == 2)
+    assert(back.count() == 500 && back.agg(sum("id")).head.getLong(0) == 124750L)
+    // fresh stats still answer metadata-only aggregates and prune
+    val agg = spark.read.format("docstore").load(dir).agg(count(lit(1)))
+    assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(agg.head.getLong(0) == 500L)
+  }
+
   test("missing field in stored docs reads as null under a wider external schema") {
     val dir = tmpDir("evolve")
     Seq((1L, "a"), (2L, "b")).toDF("id", "name")
