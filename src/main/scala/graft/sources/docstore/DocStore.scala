@@ -15,6 +15,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage, SupportsTruncate}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
@@ -272,7 +273,8 @@ private[docstore] class DocStoreTable(path: String, schema: StructType)
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocStoreScanBuilder(path, schema)
@@ -462,6 +464,60 @@ private[docstore] class DocStoreScan(path: String, full: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocStoreReaderFactory(full, required, pushed, limit)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new DocStoreMicroBatchStream(path, full, required, pushed)
+}
+
+/** Micro-batch streaming SOURCE over an append-only collection — the
+  * change-stream analog: each trigger reads exactly the shards committed
+  * since the last processed offset. An offset is the sorted set of shard
+  * names already seen (the same discipline as Spark's file-stream source
+  * log, carried in the offset itself — shard names are UUID-unique, so
+  * set difference is exact). Pushed filters apply per micro-batch through
+  * BOTH zone-map shard pruning and the in-reader document filter.
+  *
+  * Assumes append-only ingestion while the stream runs: overwrite or
+  * compaction invalidates seen-shard offsets (like rewriting a Kafka
+  * topic) — run those in maintenance windows.
+  */
+private[docstore] class DocStoreMicroBatchStream(path: String, full: StructType,
+                                                 required: StructType, pushed: Array[Filter])
+    extends MicroBatchStream {
+  import com.fasterxml.jackson.databind.ObjectMapper
+
+  private case class DocStoreOffset(shards: Seq[String]) extends Offset {
+    override def json(): String = {
+      val arr = JsonNodeFactory.instance.arrayNode()
+      shards.foreach(arr.add)
+      new ObjectMapper().writeValueAsString(arr)
+    }
+  }
+
+  override def initialOffset(): Offset = DocStoreOffset(Seq.empty)
+  override def latestOffset(): Offset =
+    DocStoreOffset(DocStore.listParts(path).map(_.getName).toSeq)
+  override def deserializeOffset(json: String): Offset = {
+    val arr = new ObjectMapper().readTree(json)
+    DocStoreOffset((0 until arr.size()).map(arr.get(_).asText()))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[DocStoreOffset].shards.toSet
+    val fresh = end.asInstanceOf[DocStoreOffset].shards.filterNot(seen)
+    val stats = if (pushed.isEmpty) Map.empty[String, DocStore.ShardStat]
+      else DocStore.readStats(path, full)
+    fresh
+      .filter(n => stats.get(n).forall(st => pushed.forall(DocStore.shardMayMatch(_, st))))
+      .map(n => DocStorePartition(new Path(path, n).toString): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocStoreReaderFactory(full, required, pushed, limit = -1)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[docstore] case class DocStorePartition(file: String) extends InputPartition

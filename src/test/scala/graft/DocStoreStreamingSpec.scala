@@ -46,6 +46,31 @@ class DocStoreStreamingSpec extends SparkSpec {
     assert(shards.map(_.split("-")(1)).distinct.length >= 2) // ≥2 distinct epochs
   }
 
+  test("readStream change-stream: batch appends surface as micro-batches, filter applies") {
+    val dir = Files.createTempDirectory("graft_docstore_src").toString
+    val ckpt = Files.createTempDirectory("graft_docstore_src_ckpt").toString
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1)
+      .write.format("docstore").mode("overwrite").save(dir)
+
+    val stream = spark.readStream.format("docstore")
+      .schema("id BIGINT, name STRING").load(dir)
+      .filter(col("id") >= 2)
+    val q = stream.writeStream.format("memory").queryName("docstore_src_test")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("docstore_src_test").count() == 1) // only id=2
+
+    Seq((3L, "c"), (4L, "d")).toDF("id", "name").coalesce(1)
+      .write.format("docstore").mode("append").save(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("docstore_src_test").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
   test("complete output mode is rejected (append-only collection)") {
     val dir = Files.createTempDirectory("graft_docstore_badmode").toString
     val ckpt = Files.createTempDirectory("graft_docstore_badmode_ckpt").toString
