@@ -864,6 +864,22 @@ object Queries {
   // T/W — sorts, top-k, windows (SURVEY §2.6, §2.7)
   // ======================================================================
 
+  /** A (rebuild extra): approximate percentiles — the mergeable-sketch
+    * answer to quantiles at 100 TB. w5's exact `percentile` buffers every
+    * group's values; `approx_percentile` (Greenwald-Khanna) folds each
+    * partition into a bounded sketch that merges map-side, so shuffle
+    * volume is (groups × sketch), independent of row count. Exact values
+    * sit alongside for self-documenting error. No ANSI oracle (sketch
+    * internals are engine-specific) — driver records rows-only;
+    * TrainingPrepSpec asserts the rank-error bound vs exact.
+    */
+  private val a19 = QueryDef("a19_approx_quantiles", None,
+    (s, d) => ev(s, d).groupBy("event_type").agg(
+      expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("approx_q"),
+      expr("percentile(value, array(0.5, 0.9, 0.99))").as("exact_q"),
+      count(lit(1)).as("n"))
+      .orderBy("event_type"))
+
   /** T2/T3: top-k (Spark plans TakeOrderedAndProject — no full sort). */
   private val t2 = QueryDef("t2_topk",
     Some("""SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
@@ -1093,6 +1109,34 @@ object Queries {
       .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
       .orderBy(col("gid"), col("event_type"), col("date")))
 
+  /** G (rebuild extra): EXPLICIT grouping sets — the general form rollup
+    * and cube are sugar for: here (type, hour), (type), and () but NOT
+    * (hour) — one Expand pass computes exactly the requested sets, where
+    * four chained GROUP BYs would scan four times and union.
+    */
+  private val g3 = QueryDef("g3_grouping_sets",
+    // Per-column grouping() flags, not grouping_id(): engines disagree on
+    // the id's bit order, but grouping(col)=1-iff-aggregated is universal.
+    Some("""SELECT event_type, hour(cast(ts as timestamp)) AS hr, count(*) AS cnt,
+           |       cast(grouping(event_type) as int) AS g_type,
+           |       cast(grouping(hour(cast(ts as timestamp))) as int) AS g_hr
+           |FROM events
+           |GROUP BY GROUPING SETS ((event_type, hour(cast(ts as timestamp))), (event_type), ())
+           |ORDER BY g_type, g_hr, event_type NULLS FIRST, hr NULLS FIRST""".stripMargin),
+    (s, d) => {
+      // The SQL surface is the right tool here: Dataset.groupingSets treats
+      // an aliased grouping expression and its unaliased twin as DISTINCT
+      // grouping columns (grouping() then can't resolve either), while the
+      // SQL form names each set's expressions once.
+      ev(s, d).createOrReplaceTempView("g3_events")
+      s.sql("""SELECT event_type, hour(ts) AS hr, count(*) AS cnt,
+              |       cast(grouping(event_type) as int) AS g_type,
+              |       cast(grouping(hour(ts)) as int) AS g_hr
+              |FROM g3_events
+              |GROUP BY GROUPING SETS ((event_type, hour(ts)), (event_type), ())
+              |ORDER BY g_type, g_hr, event_type, hr""".stripMargin)
+    })
+
   private val g2 = QueryDef("g2_cube",
     Some("""SELECT event_type, (value > 100) AS high_value, count(*) AS cnt,
            |       grouping(event_type, (value > 100)) AS gid
@@ -1198,9 +1242,9 @@ object Queries {
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, s7, s8, s9, s10, s11, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
-    a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18,
+    a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11,
-    t2, t4, w1, w2, w3, w4, w5, w6, su, si, se, g1, g2,
+    t2, t4, w1, w2, w3, w4, w5, w6, su, si, se, g1, g2, g3,
     st1, st2, st3, st4)
 
   val all: Seq[QueryDef] = core ++ QueriesExt.all

@@ -70,6 +70,30 @@ class TrainingPrepSpec extends SparkSpec {
     }
   }
 
+  test("a19_approx_quantiles: GK sketch quantiles within rank-error bound of exact") {
+    val rows = SparkEntry.queries("a19_approx_quantiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // The sketch guarantee is a RANK bound, not a value bound (exact
+    // `percentile` interpolates; the sketch returns a real data value, and
+    // adjacent order statistics in a sparse tail can be far apart in value
+    // space). Assert each returned value's rank interval intersects the
+    // target rank ± the accuracy-implied tolerance.
+    val grouped = Tables.events(spark, sf).select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    rows.foreach { r =>
+      val vals = grouped(r.getAs[String]("event_type"))
+      val n = vals.length.toDouble
+      val tol = 1.0 / 10000 + 2.0 / n
+      Seq(0.5, 0.9, 0.99).zip(r.getSeq[Double](r.fieldIndex("approx_q"))).foreach {
+        case (q, a) =>
+          val below = vals.count(_ < a) / n   // lowest possible rank of a
+          val atOrBelow = vals.count(_ <= a) / n // highest possible rank
+          assert(below - q <= tol && q - atOrBelow <= tol,
+            s"q=$q approx=$a rank=[$below,$atOrBelow] for ${r.getAs[String]("event_type")}")
+      }
+    }
+  }
+
   test("a18_approx_distinct: HLL estimates within the rsd-implied bound of exact") {
     val rows = SparkEntry.queries("a18_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
