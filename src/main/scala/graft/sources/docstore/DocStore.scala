@@ -131,19 +131,29 @@ private[docstore] object DocStore {
   /** Total order used by the filter evaluator, the stats accumulators, and
     * the prune decisions — ONE definition so the three can never diverge
     * (a pruning order differing from the evaluation order makes zone maps
-    * unsound). Integral/integral compares exactly in long space (a double
-    * detour would collapse bigints differing only beyond 2^53); a floating
-    * operand compares in double space, where Double.compare's NaN-largest
-    * order matches Spark SQL's NaN ordering.
+    * unsound), and each case matches SPARK's order, because Spark trusts
+    * pushed filters and does not re-check rows:
+    *   - strings compare as UTF-8 BYTES (UTF8String order), not UTF-16
+    *     code units — String.compareTo would misorder supplementary
+    *     characters (emoji) against [U+0800, U+FFFF] text;
+    *   - integral/integral compares exactly in long space (a double detour
+    *     would collapse bigints differing only beyond 2^53);
+    *   - a floating operand compares in double space with -0.0 normalized
+    *     to 0.0 first (Spark treats them equal) and Double.compare's
+    *     NaN-largest order (matches Spark's NaN ordering).
     */
   def cmpValues(x: Any, v: Any): Option[Int] = (x, v) match {
     case (null, _) | (_, null) => None
-    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: String, b: String) =>
+      Some(UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
     case (a: Boolean, b: Boolean) => Some(a.compareTo(b))
     case (a: Number, b: Number) =>
       val integral = (n: Number) => n.isInstanceOf[java.lang.Long] || n.isInstanceOf[java.lang.Integer]
       if (integral(a) && integral(b)) Some(java.lang.Long.compare(a.longValue(), b.longValue()))
-      else Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+      else {
+        def norm(d: Double) = if (d == 0.0) 0.0 else d // -0.0 == 0.0 in Spark
+        Some(java.lang.Double.compare(norm(a.doubleValue()), norm(b.doubleValue())))
+      }
     case _ => None
   }
 
@@ -280,7 +290,10 @@ private[docstore] class DocStoreTable(path: String, schema: StructType)
     new DocStoreScanBuilder(path, schema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     DocStore.validateSchema(info.schema())
-    new DocStoreWriteBuilder(path, info.schema())
+    // queryId scopes this job's shards in their NAMES: task commits from a
+    // failing job can race past the driver's message collection, so abort
+    // cleans by name pattern, never by (possibly incomplete) messages.
+    new DocStoreWriteBuilder(path, info.schema(), info.queryId())
   }
 }
 
@@ -336,11 +349,19 @@ private[docstore] class DocStoreScanBuilder(path: String, schema: StructType)
     }
     if (!supportedFuncs) return false
     val fields = referenced.result()
-    val stats = DocStore.readStats(path, schema)
-    val covered = DocStore.listParts(path).map(p => stats.get(p.getName)).toSeq
+    // One (stats, shards) snapshot per builder: Spark calls
+    // supportCompletePushDown then pushAggregation — re-reading would cost
+    // a second remote listStatus+read AND could observe different state
+    // than the snapshot the scan executes against.
+    val covered = statsSnapshot
     val ok = covered.forall(_.exists(st => fields.forall(st.fields.contains)))
     if (ok) aggSnapshot = covered.flatten
     ok
+  }
+
+  private lazy val statsSnapshot: Seq[Option[DocStore.ShardStat]] = {
+    val stats = DocStore.readStats(path, schema)
+    DocStore.listParts(path).map(p => stats.get(p.getName)).toSeq
   }
 
   /** `find(...).limit(n)`: each shard reader stops consuming after n
@@ -479,7 +500,12 @@ private[docstore] class DocStoreScan(path: String, full: StructType,
   *
   * Assumes append-only ingestion while the stream runs: overwrite or
   * compaction invalidates seen-shard offsets (like rewriting a Kafka
-  * topic) — run those in maintenance windows.
+  * topic) — run those in maintenance windows. One sharper caveat: a
+  * streaming SINK epoch replay (failure recovery) REPLACES its earlier
+  * attempt's shards; a reader that already consumed the replaced shard
+  * sees the replacement as new data — at-least-once across that window
+  * (readers tolerate the deleted file and read the replacement whole),
+  * exactly-once everywhere else.
   */
 private[docstore] class DocStoreMicroBatchStream(path: String, full: StructType,
                                                  required: StructType, pushed: Array[Filter])
@@ -540,8 +566,15 @@ private[docstore] class DocStoreReader(file: String, full: StructType,
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val p = new Path(file)
-  private val in = DocStore.fs(p).open(p)
-  private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+  private var in: org.apache.hadoop.fs.FSDataInputStream = _
+  // Lazy + missing-file tolerant: a streaming sink's epoch replay can
+  // delete a shard between offset capture and read — an empty read (the
+  // replacement shard arrives as a later offset) beats crashing the query.
+  private lazy val lines: Iterator[String] =
+    try {
+      in = DocStore.fs(p).open(p)
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+    } catch { case _: java.io.FileNotFoundException => Iterator.empty }
   private val fullIdx: Map[String, StructField] = full.fields.map(f => f.name -> f).toMap
   private var current: InternalRow = _
   private var emitted = 0L
@@ -569,7 +602,7 @@ private[docstore] class DocStoreReader(file: String, full: StructType,
     false
   }
   override def get(): InternalRow = current
-  override def close(): Unit = in.close()
+  override def close(): Unit = if (in != null) in.close()
 }
 
 /** Filter support/evaluation shared by planner (supported) and reader
@@ -644,16 +677,17 @@ private[docstore] object DocStoreFilters {
 // Write path
 // ---------------------------------------------------------------------------
 
-private[docstore] class DocStoreWriteBuilder(path: String, schema: StructType)
+private[docstore] class DocStoreWriteBuilder(path: String, schema: StructType, queryId: String)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new DocStoreWrite(path, schema, doTruncate)
+  override def build(): Write = new DocStoreWrite(path, schema, doTruncate, queryId)
 }
 
-private[docstore] class DocStoreWrite(path: String, schema: StructType, truncate: Boolean)
+private[docstore] class DocStoreWrite(path: String, schema: StructType, truncate: Boolean,
+                                      queryId: String)
     extends Write {
-  override def toBatch: BatchWrite = new DocStoreBatchWrite(path, schema, truncate)
+  override def toBatch: BatchWrite = new DocStoreBatchWrite(path, schema, truncate, queryId)
   override def toStreaming: StreamingWrite = {
     // Complete/update modes would need per-epoch truncation; the document
     // store is an append-only collection (insert_many), so only Append.
@@ -703,33 +737,42 @@ private[docstore] class DocStoreStreamingWriterFactory(path: String, schema: Str
     new DocStoreWriter(path, schema, partitionId, taskId, Some(epochId))
 }
 
-private[docstore] class DocStoreBatchWrite(path: String, schema: StructType, truncate: Boolean)
+private[docstore] class DocStoreBatchWrite(path: String, schema: StructType, truncate: Boolean,
+                                           queryId: String)
     extends BatchWrite {
+  // short, filename-safe job tag (queryId is a UUID)
+  private val jobTag = queryId.replaceAll("[^0-9a-zA-Z]", "").take(12)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // Driver-side, before any task runs: prepare the collection directory.
-    // Overwrite (insert after drop) removes existing shards; append keeps
-    // them — matching insert_many's append semantics.
     val dir = new Path(path)
     val f = DocStore.fs(dir)
-    if (truncate && f.exists(dir))
-      DocStore.listParts(path).foreach(p => f.delete(p, false))
     if (!f.exists(dir)) f.mkdirs(dir)
-    new DocStoreWriterFactory(path, schema)
+    new DocStoreWriterFactory(path, schema, jobTag)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // Shards were renamed into place by task commit. Zone maps: keep prior
-    // stats only for shards that still exist (truncate already removed old
-    // files), add this write's entries, publish stats then schema last so
-    // a concurrent reader never sees a schema without data files.
+    // Shards were renamed into place by task commit. Overwrite deletes the
+    // PREVIOUS shards only now, at job commit — a failed or aborted
+    // overwrite therefore leaves the old collection fully intact (UUID
+    // shard names make old and new coexist safely until this point).
+    if (truncate) {
+      val f = DocStore.fs(new Path(path))
+      DocStore.listParts(path).filterNot(_.getName.startsWith(s"part-q$jobTag-"))
+        .foreach(p => f.delete(p, false))
+    }
+    // Zone maps: keep prior stats only for shards that still exist, add
+    // this write's entries, publish stats then schema last so a concurrent
+    // reader never sees a schema without data files.
     DocStore.writeStats(path, DocStoreCommitOps.mergedStats(path, messages))
     DocStore.writeStoredSchema(path, schema)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // Clean by job tag, NOT by messages: a task that committed its rename
+    // just before the job failed may not have its message in `messages`.
     val f = DocStore.fs(new Path(path))
-    messages.collect { case DocStoreCommit(Some(file), _) => f.delete(new Path(file), false) }
+    DocStore.listParts(path).filter(_.getName.startsWith(s"part-q$jobTag-"))
+      .foreach(p => f.delete(p, false))
   }
 }
 
@@ -751,10 +794,10 @@ private[docstore] case class DocStoreCommit(file: Option[String],
                                             stat: Option[DocStore.ShardStat])
     extends WriterCommitMessage
 
-private[docstore] class DocStoreWriterFactory(path: String, schema: StructType)
+private[docstore] class DocStoreWriterFactory(path: String, schema: StructType, jobTag: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DocStoreWriter(path, schema, partitionId, taskId)
+    new DocStoreWriter(path, schema, partitionId, taskId, epoch = None, jobTag = Some(jobTag))
 }
 
 /** One task = one shard. Rows stream to a hidden temp file; task commit
@@ -765,7 +808,8 @@ private[docstore] class DocStoreWriterFactory(path: String, schema: StructType)
   */
 private[docstore] class DocStoreWriter(dir: String, schema: StructType,
                                        partitionId: Int, taskId: Long,
-                                       epoch: Option[Long] = None)
+                                       epoch: Option[Long] = None,
+                                       jobTag: Option[String] = None)
     extends DataWriter[InternalRow] {
   private val mapper = new ObjectMapper()
   private val uuid = UUID.randomUUID().toString
@@ -775,7 +819,7 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
   // the `part-e…` pattern.
   private val fin = new Path(dir, epoch match {
     case Some(e) => s"part-e$e-$partitionId-$taskId-$uuid.jsonl"
-    case None => f"part-$partitionId%05d-$taskId-$uuid.jsonl"
+    case None => s"part-q${jobTag.getOrElse("x")}-$partitionId-$taskId-$uuid.jsonl"
   })
   private var out: java.io.BufferedWriter = _
   private var wrote = false

@@ -15,44 +15,97 @@ import org.apache.spark.sql.SparkSession
   * evenly-sized shards through the connector itself (so stats, schema, and
   * encoding stay consistent by construction).
   *
-  * Protocol: the compacted copy is fully written to a hidden staging dir
-  * inside the collection (invisible to readers — shard listing only picks
-  * `part-*.jsonl` at the top level), then old shards are removed and the
-  * new ones renamed in, metadata last. Not atomic for CONCURRENT readers —
-  * run it like any store's offline compaction window. A crash mid-swap
-  * loses no source data until the old shards are deleted, and the staging
-  * dir is inert garbage that a re-run cleans up.
+  * Crash-safe two-phase protocol. Phase 1 (prepare): write the compacted
+  * copy to a hidden staging dir inside the collection (invisible to
+  * readers — shard listing only matches top-level `part-*.jsonl`). Phase 2
+  * (swap), made atomic-in-effect by a COMMIT MARKER: create
+  * `_compact_commit` recording the staging id and the old shard list, then
+  * delete old shards, move staged files in, remove staging and marker.
+  * Recovery on the next compact() call:
+  *   - marker present  → the previous run was PAST the commit point: roll
+  *     it FORWARD (finish deleting the listed old shards, move any staged
+  *     files still in its staging dir, clear the marker) before starting;
+  *   - marker absent   → any staging dirs predate a commit point; the live
+  *     collection is complete, so staging is inert garbage — delete it.
+  * At no point is the only copy of a document deleted: old shards are only
+  * removed after the full compacted copy exists AND the marker durably
+  * names them. Not atomic for CONCURRENT readers — run in a maintenance
+  * window like any store's offline compaction.
   */
 object DocStoreMaintenance {
+  private val Marker = "_compact_commit"
+
   def compact(spark: SparkSession, path: String, targetShards: Int): Unit = {
     require(targetShards > 0, "targetShards must be positive")
     val dir = new Path(path)
     val f = DocStore.fs(dir)
 
-    // clear inert staging leftovers from a crashed prior run
-    f.listStatus(dir).map(_.getPath)
-      .filter(_.getName.startsWith(".compact-"))
-      .foreach(p => f.delete(p, true))
+    recover(path)
 
-    val staging = new Path(dir, s".compact-${UUID.randomUUID()}")
+    // Phase 1: prepare the full compacted copy in staging.
+    val stagingId = UUID.randomUUID().toString
+    val staging = new Path(dir, s".compact-$stagingId")
+    val oldShards = DocStore.listParts(path).map(_.getName)
     spark.read.format("docstore").load(path)
       .repartition(targetShards)
       .write.format("docstore").mode("overwrite").save(staging.toString)
 
-    // swap: data first, metadata last (a reader mid-swap sees a valid
-    // schema and whichever shards exist — never a schema with no meaning)
-    DocStore.listParts(path).foreach(p => f.delete(p, false))
-    DocStore.listParts(staging.toString).foreach { p =>
-      if (!f.rename(p, new Path(dir, p.getName)))
-        throw new java.io.IOException(s"compact: failed to move shard ${p.getName}")
+    // Commit point: the marker durably records what to delete and where
+    // the replacement lives.
+    val markerPath = new Path(dir, Marker)
+    val out = f.create(markerPath, true)
+    try out.write((stagingId +: oldShards.toSeq).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+
+    // Phase 2: swap, then clear the marker.
+    swap(path, stagingId, oldShards.toSet)
+    f.delete(markerPath, false)
+  }
+
+  /** Roll a committed-but-unfinished swap forward, then clear pre-commit
+    * staging garbage. Idempotent; safe to call on a healthy collection.
+    */
+  private def recover(path: String): Unit = {
+    val dir = new Path(path)
+    val f = DocStore.fs(dir)
+    val markerPath = new Path(dir, Marker)
+    if (f.exists(markerPath)) {
+      val in = f.open(markerPath)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      swap(path, content.head, content.tail.toSet)
+      f.delete(markerPath, false)
     }
-    Seq(DocStore.StatsFile, DocStore.SchemaFile).foreach { m =>
-      val src = new Path(staging, m)
-      val dst = new Path(dir, m)
-      f.delete(dst, false)
-      if (!f.rename(src, dst))
-        throw new java.io.IOException(s"compact: failed to move $m")
+    f.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith(".compact-"))
+      .foreach(p => f.delete(p, true))
+  }
+
+  /** Delete `oldShards` (those still present) and move the staged files of
+    * `stagingId` into the collection, metadata last. Idempotent: re-running
+    * after a crash at any point completes the same end state.
+    */
+  private def swap(path: String, stagingId: String, oldShards: Set[String]): Unit = {
+    val dir = new Path(path)
+    val f = DocStore.fs(dir)
+    val staging = new Path(dir, s".compact-$stagingId")
+    DocStore.listParts(path).filter(p => oldShards.contains(p.getName))
+      .foreach(p => f.delete(p, false))
+    if (f.exists(staging)) {
+      DocStore.listParts(staging.toString).foreach { p =>
+        if (!f.rename(p, new Path(dir, p.getName)))
+          throw new java.io.IOException(s"compact: failed to move shard ${p.getName}")
+      }
+      Seq(DocStore.StatsFile, DocStore.SchemaFile).foreach { m =>
+        val src = new Path(staging, m)
+        if (f.exists(src)) {
+          val dst = new Path(dir, m)
+          f.delete(dst, false)
+          if (!f.rename(src, dst))
+            throw new java.io.IOException(s"compact: failed to move $m")
+        }
+      }
+      f.delete(staging, true)
     }
-    f.delete(staging, true)
   }
 }

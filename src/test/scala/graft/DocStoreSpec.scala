@@ -233,6 +233,46 @@ class DocStoreSpec extends SparkSpec {
     assert(agg.head.getLong(0) == 500L)
   }
 
+  test("compact crash mid-swap rolls forward on the next run without data loss") {
+    import graft.sources.docstore.DocStoreMaintenance
+    val dir = tmpDir("compact_crash")
+    spark.range(200).toDF("id").repartition(4)
+      .write.format("docstore").mode("overwrite").save(dir)
+
+    // Simulate a crash just past the commit point: staged copy + marker
+    // exist, old shards already deleted, staged files NOT yet moved in.
+    val stagingId = "testcrash"
+    val staging = s"$dir/.compact-$stagingId"
+    spark.read.format("docstore").load(dir).repartition(1)
+      .write.format("docstore").mode("overwrite").save(staging)
+    val oldShards = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("part-") && p.endsWith(".jsonl"))
+    Files.write(Paths.get(dir, "_compact_commit"),
+      (stagingId +: oldShards.map(p => p.substring(p.lastIndexOf('/') + 1)).toSeq)
+        .mkString("\n").getBytes)
+    oldShards.foreach(p => Files.delete(Paths.get(p)))
+    // mid-swap state: collection has ZERO visible shards, copy lives in staging
+
+    DocStoreMaintenance.compact(spark, dir, 2) // must roll forward, then compact
+    val back = spark.read.format("docstore").load(dir)
+    assert(back.count() == 200 && back.agg(sum("id")).head.getLong(0) == 19900L)
+    assert(back.rdd.getNumPartitions == 2)
+    assert(!Files.exists(Paths.get(dir, "_compact_commit")))
+  }
+
+  test("failed overwrite leaves the previous collection intact") {
+    val dir = tmpDir("owfail")
+    spark.range(10).toDF("id").write.format("docstore").mode("overwrite").save(dir)
+    intercept[Exception] {
+      spark.range(20).toDF("id")
+        .select(when(col("id") < 15, col("id"))
+          .otherwise(raise_error(lit("boom"))).as("id"))
+        .write.format("docstore").mode("overwrite").save(dir)
+    }
+    // old data survives a failed overwrite: deletion happens at job commit
+    assert(spark.read.format("docstore").load(dir).count() == 10)
+  }
+
   test("missing field in stored docs reads as null under a wider external schema") {
     val dir = tmpDir("evolve")
     Seq((1L, "a"), (2L, "b")).toDF("id", "name")
