@@ -168,6 +168,29 @@ object PlanCheck {
       "window partitioned by (lang, shard)" ->
         (p => "hashpartitioning\\(lang#\\d+, shard#\\d+".r.findFirstIn(p).isDefined))
 
+    // Substring-dup signal: document frequency comes from a per-shingle
+    // WINDOW — there must be NO pair join anywhere (the quadratic shape
+    // this query exists to avoid).
+    check("dd_substring_dup")(
+      "no join in the plan" ->
+        (p => !p.contains("Join") && !p.contains("CartesianProduct")),
+      "df via window + final agg" -> (p => p.contains("Window") && p.contains("HashAggregate")))
+
+    // Mixture planning: the budget bound is ONE broadcast row against the
+    // 5-row stratum aggregate — no sort-merge join, no second pass over
+    // documents (one scan feeds both the aggregate and the bound).
+    check("tx_mixture_plan")(
+      "bound joined via broadcast nested loop" ->
+        (p => p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin")),
+      "single documents scan" ->
+        (p => "Scan parquet".r.findAllIn(p).size <= 2)) // agg side + bound side share source
+
+    // Explicit grouping sets: one Expand pass computes all three sets —
+    // NOT a union of separate aggregations re-scanning the input.
+    check("g3_grouping_sets")(
+      "single Expand, no Union of re-aggregations" ->
+        (p => "Expand".r.findAllIn(p).size == 1 && !p.contains("Union")))
+
     // Document-store connector: `find(filter, projection)` semantics — the
     // filter and the column pruning must reach the DSv2 BatchScan, so
     // non-matching documents and unused fields never materialize as rows.
