@@ -111,7 +111,8 @@ private[docstore] object DocStore {
     val f = fs(d)
     if (!f.exists(d)) Array.empty
     else f.listStatus(d).map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".jsonl"))
+      .filter(p => p.getName.startsWith("part-") &&
+        (p.getName.endsWith(".jsonl") || p.getName.endsWith(".jsonl.gz")))
       .sortBy(_.getName)
   }
 
@@ -293,7 +294,8 @@ private[docstore] class DocStoreTable(path: String, schema: StructType)
     // queryId scopes this job's shards in their NAMES: task commits from a
     // failing job can race past the driver's message collection, so abort
     // cleans by name pattern, never by (possibly incomplete) messages.
-    new DocStoreWriteBuilder(path, info.schema(), info.queryId())
+    val gzip = "gzip".equalsIgnoreCase(info.options().getOrDefault("compression", "none"))
+    new DocStoreWriteBuilder(path, info.schema(), info.queryId(), gzip)
   }
 }
 
@@ -573,7 +575,9 @@ private[docstore] class DocStoreReader(file: String, full: StructType,
   private lazy val lines: Iterator[String] =
     try {
       in = DocStore.fs(p).open(p)
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      val stream: java.io.InputStream =
+        if (file.endsWith(".gz")) new java.util.zip.GZIPInputStream(in) else in
+      scala.io.Source.fromInputStream(stream, "UTF-8").getLines()
     } catch { case _: java.io.FileNotFoundException => Iterator.empty }
   private val fullIdx: Map[String, StructField] = full.fields.map(f => f.name -> f).toMap
   private var current: InternalRow = _
@@ -677,17 +681,18 @@ private[docstore] object DocStoreFilters {
 // Write path
 // ---------------------------------------------------------------------------
 
-private[docstore] class DocStoreWriteBuilder(path: String, schema: StructType, queryId: String)
+private[docstore] class DocStoreWriteBuilder(path: String, schema: StructType, queryId: String,
+                                             gzip: Boolean)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new DocStoreWrite(path, schema, doTruncate, queryId)
+  override def build(): Write = new DocStoreWrite(path, schema, doTruncate, queryId, gzip)
 }
 
 private[docstore] class DocStoreWrite(path: String, schema: StructType, truncate: Boolean,
-                                      queryId: String)
+                                      queryId: String, gzip: Boolean)
     extends Write {
-  override def toBatch: BatchWrite = new DocStoreBatchWrite(path, schema, truncate, queryId)
+  override def toBatch: BatchWrite = new DocStoreBatchWrite(path, schema, truncate, queryId, gzip)
   override def toStreaming: StreamingWrite = {
     // Complete/update modes would need per-epoch truncation; the document
     // store is an append-only collection (insert_many), so only Append.
@@ -738,7 +743,7 @@ private[docstore] class DocStoreStreamingWriterFactory(path: String, schema: Str
 }
 
 private[docstore] class DocStoreBatchWrite(path: String, schema: StructType, truncate: Boolean,
-                                           queryId: String)
+                                           queryId: String, gzip: Boolean)
     extends BatchWrite {
   // short, filename-safe job tag (queryId is a UUID)
   private val jobTag = queryId.replaceAll("[^0-9a-zA-Z]", "").take(12)
@@ -747,7 +752,7 @@ private[docstore] class DocStoreBatchWrite(path: String, schema: StructType, tru
     val dir = new Path(path)
     val f = DocStore.fs(dir)
     if (!f.exists(dir)) f.mkdirs(dir)
-    new DocStoreWriterFactory(path, schema, jobTag)
+    new DocStoreWriterFactory(path, schema, jobTag, gzip)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -794,10 +799,12 @@ private[docstore] case class DocStoreCommit(file: Option[String],
                                             stat: Option[DocStore.ShardStat])
     extends WriterCommitMessage
 
-private[docstore] class DocStoreWriterFactory(path: String, schema: StructType, jobTag: String)
+private[docstore] class DocStoreWriterFactory(path: String, schema: StructType, jobTag: String,
+                                              gzip: Boolean)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DocStoreWriter(path, schema, partitionId, taskId, epoch = None, jobTag = Some(jobTag))
+    new DocStoreWriter(path, schema, partitionId, taskId, epoch = None,
+      jobTag = Some(jobTag), gzip = gzip)
 }
 
 /** One task = one shard. Rows stream to a hidden temp file; task commit
@@ -809,7 +816,8 @@ private[docstore] class DocStoreWriterFactory(path: String, schema: StructType, 
 private[docstore] class DocStoreWriter(dir: String, schema: StructType,
                                        partitionId: Int, taskId: Long,
                                        epoch: Option[Long] = None,
-                                       jobTag: Option[String] = None)
+                                       jobTag: Option[String] = None,
+                                       gzip: Boolean = false)
     extends DataWriter[InternalRow] {
   private val mapper = new ObjectMapper()
   private val uuid = UUID.randomUUID().toString
@@ -817,9 +825,10 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
   // Streaming shards carry their epoch tag (the idempotent-replay key);
   // batch shards use the plain numeric form, which can never collide with
   // the `part-e…` pattern.
+  private val ext = if (gzip) ".jsonl.gz" else ".jsonl"
   private val fin = new Path(dir, epoch match {
-    case Some(e) => s"part-e$e-$partitionId-$taskId-$uuid.jsonl"
-    case None => s"part-q${jobTag.getOrElse("x")}-$partitionId-$taskId-$uuid.jsonl"
+    case Some(e) => s"part-e$e-$partitionId-$taskId-$uuid$ext"
+    case None => s"part-q${jobTag.getOrElse("x")}-$partitionId-$taskId-$uuid$ext"
   })
   private var out: java.io.BufferedWriter = _
   private var wrote = false
@@ -831,7 +840,9 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
 
   private def ensureOpen(): Unit = if (out == null) {
     val f = DocStore.fs(tmp)
-    out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(f.create(tmp, true), "UTF-8"))
+    val raw: java.io.OutputStream = f.create(tmp, true)
+    val stream = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
+    out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(stream, "UTF-8"))
   }
 
   override def write(row: InternalRow): Unit = {

@@ -201,6 +201,28 @@ class DocStoreSpec extends SparkSpec {
     assert(q.count() == 2) // NaN > 0.5 is true in Spark SQL
   }
 
+  test("gzip shards: compressed write, transparent read, mixed collections, pruning intact") {
+    val dir = tmpDir("gzip")
+    rows.write.format("docstore").mode("overwrite")
+      .option("compression", "gzip").save(dir)
+    val gzShards = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".jsonl.gz"))
+    assert(gzShards.nonEmpty)
+    // actually gzip: magic bytes 1f 8b
+    val head = Files.readAllBytes(Paths.get(gzShards.head)).take(2)
+    assert(head(0) == 0x1f.toByte && head(1) == 0x8b.toByte)
+    assert(spark.read.format("docstore").load(dir).collect().toSet == rows.collect().toSet)
+
+    // mixed collection: plain append onto gzip shards reads seamlessly
+    rows.limit(1).write.format("docstore").mode("append").save(dir)
+    assert(spark.read.format("docstore").load(dir).count() == 5)
+
+    // zone maps work identically on compressed shards
+    val q = spark.read.format("docstore").load(dir).filter(col("score") > 100.0)
+    assert(q.count() == 0)
+    assert(q.queryExecution.executedPlan.toString.contains("Shards: 0/"))
+  }
+
   test("SQL DDL surface: CREATE TABLE ... USING docstore, INSERT, query") {
     val dir = tmpDir("sql")
     spark.sql("DROP TABLE IF EXISTS docstore_sql_t")
