@@ -135,6 +135,28 @@ object QueriesExt {
       TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id"))
 
+  /** Curriculum binning — the data-ORDERING step of curriculum training:
+    * rank every document by quality within its language and cut into
+    * deciles (decile 10 = highest quality), so a training run can feed
+    * bins in order (or anneal the mix toward high-quality bins late in
+    * training). Ties broken by doc_id, so the binning is deterministic
+    * cross-engine. Scale: one window shuffle partitioned BY LANGUAGE —
+    * bounded per-partition state (ntile needs only the partition's row
+    * count), and the same (lang, shard) sub-split used by tx_pack applies
+    * if one language dominates.
+    */
+  private val tx14 = QueryDef("tx_curriculum",
+    Some(s"""SELECT doc_id, lang, $qualitySql AS quality,
+            |  ntile(10) OVER (PARTITION BY lang ORDER BY $qualitySql, doc_id) AS decile
+            |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = TextFunctions.qualityScore(col("text"))
+      docs(s, d).select(col("doc_id"), col("lang"), q.as("quality"),
+          ntile(10).over(Window.partitionBy("lang").orderBy(q, col("doc_id"))).as("decile"))
+        .orderBy("doc_id")
+    })
+
   private val tx4 = QueryDef("tx_fingerprint",
     Some("""SELECT doc_id,
            |  list_reduce(list_prepend(cast(7 as bigint),
@@ -877,7 +899,7 @@ object QueriesExt {
     })
 
   val all: Seq[QueryDef] = Seq(
-    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13,
+    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14,
     dd1, dd2, dd3, dd4, dd5, dd6,
     sm1, sm2, sm3, sm4, sm5,
     mm1, mm2, pl1)
