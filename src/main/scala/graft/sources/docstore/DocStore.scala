@@ -42,12 +42,37 @@ import org.apache.spark.unsafe.types.UTF8String
   *     parsed document BEFORE rows are materialized, and only required
   *     fields are converted (`find`'s projection doc).
   *
+  * Feature surface beyond the basic round-trip:
+  *   - limit pushdown (`find().limit(n)`), per-shard early stop;
+  *   - zone maps: per-shard/per-field min/max/non-null stats collected
+  *     inline by writers, merged transactionally at commit, used for
+  *     shard SKIPPING under pushed filters (parquet row-group skipping at
+  *     shard granularity) and for stats-only COUNT/COUNT(col)/MIN/MAX
+  *     aggregate pushdown (no shard opened);
+  *   - Structured Streaming both ways: an epoch-idempotent streaming sink
+  *     (replayed epochs replace their failed attempt's shards) and a
+  *     micro-batch streaming source (change-stream over the append-only
+  *     collection, offsets = seen-shard set);
+  *   - gzip shard compression (`option("compression", "gzip")`), mixed
+  *     plain/compressed collections read transparently;
+  *   - SQL DDL (`CREATE TABLE ... USING docstore`);
+  *   - offline compaction with a crash-safe two-phase marker protocol
+  *     ([[DocStoreMaintenance]]).
+  *
   * Scale design: all I/O goes through the Hadoop FileSystem API, so the
   * same code runs against HDFS/S3 paths on a cluster. Reads plan one
   * InputPartition per part file (writers shard the collection, readers
-  * parallelize over shards). Writes use the standard task-commit protocol:
-  * each task writes a hidden temp file and renames it into place on task
-  * commit, so speculative/failed tasks never leave partial shards visible.
+  * parallelize over shards). Writes use the standard task-commit protocol
+  * — each task writes a hidden temp file and renames it into place on
+  * task commit — plus a job tag in every batch shard name so an aborted
+  * job's already-committed shards are swept by name (task commits can
+  * race past the driver's message collection). Overwrite deletes old
+  * shards only at JOB commit, so a failed overwrite leaves the previous
+  * collection intact. All value comparisons (filter eval, stats
+  * accumulation, prune decisions) share ONE ordering that matches Spark's
+  * semantics exactly: UTF-8 byte order for strings, exact long order for
+  * integrals, NaN-largest/-0.0≡0.0 for doubles — Spark trusts pushed
+  * filters, so any divergence would silently drop rows.
   *
   * Supported field types: STRING, INT, BIGINT, DOUBLE, BOOLEAN — the
   * document shapes the reference stores (all-nullable strings plus the
