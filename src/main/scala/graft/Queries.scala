@@ -115,7 +115,7 @@ object Queries {
     * parser's regex alternation, cascade priority, classifier order, null
     * discipline, and the year-2024 timestamp build.
     */
-  private val pp = QueryDef("p_parse_ssh_roundtrip",
+  private val ppOracle: Option[String] =
     Some("""SELECT event_id,
            |  CASE event_type WHEN 'error' THEN 'failed_password' WHEN 'signup' THEN 'invalid_user'
            |       WHEN 'purchase' THEN 'auth_failure' WHEN 'click' THEN 'connection_closed'
@@ -131,8 +131,12 @@ object Queries {
            |  CASE event_type WHEN 'purchase' THEN 'unix' ELSE NULL END AS method,
            |  make_timestamp(2024, 1, cast(event_id % 27 AS int) + 1, 3,
            |                 cast(event_id % 60 AS int), cast(user_id % 60 AS double)) AS datetime
-           |FROM events ORDER BY event_id""".stripMargin),
-    (s, d) => {
+           |FROM events ORDER BY event_id""".stripMargin)
+
+  /** Synthesized SSH lines from `events` → full LogParser output (the
+    * shared front half of p_parse_ssh_roundtrip and pipe_ssh_docstore).
+    */
+  private def synthParsed(s: SparkSession, d: String): DataFrame = {
       val msg = when(col("event_type") === "error",
           format_string("Failed password for u%d from 10.0.%d.%d port %d ssh2",
             col("user_id"), pmod(col("user_id"), lit(200)), pmod(col("event_id"), lit(250)),
@@ -167,9 +171,53 @@ object Queries {
         .repartition(s.sparkContext.defaultParallelism, col("event_id"))
         .select(col("event_id"), line.as("value"))
       graft.ingest.LogParser.parse(raw)
-        .select("event_id", "event", "ip", "user", "port", "protocol_version",
-          "disconnect_reason", "method", "datetime")
-        .orderBy("event_id")
+    }
+
+  private val pp = QueryDef("p_parse_ssh_roundtrip",
+    ppOracle,
+    (s, d) => synthParsed(s, d)
+      .select("event_id", "event", "ip", "user", "port", "protocol_version",
+        "disconnect_reason", "method", "datetime")
+      .orderBy("event_id"))
+
+  /** The reference's ENTIRE three-stage pipeline, end to end, through the
+    * real connector: parse raw SSH lines (main.py stage 1, parse_logs.py)
+    * → insert the parsed STRING columns into the document store
+    * (insert_mongo.py — like Mongo, the store holds strings; datetime is a
+    * dashboard-side derivation) → read back with `find(filter, projection)`
+    * (ip IS NOT NULL pushes into the connector, only 3 fields materialize)
+    * → the dashboard's per-IP behavioral summary (stats_dashboard.py:103+:
+    * totals, suspicious-event count, distinct users).
+    */
+  private val s12 = QueryDef("pipe_ssh_docstore",
+    Some("""WITH parsed AS (
+           |  SELECT
+           |    CASE event_type WHEN 'error' THEN 'failed_password' WHEN 'signup' THEN 'invalid_user'
+           |         WHEN 'purchase' THEN 'auth_failure' WHEN 'click' THEN 'connection_closed'
+           |         ELSE 'disconnect' END AS event,
+           |    CASE WHEN event_type IN ('purchase', 'click') THEN NULL
+           |         ELSE '10.0.' || (user_id % 200) || '.' || (event_id % 250) END AS ip,
+           |    CASE event_type WHEN 'error' THEN 'u' || user_id WHEN 'signup' THEN 'u' || user_id
+           |         WHEN 'purchase' THEN 'root' ELSE NULL END AS user
+           |  FROM events)
+           |SELECT ip, count(*) AS total,
+           |  cast(sum(CASE WHEN event IN ('failed_password', 'invalid_user', 'auth_failure')
+           |               THEN 1 ELSE 0 END) as bigint) AS n_suspicious,
+           |  count(DISTINCT user) AS n_users
+           |FROM parsed WHERE ip IS NOT NULL
+           |GROUP BY ip ORDER BY ip""".stripMargin),
+    (s, d) => {
+      val path = s"/tmp/graft_s12_docstore_${Integer.toHexString(d.hashCode)}"
+      synthParsed(s, d).select("event", "ip", "user")
+        .write.format("docstore").mode("overwrite").save(path)
+      s.read.format("docstore").load(path)
+        .filter(col("ip").isNotNull)
+        .groupBy("ip")
+        .agg(count(lit(1)).as("total"),
+          cnt(col("event").isin("failed_password", "invalid_user", "auth_failure"))
+            .as("n_suspicious"),
+          count_distinct(col("user")).as("n_users"))
+        .orderBy("ip")
     })
 
   /** S2/S3: CSV sink + re-scan with explicit schema (the reference's
@@ -1241,7 +1289,7 @@ object Queries {
 
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
-    s1, s2, s4, s7, s8, s9, s10, s11, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
+    s1, s2, s4, s7, s8, s9, s10, s11, s12, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, su, si, se, g1, g2, g3,
