@@ -191,6 +191,14 @@ object PlanCheck {
       "single Expand, no Union of re-aggregations" ->
         (p => "Expand".r.findAllIn(p).size == 1 && !p.contains("Union")))
 
+    // Composed reference pipeline through the connector: the dashboard's
+    // find(ip != null, projection) must push into the docstore scan — the
+    // parse stage's 16 other columns never materialize on re-read.
+    check("pipe_ssh_docstore")(
+      "ip filter pushed into docstore scan" -> (_.contains("IsNotNull(ip)")),
+      "projection pruned to the 3 dashboard fields" ->
+        (_.contains("ReadFields: [event, ip, user]")))
+
     // Document-store connector: `find(filter, projection)` semantics — the
     // filter and the column pruning must reach the DSv2 BatchScan, so
     // non-matching documents and unused fields never materialize as rows.
