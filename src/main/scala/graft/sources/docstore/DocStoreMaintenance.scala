@@ -32,6 +32,11 @@ import org.apache.spark.sql.SparkSession
   * names them. Not atomic for CONCURRENT readers — run in a maintenance
   * window like any store's offline compaction.
   */
+/** Note: `compact` also serves as a distributed STATS REBUILD — a
+  * collection whose shards predate zone maps (no `_stats.json` entries)
+  * gains full stats by compacting to any shard count, because the rewrite
+  * goes through the connector's writers, which collect stats inline.
+  */
 object DocStoreMaintenance {
   private val Marker = "_compact_commit"
 
