@@ -319,7 +319,13 @@ private[docstore] class DocStoreTable(path: String, schema: StructType)
     // queryId scopes this job's shards in their NAMES: task commits from a
     // failing job can race past the driver's message collection, so abort
     // cleans by name pattern, never by (possibly incomplete) messages.
-    val gzip = "gzip".equalsIgnoreCase(info.options().getOrDefault("compression", "none"))
+    val compression = info.options().getOrDefault("compression", "none")
+    val gzip = compression.toLowerCase match {
+      case "gzip" => true
+      case "none" | "uncompressed" => false
+      case other => throw new IllegalArgumentException(
+        s"docstore compression '$other' not supported; use gzip or none")
+    }
     new DocStoreWriteBuilder(path, info.schema(), info.queryId(), gzip)
   }
 }
@@ -593,16 +599,18 @@ private[docstore] class DocStoreReader(file: String, full: StructType,
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val p = new Path(file)
-  private var in: org.apache.hadoop.fs.FSDataInputStream = _
+  private var in: java.io.InputStream = _
   // Lazy + missing-file tolerant: a streaming sink's epoch replay can
   // delete a shard between offset capture and read — an empty read (the
   // replacement shard arrives as a later offset) beats crashing the query.
   private lazy val lines: Iterator[String] =
     try {
-      in = DocStore.fs(p).open(p)
-      val stream: java.io.InputStream =
-        if (file.endsWith(".gz")) new java.util.zip.GZIPInputStream(in) else in
-      scala.io.Source.fromInputStream(stream, "UTF-8").getLines()
+      val raw = DocStore.fs(p).open(p)
+      // keep the OUTERMOST stream for close(): a GZIPInputStream holds a
+      // native Inflater that only end()s on close — closing just the raw
+      // stream leaks off-heap memory across many-shard scans.
+      in = if (file.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
     } catch { case _: java.io.FileNotFoundException => Iterator.empty }
   private val fullIdx: Map[String, StructField] = full.fields.map(f => f.name -> f).toMap
   private var current: InternalRow = _
@@ -723,7 +731,7 @@ private[docstore] class DocStoreWrite(path: String, schema: StructType, truncate
     // store is an append-only collection (insert_many), so only Append.
     if (truncate) throw new UnsupportedOperationException(
       "docstore streaming sink supports Append output mode only")
-    new DocStoreStreamingWrite(path, schema)
+    new DocStoreStreamingWrite(path, schema, gzip)
   }
 }
 
@@ -735,13 +743,13 @@ private[docstore] class DocStoreWrite(path: String, schema: StructType, truncate
   * collection, same discipline as a file-sink metadata log but enforced
   * with the shard-name epoch tag.
   */
-private[docstore] class DocStoreStreamingWrite(path: String, schema: StructType)
+private[docstore] class DocStoreStreamingWrite(path: String, schema: StructType, gzip: Boolean)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val dir = new Path(path)
     val f = DocStore.fs(dir)
     if (!f.exists(dir)) f.mkdirs(dir)
-    new DocStoreStreamingWriterFactory(path, schema)
+    new DocStoreStreamingWriterFactory(path, schema, gzip)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -761,10 +769,11 @@ private[docstore] class DocStoreStreamingWrite(path: String, schema: StructType)
   }
 }
 
-private[docstore] class DocStoreStreamingWriterFactory(path: String, schema: StructType)
+private[docstore] class DocStoreStreamingWriterFactory(path: String, schema: StructType,
+                                                       gzip: Boolean)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new DocStoreWriter(path, schema, partitionId, taskId, Some(epochId))
+    new DocStoreWriter(path, schema, partitionId, taskId, Some(epochId), gzip = gzip)
 }
 
 private[docstore] class DocStoreBatchWrite(path: String, schema: StructType, truncate: Boolean,

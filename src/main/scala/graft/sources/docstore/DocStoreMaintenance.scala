@@ -31,11 +31,11 @@ import org.apache.spark.sql.SparkSession
   * removed after the full compacted copy exists AND the marker durably
   * names them. Not atomic for CONCURRENT readers — run in a maintenance
   * window like any store's offline compaction.
-  */
-/** Note: `compact` also serves as a distributed STATS REBUILD — a
-  * collection whose shards predate zone maps (no `_stats.json` entries)
-  * gains full stats by compacting to any shard count, because the rewrite
-  * goes through the connector's writers, which collect stats inline.
+  *
+  * `compact` also serves as a distributed STATS REBUILD — a collection
+  * whose shards predate zone maps (no `_stats.json` entries) gains full
+  * stats by compacting to any shard count, because the rewrite goes
+  * through the connector's writers, which collect stats inline.
   */
 object DocStoreMaintenance {
   private val Marker = "_compact_commit"
@@ -47,13 +47,18 @@ object DocStoreMaintenance {
 
     recover(path)
 
-    // Phase 1: prepare the full compacted copy in staging.
+    // Phase 1: prepare the full compacted copy in staging. Encoding is
+    // preserved: if every existing shard is gzip, the compacted shards are
+    // gzip too (a mixed collection normalizes to plain).
     val stagingId = UUID.randomUUID().toString
     val staging = new Path(dir, s".compact-$stagingId")
     val oldShards = DocStore.listParts(path).map(_.getName)
+    val keepGzip = oldShards.nonEmpty && oldShards.forall(_.endsWith(".gz"))
     spark.read.format("docstore").load(path)
       .repartition(targetShards)
-      .write.format("docstore").mode("overwrite").save(staging.toString)
+      .write.format("docstore").mode("overwrite")
+      .option("compression", if (keepGzip) "gzip" else "none")
+      .save(staging.toString)
 
     // Commit point: the marker durably records what to delete and where
     // the replacement lives.

@@ -223,6 +223,23 @@ class DocStoreSpec extends SparkSpec {
     assert(q.queryExecution.executedPlan.toString.contains("Shards: 0/"))
   }
 
+  test("unsupported compression value fails fast; compact preserves gzip encoding") {
+    import graft.sources.docstore.DocStoreMaintenance
+    val dir = tmpDir("gzip2")
+    intercept[Exception] {
+      rows.write.format("docstore").mode("overwrite")
+        .option("compression", "snappy").save(dir)
+    }
+    spark.range(100).toDF("id").repartition(4)
+      .write.format("docstore").mode("overwrite").option("compression", "gzip").save(dir)
+    DocStoreMaintenance.compact(spark, dir, 2)
+    val shards = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filter(_.startsWith("part-")) // basename filter: skips .crc sidecars
+    assert(shards.length == 2 && shards.forall(_.endsWith(".jsonl.gz")), shards.mkString(","))
+    assert(spark.read.format("docstore").load(dir).agg(sum("id")).head.getLong(0) == 4950L)
+  }
+
   test("SQL DDL surface: CREATE TABLE ... USING docstore, INSERT, query") {
     val dir = tmpDir("sql")
     spark.sql("DROP TABLE IF EXISTS docstore_sql_t")

@@ -38,6 +38,23 @@ class DocStoreStreamingSpec extends SparkSpec {
     assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "alice"), (2L, "bob"), (3L, "carol")))
 
+    // the streaming sink honors compression too
+    val gzDir = Files.createTempDirectory("graft_docstore_stream_gz").toString
+    val gzCkpt = Files.createTempDirectory("graft_docstore_gz_ckpt").toString
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = in2.toDF().toDF("id", "name")
+      .writeStream.format("docstore").option("path", gzDir)
+      .option("compression", "gzip")
+      .option("checkpointLocation", gzCkpt).outputMode("append").start()
+    in2.addData((1L, "z"))
+    q2.processAllAvailable()
+    q2.stop()
+    val gzShards = Files.list(java.nio.file.Paths.get(gzDir)).toArray.map(_.toString)
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filter(_.startsWith("part-e")) // basename filter: skips .crc sidecars
+    assert(gzShards.nonEmpty && gzShards.forall(_.endsWith(".jsonl.gz")), gzShards.mkString(","))
+    assert(spark.read.format("docstore").load(gzDir).count() == 1)
+
     // Shards are epoch-tagged — the idempotent-replay key: a replayed
     // epoch's commit deletes the failed attempt's same-epoch files.
     val shards = Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
