@@ -721,13 +721,13 @@ object QueriesExt {
     * to REAL (both engines: IEEE round-to-nearest); emptied cells keep
     * their previous centroid via the LEFT JOIN coalesce.
     */
-  private def lloydCteSql(iters: Int): String = (0 until iters).map { i =>
+  private def lloydCteSql(iters: Int, trainRel: String = "embeddings"): String = (0 until iters).map { i =>
     s"""a$i AS (
        |  SELECT vec_id, cidx AS cell FROM (
        |    SELECT e.vec_id, c.cidx,
        |      row_number() OVER (PARTITION BY e.vec_id
        |                         ORDER BY ${ivfCosSql("e.embedding", "c.ce")} DESC, c.cidx) AS rn
-       |    FROM embeddings e CROSS JOIN c$i c) WHERE rn = 1),
+       |    FROM $trainRel e CROSS JOIN c$i c) WHERE rn = 1),
        |m$i AS (
        |  SELECT cell, d,
        |    list_reduce(list_prepend(cast(0.0 as double), list(x ORDER BY vid)), (p, q) -> p + q)
@@ -736,7 +736,7 @@ object QueriesExt {
        |    SELECT cell, u.d AS d, u.x AS x, u.vid AS vid FROM (
        |      SELECT a.cell, unnest([{'d': i, 'x': cast(e.embedding[i] as double), 'vid': e.vec_id}
        |                             for i in range(1, len(e.embedding) + 1)]) AS u
-       |      FROM a$i a JOIN embeddings e ON e.vec_id = a.vec_id))
+       |      FROM a$i a JOIN $trainRel e ON e.vec_id = a.vec_id))
        |  GROUP BY cell, d),
        |c${i + 1} AS (
        |  SELECT p.cidx, coalesce(n.ce, p.ce) AS ce
@@ -752,10 +752,11 @@ object QueriesExt {
     * ANSI SQL.
     */
   private val sm5 = QueryDef("sim_ivf",
-    Some(s"""WITH c0 AS (
+    Some(s"""WITH train AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+            |c0 AS (
             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS ce
-            |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
-            |${lloydCteSql(2)}
+            |  FROM (SELECT vec_id, embedding FROM train ORDER BY vec_id LIMIT 16)),
+            |${lloydCteSql(2, "train")}
             |vc AS (
             |  SELECT e.vec_id, c.cidx,
             |    ${foldDot("e.embedding", "c.ce")} /
@@ -785,7 +786,8 @@ object QueriesExt {
             |SELECT query_id, neighbor_id, cos, rank FROM ranked
             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     (s, d) => Similarity.ivfTopK(
-      emb(s, d), emb(s, d).filter(col("vec_id") < 10), k = 5, nCentroids = 16, nProbe = 4)
+      emb(s, d), emb(s, d).filter(col("vec_id") < 10), k = 5, nCentroids = 16, nProbe = 4,
+      trainModulus = 2)
       .orderBy("query_id", "rank"))
 
   // ---- multimodal --------------------------------------------------------

@@ -171,8 +171,18 @@ object Similarity {
     * the corpus is hash-partitioned by cell once, queries broadcast.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
-    val cents = ivfCentroids(corpus, nCentroids, lloydIters)
+              nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
+              trainModulus: Int = 1): DataFrame = {
+    // trainModulus > 1 trains the coarse quantizer on the deterministic
+    // 1-in-m sample vec_id % m == 0 — centroids need only a representative
+    // sketch of the distribution, and the trainer's ordered-fold pass is
+    // the one corpus-proportional stage (measured 6.3x at a 10x scale-up
+    // when training on everything). Sampling is the production default at
+    // scale; every vector is still ASSIGNED to a cell.
+    val trainSet =
+      if (trainModulus > 1) corpus.filter(pmod(col("vec_id"), lit(trainModulus)) === 0)
+      else corpus
+    val cents = ivfCentroids(trainSet, nCentroids, lloydIters)
 
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
       .withColumn("cell",
