@@ -135,6 +135,17 @@ object PlanCheck {
       "shuffle keys include the salt" ->
         (p => "hashpartitioning\\(event_type#\\d+L?, _graft_salt".r.findFirstIn(p).isDefined))
 
+    // Per-source cap: bounded-buffer bottom-k aggregation — there must be
+    // NO window (the row_number formulation sorts every row of every
+    // source), and the aggregate must run partial (map-side ≤k buffers)
+    // before the one narrow exchange.
+    check("tx_source_cap")(
+      "no window sort of the corpus" -> (p => !p.contains("Window")),
+      "partial aggregation before the shuffle" ->
+        (p => "ObjectHashAggregate.*bottomkpairs".r.findFirstIn(p.toLowerCase.replace("\n", " ")).isDefined
+          || p.toLowerCase.contains("partial_bottomkpairs")),
+      "text never scanned" -> (p => !p.contains("text")))
+
     // Parser: ONE fused multi-pattern kernel evaluation per row — a
     // projection collapse that inlined it into each of the 14 consuming
     // columns would re-run all 13 regex searches per field.

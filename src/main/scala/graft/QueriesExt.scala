@@ -496,6 +496,43 @@ object QueriesExt {
         .orderBy("lang")
     })
 
+  /** Per-source document cap — the "no single domain dominates the
+    * corpus" gate every web-scale pipeline runs (cap each source at N
+    * docs, chosen by a deterministic hash so the retained set is a
+    * reproducible uniform sample of the source, not its head).
+    *
+    * Scale shape: this is per-group bottom-k by hash priority, computed by
+    * the bounded-buffer [[graft.functions.BottomKPairs]] Aggregator — NOT
+    * `row_number() OVER (PARTITION BY source ...)`, which would shuffle
+    * and sort every row of every source (the whole corpus) to discard all
+    * but k per group. The aggregator's map-side partial buffers carry ≤ k
+    * (priority, doc_id) pairs per (partition, source), so the shuffle is
+    * #sources × k × 16 bytes regardless of corpus size, and a hot source
+    * with 10^9 docs cannot skew a sort. Text never moves — the query runs
+    * on the narrow (source, doc_id) projection; callers re-join kept ids
+    * to fetch payloads. Priority uses a third odd multiplier, independent
+    * of tx_sample_split's sampling and split hashes, with the same
+    * overflow-free mod-2^20 reduction.
+    */
+  private val tx15 = QueryDef("tx_source_cap",
+    Some("""SELECT source, doc_id, pri AS priority, cast(rn as bigint) AS rnk FROM (
+           |  SELECT source, doc_id, ((doc_id % 1048576) * 982451653) % 1048576 AS pri,
+           |    row_number() OVER (PARTITION BY source
+           |                       ORDER BY ((doc_id % 1048576) * 982451653) % 1048576, doc_id) AS rn
+           |  FROM documents)
+           |WHERE rn <= 20 ORDER BY source, rnk""".stripMargin),
+    (s, d) => {
+      val pri = pmod(pmod(col("doc_id"), lit(1048576L)) * 982451653L, lit(1048576L))
+      docs(s, d)
+        .select(col("source"), pri.as("pri"), col("doc_id"))
+        .groupBy("source")
+        .agg(graft.functions.TopKAgg.bottomKPairs(col("pri"), col("doc_id"), 20).as("kept"))
+        .select(col("source"), posexplode(col("kept")).as(Seq("pos", "pair")))
+        .select(col("source"), col("pair._2").as("doc_id"), col("pair._1").as("priority"),
+          (col("pos") + 1).cast("long").as("rnk"))
+        .orderBy("source", "rnk")
+    })
+
   // ---- deduplication -----------------------------------------------------
 
   private val dd1 = QueryDef("dd_exact",
@@ -901,7 +938,7 @@ object QueriesExt {
     })
 
   val all: Seq[QueryDef] = Seq(
-    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14,
+    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15,
     dd1, dd2, dd3, dd4, dd5, dd6,
     sm1, sm2, sm3, sm4, sm5,
     mm1, mm2, pl1)

@@ -61,7 +61,71 @@ class TopKDoubles(k: Int) extends Aggregator[Double, Array[Double], Array[Double
   override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
 }
 
+/** The k lexicographically-smallest `(priority, id)` pairs per group —
+  * the bounded-buffer engine behind "cap every source at N documents":
+  * priority is a deterministic hash, so the retained set is a reproducible
+  * uniform sample of each group, selected WITHOUT sorting the group.
+  *
+  * Same scale rationale as [[TopKDoubles]]: the window formulation
+  * (`row_number() OVER (PARTITION BY source ORDER BY priority) <= k`)
+  * shuffles and sorts EVERY row of every source; this aggregator's partial
+  * buffers carry at most k pairs per (partition, source) map-side, so a
+  * source with 10^9 documents costs the shuffle k × 16 bytes, not 10^9
+  * sorted rows. Deterministic: the result is the set of k smallest pairs,
+  * independent of partitioning/merge order (ids are unique, so pairs are).
+  */
+class BottomKPairs(k: Int) extends Aggregator[(Long, Long), Array[(Long, Long)], Array[(Long, Long)]] {
+
+  /** Buffer: ascending lexicographic, ≤ k pairs (max last for O(1) check). */
+  override def zero: Array[(Long, Long)] = Array.empty
+
+  private def lt(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(buf: Array[(Long, Long)], v: (Long, Long)): Array[(Long, Long)] = {
+    if (buf.length < k) {
+      val out = new Array[(Long, Long)](buf.length + 1)
+      var i = 0
+      while (i < buf.length && lt(buf(i), v)) { out(i) = buf(i); i += 1 }
+      out(i) = v
+      while (i < buf.length) { out(i + 1) = buf(i); i += 1 }
+      out
+    } else if (!lt(v, buf(k - 1))) buf
+    else {
+      val out = new Array[(Long, Long)](k)
+      var i = 0 // current max (buf(k-1)) is dropped
+      var j = 0
+      while (i < k - 1 && lt(buf(i), v)) { out(j) = buf(i); i += 1; j += 1 }
+      out(j) = v; j += 1
+      while (j < k) { out(j) = buf(i); i += 1; j += 1 }
+      out
+    }
+  }
+
+  override def reduce(buf: Array[(Long, Long)], v: (Long, Long)): Array[(Long, Long)] = insert(buf, v)
+
+  override def merge(a: Array[(Long, Long)], b: Array[(Long, Long)]): Array[(Long, Long)] = {
+    var acc = a
+    var i = 0
+    while (i < b.length) { acc = insert(acc, b(i)); i += 1 }
+    acc
+  }
+
+  /** Output: ascending (best-priority first) — position = selection rank. */
+  override def finish(buf: Array[(Long, Long)]): Array[(Long, Long)] = buf
+
+  override def bufferEncoder: Encoder[Array[(Long, Long)]] = ExpressionEncoder[Array[(Long, Long)]]()
+  override def outputEncoder: Encoder[Array[(Long, Long)]] = ExpressionEncoder[Array[(Long, Long)]]()
+}
+
 object TopKAgg {
   /** Column form: `topKValues(col("value"), 3)` inside `agg(...)`. */
   def topKValues(c: Column, k: Int): Column = udaf(new TopKDoubles(k)).apply(c)
+
+  /** Column form: k smallest (priority, id) pairs per group as an array of
+    * `{_1, _2}` structs, ascending. `bottomKPairs(pri, id, 50)`.
+    */
+  def bottomKPairs(priority: Column, id: Column, k: Int): Column =
+    udaf(new BottomKPairs(k), Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .apply(priority, id)
 }

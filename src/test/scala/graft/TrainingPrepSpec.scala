@@ -106,4 +106,50 @@ class TrainingPrepSpec extends SparkSpec {
         s"approx=$approx exact=$exact for ${r.getAs[String]("event_type")}")
     }
   }
+
+  test("tx_source_cap: equals the window formulation, caps at 20, rank-ordered") {
+    import org.apache.spark.sql.expressions.Window
+    val capped = SparkEntry.queries("tx_source_cap")(spark, sf).collect()
+    assert(capped.nonEmpty)
+    // per-source: ranks are 1..n (n <= 20), priorities ascend with rank
+    capped.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(byRank.length <= 20)
+      assert(byRank.map(_.getAs[Long]("rnk")).toSeq == (1L to byRank.length).toSeq)
+      val pris = byRank.map(r => (r.getAs[Long]("priority"), r.getAs[Long]("doc_id"))).toSeq
+      assert(pris == pris.sorted, "kept pairs must ascend by (priority, doc_id)")
+    }
+    // the kept SET is exactly what the (non-scalable) window formulation keeps
+    val pri = pmod(pmod(col("doc_id"), lit(1048576L)) * 982451653L, lit(1048576L))
+    val w = Window.partitionBy("source").orderBy("pri", "doc_id")
+    val viaWindow = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), pri.as("pri"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaAgg = capped.map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("BottomKPairs: partitioning-independent and exact vs sort-take") {
+    import spark.implicits._
+    // adversarial input: duplicate priorities (ties broken by id), k larger
+    // than some groups, k smaller than others
+    val rows = (0 until 500).map { i =>
+      (s"g${i % 7}", (i * 31) % 13L /* many priority ties */, i.toLong)
+    }
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sorted.take(9)
+    }
+    for (parts <- Seq(1, 3, 16)) {
+      val got = rows.toDF("g", "p", "id").repartition(parts)
+        .groupBy("g")
+        .agg(graft.functions.TopKAgg.bottomKPairs(col("p"), col("id"), 9).as("kept"))
+        .collect()
+        .map(r => r.getAs[String]("g") ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1))).toSeq)
+        .toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
 }
