@@ -827,6 +827,36 @@ object QueriesExt {
       trainModulus = 2)
       .orderBy("query_id", "rank"))
 
+  /** K-means clustering summary over the embedding corpus — cluster sizes,
+    * a representative member, and mean cosine cohesion per cell. Same
+    * deterministic trainer (sampled seed + 2 Lloyd rounds) as sim_ivf, so
+    * the ENTIRE clustering — training, assignment, per-cell stats — is
+    * re-derived in the oracle and hash-compared. The per-cell mean uses
+    * the ordered left fold (members in vec_id order) on both engines.
+    */
+  private val sm6 = QueryDef("sim_kmeans",
+    Some(s"""WITH train AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+            |c0 AS (
+            |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS ce
+            |  FROM (SELECT vec_id, embedding FROM train ORDER BY vec_id LIMIT 16)),
+            |${lloydCteSql(2, "train")}
+            |vc AS (
+            |  SELECT e.vec_id, c.cidx,
+            |    ${foldDot("e.embedding", "c.ce")} /
+            |      (sqrt(${foldDot("e.embedding", "e.embedding")}) * sqrt(${foldDot("c.ce", "c.ce")})) AS cos
+            |  FROM embeddings e CROSS JOIN c2 c),
+            |assign AS (
+            |  SELECT vec_id, cidx AS cell, cos FROM
+            |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cidx) AS rn FROM vc)
+            |  WHERE rn = 1)
+            |SELECT cast(cell as bigint) AS cell, count(*) AS n_members,
+            |  min(vec_id) AS min_vec_id,
+            |  floor(list_reduce(list_prepend(cast(0.0 as double), list(cos ORDER BY vec_id)),
+            |                    (p, q) -> p + q) / count(*) * 10000 + 0.5) / 10000 AS avg_cos
+            |FROM assign GROUP BY cell ORDER BY cell""".stripMargin),
+    (s, d) => Similarity.kmeansClusterStats(
+      emb(s, d), nCentroids = 16, lloydIters = 2, trainModulus = 2))
+
   // ---- multimodal --------------------------------------------------------
 
   /** Binary-column features via expressions only (payload = UTF-8 bytes). */
@@ -940,6 +970,6 @@ object QueriesExt {
   val all: Seq[QueryDef] = Seq(
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15,
     dd1, dd2, dd3, dd4, dd5, dd6,
-    sm1, sm2, sm3, sm4, sm5,
+    sm1, sm2, sm3, sm4, sm5, sm6,
     mm1, mm2, pl1)
 }

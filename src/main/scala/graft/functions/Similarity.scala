@@ -200,6 +200,44 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** K-means clustering summary — the "what structure does this embedding
+    * corpus have" analytic (cluster cardinalities, a representative member,
+    * mean cohesion), built on the same deterministic trainer as IVF so it
+    * gets a full cross-engine oracle.
+    *
+    * Scale shape: training reads the 1-in-`trainModulus` sample (like
+    * [[ivfTopK]]); assignment is ONE map-only pass with the centroid matrix
+    * riding inside the native expression (no join, no embedding shuffle);
+    * the stats aggregate reduces to nCentroids rows. The per-cell mean
+    * cosine uses an ordered fold over members (same rationale as the
+    * trainer: a parallel double sum's combine order is nondeterministic in
+    * the last ulp, and the oracle hash-compares exact values) — at 100 TB
+    * you'd trade the bit-exact fold for a plain avg and compare with an
+    * epsilon instead.
+    */
+  def kmeansClusterStats(corpus: DataFrame, nCentroids: Int, lloydIters: Int,
+                         trainModulus: Int = 1): DataFrame = {
+    val trainSet =
+      if (trainModulus > 1) corpus.filter(pmod(col("vec_id"), lit(trainModulus)) === 0)
+      else corpus
+    val cents = ivfCentroids(trainSet, nCentroids, lloydIters)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+
+    corpus.select(col("vec_id"), col("embedding"),
+        element_at(NativeExpressions.nearestCentroids(col("embedding"), cents, 1), 1).as("cell"))
+      .withColumn("ce", element_at(centsLit, col("cell") + 1))
+      .withColumn("cos",
+        dot(col("embedding"), col("ce")) / (l2Norm(col("embedding")) * l2Norm(col("ce"))))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        min("vec_id").as("min_vec_id"),
+        sort_array(collect_list(struct(col("vec_id"), col("cos")))).as("xs"))
+      .select(col("cell").cast("long").as("cell"), col("n_members"), col("min_vec_id"),
+        Rounding.round4(aggregate(col("xs"), lit(0.0),
+          (acc, s) => acc + s.getField("cos")) / col("n_members")).as("avg_cos"))
+      .orderBy("cell")
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g.
     * label): pairs with cosine ≥ threshold, id_a < id_b. Norms are computed
     * once per vector (before the pair join), a pair costs one codegen'd

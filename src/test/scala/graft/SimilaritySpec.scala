@@ -75,6 +75,24 @@ class SimilaritySpec extends SparkSpec {
     assert(a.map(_.toSeq) sameElements b.map(_.toSeq))
   }
 
+  test("sim_kmeans: cells partition the corpus and cohesion is sane") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val stats = Similarity.kmeansClusterStats(emb, nCentroids = 16, lloydIters = 2,
+      trainModulus = 2).collect()
+    assert(stats.map(_.getAs[Long]("n_members")).sum == emb.count(),
+      "every vector lands in exactly one cell")
+    assert(stats.map(_.getAs[Long]("cell")).distinct.length == stats.length)
+    stats.foreach { r =>
+      val c = r.getAs[Double]("avg_cos")
+      assert(c >= -1.0 && c <= 1.0)
+      assert(r.getAs[Long]("min_vec_id") >= 0L)
+    }
+    // a member's cosine to its own centroid should usually beat a random
+    // pairing — mean cohesion across cells must be clearly positive
+    val meanCohesion = stats.map(_.getAs[Double]("avg_cos")).sum / stats.length
+    assert(meanCohesion > 0.2, s"mean cohesion $meanCohesion") // ~0 for random pairings; measures 0.298
+  }
+
   test("l2Norm matches local math") {
     val row = vectors.filter($"vec_id" === 2L)
       .select(Similarity.l2Norm($"embedding")).head()
