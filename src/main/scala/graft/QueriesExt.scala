@@ -533,6 +533,71 @@ object QueriesExt {
         .orderBy("source", "rnk")
     })
 
+  /** One BPE merge round, replayed in DuckDB SQL: pair counts from the
+    * current token lists (p/m), then greedy-left merge application via
+    * gaps-and-islands — consecutive marked positions form islands (only
+    * possible for equal-symbol pairs like (a,a) in "aaa"), a merge STARTS
+    * at odd in-island rank, and the position after a start is consumed.
+    * Validated against a sequential reference implementation on
+    * adversarial equal-symbol-run fixtures before adoption (and by
+    * BpeSpec's Spark-vs-reference property test).
+    */
+  private def bpeStageSql(r: Int): String =
+    s"""p$r AS (
+       |  SELECT u.a AS a, u.b AS b, sum(c) AS cnt FROM (
+       |    SELECT c, unnest([{'a': toks[i], 'b': toks[i+1]} for i in range(1, len(toks))]) AS u
+       |    FROM t$r WHERE len(toks) >= 2)
+       |  GROUP BY u.a, u.b),
+       |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |pos$r AS (
+       |  SELECT word, c, u.i AS i, u.sym AS sym,
+       |    (u.sym = m.a AND u.nxt = m.b) AS mark, m.a AS ma, m.b AS mb
+       |  FROM (SELECT word, c,
+       |          unnest([{'i': i, 'sym': toks[i], 'nxt': toks[i+1]}
+       |                  for i in range(1, len(toks)+1)]) AS u
+       |        FROM t$r) CROSS JOIN m$r m),
+       |w1_$r AS (
+       |  SELECT *, CASE WHEN mark THEN i - row_number() OVER (PARTITION BY word, mark ORDER BY i) END AS isl
+       |  FROM pos$r),
+       |w2_$r AS (
+       |  SELECT *, CASE WHEN mark THEN row_number() OVER (PARTITION BY word, isl ORDER BY i) % 2 = 1 ELSE false END AS strt
+       |  FROM w1_$r),
+       |w3_$r AS (
+       |  SELECT word, c, i, sym, strt, ma, mb,
+       |    coalesce(lag(strt) OVER (PARTITION BY word ORDER BY i), false) AS consumed
+       |  FROM w2_$r),
+       |t${r + 1} AS (
+       |  SELECT word, c, list(CASE WHEN strt THEN ma || mb ELSE sym END ORDER BY i) AS toks
+       |  FROM w3_$r WHERE NOT consumed GROUP BY word, c)""".stripMargin
+
+  /** BPE merge training — the tokenizer-vocabulary step of the pipeline:
+    * 6 greedy merge rounds over the corpus' word-frequency table (see
+    * [[graft.functions.Bpe]] for the scale design: one corpus-sized
+    * aggregation, then vocabulary-sized distributed rounds with only the
+    * winning pair collected per round). The oracle replays the ENTIRE
+    * training — every round's pair statistics and merge application — in
+    * windowed ANSI SQL and hash-compares the learned merge list.
+    */
+  private val tx16 = QueryDef("tx_bpe_merges",
+    Some(s"""WITH wf AS (
+            |  SELECT word, count(*) AS c FROM (
+            |    SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+            |  WHERE regexp_full_match(word, '[A-Za-z]+')
+            |  GROUP BY word),
+            |t0 AS (SELECT word, c, [word[i] for i in range(1, len(word)+1)] AS toks FROM wf),
+            |${(0 until 6).map(bpeStageSql).mkString(",\n")}
+            |SELECT * FROM (
+            |${(0 until 6).map(r => s"SELECT cast(${r + 1} as bigint) AS merge_rank, a AS left_sym, b AS right_sym, cast(cnt as bigint) AS pair_count FROM m$r").mkString("\n UNION ALL ")}
+            |) ORDER BY merge_rank""".stripMargin),
+    (s, d) => {
+      val merges = graft.functions.Bpe.trainMerges(
+        graft.functions.Bpe.wordFrequencies(docs(s, d), "text"), 6)
+      s.createDataFrame(merges).select(
+          col("mergeRank").as("merge_rank"), col("leftSym").as("left_sym"),
+          col("rightSym").as("right_sym"), col("pairCount").as("pair_count"))
+        .orderBy("merge_rank")
+    })
+
   // ---- deduplication -----------------------------------------------------
 
   private val dd1 = QueryDef("dd_exact",
@@ -968,7 +1033,7 @@ object QueriesExt {
     })
 
   val all: Seq[QueryDef] = Seq(
-    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15,
+    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16,
     dd1, dd2, dd3, dd4, dd5, dd6,
     sm1, sm2, sm3, sm4, sm5, sm6,
     mm1, mm2, pl1)

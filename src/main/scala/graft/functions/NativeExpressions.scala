@@ -739,6 +739,77 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Adjacent element pairs of a string array, as `array<struct<a,b>>` —
+    * the pair-statistics step of BPE training ((toks[i], toks[i+1]) for
+    * every position). A built-in composition exists
+    * (`arrays_zip(slice(x,1,n-1), slice(x,2,n-1))`) but its struct field
+    * names depend on the input expressions; this kernel fixes the schema
+    * and copies each element once. Arrays with < 2 elements yield [].
+    */
+  case class AdjacentPairs(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("a", StringType, nullable = false),
+        StructField("b", StringType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_adjacent_pairs"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < 2) return new GenericArrayData(new Array[Any](0))
+      val out = new Array[Any](n - 1)
+      var i = 0
+      while (i < n - 1) {
+        out(i) = org.apache.spark.sql.catalyst.InternalRow(
+          arr.getUTF8String(i), arr.getUTF8String(i + 1))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** One greedy-left BPE merge pass: every non-overlapping occurrence of
+    * the adjacent pair (left, right) in the token array becomes the single
+    * token left+right, scanning left to right (so "aaa" under merge (a,a)
+    * → ["aa","a"], as in Sennrich et al.'s reference implementation). The
+    * merge pair is a per-round constant, so it rides in the expression —
+    * no join against a merges table.
+    */
+  case class BpeMergeApply(child: Expression, left: String, right: String)
+      extends UnaryExpression with CodegenFallback {
+
+    @transient private lazy val l = UTF8String.fromString(left)
+    @transient private lazy val r = UTF8String.fromString(right)
+    @transient private lazy val merged = UTF8String.fromString(left + right)
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = s"graft_bpe_merge($left,$right)"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new java.util.ArrayList[Any](n)
+      var i = 0
+      while (i < n) {
+        if (i < n - 1 && arr.getUTF8String(i) == l && arr.getUTF8String(i + 1) == r) {
+          out.add(merged); i += 2
+        } else {
+          out.add(arr.getUTF8String(i)); i += 1
+        }
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level entry points -----------------------------------------
 
   import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
@@ -773,4 +844,7 @@ object NativeExpressions {
     toCol(HyperplaneBuckets(toExpr(vec), tables, bits))
   def nearestCentroids(vec: Column, centroids: Array[Array[Float]], top: Int): Column =
     toCol(NearestCentroids(toExpr(vec), centroids, top))
+  def adjacentPairs(tokens: Column): Column = toCol(AdjacentPairs(toExpr(tokens)))
+  def bpeMergeApply(tokens: Column, left: String, right: String): Column =
+    toCol(BpeMergeApply(toExpr(tokens), left, right))
 }

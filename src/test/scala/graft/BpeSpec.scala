@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Bpe, NativeExpressions}
+
+/** BPE trainer correctness: the distributed trainer must agree with a
+  * straightforward sequential reference implementation (independent of
+  * both the Spark kernels and the SQL oracle) — on adversarial
+  * equal-symbol-run fixtures and on the real corpus.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -- sequential reference (Sennrich-style), kept deliberately naive -----
+  private def refPairCounts(vocab: Seq[(List[String], Long)]): Map[(String, String), Long] =
+    vocab.flatMap { case (toks, c) =>
+      toks.zip(toks.drop(1)).map(p => p -> c)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+
+  private def refApply(toks: List[String], a: String, b: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < toks.length) {
+      if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += toks(i); i += 1 }
+    }
+    out.toList
+  }
+
+  private def refTrain(words: Seq[String], k: Int): Seq[(Long, String, String, Long)] = {
+    var vocab = words.groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (w, ws) => (w.map(_.toString).toList, ws.length.toLong) }
+    (1 to k).flatMap { r =>
+      val pc = refPairCounts(vocab)
+      if (pc.isEmpty) None
+      else {
+        val ((a, b), cnt) = pc.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        vocab = vocab.map { case (t, c) => (refApply(t, a, b), c) }
+        Some((r.toLong, a, b, cnt))
+      }
+    }
+  }
+
+  private def trainOn(words: Seq[String], k: Int): Seq[(Long, String, String, Long)] = {
+    val wf = words.toDF("word").groupBy("word").agg(count(lit(1)).as("c"))
+    Bpe.trainMerges(wf, k).map(m => (m.mergeRank, m.leftSym, m.rightSym, m.pairCount))
+  }
+
+  test("BpeMergeApply: greedy-left non-overlapping semantics") {
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"), Seq("b", "a", "a"),
+      Seq("a", "b", "a", "b"), Seq("a"), Seq[String]()).toDF("toks")
+    val got = df.select(NativeExpressions.bpeMergeApply(col("toks"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got.toList == List(
+      List("aa", "a"), List("aa", "aa"), List("b", "aa"),
+      List("a", "b", "a", "b"), List("a"), Nil))
+  }
+
+  test("AdjacentPairs: all adjacent positions, [] under length 2") {
+    val df = Seq(Seq("x", "y", "z"), Seq("x"), Seq[String]()).toDF("toks")
+    val got = df.select(NativeExpressions.adjacentPairs(col("toks")).as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getString(1))).toList)
+    assert(got.toList == List(List(("x", "y"), ("y", "z")), Nil, Nil))
+  }
+
+  test("trainMerges matches the sequential reference on equal-symbol runs") {
+    val words = Seq("aaaa", "aaa", "aa", "abab", "aab", "baaa", "aaaaa")
+      .flatMap(w => Seq.fill(3)(w)) ++ Seq.fill(5)("xy")
+    assert(trainOn(words, 5) == refTrain(words, 5))
+  }
+
+  test("trainMerges matches the sequential reference on the real corpus") {
+    val words = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .as[String].collect().filter(_.matches("[A-Za-z]+")).toSeq
+    val got = trainOn(words, 6)
+    assert(got == refTrain(words, 6))
+    assert(got.length == 6)
+  }
+}
