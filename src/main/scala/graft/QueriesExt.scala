@@ -598,6 +598,50 @@ object QueriesExt {
         .orderBy("merge_rank")
     })
 
+  /** BPE ENCODING — the inference side of tx_bpe_merges: apply the learned
+    * merges to every document and report per-doc subword statistics (the
+    * token-budget accounting a tokenized pipeline actually bills by).
+    * Docs with no alphabetic words are absent on both engines (group-of-
+    * nothing vs inner join). The encode pass is map-only — the 6 merges
+    * ride as expression constants (see [[graft.functions.Bpe.encodeTokens]]
+    * for the broadcast-dictionary shape a production-size vocab needs).
+    * The oracle re-trains via the same replayed rounds, then encodes by
+    * joining each document's words to the final t6 tokenization state.
+    */
+  private val tx17 = QueryDef("tx_bpe_encode",
+    Some(s"""WITH wf AS (
+            |  SELECT word, count(*) AS c FROM (
+            |    SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+            |  WHERE regexp_full_match(word, '[A-Za-z]+')
+            |  GROUP BY word),
+            |t0 AS (SELECT word, c, [word[i] for i in range(1, len(word)+1)] AS toks FROM wf),
+            |${(0 until 6).map(bpeStageSql).mkString(",\n")},
+            |dw AS (
+            |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word FROM documents),
+            |enc AS (
+            |  SELECT d.doc_id, count(*) AS n_alpha_words,
+            |         cast(sum(len(t.toks)) as bigint) AS n_subwords
+            |  FROM dw d JOIN t6 t ON t.word = d.word
+            |  GROUP BY d.doc_id)
+            |SELECT doc_id, n_alpha_words, n_subwords,
+            |  floor(n_subwords * 1.0 / n_alpha_words * 10000 + 0.5) / 10000 AS subwords_per_word
+            |FROM enc ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val merges = graft.functions.Bpe.trainMerges(
+        graft.functions.Bpe.wordFrequencies(docs(s, d), "text"), 6)
+      docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+        .filter(col("word").rlike("^[A-Za-z]+$"))
+        .select(col("doc_id"),
+          size(graft.functions.Bpe.encodeTokens(col("word"), merges)).cast("long").as("ns"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_alpha_words"), sum("ns").as("n_subwords"))
+        .select(col("doc_id"), col("n_alpha_words"), col("n_subwords"),
+          graft.functions.Rounding.round4(
+            col("n_subwords") * 1.0 / col("n_alpha_words")).as("subwords_per_word"))
+        .orderBy("doc_id")
+    })
+
   // ---- deduplication -----------------------------------------------------
 
   private val dd1 = QueryDef("dd_exact",
@@ -1033,7 +1077,7 @@ object QueriesExt {
     })
 
   val all: Seq[QueryDef] = Seq(
-    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16,
+    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17,
     dd1, dd2, dd3, dd4, dd5, dd6,
     sm1, sm2, sm3, sm4, sm5, sm6,
     mm1, mm2, pl1)

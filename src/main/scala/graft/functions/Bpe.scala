@@ -82,4 +82,21 @@ object Bpe {
     cur.unpersist()
     merges.result()
   }
+
+  /** Encode a word column into its BPE tokenization under a learned merge
+    * list: characters, then each merge applied in rank order as a chained
+    * map-only [[NativeExpressions.BpeMergeApply]] kernel — the merges are
+    * expression constants, so encoding never joins or shuffles.
+    *
+    * This chain is the right shape for a BOUNDED merge list (one kernel
+    * per merge). A production vocabulary (tens of thousands of merges)
+    * would instead broadcast the trainer's final `word → tokens`
+    * dictionary (the t_k state the oracle materializes) and encode by
+    * broadcast lookup + char-level fallback for out-of-vocabulary words —
+    * same result, one hash lookup per word.
+    */
+  def encodeTokens(word: org.apache.spark.sql.Column, merges: Seq[Merge]): org.apache.spark.sql.Column =
+    merges.sortBy(_.mergeRank).foldLeft(array_remove(split(word, ""), "")) {
+      (toks, m) => NativeExpressions.bpeMergeApply(toks, m.leftSym, m.rightSym)
+    }
 }

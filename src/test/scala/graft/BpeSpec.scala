@@ -70,6 +70,20 @@ class BpeSpec extends SparkSpec {
     assert(trainOn(words, 5) == refTrain(words, 5))
   }
 
+  test("encodeTokens: kernel chain equals the sequential reference per word") {
+    val words = Seq("lower", "lowest", "aaa", "banana", "x", "stationery")
+    val corpus = words.flatMap(w => Seq.fill(2)(w)) // freqs irrelevant to equality
+    val wf = corpus.toDF("word").groupBy("word").agg(count(lit(1)).as("c"))
+    val merges = Bpe.trainMerges(wf, 4)
+    val got = words.toDF("word")
+      .select(col("word"), Bpe.encodeTokens(col("word"), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val expected = words.map { w =>
+      w -> merges.foldLeft(w.map(_.toString).toList)((t, m) => refApply(t, m.leftSym, m.rightSym))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("trainMerges matches the sequential reference on the real corpus") {
     val words = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(explode(split(col("text"), "\\s+")).as("w"))
