@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import graft.functions.{Bpe, NativeExpressions}
 
 /** BPE trainer correctness: the distributed trainer must agree with a
@@ -62,6 +64,40 @@ class BpeSpec extends SparkSpec {
       .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
         .map(r => (r.getString(0), r.getString(1))).toList)
     assert(got.toList == List(List(("x", "y"), ("y", "z")), Nil, Nil))
+  }
+
+  test("BpeMergeApply/AdjacentPairs: property — agree with the reference on random arrays") {
+    // random token arrays over a tiny alphabet (maximizes runs/overlaps)
+    // and random merge pairs, deterministic seed
+    val symGen = Gen.oneOf("a", "b", "ab", "ba")
+    val caseGen = for {
+      toks <- Gen.listOfN(12, symGen)
+      a <- symGen
+      b <- symGen
+    } yield (toks, a, b)
+    val cases = Gen.listOfN(200, caseGen)
+      .apply(Gen.Parameters.default, Seed(42L)).get
+    val df = cases.zipWithIndex
+      .map { case ((t, a, b), i) => (i, t, a, b) }.toDF("i", "toks", "a", "b")
+    // group cases by merge pair so the pair stays an expression constant
+    cases.map { case (_, a, b) => (a, b) }.distinct.foreach { case (a, b) =>
+      val got = df.filter(col("a") === a && col("b") === b)
+        .select(col("i"), NativeExpressions.bpeMergeApply(col("toks"), a, b).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toList).toMap
+      got.foreach { case (i, m) =>
+        val (t, _, _) = cases(i)
+        assert(m == refApply(t, a, b), s"case $i: toks=$t pair=($a,$b)")
+      }
+    }
+    // adjacent pairs agree with zip-based reference
+    val gotPairs = df.select(col("i"),
+        NativeExpressions.adjacentPairs(col("toks")).as("p"))
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getString(1))).toList).toMap
+    gotPairs.foreach { case (i, p) =>
+      val (t, _, _) = cases(i)
+      assert(p == t.zip(t.drop(1)), s"case $i")
+    }
   }
 
   test("trainMerges matches the sequential reference on equal-symbol runs") {
