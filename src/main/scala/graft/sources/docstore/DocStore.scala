@@ -90,7 +90,7 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("docstore requires a 'path' option"))
     DocStore.validateSchema(schema)
-    new DocStoreTable(path, schema)
+    new DocStoreTable(path, DocStore.allNullable(schema))
   }
 }
 
@@ -103,6 +103,17 @@ private[docstore] object DocStore {
 
   val SchemaFile = "_schema.json"
 
+  /** Every docstore field is NULLABLE by construction: any document may
+    * omit any field (absent ⇄ null), regardless of the nullability of the
+    * DataFrame that happened to write first. Without this normalization a
+    * non-nullable writer schema persists as DDL `NOT NULL`, and Catalyst
+    * then constant-folds `IS NULL` on that field to an EMPTY relation —
+    * wrong the moment any later write omits the field (found by
+    * DocStoreCrudSpec's $unset test).
+    */
+  def allNullable(schema: StructType): StructType =
+    StructType(schema.fields.map(_.copy(nullable = true)))
+
   def readStoredSchema(dir: String): StructType = {
     val p = new Path(dir, SchemaFile)
     val f = fs(p)
@@ -111,14 +122,14 @@ private[docstore] object DocStore {
         s"docstore collection at $dir has no $SchemaFile; write first or pass .schema(...)")
     val in = f.open(p)
     val ddl = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    StructType.fromDDL(ddl)
+    allNullable(StructType.fromDDL(ddl)) // older collections may store NOT NULL
   }
 
   def writeStoredSchema(dir: String, schema: StructType): Unit = {
     val p = new Path(dir, SchemaFile)
     val f = fs(p)
     val out = f.create(p, true)
-    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    try out.write(allNullable(schema).toDDL.getBytes("UTF-8")) finally out.close()
   }
 
   def validateSchema(schema: StructType): Unit = schema.fields.foreach { fld =>
@@ -304,13 +315,22 @@ private[docstore] object DocStore {
 }
 
 private[docstore] class DocStoreTable(path: String, schema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"docstore:$path"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ).asJava
+
+  // SQL `DELETE FROM <docstore table> WHERE ...`: filter-based deletes
+  // delegate to the zone-map-pruned crash-safe rewrite (delete_many).
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(DocStoreFilters.supported(schema, _))
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    DocStoreMaintenance.deleteWhere(
+      org.apache.spark.sql.SparkSession.active, path, filters.toSeq)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocStoreScanBuilder(path, schema)

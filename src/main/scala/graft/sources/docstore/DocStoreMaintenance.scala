@@ -2,8 +2,14 @@ package graft.sources.docstore
 
 import java.util.UUID
 
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
 
 /** Offline maintenance for docstore collections.
   *
@@ -71,6 +77,158 @@ object DocStoreMaintenance {
     swap(path, stagingId, oldShards.toSet)
     f.delete(markerPath, false)
   }
+
+  /** `delete_many(filter)`: remove every document matching ALL `filters`
+    * (conjunction, `find` semantics — absent field = null). Returns the
+    * number of documents deleted.
+    *
+    * Scale design: ZONE-MAP PRUNED REWRITE. Only shards whose stats admit
+    * a possible match are rewritten (the same [[DocStore.shardMayMatch]]
+    * decision the scan planner uses — a delete keyed on a clustered field
+    * touches only the shards that hold it); untouched shards keep their
+    * bytes and their stats entries. Affected shards rewrite in parallel,
+    * one task per shard, through the connector's own writer (stats
+    * collected inline; a shard whose every document matched simply
+    * disappears). The swap reuses compaction's crash-safe commit-marker
+    * protocol — at no point is the only copy of a surviving document
+    * deleted — and zombie task attempts are fenced by keeping only the
+    * shards the successful attempts reported. Same maintenance-window
+    * caveat as [[compact]] for concurrent readers.
+    */
+  def deleteWhere(spark: SparkSession, path: String, filters: Seq[Filter]): Long =
+    rewriteWhere(spark, path, filters, sets = Map.empty, delete = true)
+
+  /** `update_many(filter, {$set: sets})`: set literal values on every
+    * matching document; a null value unsets the field (absent reads back
+    * as null — the store's native null). Returns the number of documents
+    * updated. Same pruned-rewrite machinery as [[deleteWhere]].
+    */
+  def updateWhere(spark: SparkSession, path: String, filters: Seq[Filter],
+                  sets: Map[String, Any]): Long = {
+    require(sets.nonEmpty, "updateWhere requires at least one field to set")
+    rewriteWhere(spark, path, filters, sets, delete = false)
+  }
+
+  private def rewriteWhere(spark: SparkSession, path: String, filters: Seq[Filter],
+                           sets: Map[String, Any], delete: Boolean): Long = {
+    val dir = new Path(path)
+    val f = DocStore.fs(dir)
+    recover(path)
+    val opName = if (delete) "deleteWhere" else "updateWhere"
+    val schema = DocStore.readStoredSchema(path)
+    filters.foreach(fl => require(DocStoreFilters.supported(schema, fl),
+      s"docstore $opName: unsupported filter $fl (top-level schema fields only)"))
+    validateSets(schema, sets)
+
+    val stats = DocStore.readStats(path, schema)
+    val all = DocStore.listParts(path).map(_.getName)
+    // prune on positive evidence only: a shard without stats is rewritten
+    val affected = all.filter { s =>
+      stats.get(s).forall(st => filters.forall(DocStore.shardMayMatch(_, st)))
+    }
+    if (affected.isEmpty) return 0L
+
+    val stagingId = UUID.randomUUID().toString
+    val staging = new Path(dir, s".compact-$stagingId")
+    f.mkdirs(staging)
+    val (pathStr, stagingStr) = (path, staging.toString)
+    val slices = math.max(1, math.min(affected.length, spark.sparkContext.defaultParallelism))
+    val results = spark.sparkContext.parallelize(affected.toSeq.zipWithIndex, slices)
+      .map { case (shard, idx) =>
+        rewriteShard(pathStr, stagingStr, shard, schema, filters, sets, delete, idx) }
+      .collect()
+    val matched = results.map(_._2).sum
+    if (matched == 0L) { f.delete(staging, true); return 0L } // no doc changed — keep originals
+
+    // fence zombie attempts: only shards reported by the successful
+    // attempts survive in staging
+    val committed = results.flatMap(_._1).map(_._1).toSet
+    DocStore.listParts(stagingStr).filterNot(p => committed.contains(p.getName))
+      .foreach(p => f.delete(p, false))
+
+    // merged zone maps ride through the swap with the data (metadata last)
+    val freshStats = results.flatMap(_._1).toMap
+    DocStore.writeStats(stagingStr, (stats -- affected) ++ freshStats)
+
+    val markerPath = new Path(dir, Marker)
+    val out = f.create(markerPath, true)
+    try out.write((stagingId +: affected.toSeq).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    swap(path, stagingId, affected.toSet)
+    f.delete(markerPath, false)
+    matched
+  }
+
+  private def validateSets(schema: StructType, sets: Map[String, Any]): Unit =
+    sets.foreach { case (name, v) =>
+      val fld = schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"docstore updateWhere: unknown field '$name'"))
+      val ok = (v, fld.dataType) match {
+        case (null, _) => true // $unset
+        case (_: String, StringType) => true
+        case (_: java.lang.Integer, IntegerType) => true
+        case (_: java.lang.Long, LongType) => true
+        case (_: java.lang.Double, DoubleType) => true
+        case (_: java.lang.Boolean, BooleanType) => true
+        case _ => false
+      }
+      if (!ok) throw new IllegalArgumentException(
+        s"docstore updateWhere: value ${v} does not fit field '$name': ${fld.dataType.simpleString}")
+    }
+
+  /** Executor-side rewrite of one shard into staging. Returns the staged
+    * (shardName → stats) entry (None when every document was deleted) and
+    * the matched-document count.
+    */
+  private def rewriteShard(dir: String, staging: String, shard: String,
+                           schema: StructType, filters: Seq[Filter],
+                           sets: Map[String, Any], delete: Boolean,
+                           idx: Int): (Option[(String, DocStore.ShardStat)], Long) = {
+    val src = new Path(dir, shard)
+    val gz = shard.endsWith(".gz")
+    val writer = new DocStoreWriter(staging, schema, partitionId = idx, taskId = 0L,
+      jobTag = Some(if (delete) "del" else "upd"), gzip = gz)
+    val mapper = new ObjectMapper()
+    val fullIdx = schema.fields.map(fl => fl.name -> fl).toMap
+    var matched = 0L
+    val raw = DocStore.fs(src).open(src)
+    val in = if (gz) new java.util.zip.GZIPInputStream(raw) else raw
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { line =>
+        if (line.nonEmpty) {
+          val doc = mapper.readTree(line).asInstanceOf[ObjectNode]
+          val isMatch = filters.forall(DocStoreFilters.eval(_, doc, fullIdx))
+          if (isMatch) matched += 1
+          if (!(delete && isMatch)) {
+            if (isMatch && !delete) applySets(doc, sets, schema)
+            writer.write(rowOf(doc, schema))
+          }
+        }
+      }
+    } finally in.close()
+    writer.commit() match {
+      case DocStoreCommit(Some(file), Some(stat)) =>
+        (Some(new Path(file).getName -> stat), matched)
+      case _ => (None, matched)
+    }
+  }
+
+  private def applySets(doc: ObjectNode, sets: Map[String, Any], schema: StructType): Unit =
+    sets.foreach { case (name, v) =>
+      v match {
+        case null => doc.remove(name) // absent ⇄ null
+        case s: String => doc.put(name, s)
+        case i: java.lang.Integer => doc.put(name, i.intValue())
+        case l: java.lang.Long => doc.put(name, l.longValue())
+        case d: java.lang.Double => doc.put(name, d.doubleValue())
+        case b: java.lang.Boolean => doc.put(name, b.booleanValue())
+        case other => throw new IllegalStateException(s"unreachable: $other") // validateSets gates
+      }
+    }
+
+  private def rowOf(doc: ObjectNode, schema: StructType): InternalRow =
+    new GenericInternalRow(schema.fields.map(fl =>
+      DocStoreFilters.fieldValue(doc.get(fl.name), fl.dataType)))
 
   /** Roll a committed-but-unfinished swap forward, then clear pre-commit
     * staging garbage. Idempotent; safe to call on a healthy collection.
