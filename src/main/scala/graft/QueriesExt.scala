@@ -642,6 +642,53 @@ object QueriesExt {
         .orderBy("doc_id")
     })
 
+  /** Per-document mean unigram surprisal −(1/n)·Σ ln p(tᵢ) under the
+    * corpus' own unigram model — the information-theoretic quality proxy
+    * (production pipelines use LM perplexity; unigram surprisal is its
+    * SQL-expressible analog: low = boilerplate/repetitive, high =
+    * rare-token-heavy/noisy).
+    *
+    * Scale shape: the unigram table is VOCABULARY-sized (Zipf) and
+    * broadcast, so attaching per-token counts is map-side; the corpus
+    * total is a broadcast 1-row bound (tx_mixture_plan pattern); the only
+    * corpus shuffle is the per-doc regroup of narrow (pos, surprisal)
+    * pairs, and the per-doc fold is bounded by document length. The fold
+    * runs in token order on both engines (ln is not IEEE
+    * correctly-rounded, so summation order must match for the rounded
+    * hash compare — same discipline as the tf-idf and k-means folds).
+    */
+  private val tx18 = QueryDef("tx_surprisal",
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, u.pos AS pos, u.t AS t FROM (
+            |    SELECT doc_id, unnest([{'pos': i, 't': w[i]} for i in range(1, len(w)+1)]) AS u
+            |    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents))),
+            |ug AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+            |tot AS (SELECT cast(sum(cnt) as double) AS total FROM ug),
+            |j AS (SELECT tok.doc_id, tok.pos, ug.cnt FROM tok JOIN ug ON ug.t = tok.t),
+            |d AS (SELECT doc_id, count(*) AS n_tok,
+            |  list_reduce(list_prepend(cast(0.0 as double), list(ln(total / cnt) ORDER BY pos)), (p, q) -> p + q) AS s
+            |  FROM j, tot GROUP BY doc_id)
+            |SELECT doc_id, cast(n_tok as bigint) AS n_tok,
+            |  floor(s / n_tok * 10000 + 0.5) / 10000 AS mean_surprisal
+            |FROM d ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val t = docs(s, d).select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
+      val ug = t.groupBy("t").agg(count(lit(1)).as("cnt"))
+      val tot = ug.agg(sum("cnt").cast("double").as("total"))
+      t.join(broadcast(ug), "t")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("pos"), log(col("total") / col("cnt")).as("surp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sort_array(collect_list(struct(col("pos"), col("surp")))).as("xs"))
+        .select(col("doc_id"), col("n_tok"),
+          graft.functions.Rounding.round4(
+            aggregate(col("xs"), lit(0.0),
+              (acc, x) => acc + x.getField("surp")) / col("n_tok")).as("mean_surprisal"))
+        .orderBy("doc_id")
+    })
+
   // ---- deduplication -----------------------------------------------------
 
   private val dd1 = QueryDef("dd_exact",
@@ -1077,7 +1124,7 @@ object QueriesExt {
     })
 
   val all: Seq[QueryDef] = Seq(
-    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17,
+    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18,
     dd1, dd2, dd3, dd4, dd5, dd6,
     sm1, sm2, sm3, sm4, sm5, sm6,
     mm1, mm2, pl1)

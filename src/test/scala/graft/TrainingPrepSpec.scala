@@ -107,6 +107,34 @@ class TrainingPrepSpec extends SparkSpec {
     }
   }
 
+  test("tx_surprisal: bounded by corpus extremes, equal texts score equal") {
+    val sc = SparkEntry.queries("tx_surprisal")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val tok = docs.select(explode(split(col("text"), "\\s+")).as("t"))
+    val ug = tok.groupBy("t").count().agg(
+      sum("count").as("total"), max("count").as("maxc"), min("count").as("minc")).head()
+    val (total, maxc, minc) = (ug.getLong(0).toDouble, ug.getLong(1).toDouble, ug.getLong(2).toDouble)
+    val rows = sc.collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_surprisal")
+      // mean of per-token ln(total/cnt) lies between the extremes
+      assert(m >= math.log(total / maxc) - 1e-9 && m <= math.log(total / minc) + 1e-9, s"$m")
+    }
+    // identical texts must get identical scores (the model is a pure
+    // function of text given the corpus)
+    val dup = docs.as("a").join(docs.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+    val scored = dup.join(sc.select(col("doc_id").as("ida"), col("mean_surprisal").as("sa")), "ida")
+      .join(sc.select(col("doc_id").as("idb"), col("mean_surprisal").as("sb")), "idb")
+      .collect()
+    // (sf0.001 happens to have no exact dups — the clause is vacuous there
+    // but bites at sf0.01+, where dd_exact's fixtures guarantee dups)
+    scored.foreach(r => assert(r.getAs[Double]("sa") == r.getAs[Double]("sb")))
+  }
+
   test("tx_source_cap: equals the window formulation, caps at 20, rank-ordered") {
     import org.apache.spark.sql.expressions.Window
     val capped = SparkEntry.queries("tx_source_cap")(spark, sf).collect()
