@@ -146,6 +146,22 @@ object PlanCheck {
           || p.toLowerCase.contains("partial_bottomkpairs")),
       "text never scanned" -> (p => !p.contains("text")))
 
+    // EXISTS/NOT EXISTS subqueries: Catalyst must DECORRELATE both into
+    // joins (semi + anti) — a correlated re-execution or nested loop per
+    // customer row is the 100 TB failure mode.
+    check("j10_exists_subquery")(
+      "EXISTS decorrelated to a semi join" -> (p => p.contains("LeftSemi")),
+      "NOT EXISTS decorrelated to an anti join" -> (p => p.contains("LeftAnti")),
+      "no nested-loop/cartesian execution" ->
+        (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
+
+    // Unigram surprisal: the vocabulary table and the corpus total attach
+    // by broadcast — a sort-merge join here would shuffle every corpus
+    // token against the unigram table at 100 TB.
+    check("tx_surprisal")(
+      "unigram counts broadcast" -> (p => "BroadcastHashJoin".r.findAllIn(p).size >= 1),
+      "no sort-merge join of tokens" -> (p => !p.contains("SortMergeJoin")))
+
     // Parser: ONE fused multi-pattern kernel evaluation per row — a
     // projection collapse that inlined it into each of the 14 consuming
     // columns would re-run all 13 regex searches per field.

@@ -766,6 +766,30 @@ object Queries {
         .orderBy("event_id")
     })
 
+  /** J10 (rebuild extra): correlated EXISTS / NOT EXISTS subqueries — the
+    * SQL-surface twin of j4/j5's DataFrame semi/anti joins. Catalyst
+    * DECORRELATES both subqueries into one semi and one anti join against
+    * orders (no per-row re-execution, no nested loop) — the plan shape a
+    * 100 TB subquery depends on, PlanCheck-asserted.
+    */
+  private val j10 = QueryDef("j10_exists_subquery",
+    Some("""SELECT c_custkey, c_name FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o
+           |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+           |  AND NOT EXISTS (SELECT 1 FROM orders o2
+           |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+           |ORDER BY c_custkey""".stripMargin),
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("j10_customer")
+      Tables.orders(s, d).createOrReplaceTempView("j10_orders")
+      s.sql("""SELECT c_custkey, c_name FROM j10_customer c
+              |WHERE EXISTS (SELECT 1 FROM j10_orders o
+              |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+              |  AND NOT EXISTS (SELECT 1 FROM j10_orders o2
+              |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+              |ORDER BY c_custkey""".stripMargin)
+    })
+
   /** J11 (rebuild extra): salted skew join — events' 5-value event_type is
     * the canonical hot-key shape: a plain shuffle join would put each
     * type's rows in ONE task. [[graft.operators.SkewJoins.saltedJoin]]
@@ -884,7 +908,7 @@ object Queries {
     * comparator needs a scalar cell), with fields cast to decimal(18,1) so
     * both engines print identical fixed-scale numbers.
     */
-  private val j10 = QueryDef("j2_profile_struct",
+  private val j2ps = QueryDef("j2_profile_struct",
     Some(s"""$suspicionCtes
             |SELECT user_id, to_json(struct_pack(
             |  attacker := cast(floor(att * cast(100.0 as double) / (att + bot + legit) * 10 + 0.5) / 10 as decimal(18,1)),
@@ -1291,7 +1315,7 @@ object Queries {
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, s7, s8, s9, s10, s11, s12, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19,
-    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11,
+    j1, j2, j2ps, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, su, si, se, g1, g2, g3,
     st1, st2, st3, st4)
 
