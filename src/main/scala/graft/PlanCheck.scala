@@ -142,7 +142,7 @@ object PlanCheck {
     check("tx_source_cap")(
       "no window sort of the corpus" -> (p => !p.contains("Window")),
       "partial aggregation before the shuffle" ->
-        (p => "ObjectHashAggregate.*bottomkpairs".r.findFirstIn(p.toLowerCase.replace("\n", " ")).isDefined
+        (p => "objecthashaggregate.*bottomkpairs".r.findFirstIn(p.toLowerCase.replace("\n", " ")).isDefined
           || p.toLowerCase.contains("partial_bottomkpairs")),
       "text never scanned" -> (p => !p.contains("text")))
 

@@ -550,12 +550,15 @@ object QueriesExt {
        |  GROUP BY u.a, u.b),
        |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
        |pos$r AS (
+       |  -- LEFT JOIN ON true, not CROSS JOIN: when no merge is learnable
+       |  -- (m$r empty) every mark is NULL and t${r + 1} = t$r, matching the
+       |  -- trainer's early stop — a cross join would wipe the vocabulary.
        |  SELECT word, c, u.i AS i, u.sym AS sym,
        |    (u.sym = m.a AND u.nxt = m.b) AS mark, m.a AS ma, m.b AS mb
        |  FROM (SELECT word, c,
        |          unnest([{'i': i, 'sym': toks[i], 'nxt': toks[i+1]}
        |                  for i in range(1, len(toks)+1)]) AS u
-       |        FROM t$r) CROSS JOIN m$r m),
+       |        FROM t$r) LEFT JOIN m$r m ON true),
        |w1_$r AS (
        |  SELECT *, CASE WHEN mark THEN i - row_number() OVER (PARTITION BY word, mark ORDER BY i) END AS isl
        |  FROM pos$r),

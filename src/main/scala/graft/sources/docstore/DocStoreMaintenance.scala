@@ -137,24 +137,33 @@ object DocStoreMaintenance {
       .map { case (shard, idx) =>
         rewriteShard(pathStr, stagingStr, shard, schema, filters, sets, delete, idx) }
       .collect()
-    val matched = results.map(_._2).sum
+    val matched = results.map(_._3).sum
     if (matched == 0L) { f.delete(staging, true); return 0L } // no doc changed — keep originals
 
-    // fence zombie attempts: only shards reported by the successful
-    // attempts survive in staging
-    val committed = results.flatMap(_._1).map(_._1).toSet
-    DocStore.listParts(stagingStr).filterNot(p => committed.contains(p.getName))
+    // Only shards where a document actually matched are replaced; a
+    // zone-map false positive (or stats-less shard) that matched nothing
+    // keeps its original bytes and name — its staged rewrite is dropped.
+    val changed = results.filter(_._3 > 0L)
+    val toReplace = changed.map(_._1).toSet
+    val replacements = changed.flatMap(_._2).toMap // empty-result shards just disappear
+    // Fence zombie attempts: every staged file not among the successful
+    // attempts' reported replacements is deleted here, and the swap below
+    // moves ONLY the reported names (a late rename into staging after this
+    // point dies with the staging dir, so duplicates are impossible).
+    DocStore.listParts(stagingStr).filterNot(p => replacements.contains(p.getName))
       .foreach(p => f.delete(p, false))
 
     // merged zone maps ride through the swap with the data (metadata last)
-    val freshStats = results.flatMap(_._1).toMap
-    DocStore.writeStats(stagingStr, (stats -- affected) ++ freshStats)
+    DocStore.writeStats(stagingStr, (stats -- toReplace) ++ replacements)
 
+    // marker: staging id, old shards to delete, and (+-prefixed) the exact
+    // replacement files to move — recovery replays precisely this swap
     val markerPath = new Path(dir, Marker)
     val out = f.create(markerPath, true)
-    try out.write((stagingId +: affected.toSeq).mkString("\n").getBytes("UTF-8"))
+    try out.write((stagingId +: (toReplace.toSeq.sorted ++
+        replacements.keys.toSeq.sorted.map("+" + _))).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    swap(path, stagingId, affected.toSet)
+    swap(path, stagingId, toReplace, Some(replacements.keySet))
     f.delete(markerPath, false)
     matched
   }
@@ -176,14 +185,14 @@ object DocStoreMaintenance {
         s"docstore updateWhere: value ${v} does not fit field '$name': ${fld.dataType.simpleString}")
     }
 
-  /** Executor-side rewrite of one shard into staging. Returns the staged
-    * (shardName → stats) entry (None when every document was deleted) and
-    * the matched-document count.
+  /** Executor-side rewrite of one shard into staging. Returns the source
+    * shard name, the staged (shardName → stats) replacement entry (None
+    * when every document was deleted), and the matched-document count.
     */
   private def rewriteShard(dir: String, staging: String, shard: String,
                            schema: StructType, filters: Seq[Filter],
                            sets: Map[String, Any], delete: Boolean,
-                           idx: Int): (Option[(String, DocStore.ShardStat)], Long) = {
+                           idx: Int): (String, Option[(String, DocStore.ShardStat)], Long) = {
     val src = new Path(dir, shard)
     val gz = shard.endsWith(".gz")
     val writer = new DocStoreWriter(staging, schema, partitionId = idx, taskId = 0L,
@@ -208,8 +217,8 @@ object DocStoreMaintenance {
     } finally in.close()
     writer.commit() match {
       case DocStoreCommit(Some(file), Some(stat)) =>
-        (Some(new Path(file).getName -> stat), matched)
-      case _ => (None, matched)
+        (shard, Some(new Path(file).getName -> stat), matched)
+      case _ => (shard, None, matched)
     }
   }
 
@@ -241,7 +250,11 @@ object DocStoreMaintenance {
       val in = f.open(markerPath)
       val content = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
-      swap(path, content.head, content.tail.toSet)
+      // "+"-prefixed lines (rewrite markers) name the exact replacement
+      // files; compact markers have none and move everything staged.
+      val (plus, olds) = content.tail.partition(_.startsWith("+"))
+      val only = if (plus.nonEmpty) Some(plus.map(_.drop(1)).toSet) else None
+      swap(path, content.head, olds.toSet, only)
       f.delete(markerPath, false)
     }
     f.listStatus(dir).map(_.getPath)
@@ -250,20 +263,25 @@ object DocStoreMaintenance {
   }
 
   /** Delete `oldShards` (those still present) and move the staged files of
-    * `stagingId` into the collection, metadata last. Idempotent: re-running
-    * after a crash at any point completes the same end state.
+    * `stagingId` into the collection, metadata last. `onlyFiles` restricts
+    * the move to an explicit replacement list (the rewrite path's zombie
+    * fence); None moves everything staged (compact). Idempotent:
+    * re-running after a crash at any point completes the same end state.
     */
-  private def swap(path: String, stagingId: String, oldShards: Set[String]): Unit = {
+  private def swap(path: String, stagingId: String, oldShards: Set[String],
+                   onlyFiles: Option[Set[String]] = None): Unit = {
     val dir = new Path(path)
     val f = DocStore.fs(dir)
     val staging = new Path(dir, s".compact-$stagingId")
     DocStore.listParts(path).filter(p => oldShards.contains(p.getName))
       .foreach(p => f.delete(p, false))
     if (f.exists(staging)) {
-      DocStore.listParts(staging.toString).foreach { p =>
-        if (!f.rename(p, new Path(dir, p.getName)))
-          throw new java.io.IOException(s"compact: failed to move shard ${p.getName}")
-      }
+      DocStore.listParts(staging.toString)
+        .filter(p => onlyFiles.forall(_.contains(p.getName)))
+        .foreach { p =>
+          if (!f.rename(p, new Path(dir, p.getName)))
+            throw new java.io.IOException(s"compact: failed to move shard ${p.getName}")
+        }
       Seq(DocStore.StatsFile, DocStore.SchemaFile).foreach { m =>
         val src = new Path(staging, m)
         if (f.exists(src)) {

@@ -59,6 +59,28 @@ class DocStoreCrudSpec extends SparkSpec {
     assert(spark.read.format("docstore").load(dir).count() == 15L)
   }
 
+  test("a zone-map false-positive shard with no real matches keeps its bytes") {
+    val dir = tmpDir("fp")
+    // shard A spans [0,24] with a hole at 10-15: its zone map ADMITS the
+    // delete range but contains no matching doc
+    (Seq(0L, 1L, 2L, 3L, 4L) ++ Seq(20L, 21L, 22L, 23L, 24L))
+      .map(i => (i, s"u$i", 0.0)).toDF("id", "name", "score")
+      .coalesce(1).write.format("docstore").mode("append").save(dir)
+    Seq(10L, 11L, 12L).map(i => (i, s"u$i", 0.0)).toDF("id", "name", "score")
+      .coalesce(1).write.format("docstore").mode("append").save(dir)
+    val holey = shardNames(dir).find { s =>
+      scala.io.Source.fromFile(s"$dir/$s").getLines().exists(_.contains("\"id\":24"))
+    }.get
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/$holey")).toSeq
+
+    val n = DocStoreMaintenance.deleteWhere(spark, dir,
+      Seq(org.apache.spark.sql.sources.GreaterThan("id", 9L), LessThan("id", 16L)))
+    assert(n == 3L) // only the 10-12 shard really matched
+    assert(shardNames(dir).contains(holey), "false-positive shard must keep its name")
+    assert(Files.readAllBytes(java.nio.file.Paths.get(s"$dir/$holey")).toSeq == bytes)
+    assert(spark.read.format("docstore").load(dir).count() == 10L)
+  }
+
   test("deleteWhere: a fully-matched shard disappears") {
     val dir = tmpDir("gone")
     writeRange(dir, 0 until 10, "lo")
