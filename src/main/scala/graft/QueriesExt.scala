@@ -71,6 +71,32 @@ object QueriesExt {
        |                           x -> x = b)))), 0)::DOUBLE / len($w)) * 10000 + 0.5) / 10000""".stripMargin
   private val DupWordMax = 0.65
   private val TopBigramMax = 0.15
+  private val QualityMin = 0.35
+
+  /** The STATELESS gates of the clean-corpus pipeline (quality ≥
+    * [[QualityMin]], predicted language 'en', Gopher repetition
+    * thresholds) — shared by the batch `pipe_clean_corpus` and the
+    * streaming twin [[graft.streaming.StreamingAnalytics.cleanCorpusStream]]
+    * so the two can never drift. Input must carry `text`; `keep` columns
+    * pass through, `quality` is attached. The two-step select keeps each
+    * kernel evaluated ONCE per row (a single collapsed projection would
+    * inline `st` into both fraction consumers).
+    */
+  private[graft] def cleanGates(df: DataFrame, keep: Seq[String]): DataFrame = {
+    val kept = keep.map(col)
+    df.select(kept ++ Seq(
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.langScores(col("text")).as("sc"),
+        NativeExpressions.repetitionStats(col("text")).as("st")): _*)
+      .select(kept ++ Seq(col("quality"),
+        TextFunctions.predictedFromScores(
+          col("sc").getItem(0), col("sc").getItem(1),
+          col("sc").getItem(2), col("sc").getItem(3)).as("predicted"),
+        dupWordFrac(col("st")).as("dwf"), topBigramFrac(col("st")).as("tbf")): _*)
+      .filter(col("quality") >= QualityMin && col("predicted") === "en" &&
+        col("dwf") <= DupWordMax && col("tbf") <= TopBigramMax)
+      .select(kept :+ col("quality"): _*)
+  }
 
   /** Spark twins of the fragments, over a RepetitionStats struct column. */
   private def dupWordFrac(st: Column): Column = graft.functions.Rounding.round4(
@@ -1103,26 +1129,14 @@ object QueriesExt {
             |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM kept))
             |SELECT p.doc_id AS doc_id, p.quality AS quality FROM pred p
             |JOIN reps r ON r.doc_id = p.doc_id
-            |WHERE p.quality >= 0.35 AND p.predicted = 'en'
+            |WHERE p.quality >= $QualityMin AND p.predicted = 'en'
             |  AND r.dwf <= $DupWordMax AND r.tbf <= $TopBigramMax
             |ORDER BY doc_id""".stripMargin),
     (s, d) => {
       val base = docs(s, d)
       val keepIds = Dedup.exact(base, "doc_id", "text")
         .filter(col("doc_id") === col("canonical_id")).select("doc_id")
-      base.join(keepIds, "doc_id")
-        .select(col("doc_id"),
-          TextFunctions.qualityScore(col("text")).as("quality"),
-          TextFunctions.langScores(col("text")).as("sc"),
-          NativeExpressions.repetitionStats(col("text")).as("st"))
-        .select(col("doc_id"), col("quality"),
-          TextFunctions.predictedFromScores(
-            col("sc").getItem(0), col("sc").getItem(1),
-            col("sc").getItem(2), col("sc").getItem(3)).as("predicted"),
-          dupWordFrac(col("st")).as("dwf"), topBigramFrac(col("st")).as("tbf"))
-        .filter(col("quality") >= 0.35 && col("predicted") === "en" &&
-          col("dwf") <= DupWordMax && col("tbf") <= TopBigramMax)
-        .select("doc_id", "quality")
+      cleanGates(base.join(keepIds, "doc_id"), Seq("doc_id"))
         .orderBy("doc_id")
     })
 

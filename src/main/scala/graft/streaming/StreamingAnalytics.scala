@@ -155,6 +155,20 @@ object StreamingAnalytics {
       .dropDuplicatesWithinWatermark("_h")
       .drop("_h")
 
+  /** The full clean-corpus ingest as a STREAM: bounded-state exact dedup
+    * ([[dedupStream]]) followed by the exact same stateless quality /
+    * language / repetition gates the batch `pipe_clean_corpus` applies
+    * ([[graft.QueriesExt.cleanGates]] — one shared definition, so batch
+    * and streaming can never drift). The only stateful stage is the
+    * dedup's watermark-bounded hash set; every gate is a map-only
+    * expression, so the stream scales exactly like the batch plan. Input
+    * must carry `text` plus the event-time column.
+    */
+  def cleanCorpusStream(docs: DataFrame, tsCol: String,
+                        watermarkDelay: String = "1 hour"): DataFrame =
+    graft.QueriesExt.cleanGates(
+      dedupStream(docs, tsCol, "text", watermarkDelay), Seq("doc_id", tsCol))
+
   /** Stream-stream interval join: each left row matched to right rows with
     * the same key whose event time falls in [leftTs, leftTs + window] —
     * the "did a click follow this error within N hours" correlation shape.
