@@ -146,6 +146,19 @@ object PlanCheck {
           || p.toLowerCase.contains("partial_bottomkpairs")),
       "text never scanned" -> (p => !p.contains("text")))
 
+    // Corpus report: one documents scan feeds the whole data card. The
+    // count(DISTINCT th) forces Spark's distinct-rewrite — a map-side
+    // dedup aggregate on (source, th) before the first exchange, so only
+    // distinct 8-byte hashes + integer partials ever shuffle, then one
+    // narrow re-shuffle to #sources rows. Exactly 2 hash exchanges; a
+    // third would mean the rewrite degenerated (e.g. Expand re-scan).
+    check("pipe_corpus_report")(
+      "two hash exchanges (distinct-rewrite, then per-source)" ->
+        (p => "Exchange hashpartitioning".r.findAllIn(p).size == 2),
+      "map-side dedup on (source, th) before the first shuffle" ->
+        (p => "HashAggregate\\(keys=\\[source#\\d+, th#\\d+L\\], functions=\\[partial_".r.findFirstIn(p).isDefined),
+      "single documents scan" -> (p => "Scan parquet".r.findAllIn(p).size == 1))
+
     // EXISTS/NOT EXISTS subqueries: Catalyst must DECORRELATE both into
     // joins (semi + anti) — a correlated re-execution or nested loop per
     // customer row is the 100 TB failure mode.

@@ -1140,9 +1140,60 @@ object QueriesExt {
         .orderBy("doc_id")
     })
 
+  /** Corpus curation report — the "data card" the reference's dashboard is
+    * for logs, applied to the training corpus: per-source document and
+    * token totals, exact-duplicate counts, quality-bucket histogram, and
+    * English share. Every aggregate is an INTEGER (counts and integer
+    * token sums), so the result is bit-deterministic on any partitioning —
+    * no float summation order to pin — and the whole report is ONE
+    * partial-agg shuffle to #sources rows. Per-doc quality/lang reuse the
+    * shared fragments, so the report can never drift from the gates. The
+    * dup count compares text hashes in Spark vs full text in DuckDB —
+    * same convention as dd_exact (collision odds at 2⁻⁶⁴ per pair;
+    * DedupSpec carries the collision-proof variant).
+    */
+  private val pl2 = QueryDef("pipe_corpus_report",
+    Some(s"""WITH feats AS (
+            |  SELECT source, text,
+            |    len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]')) AS n_tok,
+            |    $qualitySql AS quality,
+            |    $langScoreSqlItems
+            |  FROM documents),
+            |pred AS (SELECT *, $predictedSql AS predicted FROM feats)
+            |SELECT source,
+            |  count(*) AS n_docs,
+            |  cast(sum(n_tok) as bigint) AS n_tokens,
+            |  cast(count(*) - count(DISTINCT text) as bigint) AS n_dup_docs,
+            |  cast(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) as bigint) AS q_high,
+            |  cast(sum(CASE WHEN quality >= $QualityMin AND quality < 0.5 THEN 1 ELSE 0 END) as bigint) AS q_mid,
+            |  cast(sum(CASE WHEN quality < $QualityMin THEN 1 ELSE 0 END) as bigint) AS q_low,
+            |  cast(sum(CASE WHEN predicted = 'en' THEN 1 ELSE 0 END) as bigint) AS n_en
+            |FROM pred GROUP BY source ORDER BY source""".stripMargin),
+    (s, d) => {
+      docs(s, d)
+        .select(col("source"),
+          xxhash64(col("text")).as("th"),
+          TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_tok"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.langScores(col("text")).as("sc"))
+        .select(col("source"), col("th"), col("n_tok"), col("quality"),
+          TextFunctions.predictedFromScores(
+            col("sc").getItem(0), col("sc").getItem(1),
+            col("sc").getItem(2), col("sc").getItem(3)).as("predicted"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          (count(lit(1)) - count_distinct(col("th"))).as("n_dup_docs"),
+          sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("q_high"),
+          sum(when(col("quality") >= QualityMin && col("quality") < 0.5, 1L).otherwise(0L)).as("q_mid"),
+          sum(when(col("quality") < QualityMin, 1L).otherwise(0L)).as("q_low"),
+          sum(when(col("predicted") === "en", 1L).otherwise(0L)).as("n_en"))
+        .orderBy("source")
+    })
+
   val all: Seq[QueryDef] = Seq(
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18,
     dd1, dd2, dd3, dd4, dd5, dd6,
     sm1, sm2, sm3, sm4, sm5, sm6,
-    mm1, mm2, pl1)
+    mm1, mm2, pl1, pl2)
 }
