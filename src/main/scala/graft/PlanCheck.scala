@@ -75,6 +75,18 @@ object PlanCheck {
         p.indexOf("LessThan(vec_id,10)", i) > i
       }))
 
+    // PQ ANN: the ADC scoring join must stream CODES (m ints + rnorm),
+    // never embeddings — no hash exchange may carry an embedding column —
+    // and the exact re-rank joins the tiny shortlist back via broadcast.
+    check("sim_pq")(
+      "no hash exchange carries embeddings" ->
+        (p => !p.split("\n").exists(l => l.contains("Exchange hashpartitioning")
+          && (l.contains("embedding") || "\\bne#\\d".r.findFirstIn(l).isDefined
+            || "\\bqe#\\d".r.findFirstIn(l).isDefined))),
+      "shortlist re-rank via broadcast hash join" -> (_.contains("BroadcastHashJoin")),
+      "queries broadcast into the ADC scoring pass" ->
+        (_.contains("BroadcastNestedLoopJoin")))
+
     // As-of join: one shuffle for the union’d sort-merge formulation.
     check("j8_asof_join")(
       "single hash exchange (by user)" ->

@@ -200,6 +200,96 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** Product-quantization ANN (Jégou et al., PAMI'11) — the compressed-
+    * domain scale path for similarity search. The vector space is split
+    * into `m` subspaces; each subspace gets its own `codesPerSub`-centroid
+    * codebook from the same deterministic sampled-Lloyd trainer as IVF
+    * ([[ivfCentroids]] on the sub-sliced sample), and every corpus vector
+    * is ENCODED as m small codes in one map-only pass (codebooks ride
+    * inside the native nearest-centroid expression — no join). Scoring is
+    * two-stage retrieval:
+    *   1. ADC shortlist: approximate cosine against the RECONSTRUCTED
+    *      vector — dot(q, recon(x)) = Σ_j dot(q_subj, codebook_j[code_j]),
+    *      recon norm = sqrt(Σ_j ||codebook_j[code_j]||²) — computed from
+    *      the codes + codebook literals only. The corpus embedding column
+    *      is DROPPED before this join: at 100 TB the scoring pass touches
+    *      m ints per vector instead of `dim` floats (the entire point of
+    *      PQ — the code table is ~60× smaller than the embeddings).
+    *   2. Exact re-rank: only the shortlist (shortlistFactor·k ids per
+    *      query) joins back to the embeddings — a broadcast-hash point
+    *      lookup, never an embedding shuffle.
+    * Every float op has a fixed order (left folds, left-assoc Σ_j chains),
+    * so the full pipeline — training, encoding, ADC, re-rank — is
+    * re-derivable in ANSI SQL and hash-compared by the oracle.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+             m: Int, codesPerSub: Int, lloydIters: Int = 1,
+             trainModulus: Int = 1, shortlistFactor: Int = 2): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val sub = dim / m
+    val trainSet =
+      if (trainModulus > 1) corpus.filter(pmod(col("vec_id"), lit(trainModulus)) === 0)
+      else corpus
+    // m bounded driver-side artifacts (codesPerSub × sub floats each),
+    // same budget class as the IVF centroid collect.
+    val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m)(j =>
+      ivfCentroids(
+        trainSet.select(col("vec_id"), slice(col("embedding"), j * sub + 1, sub).as("embedding")),
+        codesPerSub, lloydIters))
+    // per-code squared reconstruction norms — the same left fold over the
+    // same floats the oracle derives from its replayed codebooks
+    val sqn: Array[Array[Double]] =
+      codebooks.map(_.map(_.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+
+    // Encode: one map-only pass; embedding column does not survive it.
+    val codes = corpus.select(
+      col("vec_id").as("neighbor_id") +:
+        (0 until m).map(j => element_at(
+          NativeExpressions.nearestCentroids(
+            slice(col("embedding"), j * sub + 1, sub), codebooks(j), 1), 1).as(s"c$j")): _*)
+      .withColumn("rnorm", sqrt((0 until m).map(j =>
+        element_at(typedLit(sqn(j).toSeq), col(s"c$j") + 1)).reduce(_ + _)))
+
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", l2Norm(col("qe")))
+
+    // ADC: left-assoc Σ_j of per-subspace codegen'd dot products.
+    val adcDot = (0 until m).map(j =>
+      dot(slice(col("qe"), j * sub + 1, sub),
+        element_at(typedLit(codebooks(j).map(_.toSeq).toSeq), col(s"c$j") + 1))).reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (adcDot / (col("qn") * col("rnorm"))).as("adc_cos"))
+
+    // Shortlist by ADC with the same two-phase window bound as rankTopK.
+    val sl = shortlistFactor * k
+    val perPart = Window.partitionBy(col("query_id"), col("pid"))
+      .orderBy(desc("adc_cos"), col("neighbor_id"))
+    val global = Window.partitionBy("query_id").orderBy(desc("adc_cos"), col("neighbor_id"))
+    val shortlist = scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("prank", row_number().over(perPart))
+      .filter(col("prank") <= sl)
+      .drop("pid", "prank")
+      .withColumn("srank", row_number().over(global))
+      .filter(col("srank") <= sl)
+      .drop("srank")
+
+    // Exact re-rank: the tiny shortlist broadcasts INTO the embeddings
+    // scan (map-side hash probe — embeddings are never shuffled).
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .withColumn("nn", l2Norm(col("ne")))
+    val rerank = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    c.join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("adc_cos"),
+        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cos"))
+      .withColumn("rank", row_number().over(rerank))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_cos", "cos", "rank")
+  }
+
   /** K-means clustering summary — the "what structure does this embedding
     * corpus have" analytic (cluster cardinalities, a representative member,
     * mean cohesion), built on the same deterministic trainer as IVF so it

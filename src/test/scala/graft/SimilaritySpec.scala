@@ -93,6 +93,21 @@ class SimilaritySpec extends SparkSpec {
     assert(meanCohesion > 0.2, s"mean cohesion $meanCohesion") // ~0 for random pairings; measures 0.298
   }
 
+  test("pqTopK: recall@5 ≥0.8 vs brute force at sf0.01 (registry params)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, queries, k = 5))
+    val pq = pairs(Similarity.pqTopK(emb, queries, k = 5, dim = 64, m = 16,
+      codesPerSub = 16, lloydIters = 1, trainModulus = 2, shortlistFactor = 8))
+    val recall = (truth & pq).size.toDouble / truth.size
+    info(f"PQ recall@5 = $recall%.3f (${(truth & pq).size}/${truth.size})")
+    // measures 0.94 at the registry params; floor leaves headroom
+    assert(recall >= 0.8)
+  }
+
   test("l2Norm matches local math") {
     val row = vectors.filter($"vec_id" === 2L)
       .select(Similarity.l2Norm($"embedding")).head()
