@@ -75,6 +75,18 @@ object PlanCheck {
         p.indexOf("LessThan(vec_id,10)", i) > i
       }))
 
+    // Incremental dedup: the base corpus joins everything small via
+    // broadcast — the df-cap is a broadcast ANTI join (map-only), the
+    // delta side broadcasts into the base index, and nothing sort-merges;
+    // document text never rides an exchange (hashes and shingles do).
+    check("dd_incremental")(
+      "no sort-merge join anywhere" -> (p => !p.contains("SortMergeJoin")),
+      "df-cap via broadcast anti join" ->
+        (p => p.contains("BroadcastHashJoin") && p.contains("LeftAnti")),
+      "no exchange carries document text" ->
+        (p => !p.split("\n").exists(l => l.contains("Exchange hashpartitioning")
+          && "\\btext#\\d".r.findFirstIn(l).isDefined)))
+
     // PQ ANN: the ADC scoring join must stream CODES (m ints + rnorm),
     // never embeddings — no hash exchange may carry an embedding column —
     // and the exact re-rank joins the tiny shortlist back via broadcast.

@@ -869,6 +869,65 @@ object QueriesExt {
     (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 6)
       .orderBy("doc_a", "doc_b"))
 
+  /** Incremental dedup — classify a NEW batch (doc_id % 10 = 7 simulates
+    * the incoming crawl snapshot) against the existing corpus without
+    * re-clustering it: exact_dup by content hash, near_dup by word-5-gram
+    * jaccard ≥ 0.5 over the base-df-capped shingle universe, else new.
+    * The exact arm matches by 64-bit hash in Spark and full text in the
+    * oracle (dd_exact's collision convention); at sf0.01 the corpus has no
+    * cross-batch exact dups (DedupSpec covers that arm on a fixture,
+    * sf0.1 has real ones), 5 near-dups, 45 new.
+    */
+  private val dd7 = QueryDef("dd_incremental",
+    Some("""WITH delta AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+           |base AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+           |ex AS (
+           |  SELECT d.doc_id, min(b.doc_id) AS exact_match
+           |  FROM delta d JOIN base b ON b.text = d.text GROUP BY d.doc_id),
+           |bsh AS (
+           |  SELECT doc_id AS base_id, unnest(list_distinct(
+           |    [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)])) AS shingle
+           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM base)),
+           |dftab AS (SELECT shingle, count(*) AS df FROM bsh GROUP BY shingle),
+           |bidx AS (SELECT b.* FROM bsh b JOIN dftab f USING (shingle) WHERE f.df <= 100),
+           |dsh AS (
+           |  SELECT doc_id, unnest(list_distinct(
+           |    [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)])) AS shingle
+           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM delta)),
+           |dshu AS (SELECT d.* FROM dsh d LEFT JOIN dftab f USING (shingle)
+           |         WHERE coalesce(f.df, 0) <= 100),
+           |bsizes AS (SELECT base_id, count(*) AS size_b FROM bidx GROUP BY base_id),
+           |dsizes AS (SELECT doc_id, count(*) AS size_d FROM dshu GROUP BY doc_id),
+           |com AS (
+           |  SELECT d.doc_id, b.base_id, count(*) AS c
+           |  FROM dshu d JOIN bidx b USING (shingle) GROUP BY 1, 2),
+           |near AS (
+           |  SELECT doc_id, base_id AS near_match,
+           |    floor(c * cast(1.0 as double) / (size_d + size_b - c) * 10000 + 0.5) / 10000 AS near_jaccard,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY c * cast(1.0 as double) / (size_d + size_b - c) DESC, base_id) AS rn
+           |  FROM com JOIN dsizes USING (doc_id) JOIN bsizes USING (base_id)
+           |  WHERE c * cast(1.0 as double) / (size_d + size_b - c) >= 0.5),
+           |best AS (SELECT doc_id, near_match, near_jaccard FROM near WHERE rn = 1)
+           |SELECT d.doc_id,
+           |  CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+           |       WHEN b.near_match IS NOT NULL THEN 'near_dup'
+           |       ELSE 'new' END AS status,
+           |  coalesce(e.exact_match, b.near_match) AS match_id,
+           |  CASE WHEN e.exact_match IS NULL THEN b.near_jaccard END AS jaccard
+           |FROM delta d
+           |LEFT JOIN ex e ON e.doc_id = d.doc_id
+           |LEFT JOIN best b ON b.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin),
+    (s, d) => {
+      val all = docs(s, d)
+      Dedup.incrementalStatus(
+        all.filter(pmod(col("doc_id"), lit(10)) =!= 7),
+        all.filter(pmod(col("doc_id"), lit(10)) === 7),
+        "doc_id", "text", n = 5, threshold = 0.5, maxDf = 100)
+        .orderBy("doc_id")
+    })
+
   // ---- similarity search -------------------------------------------------
 
   /** Identical left-fold dot product on both engines → bit-equal cosines. */
@@ -1266,7 +1325,7 @@ object QueriesExt {
 
   val all: Seq[QueryDef] = Seq(
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18,
-    dd1, dd2, dd3, dd4, dd5, dd6,
+    dd1, dd2, dd3, dd4, dd5, dd6, dd7,
     sm1, sm2, sm3, sm4, sm5, sm6, sm7,
     mm1, mm2, pl1, pl2)
 }

@@ -214,4 +214,79 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** Incremental dedup: classify each document of a NEW batch (`delta`)
+    * against an existing corpus (`base`) as `exact_dup` (identical text in
+    * base, by 64-bit hash — same collision convention as [[exact]]),
+    * `near_dup` (word-n-gram jaccard ≥ threshold with some base doc), or
+    * `new`. Returns one row per delta doc: (doc_id, status, match_id,
+    * jaccard) — match_id is the min matching base id for exact dups, else
+    * the best near-dup (max jaccard, ties to min id); jaccard is null
+    * unless status is near_dup. This is the production shape for a
+    * continuously-ingested corpus: the delta is classified WITHOUT
+    * re-clustering the base.
+    *
+    * Scale shape — the base corpus is never re-shuffled as pairs:
+    *   - exact: base reduces to (id, hash) map-side; the delta's hashes
+    *     broadcast into it (one map-only probe of the base scan).
+    *   - shingle df: ONE groupBy(shingle) over the base index with map-side
+    *     partial counts — the only base-wide shuffle in the query.
+    *   - df-cap: the HOT shingle set (df > maxDf) is small by construction
+    *     (it is the boilerplate tail), so both sides cap via a broadcast
+    *     LEFT ANTI join — map-only, unlike the window formulation.
+    *   - candidates: the capped delta shingle set broadcasts into the
+    *     capped base index; only narrow (delta_id, base_id) pairs shuffle
+    *     to the count aggregate.
+    * Jaccard is computed over the capped shingle universe on BOTH sides
+    * (a delta shingle absent from base has df 0 and stays), so sizes and
+    * intersections agree with what the join can see.
+    */
+  def incrementalStatus(base: DataFrame, delta: DataFrame, idCol: String,
+                        textCol: String, n: Int, threshold: Double,
+                        maxDf: Long): DataFrame = {
+    val bh = base.select(col(idCol).as("base_id"), xxhash64(col(textCol)).as("th"))
+    val dh = delta.select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("th"))
+    val exactM = bh.join(broadcast(dh), "th")
+      .groupBy("doc_id").agg(min("base_id").as("exact_match"))
+
+    def shingled(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("shingle"))
+
+    val baseSh = shingled(base, "base_id")
+    val dfTab = baseSh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val hot = dfTab.filter(col("df") > maxDf).select("shingle")
+    val baseIdx = baseSh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val deltaShU = shingled(delta, "doc_id")
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
+
+    val baseSizes = baseIdx.groupBy("base_id").agg(count(lit(1)).as("size_b"))
+    val deltaSizes = deltaShU.groupBy("doc_id").agg(count(lit(1)).as("size_d"))
+
+    val common = baseIdx.join(broadcast(deltaShU), "shingle")
+      .groupBy("doc_id", "base_id").agg(count(lit(1)).as("common"))
+
+    val rawJ = col("common").cast("double") * 1.0 /
+      (col("size_d") + col("size_b") - col("common"))
+    val best = Window.partitionBy("doc_id").orderBy(desc("j"), col("base_id"))
+    val nearM = common
+      .join(broadcast(deltaSizes), "doc_id")
+      .join(baseSizes, "base_id")
+      .filter(rawJ >= threshold)
+      .withColumn("j", rawJ)
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("base_id").as("near_match"),
+        Rounding.round4(col("j")).as("near_jaccard"))
+
+    delta.select(col(idCol).as("doc_id"))
+      .join(broadcast(exactM), Seq("doc_id"), "left")
+      .join(broadcast(nearM), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"),
+        when(col("exact_match").isNull, col("near_jaccard")).as("jaccard"))
+  }
 }

@@ -61,4 +61,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 0L)
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("incremental dedup classifies exact_dup / near_dup / new against the base") {
+    // base = docs 1..5; delta: 11 exact-dups doc 1, 13 near-dups doc 1
+    // (one word changed), 15 is brand new
+    val delta = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (13L, "the quick brown fox jumps over the lazy dog near the river bank sometimes"),
+      (15L, "entirely novel delta text with no overlap in shingles whatsoever at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalStatus(docs, delta, "doc_id", "text",
+      n = 2, threshold = 0.5, maxDf = 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // exact dup: matched to the MIN base id with identical text (1, not 2)
+    assert(out(11L) == (("exact_dup", Some(1L), None)))
+    val (st13, m13, j13) = out(13L)
+    assert(st13 == "near_dup" && m13.contains(1L))
+    assert(j13.exists(j => j > 0.5 && j < 1.0))
+    assert(out(15L) == (("new", None, None)))
+  }
 }
