@@ -75,6 +75,16 @@ object PlanCheck {
         p.indexOf("LessThan(vec_id,10)", i) > i
       }))
 
+    // Composed training-batch pipeline: gates and chunking are map-side
+    // (one Generate for the chunk explode, no extra shuffle between the
+    // dedup join and the pack window), packing windows on (shard).
+    check("pipe_training_batch")(
+      "chunk explode present" -> (p => p.contains("Generate explode")),
+      "pack window partitioned by shard" ->
+        (p => "Window.*shard".r.findFirstIn(p.replace("\n", " ")).isDefined),
+      "scans pruned to (doc_id, text)" ->
+        (p => !p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang")))
+
     // Incremental dedup: the base corpus joins everything small via
     // broadcast — the df-cap is a broadcast ANTI join (map-only), the
     // delta side broadcasts into the base index, and nothing sort-merges;

@@ -1272,6 +1272,75 @@ object QueriesExt {
         .orderBy("doc_id")
     })
 
+  /** End-to-end training-batch construction — the composed pipeline a
+    * training-data user actually runs: clean gates (exact dedup → quality
+    * → lang → repetition, the pipe_clean_corpus stages) → overlapping
+    * 32-token context chunks (the tx_chunk shape) → chunks packed into
+    * 256-token bins per shard (the tx_pack shape, chunk-level). Every
+    * stage's SQL is recomposed from the SAME shared fragments its
+    * standalone query uses, so the composition cannot drift from the
+    * pieces; all output columns are integers (partitioning-proof hash).
+    * Scale: gates + chunking are map-only after the dedup hash shuffle;
+    * packing windows per shard (doc_id % 8 — the skew-proof knob tx_pack
+    * documents; raise shard count with cluster size).
+    */
+  private val pl3 = QueryDef("pipe_training_batch",
+    Some(s"""WITH canon AS (
+            |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id
+            |  FROM documents),
+            |keptd AS (
+            |  SELECT d.doc_id, d.text FROM documents d
+            |  JOIN canon c ON d.doc_id = c.doc_id
+            |  WHERE c.doc_id = c.canonical_id),
+            |feats AS (
+            |  SELECT doc_id, text, $qualitySql AS quality,
+            |    $langScoreSqlItems
+            |  FROM keptd),
+            |pred AS (SELECT *, $predictedSql AS predicted FROM feats),
+            |reps AS (
+            |  SELECT doc_id, ${dupWordFracSql("w")} AS dwf, ${topBigramFracSql("w")} AS tbf
+            |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM keptd)),
+            |clean AS (
+            |  SELECT p.doc_id, p.text FROM pred p JOIN reps r ON r.doc_id = p.doc_id
+            |  WHERE p.quality >= $QualityMin AND p.predicted = 'en'
+            |    AND r.dwf <= $DupWordMax AND r.tbf <= $TopBigramMax),
+            |t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM clean),
+            |st AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 24)) AS start FROM t),
+            |chunks AS (
+            |  SELECT doc_id, cast((start - 1) // 24 + 1 as bigint) AS chunk_idx,
+            |    doc_id % 8 AS shard,
+            |    least(32, len(w) - start + 1) AS chunk_tokens
+            |  FROM st)
+            |SELECT doc_id, chunk_idx, shard, chunk_tokens,
+            |  cast(sum(chunk_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+            |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_tok,
+            |  cast((sum(chunk_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+            |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            |    - chunk_tokens) // 256 as bigint) AS bin_id
+            |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d)
+      val keepIds = Dedup.exact(base, "doc_id", "text")
+        .filter(col("doc_id") === col("canonical_id")).select("doc_id")
+      val clean = cleanGates(base.join(keepIds, "doc_id"), Seq("doc_id", "text"))
+      val chunks = clean
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1L), size(col("w")).cast("long"), lit(24L))).as("start"))
+        .select(col("doc_id"),
+          (floor((col("start") - 1) / 24) + 1).cast("long").as("chunk_idx"),
+          (col("doc_id") % 8).as("shard"),
+          least(lit(32L), size(col("w")) - col("start") + 1).as("chunk_tokens"))
+      val win = Window.partitionBy("shard").orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      chunks
+        .withColumn("cum_tok", sum("chunk_tokens").over(win).cast("long"))
+        .withColumn("bin_id",
+          floor((col("cum_tok") - col("chunk_tokens")) / 256).cast("long"))
+        .orderBy("doc_id", "chunk_idx")
+    })
+
   /** Corpus curation report — the "data card" the reference's dashboard is
     * for logs, applied to the training corpus: per-source document and
     * token totals, exact-duplicate counts, quality-bucket histogram, and
@@ -1327,5 +1396,5 @@ object QueriesExt {
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18,
     dd1, dd2, dd3, dd4, dd5, dd6, dd7,
     sm1, sm2, sm3, sm4, sm5, sm6, sm7,
-    mm1, mm2, pl1, pl2)
+    mm1, mm2, pl1, pl2, pl3)
 }
