@@ -169,6 +169,43 @@ object StreamingAnalytics {
     graft.QueriesExt.cleanGates(
       dedupStream(docs, tsCol, "text", watermarkDelay), Seq("doc_id", tsCol))
 
+  /** Stream-static exact-dup classification: every arriving document is
+    * labeled `exact_dup` (identical text already in the static base
+    * corpus, by content hash — [[graft.functions.Dedup.exact]]'s collision
+    * convention) or `new`, continuously, in append mode. The base reduces
+    * to a broadcast (hash → min id) table, so the stream side is a
+    * stateless map-side probe: no streaming state at all, and the base's
+    * text never leaves its scan. (At 100 TB of base, swap the broadcast
+    * for a pre-bucketed static side; the stream plan is unchanged.)
+    */
+  def exactDupStream(docs: DataFrame, base: DataFrame,
+                     textCol: String = "text"): DataFrame = {
+    val bh = base.select(xxhash64(col(textCol)).as("_th"), col("doc_id").as("base_id"))
+      .groupBy("_th").agg(min("base_id").as("match_id"))
+    docs.withColumn("_th", xxhash64(col(textCol)))
+      .join(broadcast(bh), Seq("_th"), "left")
+      .drop("_th")
+      .withColumn("status", when(col("match_id").isNotNull, "exact_dup").otherwise("new"))
+  }
+
+  /** Full incremental classification (exact + near-dup + new) of a
+    * document stream against a static base corpus: the multi-stage
+    * candidate aggregation can't run as one continuous append-mode plan
+    * (chained aggregations), so this is the production `foreachBatch`
+    * shape — each micro-batch is classified by the BATCH operator
+    * [[graft.functions.Dedup.incrementalStatus]] verbatim. One shared
+    * definition, so stream and batch classifications can never drift;
+    * per-batch cost is the batch operator's (delta = the micro-batch).
+    */
+  def incrementalDedupStream(docs: DataFrame, base: DataFrame,
+                             n: Int, threshold: Double, maxDf: Long)
+                            (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.functions.Dedup.incrementalStatus(
+          base, batch, "doc_id", "text", n, threshold, maxDf))
+    }.start()
+
   /** Stream-stream interval join: each left row matched to right rows with
     * the same key whose event time falls in [leftTs, leftTs + window] —
     * the "did a click follow this error within N hours" correlation shape.

@@ -70,4 +70,61 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got == batch)
     assert(got.keySet == Set(1L, 6L), s"got $got")
   }
+
+  test("exactDupStream labels arrivals against the static base, append mode") {
+    implicit val sq = spark.sqlContext
+    val base = Seq(
+      (1L, "alpha doc content"), (2L, "beta doc content"),
+      (3L, "alpha doc content") // dup in base: match_id must be MIN id (1)
+    ).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(Seq((10L, "alpha doc content"), (11L, "fresh unseen text")))
+
+    val out = StreamingAnalytics.exactDupStream(
+      mem.toDF().toDF("doc_id", "text"), base)
+    val q = out.writeStream.format("memory").queryName("exact_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("exact_stream")
+      .select("doc_id", "status", "match_id").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.get(2))))).toMap
+    assert(got(10L) == (("exact_dup", Some(1L))))
+    assert(got(11L) == (("new", None)))
+  }
+
+  test("incrementalDedupStream ≡ batch incrementalStatus per micro-batch") {
+    implicit val sq = spark.sqlContext
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (4L, "completely different content about spark catalyst optimizer rules and physical plans")
+    ).toDF("doc_id", "text")
+    val b1 = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (12L, "entirely novel arrival with no shingle overlap whatsoever in this batch"))
+    val b2 = Seq(
+      (13L, "the quick brown fox jumps over the lazy dog near the river bank sometimes"))
+
+    val mem = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[Map[Long, (String, Option[Long])]]
+    val q = StreamingAnalytics.incrementalDedupStream(
+      mem.toDF().toDF("doc_id", "text"), base, n = 2, threshold = 0.5, maxDf = 100) {
+      out => results += out.collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    }
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+
+    val nonEmpty = results.filter(_.nonEmpty)
+    assert(nonEmpty.length == 2)
+    assert(nonEmpty(0) == Map(11L -> (("exact_dup", Some(1L))), 12L -> (("new", None))))
+    assert(nonEmpty(1) == Map(13L -> (("near_dup", Some(1L)))))
+    // parity with the batch operator on the same micro-batch
+    val batch = graft.functions.Dedup.incrementalStatus(
+        base, b2.toDF("doc_id", "text"), "doc_id", "text", 2, 0.5, 100)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(nonEmpty(1) == batch)
+  }
 }
