@@ -97,6 +97,16 @@ object PlanCheck {
         (p => !p.split("\n").exists(l => l.contains("Exchange hashpartitioning")
           && "\\btext#\\d".r.findFirstIn(l).isDefined)))
 
+    // Semantic dedup: the pair join must be HASH-KEYED on cell (at small
+    // SF Spark broadcasts one side; at scale the same logical plan
+    // co-partitions both sides on cell) — never a cartesian/nested-loop
+    // over the corpus.
+    check("sim_semantic_dedup")(
+      "pair join hash-keyed on cell" ->
+        (p => "Join \\[cell#\\d+\\], \\[cell#\\d+\\]".r.findFirstIn(p).isDefined),
+      "no nested-loop pair scan" ->
+        (p => !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")))
+
     // PQ ANN: the ADC scoring join must stream CODES (m ints + rnorm),
     // never embeddings — no hash exchange may carry an embedding column —
     // and the exact re-rank joins the tiny shortlist back via broadcast.

@@ -1102,6 +1102,44 @@ object QueriesExt {
     (s, d) => Similarity.kmeansClusterStats(
       emb(s, d), nCentroids = 16, lloydIters = 2, trainModulus = 2))
 
+  /** SemDeDup semantic dedup — same deterministic trainer as sim_kmeans,
+    * so the oracle replays training + assignment with the shared Lloyd
+    * CTEs, then re-derives the within-cluster prune exactly: a vector is
+    * pruned by the min lower-id same-cell member at cosine ≥ 0.45 (the
+    * corpus' near-dup threshold, as in sim_near_dup). All output columns
+    * are integers/booleans.
+    */
+  private val sm8 = QueryDef("sim_semantic_dedup",
+    Some(s"""WITH train AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+            |c0 AS (
+            |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS ce
+            |  FROM (SELECT vec_id, embedding FROM train ORDER BY vec_id LIMIT 16)),
+            |${lloydCteSql(2, "train")}
+            |vc AS (
+            |  SELECT e.vec_id, c.cidx,
+            |    ${foldDot("e.embedding", "c.ce")} /
+            |      (sqrt(${foldDot("e.embedding", "e.embedding")}) * sqrt(${foldDot("c.ce", "c.ce")})) AS cos
+            |  FROM embeddings e CROSS JOIN c2 c),
+            |assign AS (
+            |  SELECT vec_id, cidx AS cell FROM
+            |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cidx) AS rn FROM vc)
+            |  WHERE rn = 1),
+            |pr AS (
+            |  SELECT a.vec_id, min(b.vec_id) AS pruned_by
+            |  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+            |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+            |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+            |  WHERE ${foldDot("ea.embedding", "eb.embedding")} /
+            |    (sqrt(${foldDot("ea.embedding", "ea.embedding")}) * sqrt(${foldDot("eb.embedding", "eb.embedding")})) >= 0.45
+            |  GROUP BY a.vec_id)
+            |SELECT a.vec_id, cast(a.cell as bigint) AS cell,
+            |  (p.pruned_by IS NULL) AS keep, p.pruned_by
+            |FROM assign a LEFT JOIN pr p ON p.vec_id = a.vec_id
+            |ORDER BY a.vec_id""".stripMargin),
+    (s, d) => Similarity.semanticDedup(emb(s, d), nCentroids = 16, lloydIters = 2,
+      trainModulus = 2, threshold = 0.45)
+      .orderBy("vec_id"))
+
   /** Per-subspace PQ oracle CTEs: sub-sliced train set, seed codebook,
     * Lloyd round(s) (prefixed so the 4 chains coexist), then full-corpus
     * encoding — nearest final sub-centroid by (cos DESC, cidx), carrying
@@ -1395,6 +1433,6 @@ object QueriesExt {
   val all: Seq[QueryDef] = Seq(
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18,
     dd1, dd2, dd3, dd4, dd5, dd6, dd7,
-    sm1, sm2, sm3, sm4, sm5, sm6, sm7,
+    sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8,
     mm1, mm2, pl1, pl2, pl3)
 }

@@ -370,6 +370,39 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., 2023): cluster the
+    * embedding corpus with the deterministic sampled-Lloyd trainer, then
+    * WITHIN each cluster prune every vector that has a lower-id member at
+    * cosine ≥ threshold (keep = no such member; pruned_by = the min one).
+    * Only within-cluster pairs are compared — that bound is the entire
+    * scale story: the pair join is co-partitioned by cell, per-cell cost
+    * is |cell|², and cross-cluster near-dups are the accepted recall
+    * tradeoff of the method (raise nCentroids to shrink cells at scale).
+    * Output is (vec_id, cell, keep, pruned_by) — no float columns, so the
+    * hash is partitioning-proof; the threshold comparison itself uses the
+    * same ordered-fold cosine on both engines.
+    */
+  def semanticDedup(corpus: DataFrame, nCentroids: Int, lloydIters: Int,
+                    trainModulus: Int, threshold: Double): DataFrame = {
+    val trainSet =
+      if (trainModulus > 1) corpus.filter(pmod(col("vec_id"), lit(trainModulus)) === 0)
+      else corpus
+    val cents = ivfCentroids(trainSet, nCentroids, lloydIters)
+    val v = corpus.select(col("vec_id"), col("embedding"),
+        element_at(NativeExpressions.nearestCentroids(col("embedding"), cents, 1), 1).as("cell"))
+      .withColumn("nrm", l2Norm(col("embedding")))
+    val pruned = v.as("a").join(v.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .filter(dot(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm")) >= threshold)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(col("b.vec_id")).as("pruned_by"))
+    v.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("pruned_by").isNull.as("keep"), col("pruned_by"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g.
     * label): pairs with cosine ≥ threshold, id_a < id_b. Norms are computed
     * once per vector (before the pair join), a pair costs one codegen'd

@@ -108,6 +108,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8)
   }
 
+  test("semanticDedup prunes within-cluster near-dups, keeps everything else") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val out = Similarity.semanticDedup(emb, nCentroids = 16, lloydIters = 2,
+      trainModulus = 2, threshold = 0.45).collect()
+    assert(out.length == emb.count()) // every vector classified exactly once
+    val cellOf = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pruned = out.filter(!_.getBoolean(2))
+    info(s"pruned ${pruned.length}/${out.length}")
+    assert(pruned.nonEmpty) // the corpus has within-cluster near-dups at 0.45
+    pruned.foreach { r =>
+      val (v, by) = (r.getLong(0), r.getLong(3))
+      assert(by < v, "pruned_by must be a lower id")
+      assert(cellOf(by) == r.getLong(1), "pruned_by must share the cell")
+      assert(cellOf.contains(by), "pruned_by must be a corpus member")
+    }
+    // the kept set plus prune edges covers the corpus
+    assert(out.count(_.getBoolean(2)) + pruned.length == out.length)
+  }
+
   test("l2Norm matches local math") {
     val row = vectors.filter($"vec_id" === 2L)
       .select(Similarity.l2Norm($"embedding")).head()
