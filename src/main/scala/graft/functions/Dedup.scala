@@ -253,7 +253,10 @@ object Dedup {
       df.select(col(idCol).as(idAs),
         explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("shingle"))
 
-    val baseSh = shingled(base, "base_id")
+    // cached: the index feeds the df table, the sizes, and the candidate
+    // join — without it the base text re-explodes once per consumer (the
+    // same tradeoff ngramJaccardPairs makes; Spark spills it if large)
+    val baseSh = shingled(base, "base_id").cache()
     val dfTab = baseSh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val hot = dfTab.filter(col("df") > maxDf).select("shingle")
     val baseIdx = baseSh.join(broadcast(hot), Seq("shingle"), "left_anti")
