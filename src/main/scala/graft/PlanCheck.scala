@@ -97,6 +97,17 @@ object PlanCheck {
         (p => !p.split("\n").exists(l => l.contains("Exchange hashpartitioning")
           && "\\btext#\\d".r.findFirstIn(l).isDefined)))
 
+    // Retrieval: document metadata must join AFTER ranking — the tiny
+    // ranked top-k broadcasts into the documents scan, and the documents
+    // side is never broadcast or shuffled.
+    check("sim_retrieve")(
+      "ranked top-k broadcast into documents" -> (p =>
+        p.contains("BroadcastHashJoin") &&
+          p.split("BroadcastExchange").drop(1).forall(!_.split("\n").take(4)
+            .exists(_.contains("documents.parquet")))),
+      "documents scan pruned to 3 columns" ->
+        (_.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>")))
+
     // Semantic dedup: the pair join must be HASH-KEYED on cell (at small
     // SF Spark broadcasts one side; at scale the same logical plan
     // co-partitions both sides on cell) — never a cartesian/nested-loop

@@ -961,6 +961,35 @@ object QueriesExt {
       emb(s, d), emb(s, d).filter(col("vec_id") < 10), k = 5)
       .orderBy("query_id", "rank"))
 
+  /** Retrieval end-to-end — the RAG-shape result a user actually consumes:
+    * top-3 neighbors per query WITH their document metadata. The metadata
+    * join happens strictly AFTER ranking (k·|queries| ids broadcast into
+    * the documents scan as a map-side probe) — joining text/metadata
+    * before the top-k would shuffle the whole corpus' metadata for rows
+    * that ranking immediately discards.
+    */
+  private val sm2r = QueryDef("sim_retrieve",
+    Some(s"""WITH pairs AS (
+            |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            |    ${dotSql("q", "c")} /
+            |      (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})) AS cos
+            |  FROM embeddings q, embeddings c
+            |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+            |ranked AS (
+            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            |  FROM pairs)
+            |SELECT r.query_id, r.rank, r.neighbor_id, r.cos, d.source, d.lang
+            |FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
+            |WHERE r.rank <= 3 ORDER BY r.query_id, r.rank""".stripMargin),
+    (s, d) => {
+      val topk = Similarity.bruteForceTopK(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 10), k = 3)
+      docs(s, d).select(col("doc_id"), col("source"), col("lang"))
+        .join(broadcast(topk), col("doc_id") === col("neighbor_id"))
+        .select("query_id", "rank", "neighbor_id", "cos", "source", "lang")
+        .orderBy("query_id", "rank")
+    })
+
   /** Embedding near-dup pairs blocked on label (cosine ≥ 0.45). */
   private val sm3 = QueryDef("sim_near_dup",
     Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1433,6 +1462,6 @@ object QueriesExt {
   val all: Seq[QueryDef] = Seq(
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18,
     dd1, dd2, dd3, dd4, dd5, dd6, dd7,
-    sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8,
+    sm1, sm2, sm2r, sm3, sm4, sm5, sm6, sm7, sm8,
     mm1, mm2, pl1, pl2, pl3)
 }
