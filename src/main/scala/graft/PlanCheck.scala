@@ -31,6 +31,26 @@ object PlanCheck {
       }
     }
 
+    // Structural twin of check(): predicates see the physical-plan TREE
+    // (pre-AQE — AdaptiveSparkPlanExec hides its inner plan from collect),
+    // for invariants the string dump cannot express. An Exchange line
+    // prints only its partitioning KEYS, so "column X never shuffles"
+    // must inspect the exchange child's OUTPUT, not the plan text.
+    def checkTree(name: String)(asserts: (String, org.apache.spark.sql.execution.SparkPlan => Boolean)*): Unit = {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+      asserts.foreach { case (what, pred) =>
+        val ok = pred(plan)
+        if (!ok) failures += 1
+        println(s"${if (ok) "PASS" else "FAIL"}  $name: $what")
+      }
+    }
+    // Column names riding any hash-shuffle exchange (keys AND payload).
+    def shuffledColumns(p: org.apache.spark.sql.execution.SparkPlan): Set[String] = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+        e.child.output.map(_.name).toSet
+    }.flatten.toSet
+
     // Scan pruning + predicate pushdown reach the parquet reader.
     check("s1_scan_project")(
       "filter pushed to parquet scan" -> (_.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,150.0)]")),
@@ -81,7 +101,7 @@ object PlanCheck {
     check("pipe_training_batch")(
       "chunk explode present" -> (p => p.contains("Generate explode")),
       "pack window partitioned by shard" ->
-        (p => "Window.*shard".r.findFirstIn(p.replace("\n", " ")).isDefined),
+        (p => "windowspecdefinition\\(shard#\\d+L?,".r.findFirstIn(p).isDefined),
       "scans pruned to (doc_id, text)" ->
         (p => !p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang")))
 
@@ -92,10 +112,10 @@ object PlanCheck {
     check("dd_incremental")(
       "no sort-merge join anywhere" -> (p => !p.contains("SortMergeJoin")),
       "df-cap via broadcast anti join" ->
-        (p => p.contains("BroadcastHashJoin") && p.contains("LeftAnti")),
-      "no exchange carries document text" ->
-        (p => !p.split("\n").exists(l => l.contains("Exchange hashpartitioning")
-          && "\\btext#\\d".r.findFirstIn(l).isDefined)))
+        (p => p.contains("BroadcastHashJoin") && p.contains("LeftAnti")))
+    checkTree("dd_incremental")(
+      "no shuffle carries document text (keys OR payload)" ->
+        (p => !shuffledColumns(p).contains("text")))
 
     // Retrieval: document metadata must join AFTER ranking — the tiny
     // ranked top-k broadcasts into the documents scan, and the documents
@@ -122,13 +142,12 @@ object PlanCheck {
     // never embeddings — no hash exchange may carry an embedding column —
     // and the exact re-rank joins the tiny shortlist back via broadcast.
     check("sim_pq")(
-      "no hash exchange carries embeddings" ->
-        (p => !p.split("\n").exists(l => l.contains("Exchange hashpartitioning")
-          && (l.contains("embedding") || "\\bne#\\d".r.findFirstIn(l).isDefined
-            || "\\bqe#\\d".r.findFirstIn(l).isDefined))),
       "shortlist re-rank via broadcast hash join" -> (_.contains("BroadcastHashJoin")),
       "queries broadcast into the ADC scoring pass" ->
         (_.contains("BroadcastNestedLoopJoin")))
+    checkTree("sim_pq")(
+      "no shuffle carries an embedding column (keys OR payload)" ->
+        (p => shuffledColumns(p).intersect(Set("embedding", "ne", "qe")).isEmpty))
 
     // As-of join: one shuffle for the union’d sort-merge formulation.
     check("j8_asof_join")(

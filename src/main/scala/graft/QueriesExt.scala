@@ -348,22 +348,48 @@ object QueriesExt {
     * bounded fan-out (≤ ⌈len/stride⌉ chunks/doc); no shuffle beyond the
     * final presentation sort.
     */
-  private val tx9 = QueryDef("tx_chunk",
-    Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
-           |st AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 24)) AS start FROM t)
-           |SELECT doc_id, cast((start - 1) // 24 + 1 as bigint) AS chunk_idx, start,
-           |  array_to_string(w[start:start+31], ' ') AS chunk,
-           |  least(32, len(w) - start + 1) AS chunk_tokens
-           |FROM st ORDER BY doc_id, start""".stripMargin),
-    (s, d) => docs(s, d)
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+  // Shared chunking definition (window ChunkLen tokens, stride
+  // ChunkStride): tx_chunk and the composed pipe_training_batch both build
+  // on these ONE Spark fragment + ONE SQL fragment, so the standalone
+  // query and the pipeline stage cannot drift (same discipline as the
+  // quality/lang/repetition gate fragments).
+  private val ChunkStride = 24
+  private val ChunkLen = 32
+  /** Token budget per packed training bin — shared by tx_pack (doc-level)
+    * and pipe_training_batch (chunk-level). */
+  private val PackBudget = 256
+
+  /** (doc_id, w, start, chunk_idx, chunk_tokens) — one row per chunk. */
+  private def chunkCore(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"),
-        explode(sequence(lit(1L), size(col("w")).cast("long"), lit(24L))).as("start"))
-      .select(col("doc_id"),
-        (floor((col("start") - 1) / 24) + 1).cast("long").as("chunk_idx"),
-        col("start"),
-        array_join(slice(col("w"), col("start").cast("int"), lit(32)), " ").as("chunk"),
-        least(lit(32L), size(col("w")) - col("start") + 1).as("chunk_tokens"))
+        explode(sequence(lit(1L), size(col("w")).cast("long"),
+          lit(ChunkStride.toLong))).as("start"))
+      .withColumn("chunk_idx",
+        (floor((col("start") - 1) / ChunkStride) + 1).cast("long"))
+      .withColumn("chunk_tokens",
+        least(lit(ChunkLen.toLong), size(col("w")) - col("start") + 1))
+
+  /** The SQL twin: CTEs t/st/chunks over relation `rel`. */
+  private def chunkCteSql(rel: String): String =
+    s"""t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM $rel),
+       |st AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, $ChunkStride)) AS start FROM t),
+       |chunks AS (
+       |  SELECT doc_id, w, start,
+       |    cast((start - 1) // $ChunkStride + 1 as bigint) AS chunk_idx,
+       |    least($ChunkLen, len(w) - start + 1) AS chunk_tokens
+       |  FROM st)""".stripMargin
+
+  private val tx9 = QueryDef("tx_chunk",
+    Some(s"""WITH ${chunkCteSql("documents")}
+            |SELECT doc_id, chunk_idx, start,
+            |  array_to_string(w[start:start+${ChunkLen - 1}], ' ') AS chunk,
+            |  chunk_tokens
+            |FROM chunks ORDER BY doc_id, start""".stripMargin),
+    (s, d) => chunkCore(docs(s, d))
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        array_join(slice(col("w"), col("start").cast("int"), lit(ChunkLen)), " ").as("chunk"),
+        col("chunk_tokens"))
       .orderBy("doc_id", "start"))
 
   /** Sequence packing — assign docs to fixed token-budget bins (256
@@ -377,16 +403,16 @@ object QueriesExt {
     * need bins to be full, not globally ordered.
     */
   private val tx10 = QueryDef("tx_pack",
-    Some("""SELECT doc_id, lang, doc_id % 8 AS shard,
-           |  len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS n_tok,
-           |  cast(sum(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')))
-           |    OVER (PARTITION BY lang, doc_id % 8 ORDER BY doc_id
-           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_tok,
-           |  cast((sum(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')))
-           |    OVER (PARTITION BY lang, doc_id % 8 ORDER BY doc_id
-           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           |   - len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))) // 256 as bigint) AS bin_id
-           |FROM documents ORDER BY doc_id""".stripMargin),
+    Some(s"""SELECT doc_id, lang, doc_id % 8 AS shard,
+            |  len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]')) AS n_tok,
+            |  cast(sum(len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]')))
+            |    OVER (PARTITION BY lang, doc_id % 8 ORDER BY doc_id
+            |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_tok,
+            |  cast((sum(len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]')))
+            |    OVER (PARTITION BY lang, doc_id % 8 ORDER BY doc_id
+            |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            |   - len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]'))) // $PackBudget as bigint) AS bin_id
+            |FROM documents ORDER BY doc_id""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
@@ -395,7 +421,7 @@ object QueriesExt {
         pmod(col("doc_id"), lit(8)).as("shard"),
         TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
         .withColumn("cum_tok", sum("n_tok").over(w))
-        .withColumn("bin_id", floor((col("cum_tok") - col("n_tok")) / 256).cast("long"))
+        .withColumn("bin_id", floor((col("cum_tok") - col("n_tok")) / PackBudget).cast("long"))
         .orderBy("doc_id")
     })
 
@@ -1371,19 +1397,13 @@ object QueriesExt {
             |  SELECT p.doc_id, p.text FROM pred p JOIN reps r ON r.doc_id = p.doc_id
             |  WHERE p.quality >= $QualityMin AND p.predicted = 'en'
             |    AND r.dwf <= $DupWordMax AND r.tbf <= $TopBigramMax),
-            |t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM clean),
-            |st AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 24)) AS start FROM t),
-            |chunks AS (
-            |  SELECT doc_id, cast((start - 1) // 24 + 1 as bigint) AS chunk_idx,
-            |    doc_id % 8 AS shard,
-            |    least(32, len(w) - start + 1) AS chunk_tokens
-            |  FROM st)
-            |SELECT doc_id, chunk_idx, shard, chunk_tokens,
-            |  cast(sum(chunk_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+            |${chunkCteSql("clean")}
+            |SELECT doc_id, chunk_idx, doc_id % 8 AS shard, chunk_tokens,
+            |  cast(sum(chunk_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_tok,
-            |  cast((sum(chunk_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+            |  cast((sum(chunk_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            |    - chunk_tokens) // 256 as bigint) AS bin_id
+            |    - chunk_tokens) // $PackBudget as bigint) AS bin_id
             |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -1391,20 +1411,15 @@ object QueriesExt {
       val keepIds = Dedup.exact(base, "doc_id", "text")
         .filter(col("doc_id") === col("canonical_id")).select("doc_id")
       val clean = cleanGates(base.join(keepIds, "doc_id"), Seq("doc_id", "text"))
-      val chunks = clean
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
-        .select(col("doc_id"), col("w"),
-          explode(sequence(lit(1L), size(col("w")).cast("long"), lit(24L))).as("start"))
-        .select(col("doc_id"),
-          (floor((col("start") - 1) / 24) + 1).cast("long").as("chunk_idx"),
-          (col("doc_id") % 8).as("shard"),
-          least(lit(32L), size(col("w")) - col("start") + 1).as("chunk_tokens"))
+      val chunks = chunkCore(clean)
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("doc_id") % 8).as("shard"), col("chunk_tokens"))
       val win = Window.partitionBy("shard").orderBy("doc_id", "chunk_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       chunks
         .withColumn("cum_tok", sum("chunk_tokens").over(win).cast("long"))
         .withColumn("bin_id",
-          floor((col("cum_tok") - col("chunk_tokens")) / 256).cast("long"))
+          floor((col("cum_tok") - col("chunk_tokens")) / PackBudget).cast("long"))
         .orderBy("doc_id", "chunk_idx")
     })
 

@@ -272,9 +272,11 @@ object Dedup {
     val rawJ = col("common").cast("double") * 1.0 /
       (col("size_d") + col("size_b") - col("common"))
     val best = Window.partitionBy("doc_id").orderBy(desc("j"), col("base_id"))
-    val nearM = common
-      .join(broadcast(deltaSizes), "doc_id")
-      .join(baseSizes, "base_id")
+    // baseSizes is corpus-sized; the candidate set (delta × capped matches)
+    // is the small side — pin it broadcast so the sizes join streams the
+    // big table map-side instead of depending on stats estimation.
+    val nearM = baseSizes
+      .join(broadcast(common.join(broadcast(deltaSizes), "doc_id")), "base_id")
       .filter(rawJ >= threshold)
       .withColumn("j", rawJ)
       .withColumn("rn", row_number().over(best))
