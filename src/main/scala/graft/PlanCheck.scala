@@ -173,6 +173,9 @@ object PlanCheck {
       "no Window over full text" -> (p => !p.contains("Window")),
       "≤2 narrow hash exchanges" ->
         (p => "Exchange hashpartitioning".r.findAllIn(p).size <= 2))
+    checkTree("dd_exact")(
+      "no shuffle carries document text (keys OR payload)" ->
+        (p => !shuffledColumns(p).contains("text")))
 
     // Language-id: ONE tokenization kernel evaluation per row (the
     // interpreted-HOF form evaluated 12 regex splits per row; a Catalyst
