@@ -236,6 +236,16 @@ object PlanCheck {
         (p => "HashAggregate\\(keys=\\[source#\\d+, th#\\d+L\\], functions=\\[partial_".r.findFirstIn(p).isDefined),
       "single documents scan" -> (p => "Scan parquet".r.findAllIn(p).size == 1))
 
+    // Length-bucket accounting: one map-only classify, one partial-agg
+    // shuffle to #buckets rows, single documents scan pruned to text.
+    check("tx_length_buckets")(
+      "map-side partial aggregation" -> (p => p.contains("partial_count")),
+      "single hash exchange" ->
+        (p => "Exchange hashpartitioning".r.findAllIn(p).size == 1),
+      "single documents scan pruned to text" ->
+        (p => "Scan parquet".r.findAllIn(p).size == 1
+          && p.contains("ReadSchema: struct<text:string>")))
+
     // EXISTS/NOT EXISTS subqueries: Catalyst must DECORRELATE both into
     // joins (semi + anti) — a correlated re-execution or nested loop per
     // customer row is the 100 TB failure mode.

@@ -744,6 +744,49 @@ object QueriesExt {
         .orderBy("doc_id")
     })
 
+  /** Length-bucket boundaries (token counts) for padded-batch assembly —
+    * ONE shared list generates both engines' CASE chains, so the
+    * bucketing cannot drift between them. Powers of two from 16 up, the
+    * conventional padded-batch sizing. */
+  private val LengthBuckets = Seq(16, 32, 64, 128, 256, 512, 1024)
+
+  /** Padding-waste accounting for length-bucketed batching — the batch-
+    * assembly analytic a serving/training stack runs before fixing bucket
+    * boundaries: docs grouped into the smallest power-of-two token bound
+    * that fits them; per bucket, the doc count, real token total, and the
+    * tokens a pad-to-bound batcher would waste (n_docs·bound − sum_tok).
+    * All integers (partitioning-proof hash); the bucket assignment is a
+    * generated CASE chain over the shared [[LengthBuckets]] list on BOTH
+    * engines. One map-only classify + one partial-agg shuffle to
+    * #buckets rows — the same shape at any corpus size.
+    */
+  private val tx19 = QueryDef("tx_length_buckets", {
+    val caseSql = LengthBuckets.map(b => s"WHEN n_tok <= $b THEN $b")
+      .mkString("CASE ", " ", s" ELSE ${LengthBuckets.last * 2} END")
+    Some(s"""WITH t AS (
+            |  SELECT len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]')) AS n_tok
+            |  FROM documents),
+            |b AS (SELECT n_tok, $caseSql AS bucket FROM t)
+            |SELECT cast(bucket as bigint) AS bucket,
+            |  count(*) AS n_docs,
+            |  cast(sum(n_tok) as bigint) AS sum_tok,
+            |  cast(count(*) * bucket - sum(n_tok) as bigint) AS pad_waste
+            |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)
+  },
+    (s, d) => {
+      val bucket = LengthBuckets.foldRight(
+        lit(LengthBuckets.last * 2): Column)((b, acc) =>
+        when(col("n_tok") <= b, b).otherwise(acc))
+      docs(s, d)
+        .select(TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("sum_tok"),
+          (count(lit(1)) * col("bucket") - sum("n_tok")).as("pad_waste"))
+        .orderBy("bucket")
+    })
+
   // ---- deduplication -----------------------------------------------------
 
   private val dd1 = QueryDef("dd_exact",
@@ -1475,7 +1518,7 @@ object QueriesExt {
     })
 
   val all: Seq[QueryDef] = Seq(
-    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18,
+    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19,
     dd1, dd2, dd3, dd4, dd5, dd6, dd7,
     sm1, sm2, sm2r, sm3, sm4, sm5, sm6, sm7, sm8,
     mm1, mm2, pl1, pl2, pl3)
