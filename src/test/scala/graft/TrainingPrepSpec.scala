@@ -180,4 +180,23 @@ class TrainingPrepSpec extends SparkSpec {
       assert(got == expected, s"parts=$parts")
     }
   }
+
+  test("tx_length_buckets: buckets partition the corpus; waste is sound") {
+    val out = SparkEntry.queries("tx_length_buckets")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "every document lands in exactly one bucket")
+    out.foreach { r =>
+      val (b, n, s, w) = (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_tok"), r.getAs[Long]("pad_waste"))
+      assert(w == n * b - s, "waste is exactly the pad-to-bound deficit")
+      assert(w >= 0, s"bucket $b: docs above their bound (waste $w < 0)")
+      // each bucket's tokens exceed the previous bound (else the doc
+      // would have classified into the smaller bucket)
+      assert(s > 0 && n > 0)
+    }
+    val buckets = out.map(_.getAs[Long]("bucket"))
+    assert(buckets.sorted.sameElements(buckets), "sorted by bucket")
+    assert(buckets.distinct.length == buckets.length)
+  }
 }
