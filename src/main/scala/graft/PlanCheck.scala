@@ -198,6 +198,17 @@ object PlanCheck {
       "native fingerprint kernel" -> (_.contains("graft_fingerprint")),
       "no interpreted HOF fold" -> (p => !p.contains("lambdafunction")))
 
+    // Classifier gate: ONE hashed-n-gram kernel evaluation per row (three
+    // consumers — n_feat, sum_w, score — must not inline it 3×), and the
+    // whole query is map-only: zero hash exchanges, only the final ORDER
+    // BY's range partitioning.
+    check("tx_classify")(
+      "single hashed-ngram kernel in the plan" ->
+        (p => "graft_hashed_ngram_score".r.findAllIn(p).size == 1),
+      "map-only (zero hash exchanges)" ->
+        (p => "Exchange hashpartitioning".r.findAllIn(p).size == 0),
+      "no token explode" -> (p => !p.contains("Generate")))
+
     // Bucketed co-located join: both sides pre-bucketed on user_id, so
     // the join AND the downstream aggregate need no hash exchange at all
     // (the only exchange is the final ORDER BY's range partitioning).

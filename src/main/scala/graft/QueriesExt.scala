@@ -760,6 +760,52 @@ object QueriesExt {
     * engines. One map-only classify + one partial-agg shuffle to
     * #buckets rows — the same shape at any corpus size.
     */
+  /** Model-based quality filtering — the "fastText classifier" stage of a
+    * web-scale pipeline (CCNet / LLaMA-style): a FROZEN linear model over
+    * hashed word unigrams + bigrams scores every document, and the gate
+    * keeps docs with non-negative raw score. The model here is synthetic
+    * (bucket weights are a fixed hash of the bucket id) but the plumbing is
+    * the real thing: feature hashing into 2^20 buckets, integer weight
+    * sum, score = sum / (n_feat · 2^20) squashed later as needed.
+    *
+    * Scale shape: ONE map-only pass ([[NativeExpressions.HashedNgramScore]]
+    * — no token array, no explode, no shuffle); integer feature sums make
+    * the DuckDB oracle exact (no float-accumulation drift at any corpus
+    * size). At 100 TB this is embarrassingly parallel scan work.
+    */
+  private val tx20 = QueryDef("tx_classify",
+    Some("""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id,
+           |    list_concat(w, [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS feats
+           |  FROM t),
+           |h AS (
+           |  SELECT doc_id, cast(len(feats) AS bigint) AS n_feat,
+           |    cast(coalesce(list_sum(list_transform(feats, g ->
+           |      ((list_reduce(list_prepend(cast(7 as bigint),
+           |           list_transform(string_split(g, ''), c -> cast(ascii(c) as bigint))),
+           |         (a, b) -> (a * 31 + b) % 1000000007) % 1048576) * 2654435761) % 1048576
+           |        - 524288)), 0) AS bigint) AS sum_w
+           |  FROM f)
+           |SELECT doc_id, n_feat, sum_w,
+           |  CASE WHEN n_feat = 0 THEN cast(0.0 as double)
+           |       ELSE floor(sum_w / (n_feat * 1048576.0) * 10000 + 0.5) / 10000 END AS score,
+           |  sum_w >= 0 AS keep
+           |FROM h ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), TextFunctions.classifierFeatures(col("text")).as("st"))
+        .select(col("doc_id"), col("st.n_feat").as("n_feat"), col("st.sum_w").as("sum_w"))
+        .withColumn("score",
+          when(col("n_feat") === 0, lit(0.0))
+            .otherwise(graft.functions.Rounding.round4(
+              col("sum_w") / (col("n_feat") * lit(1048576.0)))))
+        .withColumn("keep", col("sum_w") >= 0)
+        .orderBy("doc_id")
+    })
+
   private val tx19 = QueryDef("tx_length_buckets", {
     val caseSql = LengthBuckets.map(b => s"WHEN n_tok <= $b THEN $b")
       .mkString("CASE ", " ", s" ELSE ${LengthBuckets.last * 2} END")
@@ -1518,7 +1564,7 @@ object QueriesExt {
     })
 
   val all: Seq[QueryDef] = Seq(
-    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19,
+    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20,
     dd1, dd2, dd3, dd4, dd5, dd6, dd7,
     sm1, sm2, sm2r, sm3, sm4, sm5, sm6, sm7, sm8,
     mm1, mm2, pl1, pl2, pl3)

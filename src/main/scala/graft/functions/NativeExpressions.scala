@@ -490,6 +490,81 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Hashed-n-gram linear classifier features — the Spark side of a frozen
+    * fastText-style quality model: every word unigram and adjacent word
+    * bigram is hashed into one of 2^20 buckets, each bucket carries a fixed
+    * integer weight, and the document's raw score is the bucket-weight sum.
+    * Returns `struct(n_feat BIGINT, sum_w BIGINT)` from ONE pass over the
+    * text — no token array, no explode, no shuffle.
+    *
+    * Determinism contract (what makes the DuckDB oracle possible):
+    *   - tokens = maximal runs of non-whitespace (Java regex `\s` class),
+    *     empties dropped — same as
+    *     `list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)`;
+    *   - feature hash = the repo's rolling hash (fold `h*31 + codepoint`
+    *     mod 1e9+7, seed 7) over the feature STRING, where a bigram's
+    *     string is `tokA || ' ' || tokB` (single space regardless of the
+    *     original whitespace run). Computed incrementally: at each token
+    *     end the next bigram chain is seeded `(h(tok)*31 + 32) mod p`, so
+    *     no substring is ever materialized;
+    *   - bucket weight = `((h mod 2^20) * 2654435761) mod 2^20 - 2^19`,
+    *     an integer in [-2^19, 2^19) — exact bigint arithmetic on both
+    *     engines (max intermediate 2^20·2654435761 < 2^52).
+    * Integer sums make the cross-engine comparison exact; callers derive
+    * the float score as `sum_w / (n_feat · 2^20)` downstream (one IEEE
+    * division — also bit-identical).
+    */
+  case class HashedNgramScore(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    private val P = 1000000007L
+    private val Buckets = 1048576L // 2^20
+    private val Mult = 2654435761L // Knuth's 2^32/phi multiplier
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_feat", LongType, nullable = false),
+      StructField("sum_w", LongType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_hashed_ngram_score"
+
+    @inline private def weight(h: Long): Long =
+      ((h % Buckets) * Mult) % Buckets - (Buckets / 2)
+
+    @inline private def isWs(cp: Int): Boolean =
+      cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' || cp == '\r'
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      var h = 7L       // rolling hash of the in-progress token (seed 7)
+      var hb = -1L     // rolling hash of (prev token + ' ' + in-progress); -1 = no prev
+      var tokLen = 0
+      var nFeat = 0L
+      var sumW = 0L
+      def endToken(): Unit = if (tokLen > 0) {
+        nFeat += 1; sumW += weight(h)
+        if (hb >= 0) { nFeat += 1; sumW += weight(hb) }
+        hb = (h * 31L + 32L) % P // seed the next bigram chain: h(tok + ' ')
+        h = 7L; tokLen = 0
+      }
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        if (isWs(cp)) endToken()
+        else {
+          h = (h * 31L + cp) % P
+          if (hb >= 0) hb = (hb * 31L + cp) % P
+          tokLen += 1
+        }
+        i += Character.charCount(cp)
+      }
+      endToken()
+      org.apache.spark.sql.catalyst.InternalRow(nFeat, sumW)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Random-hyperplane LSH bucket keys for a float vector: `tables` keys,
     * each of `bits` sign bits. Hyperplane coefficient for (table, bit, dim)
     * is a deterministic xxhash64 folded into [-1, 1] — reproducible across
@@ -836,6 +911,7 @@ object NativeExpressions {
   def markerTokenCounts(text: Column, sets: Seq[Seq[String]]): Column =
     toCol(MarkerTokenCounts(toExpr(text), sets))
   def repetitionStats(text: Column): Column = toCol(RepetitionStats(toExpr(text)))
+  def hashedNgramScore(text: Column): Column = toCol(HashedNgramScore(toExpr(text)))
   def minhashSignature(shingles: Column, k: Int): Column =
     toCol(MinHashSignature(toExpr(shingles), k))
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))

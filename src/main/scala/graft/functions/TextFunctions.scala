@@ -101,6 +101,13 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     NativeExpressions.fingerprintHash(text)
 
+  /** Frozen hashed-n-gram linear classifier features:
+    * `struct(n_feat, sum_w)` from one pass — see
+    * [[NativeExpressions.HashedNgramScore]] for the determinism contract.
+    */
+  def classifierFeatures(text: Column): Column =
+    NativeExpressions.hashedNgramScore(text)
+
   /** Word n-gram shingles of a document, as an array column. Native
     * single-pass kernel — see [[NativeExpressions.WordShingles]] for why
     * the `transform`/`slice` HOF composition is not used.

@@ -79,6 +79,36 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
   }
 
+  // Naive reference for the hashed-n-gram classifier kernel: materialize
+  // every feature string, hash it with the repo rolling hash, sum weights.
+  // The kernel computes the same thing in one pass with no substrings.
+  private def classifierRef(text: String): (Long, Long) = {
+    val P = 1000000007L
+    def h(s: String): Long = s.codePoints().toArray
+      .foldLeft(7L)((a, c) => (a * 31L + c) % P)
+    def w(x: Long): Long = ((x % 1048576L) * 2654435761L) % 1048576L - 524288L
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val feats = toks.toSeq ++ toks.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    (feats.size.toLong, feats.map(f => w(h(f))).sum)
+  }
+
+  test("hashedNgramScore kernel ≡ materialized unigram+bigram reference") {
+    val randomSoup = {
+      val words = Seq("the", "cat", "über", "42", "a,b", "x", "wordy")
+      val rnd = new scala.util.Random(42)
+      Seq.fill(200)(Seq.fill(rnd.nextInt(12))(
+        (if (rnd.nextBoolean()) " " else "  \t") + words(rnd.nextInt(words.length))
+      ).mkString + (if (rnd.nextBoolean()) " " else ""))
+    }
+    (edgeTexts ++ randomSoup).toDF("t")
+      .select($"t", TextFunctions.classifierFeatures($"t").as("st"))
+      .collect().foreach { r =>
+        val s = r.getStruct(1)
+        assert(classifierRef(r.getString(0)) == ((s.getLong(0), s.getLong(1))),
+          s"for input '${r.getString(0)}'")
+      }
+  }
+
   test("regexpReplaceMany ≡ sequential regexp_replace chain + count scans") {
     val emailPat = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
     val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
