@@ -198,6 +198,17 @@ object PlanCheck {
       "native fingerprint kernel" -> (_.contains("graft_fingerprint")),
       "no interpreted HOF fold" -> (p => !p.contains("lambdafunction")))
 
+    // Ordered funnel: the whole chain must run off ONE events scan and ONE
+    // user_id exchange — the three step timestamps are nested windows over
+    // the same partitioning, and the per-user collapse reuses it (a
+    // join-chain formulation would re-scan events per stage).
+    check("a20_funnel")(
+      "single events scan" -> (p => "Scan parquet".r.findAllIn(p).size == 1),
+      "one hash exchange shared by windows + per-user agg" ->
+        (p => "Exchange hashpartitioning".r.findAllIn(p).size == 1),
+      "step-type filter pushed to the scan" ->
+        (p => "PushedFilters:.*In\\(event_type".r.findFirstIn(p).isDefined))
+
     // Classifier gate: ONE hashed-n-gram kernel evaluation per row (three
     // consumers — n_feat, sum_w, score — must not inline it 3×), and the
     // whole query is map-only: zero hash exchanges, only the final ORDER

@@ -952,6 +952,40 @@ object Queries {
       count(lit(1)).as("n"))
       .orderBy("event_type"))
 
+  /** A (rebuild extra): ordered conversion funnel — view → click →
+    * purchase, each step within 24 h of the previous step's FIRST
+    * qualifying event (ClickHouse `windowFunnel` semantics: t1 = first
+    * view, t2 = first click in [t1, t1+24h], t3 = first purchase in
+    * [t2, t2+24h]).
+    *
+    * Scale shape: ONE events scan (filter to the 3 step types PUSHED to
+    * parquet, projection pruned to 3 columns) and ONE hash exchange on
+    * user_id; the three step timestamps are nested whole-partition window
+    * minima over that single shuffle (no re-partitioning between the
+    * window passes, no self-joins — the join-chain formulation the oracle
+    * uses would re-scan events per stage), then a same-key per-user
+    * collapse and a 1-row global count. Shuffle volume is the filtered
+    * (user_id, ts, type) projection; everything after is #users rows.
+    */
+  private val a20 = QueryDef("a20_funnel",
+    Some("""WITH v AS (SELECT user_id, min(cast(ts as timestamp)) AS t1 FROM events
+           |           WHERE event_type = 'view' GROUP BY user_id),
+           |c AS (SELECT e.user_id, min(cast(e.ts as timestamp)) AS t2 FROM events e
+           |      JOIN v ON e.user_id = v.user_id
+           |      WHERE e.event_type = 'click' AND cast(e.ts as timestamp) >= v.t1
+           |        AND cast(e.ts as timestamp) <= v.t1 + INTERVAL 24 HOURS GROUP BY e.user_id),
+           |p AS (SELECT e.user_id, min(cast(e.ts as timestamp)) AS t3 FROM events e
+           |      JOIN c ON e.user_id = c.user_id
+           |      WHERE e.event_type = 'purchase' AND cast(e.ts as timestamp) >= c.t2
+           |        AND cast(e.ts as timestamp) <= c.t2 + INTERVAL 24 HOURS GROUP BY e.user_id)
+           |SELECT cast(1 as bigint) AS stage, 'view' AS step, count(*) AS users FROM v
+           |UNION ALL SELECT 2, 'click', count(*) FROM c
+           |UNION ALL SELECT 3, 'purchase', count(*) FROM p
+           |ORDER BY stage""".stripMargin),
+    (s, d) => graft.operators.Funnel.funnelCounts(
+      ev(s, d), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), expr("INTERVAL 24 HOURS")))
+
   /** T2/T3: top-k (Spark plans TakeOrderedAndProject — no full sort). */
   private val t2 = QueryDef("t2_topk",
     Some("""SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
@@ -1314,7 +1348,7 @@ object Queries {
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, s7, s8, s9, s10, s11, s12, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
-    a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19,
+    a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20,
     j1, j2, j2ps, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, su, si, se, g1, g2, g3,
     st1, st2, st3, st4)

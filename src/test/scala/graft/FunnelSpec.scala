@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Funnel
+import org.apache.spark.sql.functions._
+
+/** Fixture semantics for the windowed ordered funnel — the cases the
+  * sf-data oracle can't isolate: out-of-order input, a step OUTSIDE the
+  * window, a later cheaper chain that must NOT be taken (greedy
+  * earliest-chain, not best-chain), and a step before the previous one.
+  */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+  private val steps = Seq("view", "click", "purchase")
+  private val oneHour = expr("INTERVAL 1 HOUR")
+
+  private def run(rows: Seq[(Long, Int, String)]) =
+    Funnel.stepTimes(
+      rows.map { case (u, h, t) => (u, ts(h), t) }.toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", steps, oneHour)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2)), Option(r.getTimestamp(3)))))
+      .toMap
+
+  test("full chain within window, regardless of input order") {
+    // events deliberately shuffled: purchase first in the input
+    val r = run(Seq((1L, 2, "purchase"), (1L, 0, "view"), (1L, 1, "click")))
+    assert(r(1L) == ((Some(ts(0)), Some(ts(1)), Some(ts(2)))))
+  }
+
+  test("step outside the window breaks the chain there") {
+    // click comes 2h after first view (window 1h) → chain stops at t1
+    val r = run(Seq((1L, 0, "view"), (1L, 2, "click"), (1L, 3, "purchase")))
+    assert(r(1L) == ((Some(ts(0)), None, None)))
+  }
+
+  test("greedy earliest chain: a later view would qualify, but t1 is the FIRST view") {
+    // view@0 (click@4 misses its window), view@3 would chain to click@4 —
+    // windowFunnel semantics anchor on the first view and report no click
+    val r = run(Seq((1L, 0, "view"), (1L, 3, "view"), (1L, 4, "click")))
+    assert(r(1L) == ((Some(ts(0)), None, None)))
+  }
+
+  test("a step BEFORE the previous step does not count") {
+    // purchase precedes the click → not a qualifying third step
+    val r = run(Seq((1L, 0, "view"), (1L, 1, "purchase"), (1L, 2, "click")))
+    assert(r(1L) == ((Some(ts(0)), None, None)))
+    // but an equal timestamp does (>= boundary)
+    val r2 = run(Seq((2L, 0, "view"), (2L, 0, "click"), (2L, 0, "purchase")))
+    assert(r2(2L) == ((Some(ts(0)), Some(ts(0)), Some(ts(0)))))
+  }
+
+  test("users who never did step 1 are absent; funnelCounts is monotone") {
+    val rows = Seq(
+      (1L, 0, "view"), (1L, 1, "click"), (1L, 2, "purchase"),
+      (2L, 0, "view"), (2L, 1, "click"),
+      (3L, 0, "click"), (3L, 1, "purchase")) // no view → not in funnel
+    val st = run(rows)
+    assert(!st.contains(3L) || st(3L)._1.isEmpty)
+    val counts = Funnel.funnelCounts(
+      rows.map { case (u, h, t) => (u, ts(h), t) }.toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", steps, oneHour)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(counts.toSeq == Seq((1L, "view", 2L), (2L, "click", 2L), (3L, "purchase", 1L)))
+  }
+}
