@@ -69,4 +69,84 @@ object Funnel {
         col("r.users").as("users"))
       .orderBy("stage")
   }
+
+  /** Per-user funnel progress: timestamps of the steps reached so far.
+    * State is AT MOST `steps.length` longs per active user — constant,
+    * independent of event volume. `done` marks an emitted conversion so a
+    * user converts at most once (matching the batch single-chain
+    * semantics). */
+  case class FunnelState(times: List[Long], done: Boolean)
+
+  /** One emitted conversion: the user and each step's timestamp. */
+  case class ConversionOut(key: Long, step_times: Seq[java.sql.Timestamp])
+
+  /** Streaming funnel — emits a row the moment a user completes the LAST
+    * step, with all step timestamps. The streaming lift of [[stepTimes]]:
+    * same greedy earliest-chain semantics, exact whenever events arrive in
+    * event-time order (each micro-batch is folded in event-time order; a
+    * cross-batch late event older than already-made progress cannot
+    * retract it — the standard streaming-funnel approximation, stated
+    * rather than hidden).
+    *
+    * Scale/state story: per-user state is ≤ N step timestamps (a few
+    * dozen bytes) — NOT buffered events; `EventTimeTimeout` removes a
+    * chain once the watermark passes `last_step + window` (no later event
+    * can extend it) and a converted user's tombstone on the next watermark
+    * advance. Total state = active-in-window users × one tiny record,
+    * regardless of stream length.
+    */
+  def conversionStream(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, String)],
+                       steps: Seq[String], windowMillis: Long,
+                       watermarkDelay: String = "1 hour"):
+      org.apache.spark.sql.Dataset[ConversionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "at least one funnel step")
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .withWatermark("_2", watermarkDelay) // no-op on batch inputs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[FunnelState]) => {
+          if (state.hasTimedOut) {
+            // Incomplete chain past its window (or a conversion tombstone):
+            // no future event can change the outcome — drop the state.
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(Nil, done = false))
+            val out = scala.collection.mutable.ListBuffer.empty[ConversionOut]
+            // Fold in event-time order; ties ordered by step position so a
+            // same-timestamp view→click→purchase completes like the batch
+            // operator's >= boundary.
+            rows.toSeq.filter(r => stepIdx.contains(r._3))
+              .sortBy(r => (r._2.getTime, stepIdx(r._3)))
+              .foreach { case (_, ts, typ) =>
+                val k = st.times.length
+                if (!st.done && typ == steps(k)) {
+                  val t = ts.getTime
+                  val qualifies = k == 0 ||
+                    (t >= st.times.last && t <= st.times.last + windowMillis)
+                  if (qualifies) {
+                    st = FunnelState(st.times :+ t, done = k + 1 == steps.length)
+                    if (st.done)
+                      out += ConversionOut(key, st.times.map(new java.sql.Timestamp(_)))
+                  }
+                }
+              }
+            if (st.times.isEmpty) state.remove()
+            else {
+              state.update(st)
+              val wm = try state.getCurrentWatermarkMs()
+                catch { case _: UnsupportedOperationException => Long.MinValue }
+              val deadline =
+                if (st.done) wm + 1 // tombstone: clear on next advance
+                else math.max(st.times.last + windowMillis, wm + 1)
+              state.setTimeoutTimestamp(deadline)
+            }
+            out.iterator
+          }
+        })
+  }
 }

@@ -52,6 +52,36 @@ class FunnelSpec extends SparkSpec {
     assert(r2(2L) == ((Some(ts(0)), Some(ts(0)), Some(ts(0)))))
   }
 
+  test("streaming conversionStream equals batch stepTimes completions (in-order feed)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // 3 users: full chain, chain broken by window, chain missing a step —
+    // plus a second view for user 1 AFTER conversion (must not re-convert)
+    val rows = Seq(
+      (1L, 0, "view"), (1L, 1, "click"), (1L, 1, "purchase"), (1L, 2, "view"),
+      (2L, 0, "view"), (2L, 3, "click"), (2L, 4, "purchase"),
+      (3L, 0, "view"), (3L, 1, "purchase"))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val sdf = Funnel.conversionStream(mem.toDS(), steps, 60L * 60 * 1000)
+    val q = sdf.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    // two micro-batches, split mid-stream, in event-time order per user
+    val all = rows.map { case (u, h, t) => (u, ts(h), t) }.sortBy(_._2.getTime)
+    mem.addData(all.take(4)); q.processAllAvailable()
+    mem.addData(all.drop(4)); q.processAllAvailable()
+    q.stop()
+    val streaming = spark.table("funnel_stream").as[(Long, Seq[java.sql.Timestamp])]
+      .collect().toSet
+    val batch = Funnel.stepTimes(
+      rows.map { case (u, h, t) => (u, ts(h), t) }.toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", steps, oneHour)
+      .filter("t3 is not null")
+      .collect().map(r => (r.getLong(0),
+        Seq(r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3)))).toSet
+    assert(streaming == batch)
+    assert(streaming.map(_._1) == Set(1L)) // exactly one conversion, once
+  }
+
   test("users who never did step 1 are absent; funnelCounts is monotone") {
     val rows = Seq(
       (1L, 0, "view"), (1L, 1, "click"), (1L, 2, "purchase"),
