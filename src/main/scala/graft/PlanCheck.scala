@@ -198,6 +198,16 @@ object PlanCheck {
       "native fingerprint kernel" -> (_.contains("graft_fingerprint")),
       "no interpreted HOF fold" -> (p => !p.contains("lambdafunction")))
 
+    // MMR re-rank: the m×m diversity work happens inside the per-query
+    // kernel — no candidate pair JOIN anywhere; the shortlist ids reach
+    // the embeddings scan via broadcast, and the corpus-sized part of the
+    // plan is the knn ranking already gated under sim_knn_brute.
+    check("sim_mmr")(
+      "single mmr kernel, no pair join" ->
+        (p => "graft_mmr_select".r.findAllIn(p).size == 1 && !p.contains("SortMergeJoin")),
+      "shortlist broadcast into the embeddings scan" ->
+        (p => p.contains("BroadcastHashJoin")))
+
     // Ordered funnel: the whole chain must run off ONE events scan and ONE
     // user_id exchange — the three step timestamps are nested windows over
     // the same partitioning, and the per-user collapse reuses it (a

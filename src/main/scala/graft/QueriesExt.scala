@@ -1106,6 +1106,63 @@ object QueriesExt {
     })
 
   /** Embedding near-dup pairs blocked on label (cosine ≥ 0.45). */
+  /** The oracle replays the greedy MMR selection as k UNROLLED SQL stages
+    * (the lloydCteSql / bpeStageSql pattern): stage 1 picks argmax
+    * relevance; stage i joins the unpicked candidates to the selected-id
+    * list, computes `0.7·rel − 0.3·max(sim to selected)` via a correlated
+    * max over the m²-row pairwise-sim CTE, and argmax-picks with the same
+    * (mmr DESC, cid ASC) tie-break as the kernel. All cosines use the
+    * repo's left-fold dot — bit-identical across engines, so the raw
+    * doubles hash-match with no rounding.
+    */
+  private def mmrOracleSql(m: Int, k: Int): String = {
+    def dotEmb(x: String, y: String) =
+      s"""list_reduce(list_prepend(cast(0.0 as double),
+         |  [cast($x.emb[i] as double) * cast($y.emb[i] as double)
+         |   for i in range(1, len($x.emb) + 1)]), (a, b) -> a + b)""".stripMargin
+    val stages = (2 to k).map { i =>
+      s"""s${i}_sc AS (
+         |  SELECT c.qid, c.cid,
+         |    0.7*c.rel - 0.3*(SELECT max(p.sim) FROM pairsim p
+         |        WHERE p.qid = c.qid AND p.ca = c.cid AND list_contains(s.sel, p.cb)) AS mmr
+         |  FROM cand c JOIN sel${i - 1} s ON s.qid = c.qid WHERE NOT list_contains(s.sel, c.cid)),
+         |s$i AS (SELECT qid, cid, mmr, cast($i as bigint) AS sel_rank FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, cid) rn FROM s${i}_sc) WHERE rn = 1),
+         |sel$i AS (SELECT s.qid, list_append(s.sel, n.cid) AS sel FROM sel${i - 1} s JOIN s$i n ON n.qid = s.qid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid, c.embedding AS emb,
+       |    ${dotSql("q", "c")} /
+       |      (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})) AS rel
+       |  FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT qid, cid, emb, rel FROM
+       |    (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rnk FROM pairs)
+       |  WHERE rnk <= $m),
+       |pairsim AS (
+       |  SELECT a.qid, a.cid AS ca, b.cid AS cb,
+       |    ${dotEmb("a", "b")} /
+       |      (sqrt(${dotEmb("a", "a")}) * sqrt(${dotEmb("b", "b")})) AS sim
+       |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid),
+       |s1 AS (SELECT qid, cid, 0.7*rel AS mmr, cast(1 as bigint) AS sel_rank FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) rn FROM cand) WHERE rn = 1),
+       |sel1 AS (SELECT qid, [cid] AS sel FROM s1),
+       |$stages
+       |SELECT qid AS query_id, sel_rank, cid AS neighbor_id, mmr AS mmr_score
+       |FROM (${(1 to k).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")})
+       |ORDER BY query_id, sel_rank""".stripMargin
+  }
+
+  /** MMR-diversified retrieval: brute-force m=10 shortlist per query, then
+    * greedy k=5 re-selection balancing relevance against redundancy — see
+    * [[graft.functions.Similarity.mmrTopK]] for the kernel-not-join shape.
+    */
+  private val sm2m = QueryDef("sim_mmr",
+    Some(mmrOracleSql(m = 10, k = 5)),
+    (s, d) => Similarity.mmrTopK(
+      emb(s, d), emb(s, d).filter(col("vec_id") < 10), m = 10, k = 5)
+      .orderBy("query_id", "sel_rank"))
+
   private val sm3 = QueryDef("sim_near_dup",
     Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
             |  ${dotSql("a", "b")} /
@@ -1566,6 +1623,6 @@ object QueriesExt {
   val all: Seq[QueryDef] = Seq(
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20,
     dd1, dd2, dd3, dd4, dd5, dd6, dd7,
-    sm1, sm2, sm2r, sm3, sm4, sm5, sm6, sm7, sm8,
+    sm1, sm2, sm2r, sm2m, sm3, sm4, sm5, sm6, sm7, sm8,
     mm1, mm2, pl1, pl2, pl3)
 }

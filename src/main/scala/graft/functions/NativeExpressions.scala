@@ -565,6 +565,103 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Greedy Maximal-Marginal-Relevance selection over a PRE-RANKED,
+    * BOUNDED candidate list (Carbonell & Goldstein, SIGIR'98) — the
+    * diversification step of a retrieval pipeline: pick `k` of the ≤m
+    * candidates, each step maximizing `lam·rel − penW·max_sim_to_selected`
+    * (step 1 has no penalty term: `lam·rel` exactly, no `− penW·0`
+    * subtraction — mirrors the oracle's stage-1 SQL).
+    *
+    * Input: `array<struct<rank, neighbor_id, cos, embedding>>` (rank-
+    * sorted); output `array<struct<sel_rank, neighbor_id, mmr_score>>`.
+    * Determinism contract: pairwise cosines use the repo's left-fold
+    * double dot ([[DotProduct]] order) and `dot/(sqrt(na)·sqrt(nb))`;
+    * `lam`/`penW` are INDEPENDENT literals (0.7 and 0.3 — `1−0.7` is a
+    * different double than `0.3`); ties broken by smaller neighbor_id.
+    * The m×m similarity work happens inside one row's eval — candidates
+    * per query are bounded, so this is a per-row kernel, not a join.
+    */
+  case class MmrSelect(child: Expression, k: Int, lam: Double, penW: Double)
+      extends UnaryExpression with CodegenFallback {
+
+    require(k >= 1, "k >= 1")
+
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("sel_rank", LongType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("mmr_score", DoubleType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_mmr_select"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val ids = new Array[Long](n)
+      val rel = new Array[Double](n)
+      val embs = new Array[Array[Float]](n)
+      val norms = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val row = arr.getStruct(i, 4)
+        ids(i) = row.getLong(1)
+        rel(i) = row.getDouble(2)
+        embs(i) = row.getArray(3).toFloatArray()
+        var s = 0.0
+        val e = embs(i)
+        var d = 0
+        while (d < e.length) { s += e(d).toDouble * e(d).toDouble; d += 1 }
+        norms(i) = math.sqrt(s)
+        i += 1
+      }
+      def cosIJ(a: Int, b: Int): Double = {
+        val ea = embs(a); val eb = embs(b)
+        var s = 0.0
+        var d = 0
+        while (d < ea.length) { s += ea(d).toDouble * eb(d).toDouble; d += 1 }
+        s / (norms(a) * norms(b))
+      }
+      val kk = math.min(k, n)
+      val selected = new Array[Int](kk)
+      val isSel = new Array[Boolean](n)
+      val out = new Array[Any](kk)
+      var step = 0
+      while (step < kk) {
+        var bi = -1
+        var bm = 0.0
+        var c = 0
+        while (c < n) {
+          if (!isSel(c)) {
+            val mmr =
+              if (step == 0) lam * rel(c)
+              else {
+                var pen = Double.NegativeInfinity
+                var s = 0
+                while (s < step) {
+                  val sim = cosIJ(c, selected(s))
+                  if (sim > pen) pen = sim
+                  s += 1
+                }
+                lam * rel(c) - penW * pen
+              }
+            if (bi == -1 || mmr > bm || (mmr == bm && ids(c) < ids(bi))) {
+              bi = c; bm = mmr
+            }
+          }
+          c += 1
+        }
+        selected(step) = bi
+        isSel(bi) = true
+        out(step) = org.apache.spark.sql.catalyst.InternalRow(
+          (step + 1).toLong, ids(bi), bm)
+        step += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Random-hyperplane LSH bucket keys for a float vector: `tables` keys,
     * each of `bits` sign bits. Hyperplane coefficient for (table, bit, dim)
     * is a deterministic xxhash64 folded into [-1, 1] — reproducible across
@@ -918,6 +1015,8 @@ object NativeExpressions {
   def wordShingles(text: Column, n: Int): Column = toCol(WordShingles(toExpr(text), n))
   def hyperplaneBuckets(vec: Column, tables: Int, bits: Int): Column =
     toCol(HyperplaneBuckets(toExpr(vec), tables, bits))
+  def mmrSelect(cands: Column, k: Int, lam: Double, penW: Double): Column =
+    toCol(MmrSelect(toExpr(cands), k, lam, penW))
   def nearestCentroids(vec: Column, centroids: Array[Array[Float]], top: Int): Column =
     toCol(NearestCentroids(toExpr(vec), centroids, top))
   def adjacentPairs(tokens: Column): Column = toCol(AdjacentPairs(toExpr(tokens)))

@@ -403,6 +403,36 @@ object Similarity {
         col("pruned_by").isNull.as("keep"), col("pruned_by"))
   }
 
+  /** MMR-diversified top-k (Carbonell & Goldstein, SIGIR'98): rank an
+    * m-candidate shortlist per query by cosine, then greedily re-select k
+    * of them, each step maximizing `lam·rel − penW·max_sim_to_selected` —
+    * relevance WITH diversity, the re-rank step between ANN shortlist and
+    * metadata fetch in a retrieval pipeline.
+    *
+    * Scale shape: the m×m similarity work runs INSIDE one row's kernel
+    * eval ([[NativeExpressions.MmrSelect]]) on a rank-sorted collected
+    * candidate array — m is a constant (shortlist size), so per-query cost
+    * is O(m²·dim) with no pair join and no extra shuffle beyond the
+    * ranking's own; candidate embeddings are k·|queries| rows attached by
+    * broadcasting the shortlist ids into the embeddings scan.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, m: Int, k: Int,
+              lam: Double = 0.7, penW: Double = 0.3): DataFrame = {
+    val shortlist = bruteForceTopK(corpus, queries, m)
+    val withEmb = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(shortlist), col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"),
+        col("embedding"))
+    withEmb.groupBy("query_id")
+      .agg(sort_array(collect_list(
+        struct(col("rank"), col("neighbor_id"), col("cos"), col("embedding"))))
+        .as("cands"))
+      .select(col("query_id"),
+        explode(NativeExpressions.mmrSelect(col("cands"), k, lam, penW)).as("r"))
+      .select(col("query_id"), col("r.sel_rank").as("sel_rank"),
+        col("r.neighbor_id").as("neighbor_id"), col("r.mmr_score").as("mmr_score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g.
     * label): pairs with cosine ≥ threshold, id_a < id_b. Norms are computed
     * once per vector (before the pair join), a pair costs one codegen'd

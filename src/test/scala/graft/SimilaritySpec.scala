@@ -37,6 +37,49 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head._1 == 1L)
   }
 
+  test("mmrTopK: greedy MMR matches a naive reference and diversifies") {
+    // Corpus engineered for redundancy: vectors 1 and 2 are both near-copies
+    // of the query direction (relevance top-2), vector 3 is orthogonal-ish.
+    // Pure relevance picks {1, 2} first; MMR must demote the redundant 2.
+    val q = Array.tabulate(8)(d => math.cos(d * 0.9).toFloat)
+    def jitter(base: Array[Float], s: Int) =
+      base.zipWithIndex.map { case (x, d) => x + 0.01f * ((s + d) % 3) }
+    val corpus = Seq(
+      (1L, jitter(q, 0)), (2L, jitter(q, 1)),
+      (3L, Array.tabulate(8)(d => math.sin(d * 1.3).toFloat)),
+      (4L, Array.tabulate(8)(d => (math.cos(d * 0.9) * 0.5 + math.sin(d * 2.1) * 0.8).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, q)).toDF("vec_id", "embedding")
+    val out = Similarity.mmrTopK(corpus, queries, m = 4, k = 3)
+      .orderBy("sel_rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    // naive reference on locally computed cosines
+    val local = corpus.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val rel = local.view.mapValues(e => cosLocal(q, e)).toMap
+    var sel = List.empty[Long]
+    val expect = (1 to 3).map { step =>
+      val (bestId, bestMmr) = local.keys.toSeq.filterNot(sel.contains).map { c =>
+        val pen = sel.map(s => cosLocal(local(c), local(s))).maxOption.getOrElse(0.0)
+        (c, if (sel.isEmpty) 0.7 * rel(c) else 0.7 * rel(c) - 0.3 * pen)
+      }.minBy { case (id, m) => (-m, id) }
+      sel ::= bestId
+      (step.toLong, bestId, bestMmr)
+    }
+    out.zip(expect).foreach { case ((gr, gi, gm), (er, ei, em)) =>
+      assert(gr == er && gi == ei, s"rank $er: got $gi, want $ei")
+      assert(math.abs(gm - em) < 1e-12)
+    }
+    // With lam=0.7 and pick 1 ≈ the query direction, a near-duplicate's
+    // penalty ≈ every rival's relevance, so it legitimately stays at rank 2
+    // (checked above). Diversity shows at lam=0.3: the redundant near-copy
+    // of pick 1 must drop out of rank 2.
+    val diverse = Similarity.mmrTopK(corpus, queries, m = 4, k = 3,
+      lam = 0.3, penW = 0.7)
+      .orderBy("sel_rank").collect().map(r => (r.getLong(2)))
+    assert(diverse(0) == 1L && diverse(1) != 2L, diverse.toSeq)
+  }
+
   test("lshTopK: near-identical vector is recalled at rank 1") {
     val out = Similarity.lshTopK(vectors, vectors.filter($"vec_id" === 0L),
       k = 3, tables = 8, bits = 4)
