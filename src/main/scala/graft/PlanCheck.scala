@@ -198,6 +198,19 @@ object PlanCheck {
       "native fingerprint kernel" -> (_.contains("graft_fingerprint")),
       "no interpreted HOF fold" -> (p => !p.contains("lambdafunction")))
 
+    // Z-order layout: both range predicates pushed, and the 2-D box must
+    // actually PRUNE — kept shards strictly under half the total (a 1-D
+    // sort layout keeps every shard for the second column's predicate).
+    check("s13_zorder_scan")(
+      "both 2-D range predicates pushed into the docstore scan" ->
+        (p => p.contains("GreaterThanOrEqual(user_id,40)")
+          && p.contains("LessThanOrEqual(user_id,80)")
+          && p.contains("GreaterThanOrEqual(hr,6)")
+          && p.contains("LessThanOrEqual(hr,12)")),
+      "zone maps prune over half the z-ordered shards" ->
+        (p => "Shards: (\\d+)/(\\d+)".r.findFirstMatchIn(p)
+          .exists(m => m.group(1).toInt * 2 < m.group(2).toInt)))
+
     // MMR re-rank: the m×m diversity work happens inside the per-query
     // kernel — no candidate pair JOIN anywhere; the shortlist ids reach
     // the embeddings scan via broadcast, and the corpus-sized part of the

@@ -323,6 +323,34 @@ object Queries {
         .orderBy("event_type")
     })
 
+  /** S (rebuild extra): Z-order clustered layout + 2-D pruned scan — the
+    * multi-dimensional clustering technique of warehouse table formats
+    * ([[graft.operators.Layout]]): events are written to the docstore
+    * range-partitioned on the Morton interleave of (user_id, hour), so
+    * every shard is a dyadic box in that plane and a 2-D range predicate
+    * prunes shards on BOTH columns (a 1-D sort layout prunes on one).
+    * The z-value is a codegen'd bit-twiddling Column — no kernel, no UDF.
+    * Layout never changes results: the oracle runs the same predicate on
+    * the original table; PlanCheck asserts `Shards: kept/total` pruning
+    * plus both pushed range predicates.
+    */
+  private val s13 = QueryDef("s13_zorder_scan",
+    Some("""SELECT event_id, user_id, hour(cast(ts as timestamp)) AS hr FROM events
+           |WHERE user_id BETWEEN 40 AND 80
+           |  AND hour(cast(ts as timestamp)) BETWEEN 6 AND 12
+           |ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      val path = s"/tmp/graft_s13_zorder_${Integer.toHexString(d.hashCode)}"
+      graft.operators.Layout.zorderCluster(
+        ev(s, d).select(col("event_id"), col("user_id"), hour(col("ts")).as("hr")),
+        col("user_id"), col("hr"), nShards = 16)
+        .write.format("docstore").mode("overwrite").save(path)
+      s.read.format("docstore").load(path)
+        .filter(col("user_id").between(40, 80) && col("hr").between(6, 12))
+        .select("event_id", "user_id", "hr")
+        .orderBy("event_id")
+    })
+
   /** S (rebuild extra): bucketed sink + co-located join — the 100 TB
     * technique for repeated joins/aggregations on one key: both sides are
     * written `bucketBy(user_id)`, so the join AND the following aggregate
@@ -1347,7 +1375,7 @@ object Queries {
 
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
-    s1, s2, s4, s7, s8, s9, s10, s11, s12, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
+    s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20,
     j1, j2, j2ps, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, su, si, se, g1, g2, g3,
