@@ -198,6 +198,17 @@ object PlanCheck {
       "native fingerprint kernel" -> (_.contains("graft_fingerprint")),
       "no interpreted HOF fold" -> (p => !p.contains("lambdafunction")))
 
+    // Heavy hitters: the sketch pass must partial-aggregate map-side (≤k
+    // counters per partition shuffle, not per-key rows), and the exact
+    // pass must reach events through a BROADCAST of the ≤k candidates —
+    // never a full-cardinality groupBy-then-filter.
+    check("a21_heavy_hitters")(
+      "map-side partial MG sketch" ->
+        (p => "partial_misragries".r.findFirstIn(p.toLowerCase).isDefined),
+      "candidates broadcast into the exact pass" ->
+        (p => p.contains("BroadcastHashJoin")),
+      "no sort-merge join anywhere" -> (p => !p.contains("SortMergeJoin")))
+
     // Z-order layout: both range predicates pushed, and the 2-D box must
     // actually PRUNE — kept shards strictly under half the total (a 1-D
     // sort layout keeps every shard for the second column's predicate).

@@ -980,6 +980,41 @@ object Queries {
       count(lit(1)).as("n"))
       .orderBy("event_type"))
 
+  /** A (rebuild extra): heavy hitters via Misra-Gries sketch + exact
+    * verification — the production two-pass shape for "which keys exceed
+    * x% of traffic" at 100 TB: pass 1 reduces the stream to ≤k candidate
+    * counters per partition (constant shuffle regardless of key
+    * cardinality — an exact groupBy would shuffle every distinct key),
+    * pass 2 exactly counts ONLY the ≤k candidates (broadcast semi-join
+    * probe) and keeps those with true share > 1/k. MG's no-false-negative
+    * guarantee makes the result EXACT — the oracle computes plain
+    * GROUP BY + HAVING and must hash-match, which verifies the guarantee
+    * end-to-end on real data. Key = log-scale user bucket
+    * (`length(bin(user_id+1)) - 1`) — integer-exact on both engines, and
+    * Zipf-ish by construction so hitters exist at every SF.
+    */
+  private val a21 = QueryDef("a21_heavy_hitters",
+    Some("""WITH e AS (SELECT cast(length(bin(user_id + 1)) - 1 AS bigint) AS key FROM events),
+           |n AS (SELECT count(*) AS n FROM e),
+           |c AS (SELECT key, count(*) AS cnt FROM e GROUP BY key)
+           |SELECT key, cnt, floor(cnt * cast(1.0 as double) / n * 10000 + 0.5) / 10000 AS share
+           |FROM c, n WHERE cnt * 8 > n ORDER BY cnt DESC, key""".stripMargin),
+    (s, d) => {
+      val k = 8
+      val key = (length(expr("bin(user_id + 1)")) - 1).cast("long").as("key")
+      val keys = ev(s, d).select(key)
+      val cand = keys.agg(graft.functions.TopKAgg.misraGries(col("key"), k).as("mg"))
+        .select(explode(col("mg")).as("c")).select(col("c._1").as("key"))
+      val total = keys.agg(count(lit(1)).as("n"))
+      keys.join(broadcast(cand), "key")
+        .groupBy("key").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * k > col("n"))
+        .select(col("key"), col("cnt"),
+          graft.functions.Rounding.round4(col("cnt") * lit(1.0) / col("n")).as("share"))
+        .orderBy(desc("cnt"), col("key"))
+    })
+
   /** A (rebuild extra): ordered conversion funnel — view → click →
     * purchase, each step within 24 h of the previous step's FIRST
     * qualifying event (ClickHouse `windowFunnel` semantics: t1 = first
@@ -1376,7 +1411,7 @@ object Queries {
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
-    a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20,
+    a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20, a21,
     j1, j2, j2ps, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, su, si, se, g1, g2, g3,
     st1, st2, st3, st4)

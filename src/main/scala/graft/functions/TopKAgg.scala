@@ -118,9 +118,76 @@ class BottomKPairs(k: Int) extends Aggregator[(Long, Long), Array[(Long, Long)],
   override def outputEncoder: Encoder[Array[(Long, Long)]] = ExpressionEncoder[Array[(Long, Long)]]()
 }
 
+/** Misra-Gries heavy-hitter sketch (Misra & Gries '82; merge rule from
+  * Agarwal et al., "Mergeable Summaries", PODS'12): ≤ k (key, count)
+  * counters per buffer, so the shuffle carries k pairs per partition
+  * regardless of key cardinality.
+  *
+  * Guarantees (what the `a21_heavy_hitters` oracle leans on): after any
+  * sequence of reduces and merges over n items, every key with true
+  * frequency > n/k is PRESENT in the sketch (no false negatives), and
+  * each kept counter underestimates its true count by at most n/k.
+  * Counter VALUES depend on partition/merge order — only the candidate
+  * SET is deterministic enough to use, which is why the consumer runs an
+  * exact verification pass over the ≤k candidates instead of trusting
+  * the estimates.
+  */
+class MisraGries(k: Int) extends Aggregator[Long, Array[(Long, Long)], Array[(Long, Long)]] {
+
+  override def zero: Array[(Long, Long)] = Array.empty
+
+  override def reduce(buf: Array[(Long, Long)], v: Long): Array[(Long, Long)] = {
+    var i = 0
+    while (i < buf.length) {
+      if (buf(i)._1 == v) { buf(i) = (v, buf(i)._2 + 1); return buf }
+      i += 1
+    }
+    if (buf.length < k) buf :+ ((v, 1L))
+    else {
+      // no slot: decrement every counter, drop the zeroed ones
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](buf.length)
+      var j = 0
+      while (j < buf.length) {
+        if (buf(j)._2 > 1L) out += ((buf(j)._1, buf(j)._2 - 1L))
+        j += 1
+      }
+      out.toArray
+    }
+  }
+
+  override def merge(a: Array[(Long, Long)], b: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val m = scala.collection.mutable.LongMap.empty[Long]
+    a.foreach { case (key, c) => m(key) = m.getOrElse(key, 0L) + c }
+    b.foreach { case (key, c) => m(key) = m.getOrElse(key, 0L) + c }
+    if (m.size <= k) m.iterator.map { case (key, c) => (key, c) }.toArray
+    else {
+      // subtract the (k+1)-th largest count from all, keep the positive —
+      // the mergeable-summaries rule that preserves the n/k error bound
+      val counts = m.values.toArray.sorted(Ordering[Long].reverse)
+      val cut = counts(k)
+      m.iterator.collect { case (key, c) if c > cut => (key, c - cut) }.toArray
+    }
+  }
+
+  /** Descending by estimate, key asc on ties — stable to read, but
+    * remember the estimates are order-dependent; consume the KEYS.
+    */
+  override def finish(buf: Array[(Long, Long)]): Array[(Long, Long)] =
+    buf.sortBy { case (key, c) => (-c, key) }
+
+  override def bufferEncoder: Encoder[Array[(Long, Long)]] = ExpressionEncoder[Array[(Long, Long)]]()
+  override def outputEncoder: Encoder[Array[(Long, Long)]] = ExpressionEncoder[Array[(Long, Long)]]()
+}
+
 object TopKAgg {
   /** Column form: `topKValues(col("value"), 3)` inside `agg(...)`. */
   def topKValues(c: Column, k: Int): Column = udaf(new TopKDoubles(k)).apply(c)
+
+  /** Column form: Misra-Gries candidate heavy hitters of a long column as
+    * an array of `{_1 key, _2 estimate}` structs, estimate-descending.
+    */
+  def misraGries(c: Column, k: Int): Column =
+    udaf(new MisraGries(k), Encoders.scalaLong).apply(c)
 
   /** Column form: k smallest (priority, id) pairs per group as an array of
     * `{_1, _2}` structs, ascending. `bottomKPairs(pri, id, 50)`.
