@@ -207,7 +207,9 @@ object PlanCheck {
         (p => "partial_misragries".r.findFirstIn(p.toLowerCase).isDefined),
       "candidates broadcast into the exact pass" ->
         (p => p.contains("BroadcastHashJoin")),
-      "no sort-merge join anywhere" -> (p => !p.contains("SortMergeJoin")))
+      "no sort-merge join anywhere" -> (p => !p.contains("SortMergeJoin")),
+      "exactly two events scans (sketch pass + verify pass)" ->
+        (p => "Scan parquet".r.findAllIn(p).size == 2))
 
     // Z-order layout: both range predicates pushed, and the 2-D box must
     // actually PRUNE — kept shards strictly under half the total (a 1-D

@@ -1003,12 +1003,16 @@ object Queries {
       val k = 8
       val key = (length(expr("bin(user_id + 1)")) - 1).cast("long").as("key")
       val keys = ev(s, d).select(key)
-      val cand = keys.agg(graft.functions.TopKAgg.misraGries(col("key"), k).as("mg"))
-        .select(explode(col("mg")).as("c")).select(col("c._1").as("key"))
-      val total = keys.agg(count(lit(1)).as("n"))
+      // the global total rides the sketch pass (ONE aggregation — a
+      // separate keys.agg(count) branch would re-scan events a third time)
+      // and reaches the verify pass as a column of the broadcast k rows
+      val cand = keys
+        .agg(graft.functions.TopKAgg.misraGries(col("key"), k).as("mg"),
+          count(lit(1)).as("n"))
+        .select(explode(col("mg")).as("c"), col("n"))
+        .select(col("c._1").as("key"), col("n"))
       keys.join(broadcast(cand), "key")
-        .groupBy("key").agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(total))
+        .groupBy("key").agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
         .filter(col("cnt") * k > col("n"))
         .select(col("key"), col("cnt"),
           graft.functions.Rounding.round4(col("cnt") * lit(1.0) / col("n")).as("share"))

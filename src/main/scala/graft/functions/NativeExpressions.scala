@@ -498,9 +498,10 @@ object NativeExpressions {
     * text — no token array, no explode, no shuffle.
     *
     * Determinism contract (what makes the DuckDB oracle possible):
-    *   - tokens = maximal runs of non-whitespace (Java regex `\s` class),
-    *     empties dropped — same as
-    *     `list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)`;
+    *   - tokens = maximal runs of non-whitespace under RE2's `\s` class
+    *     (space, \t, \n, \f, \r — NOT vertical tab 0x0B, which Java's
+    *     `\s` includes but DuckDB/RE2's excludes), empties dropped — same
+    *     as `list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)`;
     *   - feature hash = the repo's rolling hash (fold `h*31 + codepoint`
     *     mod 1e9+7, seed 7) over the feature STRING, where a bigram's
     *     string is `tokA || ' ' || tokB` (single space regardless of the
@@ -530,8 +531,9 @@ object NativeExpressions {
     @inline private def weight(h: Long): Long =
       ((h % Buckets) * Mult) % Buckets - (Buckets / 2)
 
+    // RE2 \s (the oracle's regex engine): no vertical tab, unlike Java's \s
     @inline private def isWs(cp: Int): Boolean =
-      cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' || cp == '\r'
+      cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r'
 
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String].toString

@@ -81,19 +81,28 @@ object Funnel {
   case class ConversionOut(key: Long, step_times: Seq[java.sql.Timestamp])
 
   /** Streaming funnel — emits a row the moment a user completes the LAST
-    * step, with all step timestamps. The streaming lift of [[stepTimes]]:
-    * same greedy earliest-chain semantics, exact whenever events arrive in
-    * event-time order (each micro-batch is folded in event-time order; a
-    * cross-batch late event older than already-made progress cannot
-    * retract it — the standard streaming-funnel approximation, stated
-    * rather than hidden).
+    * step, with all step timestamps. The streaming lift of [[stepTimes]],
+    * with the divergences from the batch single-chain semantics stated
+    * rather than hidden (both are consequences of BOUNDED state — the
+    * alternative is keeping every user's record forever):
+    *   - in-order exactness holds for chains that complete within the
+    *     watermark horizon: each micro-batch folds in event-time order,
+    *     and a cross-batch late event older than already-made progress
+    *     cannot retract it;
+    *   - state expiry re-anchors: once the watermark passes a chain's
+    *     `last_step + window` (no event could extend it) the state is
+    *     dropped, so a LATER view starts a fresh chain — where batch,
+    *     which sees all time at once, stays anchored on the first view
+    *     forever;
+    *   - conversions are at-most-once per funnel window: a converted
+    *     user's tombstone lives until the watermark passes
+    *     `conversion + window`, after which the user may legitimately
+    *     convert again (batch reports only the first chain).
     *
     * Scale/state story: per-user state is ≤ N step timestamps (a few
-    * dozen bytes) — NOT buffered events; `EventTimeTimeout` removes a
-    * chain once the watermark passes `last_step + window` (no later event
-    * can extend it) and a converted user's tombstone on the next watermark
-    * advance. Total state = active-in-window users × one tiny record,
-    * regardless of stream length.
+    * dozen bytes) — NOT buffered events; `EventTimeTimeout` bounds total
+    * state at active-in-window users × one tiny record, regardless of
+    * stream length.
     */
   def conversionStream(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, String)],
                        steps: Seq[String], windowMillis: Long,
@@ -140,10 +149,13 @@ object Funnel {
               state.update(st)
               val wm = try state.getCurrentWatermarkMs()
                 catch { case _: UnsupportedOperationException => Long.MinValue }
-              val deadline =
-                if (st.done) wm + 1 // tombstone: clear on next advance
-                else math.max(st.times.last + windowMillis, wm + 1)
-              state.setTimeoutTimestamp(deadline)
+              // Done or not, the state is dead once the watermark passes
+              // last_step + window: an incomplete chain can no longer be
+              // extended, and a tombstone held that long makes conversions
+              // at-most-once PER FUNNEL WINDOW (clearing it on the next
+              // advance would let an immediate second chain re-convert).
+              state.setTimeoutTimestamp(
+                math.max(st.times.last + windowMillis, wm + 1))
             }
             out.iterator
           }

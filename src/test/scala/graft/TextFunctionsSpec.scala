@@ -82,25 +82,28 @@ class TextFunctionsSpec extends SparkSpec {
   // Naive reference for the hashed-n-gram classifier kernel: materialize
   // every feature string, hash it with the repo rolling hash, sum weights.
   // The kernel computes the same thing in one pass with no substrings.
+  // Tokenization uses RE2's \s class (the oracle's regex engine): space,
+  // \t, \n, \f, \r — NOT Java \s, which also includes vertical tab 0x0B.
   private def classifierRef(text: String): (Long, Long) = {
     val P = 1000000007L
     def h(s: String): Long = s.codePoints().toArray
       .foldLeft(7L)((a, c) => (a * 31L + c) % P)
     def w(x: Long): Long = ((x % 1048576L) * 2654435761L) % 1048576L - 524288L
-    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val toks = text.split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty)
     val feats = toks.toSeq ++ toks.sliding(2).filter(_.length == 2).map(_.mkString(" "))
     (feats.size.toLong, feats.map(f => w(h(f))).sum)
   }
 
   test("hashedNgramScore kernel ≡ materialized unigram+bigram reference") {
     val randomSoup = {
-      val words = Seq("the", "cat", "über", "42", "a,b", "x", "wordy")
+      val words = Seq("the", "cat", "über", "42", "a,b", "x", "wordy", "ab")
       val rnd = new scala.util.Random(42)
       Seq.fill(200)(Seq.fill(rnd.nextInt(12))(
         (if (rnd.nextBoolean()) " " else "  \t") + words(rnd.nextInt(words.length))
       ).mkString + (if (rnd.nextBoolean()) " " else ""))
     }
-    (edgeTexts ++ randomSoup).toDF("t")
+    // vertical tab is NOT a separator: "a\u000Bb" must be ONE token
+    (edgeTexts ++ randomSoup ++ Seq("a\u000Bb", "a b \fc")).toDF("t")
       .select($"t", TextFunctions.classifierFeatures($"t").as("st"))
       .collect().foreach { r =>
         val s = r.getStruct(1)
