@@ -760,6 +760,110 @@ object QueriesExt {
     * engines. One map-only classify + one partial-agg shuffle to
     * #buckets rows — the same shape at any corpus size.
     */
+  // ---- distributed supervised training (logistic regression) ------------
+
+  /** Feature fragments for the LR trainer — the same sub-expressions
+    * qualitySql composes (length term, stopword ratio, alpha ratio), kept
+    * verbatim so the Spark and DuckDB feature values are bit-identical.
+    */
+  private val ntokSql = """len(string_split_regex(text, '\s+'))"""
+  private val lrF1Sql = s"least($ntokSql / cast(100.0 as double), cast(1.0 as double))"
+  private val lrF2Sql =
+    s"""(CASE WHEN $ntokSql > 0 THEN ${markerCountSql(TextFunctions.stopwords)}
+       |      / cast($ntokSql as double) ELSE cast(0.0 as double) END)""".stripMargin
+  private val lrF3Sql =
+    """(CASE WHEN length(text) > 0
+      |  THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * cast(1.0 as double) / length(text)
+      |  ELSE cast(0.0 as double) END)""".stripMargin
+
+  /** The oracle replays every gradient-descent iteration as unrolled CTEs
+    * (the lloydCteSql pattern): iteration t computes per-row sigmoid
+    * probabilities against w_{t-1}, floors each row's gradient
+    * contribution to an integer (×2^20), integer-sums them (order-free —
+    * THE device that makes a distributed float reduction replayable), and
+    * derives w_t with the same scalar IEEE expression the Spark driver
+    * uses. Output: the full (weights, integer gradients) trajectory.
+    */
+  private def trainLrOracleSql(iters: Int, lr: Double): String = {
+    val stages = (1 to iters).map { t =>
+      s"""p$t AS (
+         |  SELECT cast(1.0 as double) / (cast(1.0 as double) + exp(-(w0 * 1.0 + w1 * f1 + w2 * f2 + w3 * f3))) AS p,
+         |         y, f1, f2, f3 FROM feat, w${t - 1}),
+         |g$t AS (
+         |  SELECT cast(sum(cast(floor((p - y) * 1048576.0) as bigint)) as bigint) AS g0,
+         |         cast(sum(cast(floor(((p - y) * f1) * 1048576.0) as bigint)) as bigint) AS g1,
+         |         cast(sum(cast(floor(((p - y) * f2) * 1048576.0) as bigint)) as bigint) AS g2,
+         |         cast(sum(cast(floor(((p - y) * f3) * 1048576.0) as bigint)) as bigint) AS g3,
+         |         count(*) AS n FROM p$t),
+         |w$t AS (
+         |  SELECT w0 - $lr * ((g0 / 1048576.0) / n) AS w0, w1 - $lr * ((g1 / 1048576.0) / n) AS w1,
+         |         w2 - $lr * ((g2 / 1048576.0) / n) AS w2, w3 - $lr * ((g3 / 1048576.0) / n) AS w3
+         |  FROM w${t - 1}, g$t)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to iters).map(t =>
+      s"SELECT cast($t as bigint) AS iter, w$t.w0, w$t.w1, w$t.w2, w$t.w3, " +
+        s"g$t.g0, g$t.g1, g$t.g2, g$t.g3 FROM w$t, g$t").mkString(" UNION ALL ")
+    s"""WITH feat AS (
+       |  SELECT $lrF1Sql AS f1, $lrF2Sql AS f2, $lrF3Sql AS f3,
+       |    (CASE WHEN lang = 'en' THEN cast(1.0 as double) ELSE cast(0.0 as double) END) AS y
+       |  FROM documents),
+       |w0 AS (SELECT cast(0.0 as double) AS w0, cast(0.0 as double) AS w1,
+       |              cast(0.0 as double) AS w2, cast(0.0 as double) AS w3),
+       |$stages
+       |SELECT * FROM ($out) ORDER BY iter""".stripMargin
+  }
+
+  /** Distributed supervised training — batch-gradient-descent logistic
+    * regression ("is this document English?" from the three quality
+    * features), the gradient-based trainer that completes the repo's
+    * model-training family (BPE merges, k-means/PQ codebooks are
+    * count/mean-based). Each iteration is ONE partial-aggregated scan
+    * reducing to 4 longs + a count on the driver (batch GD's inherent
+    * driver coordination — the MLlib shape); per-row gradient
+    * contributions are floored to integers (×2^20) BEFORE the sum, so the
+    * distributed reduction is order-free and partitioning-proof — the
+    * standard float-nondeterminism pitfall of distributed training,
+    * engineered away, which is what lets DuckDB replay every iteration
+    * and hash-match the whole trajectory. At 100 TB each iteration is a
+    * map-side-combined scan; nothing but 5 numbers ever reaches the
+    * driver per pass.
+    */
+  private val tx21 = QueryDef("tx_train_lr",
+    Some(trainLrOracleSql(iters = 5, lr = 0.5)),
+    (s, d) => {
+      import s.implicits._
+      val iters = 5
+      val lr = 0.5
+      val nTok = TextFunctions.tokenCount(col("text")).cast("double")
+      val feat = docs(s, d).select(
+        least(nTok / lit(100.0), lit(1.0)).as("f1"),
+        when(nTok > 0, TextFunctions.stopwordCount(col("text")) / nTok)
+          .otherwise(lit(0.0)).as("f2"),
+        TextFunctions.alphaRatio(col("text")).as("f3"),
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      val traj = Seq.newBuilder[(Long, Double, Double, Double, Double, Long, Long, Long, Long)]
+      for (t <- 1 to iters) {
+        val z = ((lit(w(0)) * lit(1.0) + lit(w(1)) * col("f1"))
+          + lit(w(2)) * col("f2")) + lit(w(3)) * col("f3")
+        val p = (lit(1.0) / (lit(1.0) + exp(-z))).as("p")
+        val r = feat.select(p, col("y"), col("f1"), col("f2"), col("f3"))
+          .agg(
+            sum(floor((col("p") - col("y")) * lit(1048576.0))).as("g0"),
+            sum(floor(((col("p") - col("y")) * col("f1")) * lit(1048576.0))).as("g1"),
+            sum(floor(((col("p") - col("y")) * col("f2")) * lit(1048576.0))).as("g2"),
+            sum(floor(((col("p") - col("y")) * col("f3")) * lit(1048576.0))).as("g3"),
+            count(lit(1)).as("n"))
+          .head()
+        val g = Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        val n = r.getLong(4)
+        w = Array.tabulate(4)(dd => w(dd) - lr * ((g(dd) / 1048576.0) / n))
+        traj += ((t.toLong, w(0), w(1), w(2), w(3), g(0), g(1), g(2), g(3)))
+      }
+      traj.result().toDF("iter", "w0", "w1", "w2", "w3", "g0", "g1", "g2", "g3")
+        .orderBy("iter")
+    })
+
   /** Model-based quality filtering — the "fastText classifier" stage of a
     * web-scale pipeline (CCNet / LLaMA-style): a FROZEN linear model over
     * hashed word unigrams + bigrams scores every document, and the gate
@@ -1621,7 +1725,7 @@ object QueriesExt {
     })
 
   val all: Seq[QueryDef] = Seq(
-    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20,
+    tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21,
     dd1, dd2, dd3, dd4, dd5, dd6, dd7,
     sm1, sm2, sm2r, sm2m, sm3, sm4, sm5, sm6, sm7, sm8,
     mm1, mm2, pl1, pl2, pl3)
