@@ -48,6 +48,27 @@ object DocStoreMaintenance {
 
   def compact(spark: SparkSession, path: String, targetShards: Int): Unit = {
     require(targetShards > 0, "targetShards must be positive")
+    rewriteAll(spark, path, _.repartition(targetShards))
+  }
+
+  /** Re-cluster a live collection on the Morton interleave of two fields
+    * ([[graft.operators.Layout.zorderCluster]]): same crash-safe rewrite
+    * as [[compact]], but the staged copy is range-partitioned on the
+    * z-value, so every rewritten shard becomes a dyadic box in
+    * (colA, colB) space and the store's zone maps prune 2-D range
+    * predicates on BOTH fields afterward. The offline "OPTIMIZE ...
+    * ZORDER BY" maintenance action of warehouse table formats.
+    */
+  def cluster(spark: SparkSession, path: String, targetShards: Int,
+              colA: String, colB: String): Unit = {
+    require(targetShards > 0, "targetShards must be positive")
+    rewriteAll(spark, path, df => graft.operators.Layout.zorderCluster(
+      df, org.apache.spark.sql.functions.col(colA),
+      org.apache.spark.sql.functions.col(colB), targetShards))
+  }
+
+  private def rewriteAll(spark: SparkSession, path: String,
+                         transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
     val dir = new Path(path)
     val f = DocStore.fs(dir)
 
@@ -60,8 +81,7 @@ object DocStoreMaintenance {
     val staging = new Path(dir, s".compact-$stagingId")
     val oldShards = DocStore.listParts(path).map(_.getName)
     val keepGzip = oldShards.nonEmpty && oldShards.forall(_.endsWith(".gz"))
-    spark.read.format("docstore").load(path)
-      .repartition(targetShards)
+    transform(spark.read.format("docstore").load(path))
       .write.format("docstore").mode("overwrite")
       .option("compression", if (keepGzip) "gzip" else "none")
       .save(staging.toString)

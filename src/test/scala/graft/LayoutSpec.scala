@@ -65,5 +65,15 @@ class LayoutSpec extends SparkSpec {
     val expected = grid.filter($"x".between(10, 20) && $"y".between(10, 20))
       .select("id").collect().map(_.getLong(0)).sorted
     assert(zRows.sameElements(expected) && lRows.sameElements(expected))
+
+    // Maintenance path: re-clustering the LINEAR store in place (the
+    // OPTIMIZE..ZORDER action) must gain the same pruning, keep every
+    // document, and survive through the crash-safe rewrite protocol.
+    graft.sources.docstore.DocStoreMaintenance.cluster(
+      spark, s"$dir/linear", targetShards = 16, "x", "y")
+    val (rKept, rTotal) = shardsKept(bandQuery(s"$dir/linear"))
+    assert(rTotal == 16 && rKept < 16, s"recluster kept $rKept/$rTotal")
+    val rRows = boxQuery(s"$dir/linear").select("id").collect().map(_.getLong(0)).sorted
+    assert(rRows.sameElements(expected))
   }
 }
