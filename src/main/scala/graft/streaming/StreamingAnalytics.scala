@@ -67,6 +67,28 @@ object StreamingAnalytics {
       .select(col("w.start").as("window_start"), col(keyCol), col("total_events"),
         col("failed_events"), col("approx_diversity"), col("first_seen"), col("last_seen"))
 
+  /** Streaming heavy hitters — the [[graft.functions.MisraGries]] sketch
+    * as a per-window streaming aggregate: each tumbling window carries ONE
+    * ≤k-counter buffer per key-partition that merges incrementally as
+    * micro-batches arrive, so state per window is k pairs regardless of
+    * how many distinct keys the stream has seen (the exact formulation
+    * would hold every distinct key in state). Update mode re-emits a
+    * window's candidate array as it absorbs more data; the MG guarantee
+    * (candidates ⊇ every key with true share > 1/k of the window) holds at
+    * every emission because reduce/merge are the same mergeable-summaries
+    * operations the batch query uses — asserted against exact per-window
+    * counts in StreamingParitySpec. Like the batch `a21_heavy_hitters`,
+    * consumers treat the output as a CANDIDATE set and verify exactly.
+    */
+  def heavyHitterStream(events: DataFrame, tsCol: String, keyCol: String,
+                        k: Int, windowLen: String = "1 hour",
+                        watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(graft.functions.TopKAgg.misraGries(col(keyCol), k).as("candidates"))
+      .select(col("w.start").as("window_start"), col("candidates"))
+
   /** Custom-state sessionization via flatMapGroupsWithState — for session
     * semantics the built-in session_window can't express (here: sessions
     * also END when a terminal event type is seen, not only on gap

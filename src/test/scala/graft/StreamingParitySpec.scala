@@ -60,6 +60,35 @@ class StreamingParitySpec extends SparkSpec {
     assert(streaming == batch && streaming.nonEmpty)
   }
 
+  test("streaming MG heavy hitters: candidates cover every true per-window hitter") {
+    implicit val sq = spark.sqlContext
+    val k = 4
+    // window 1 (10:00-11:00): key 1 dominates; window 2 (11:00-12:00): key 9
+    val data = (Seq.fill(30)(1L) ++ Seq.fill(6)(2L) ++ (100L to 111L)).map(key => (t(0), key)) ++
+      (Seq.fill(20)(9L) ++ (200L to 215L)).map(key => (Timestamp.valueOf("2024-01-01 11:05:00"), key))
+    val mem = MemoryStream[(Timestamp, Long)]
+    mem.addData(data.take(25)); // split mid-window: buffers must merge across batches
+    val sdf = StreamingAnalytics.heavyHitterStream(
+      mem.toDF().toDF("ts", "key"), "ts", "key", k)
+    val q = sdf.writeStream.format("memory").queryName("hh_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    mem.addData(data.drop(25)); q.processAllAvailable()
+    q.stop()
+    val streamed: Map[Timestamp, Set[Long]] = spark.table("hh_test").collect().map { r =>
+      r.getTimestamp(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)).toSet
+    }.toMap
+    // exact per-window truth
+    data.groupBy(_._1.getTime / 3600000L).foreach { case (_, rows) =>
+      val n = rows.size
+      val winStart = new Timestamp(rows.head._1.getTime / 3600000L * 3600000L)
+      val hitters = rows.groupBy(_._2).filter { case (_, g) => g.size * k > n }.keySet
+      assert(hitters.subsetOf(streamed(winStart)),
+        s"window $winStart: hitters $hitters not all in ${streamed(winStart)}")
+    }
+    assert(streamed.values.forall(_.size <= k))
+  }
+
   test("streaming parse: LogParser over a line stream equals batch parse") {
     implicit val sq = spark.sqlContext
     val lines = Seq(
