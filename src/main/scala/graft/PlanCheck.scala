@@ -327,6 +327,17 @@ object PlanCheck {
       "single multi-regexp kernel in the plan" ->
         (p => "graft_multi_regexp".r.findAllIn(p).size == 1))
 
+    // Bloom-filtered point lookup: the layout scatters event_id across all
+    // 16 shards (every shard's min/max spans the domain — zone maps alone
+    // keep 16/16), so any pruning below half PROVES the bloom filters are
+    // doing the skipping. The IN filter must also push into the scan.
+    check("s14_bloom_lookup")(
+      "IN filter pushed into docstore scan" ->
+        (p => "PushedFilters: \\[In\\(event_id".r.findFirstIn(p).isDefined),
+      "bloom filters prune over half the shards" ->
+        (p => "Shards: (\\d+)/(\\d+)".r.findFirstMatchIn(p)
+          .exists(m => m.group(1).toInt * 2 < m.group(2).toInt)))
+
     // Partitioned layout: the event_type predicate must prune partitions
     // at the directory level (PartitionFilters), not ride as a data filter.
     check("s8_partitioned_scan")(

@@ -351,6 +351,33 @@ object Queries {
         .orderBy("event_id")
     })
 
+  /** S (rebuild extra): bloom-filtered point lookup — the needle-in-haystack
+    * shape zone maps can NEVER serve: events are written hash-scattered on
+    * user_id, so every shard's event_id min/max spans essentially the whole
+    * domain and min/max pruning keeps all 16 shards. The write opts into
+    * per-shard bloom filters on event_id (`option("bloom.fields", ...)` —
+    * ~10 bits/value, 7 probes, <1% false-positive keep), and the IN lookup
+    * then opens only the ≤3 shards that can hold the keys (PlanCheck
+    * asserts `Shards: kept/total` strictly under half). At 100 TB this is
+    * the difference between a full-collection scan and reading a handful
+    * of shards for an id lookup on a non-clustered column. Layout never
+    * changes results: the oracle runs the same IN on the original table.
+    */
+  private val s14 = QueryDef("s14_bloom_lookup",
+    Some("""SELECT event_id, event_type, user_id FROM events
+           |WHERE event_id IN (123, 456, 789) ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      val path = s"/tmp/graft_s14_bloom_${Integer.toHexString(d.hashCode)}"
+      ev(s, d).select("event_id", "event_type", "user_id")
+        .repartition(16, col("user_id"))
+        .write.format("docstore").mode("overwrite")
+        .option("bloom.fields", "event_id").save(path)
+      s.read.format("docstore").load(path)
+        .filter(col("event_id").isin(123L, 456L, 789L))
+        .select("event_id", "event_type", "user_id")
+        .orderBy("event_id")
+    })
+
   /** S (rebuild extra): bucketed sink + co-located join — the 100 TB
     * technique for repeated joins/aggregations on one key: both sides are
     * written `bucketBy(user_id)`, so the join AND the following aggregate
@@ -1414,7 +1441,7 @@ object Queries {
 
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
-    s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
+    s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, s14, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20, a21,
     j1, j2, j2ps, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, su, si, se, g1, g2, g3,

@@ -49,6 +49,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *     shard SKIPPING under pushed filters (parquet row-group skipping at
   *     shard granularity) and for stats-only COUNT/COUNT(col)/MIN/MAX
   *     aggregate pushdown (no shard opened);
+  *   - per-shard BLOOM FILTERS (opt-in: `option("bloom.fields", "a,b")`):
+  *     equality/IN shard skipping on high-cardinality fields whose values
+  *     scatter across shards — the needle-in-haystack point lookup where
+  *     every shard's min/max spans the whole domain and zone maps keep
+  *     everything. ~10 bits/value, 7 probes (<1% false-positive keep);
+  *     absence of a bloom always means keep, so readers of pre-bloom
+  *     collections and maintenance rewrites stay sound;
   *   - Structured Streaming both ways: an epoch-idempotent streaming sink
   *     (replayed epochs replace their failed attempt's shards) and a
   *     micro-batch streaming source (change-stream over the append-only
@@ -160,10 +167,126 @@ private[docstore] object DocStore {
     * non-null count (and the shard's row count) — the parquet row-group
     * statistics idea applied to document shards. Collected inline by each
     * writer, merged at commit, used by the scan planner to skip whole
-    * shards a pushed filter can never match.
+    * shards a pushed filter can never match. `bloom` (opt-in per field via
+    * the `bloom.fields` write option) extends skipping to EQUALITY/IN
+    * predicates on fields whose values are scattered across shards —
+    * the needle-in-haystack point lookup min/max can never prune.
     */
-  final case class FieldStat(min: Any, max: Any, nonNull: Long) extends Serializable
+  final case class FieldStat(min: Any, max: Any, nonNull: Long,
+                             bloom: Option[Bloom] = None) extends Serializable
   final case class ShardStat(count: Long, fields: Map[String, FieldStat]) extends Serializable
+
+  /** Per-shard bloom filter over one field's non-null values. m = bits
+    * length × 64 is a power of two; membership uses double hashing
+    * (h1 + i·h2 mod m, Kirsch–Mitzenmacher) over canonical value bytes.
+    * Absence of a bloom (or a non-canonicalizable literal) always means
+    * KEEP the shard — pruning only ever happens on positive evidence.
+    */
+  final case class Bloom(k: Int, bits: Array[Long]) extends Serializable {
+    def m: Int = bits.length * 64
+    def mightContain(pair: Long): Boolean = {
+      val h1 = pair >>> 32
+      val h2 = pair & 0xffffffffL
+      val mask = (m - 1).toLong
+      var i = 0
+      while (i < k) {
+        val idx = ((h1 + i.toLong * h2) & mask).toInt
+        if ((bits(idx >>> 6) & (1L << (idx & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  object Bloom {
+    /** ~10 bits per value with 7 probes ⇒ false-positive rate under 1%. */
+    val BitsPerValue = 10
+    val Hashes = 7
+    val MaxBits: Int = 1 << 26 // 8 MB cap per (shard, field)
+
+    /** Canonical (h1,h2) packed pair for a value, or None when the value's
+      * type has no canonical byte form. The WRITER hashes values boxed per
+      * the declared schema type; the PRUNER hashes filter literals — both
+      * must canonicalize identically, so integrals hash their 8-byte long
+      * form (an Int literal against a BIGINT column matches) and doubles
+      * hash normalized IEEE bits (-0.0 ≡ 0.0, Spark's equality).
+      */
+    def hashPair(v: Any): Option[Long] = {
+      val bytes: Array[Byte] = v match {
+        case s: String => s.getBytes("UTF-8")
+        case i: java.lang.Integer => longBytes(i.longValue())
+        case l: java.lang.Long => longBytes(l.longValue())
+        case d: java.lang.Double =>
+          val n = if (d.doubleValue() == 0.0) 0.0 else d.doubleValue()
+          longBytes(java.lang.Double.doubleToLongBits(n))
+        case b: java.lang.Boolean => Array[Byte](if (b.booleanValue()) 1 else 0)
+        case _ => return None
+      }
+      val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x0b100f17)
+      val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x5eed5a1d)
+      Some((h1.toLong << 32) | (h2.toLong & 0xffffffffL))
+    }
+
+    private def longBytes(l: Long): Array[Byte] = {
+      val b = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { b(i) = (l >>> (56 - 8 * i)).toByte; i += 1 }
+      b
+    }
+
+    /** Type family guard for pruning: a literal may consult the bloom only
+      * when its runtime family matches the written values' family (exemplar
+      * = the shard's schema-coerced min) — a DOUBLE literal pushed against
+      * a BIGINT column canonicalizes differently, and a false negative
+      * there would silently drop rows. Mismatch ⇒ keep the shard.
+      */
+    def family(x: Any): Int = x match {
+      case _: String => 1
+      case _: java.lang.Integer | _: java.lang.Long => 2
+      case _: java.lang.Double => 3
+      case _: java.lang.Boolean => 4
+      case _ => 0
+    }
+
+    /** Build from `n` buffered hash pairs; sized to the next power of two
+      * ≥ BitsPerValue·n (duplicates inflate n, which only LOWERS the
+      * false-positive rate — never unsound).
+      */
+    def build(pairs: Array[Long], n: Int): Bloom = {
+      var m = 1024
+      while (m < n.toLong * BitsPerValue && m < MaxBits) m <<= 1
+      val bits = new Array[Long](m >>> 6)
+      val mask = (m - 1).toLong
+      var j = 0
+      while (j < n) {
+        val h1 = pairs(j) >>> 32
+        val h2 = pairs(j) & 0xffffffffL
+        var i = 0
+        while (i < Hashes) {
+          val idx = ((h1 + i.toLong * h2) & mask).toInt
+          bits(idx >>> 6) |= (1L << (idx & 63))
+          i += 1
+        }
+        j += 1
+      }
+      Bloom(Hashes, bits)
+    }
+
+    def toBase64(b: Bloom): String = {
+      val buf = java.nio.ByteBuffer.allocate(8 * b.bits.length)
+      b.bits.foreach(buf.putLong)
+      java.util.Base64.getEncoder.encodeToString(buf.array())
+    }
+
+    def fromBase64(k: Int, s: String): Bloom = {
+      val bytes = java.util.Base64.getDecoder.decode(s)
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      val bits = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < bits.length) { bits(i) = buf.getLong(); i += 1 }
+      Bloom(k, bits)
+    }
+  }
 
   /** Total order used by the filter evaluator, the stats accumulators, and
     * the prune decisions — ONE definition so the three can never diverge
@@ -215,7 +338,8 @@ private[docstore] object DocStore {
       shard -> st.copy(fields = st.fields.map { case (name, fst) =>
         schema.fields.find(_.name == name) match {
           case Some(fld) => name -> FieldStat(
-            coerce(fst.min, fld.dataType), coerce(fst.max, fld.dataType), fst.nonNull)
+            coerce(fst.min, fld.dataType), coerce(fst.max, fld.dataType), fst.nonNull,
+            fst.bloom)
           case None => name -> fst
         }
       })
@@ -242,7 +366,11 @@ private[docstore] object DocStore {
       val fn = s.get("fields")
       if (fn != null) fn.fieldNames().asScala.foreach { fld =>
         val e = fn.get(fld)
-        fields += fld -> FieldStat(v(e.get("min")), v(e.get("max")), e.get("nonNull").asLong())
+        val bloom = Option(e.get("bloom")).filterNot(_.isNull).map { bn =>
+          Bloom.fromBase64(bn.get("k").asInt(), bn.get("bits").asText())
+        }
+        fields += fld -> FieldStat(v(e.get("min")), v(e.get("max")),
+          e.get("nonNull").asLong(), bloom)
       }
       out += shard -> ShardStat(s.get("count").asLong(), fields.result())
     }
@@ -270,6 +398,10 @@ private[docstore] object DocStore {
       s.fields.toSeq.sortBy(_._1).foreach { case (fld, fs_) =>
         val e = fn.putObject(fld)
         put(e, "min", fs_.min); put(e, "max", fs_.max); e.put("nonNull", fs_.nonNull)
+        fs_.bloom.foreach { b =>
+          val bn = e.putObject("bloom")
+          bn.put("k", b.k); bn.put("bits", Bloom.toBase64(b))
+        }
       }
     }
     val p = new Path(dir, StatsFile)
@@ -289,11 +421,22 @@ private[docstore] object DocStore {
     def fs_(a: String): Option[FieldStat] = stat.fields.get(a)
     def lt(x: Any, y: Any): Boolean = cmpValues(x, y).exists(_ < 0)
     def le(x: Any, y: Any): Boolean = cmpValues(x, y).exists(_ <= 0)
+    // Bloom admission for an equality literal: prune only when the shard
+    // HAS a bloom for the field, the literal's type family matches the
+    // written values' (exemplar = schema-coerced min), AND every probed bit
+    // is clear. Any uncertainty keeps the shard.
+    def admits(s: FieldStat, v: Any): Boolean = s.bloom match {
+      case None => true
+      case Some(b) =>
+        val fam = Bloom.family(v)
+        if (fam == 0 || fam != Bloom.family(s.min)) true
+        else Bloom.hashPair(v).forall(b.mightContain)
+    }
     filter match {
       case EqualTo(a, v) => fs_(a).forall(s =>
-        s.nonNull > 0 && le(s.min, v) && le(v, s.max))
+        s.nonNull > 0 && le(s.min, v) && le(v, s.max) && admits(s, v))
       case In(a, vs) => fs_(a).forall(s =>
-        s.nonNull > 0 && vs.exists(v => le(s.min, v) && le(v, s.max)))
+        s.nonNull > 0 && vs.exists(v => le(s.min, v) && le(v, s.max) && admits(s, v)))
       case GreaterThan(a, v) => fs_(a).forall(s => s.nonNull > 0 && lt(v, s.max))
       case GreaterThanOrEqual(a, v) => fs_(a).forall(s => s.nonNull > 0 && le(v, s.max))
       case LessThan(a, v) => fs_(a).forall(s => s.nonNull > 0 && lt(s.min, v))
@@ -346,7 +489,15 @@ private[docstore] class DocStoreTable(path: String, schema: StructType)
       case other => throw new IllegalArgumentException(
         s"docstore compression '$other' not supported; use gzip or none")
     }
-    new DocStoreWriteBuilder(path, info.schema(), info.queryId(), gzip)
+    // Opt-in per-field bloom filters (`option("bloom.fields", "a,b")`):
+    // equality/IN shard skipping on fields whose values scatter across
+    // shards — the point lookup zone maps can never serve.
+    val bloomFields = info.options().getOrDefault("bloom.fields", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val unknown = bloomFields.diff(info.schema().fieldNames.toSet)
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"docstore bloom.fields name(s) not in schema: ${unknown.mkString(", ")}")
+    new DocStoreWriteBuilder(path, info.schema(), info.queryId(), gzip, bloomFields)
   }
 }
 
@@ -735,23 +886,25 @@ private[docstore] object DocStoreFilters {
 // ---------------------------------------------------------------------------
 
 private[docstore] class DocStoreWriteBuilder(path: String, schema: StructType, queryId: String,
-                                             gzip: Boolean)
+                                             gzip: Boolean, bloomFields: Set[String])
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new DocStoreWrite(path, schema, doTruncate, queryId, gzip)
+  override def build(): Write =
+    new DocStoreWrite(path, schema, doTruncate, queryId, gzip, bloomFields)
 }
 
 private[docstore] class DocStoreWrite(path: String, schema: StructType, truncate: Boolean,
-                                      queryId: String, gzip: Boolean)
+                                      queryId: String, gzip: Boolean, bloomFields: Set[String])
     extends Write {
-  override def toBatch: BatchWrite = new DocStoreBatchWrite(path, schema, truncate, queryId, gzip)
+  override def toBatch: BatchWrite =
+    new DocStoreBatchWrite(path, schema, truncate, queryId, gzip, bloomFields)
   override def toStreaming: StreamingWrite = {
     // Complete/update modes would need per-epoch truncation; the document
     // store is an append-only collection (insert_many), so only Append.
     if (truncate) throw new UnsupportedOperationException(
       "docstore streaming sink supports Append output mode only")
-    new DocStoreStreamingWrite(path, schema, gzip)
+    new DocStoreStreamingWrite(path, schema, gzip, bloomFields)
   }
 }
 
@@ -763,13 +916,14 @@ private[docstore] class DocStoreWrite(path: String, schema: StructType, truncate
   * collection, same discipline as a file-sink metadata log but enforced
   * with the shard-name epoch tag.
   */
-private[docstore] class DocStoreStreamingWrite(path: String, schema: StructType, gzip: Boolean)
+private[docstore] class DocStoreStreamingWrite(path: String, schema: StructType, gzip: Boolean,
+                                               bloomFields: Set[String])
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val dir = new Path(path)
     val f = DocStore.fs(dir)
     if (!f.exists(dir)) f.mkdirs(dir)
-    new DocStoreStreamingWriterFactory(path, schema, gzip)
+    new DocStoreStreamingWriterFactory(path, schema, gzip, bloomFields)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -790,14 +944,15 @@ private[docstore] class DocStoreStreamingWrite(path: String, schema: StructType,
 }
 
 private[docstore] class DocStoreStreamingWriterFactory(path: String, schema: StructType,
-                                                       gzip: Boolean)
+                                                       gzip: Boolean, bloomFields: Set[String])
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new DocStoreWriter(path, schema, partitionId, taskId, Some(epochId), gzip = gzip)
+    new DocStoreWriter(path, schema, partitionId, taskId, Some(epochId), gzip = gzip,
+      bloomFields = bloomFields)
 }
 
 private[docstore] class DocStoreBatchWrite(path: String, schema: StructType, truncate: Boolean,
-                                           queryId: String, gzip: Boolean)
+                                           queryId: String, gzip: Boolean, bloomFields: Set[String])
     extends BatchWrite {
   // short, filename-safe job tag (queryId is a UUID)
   private val jobTag = queryId.replaceAll("[^0-9a-zA-Z]", "").take(12)
@@ -806,7 +961,7 @@ private[docstore] class DocStoreBatchWrite(path: String, schema: StructType, tru
     val dir = new Path(path)
     val f = DocStore.fs(dir)
     if (!f.exists(dir)) f.mkdirs(dir)
-    new DocStoreWriterFactory(path, schema, jobTag, gzip)
+    new DocStoreWriterFactory(path, schema, jobTag, gzip, bloomFields)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -854,11 +1009,11 @@ private[docstore] case class DocStoreCommit(file: Option[String],
     extends WriterCommitMessage
 
 private[docstore] class DocStoreWriterFactory(path: String, schema: StructType, jobTag: String,
-                                              gzip: Boolean)
+                                              gzip: Boolean, bloomFields: Set[String])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DocStoreWriter(path, schema, partitionId, taskId, epoch = None,
-      jobTag = Some(jobTag), gzip = gzip)
+      jobTag = Some(jobTag), gzip = gzip, bloomFields = bloomFields)
 }
 
 /** One task = one shard. Rows stream to a hidden temp file; task commit
@@ -871,7 +1026,8 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
                                        partitionId: Int, taskId: Long,
                                        epoch: Option[Long] = None,
                                        jobTag: Option[String] = None,
-                                       gzip: Boolean = false)
+                                       gzip: Boolean = false,
+                                       bloomFields: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
   private val mapper = new ObjectMapper()
   private val uuid = UUID.randomUUID().toString
@@ -891,6 +1047,22 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
   private val maxs = new Array[Any](schema.length)
   private val nonNull = new Array[Long](schema.length)
   private var rows = 0L
+  // bloom hash-pair buffers for tracked fields (the filter itself is built
+  // at commit, once the value count — and so the right m — is known)
+  private val bloomBufs: Array[Array[Long]] = new Array(schema.length)
+  private val bloomLens: Array[Int] = new Array[Int](schema.length)
+  private val bloomTracked: Array[Boolean] =
+    schema.fields.map(f => bloomFields.contains(f.name))
+
+  private def bloomAdd(i: Int, pair: Long): Unit = {
+    var buf = bloomBufs(i)
+    if (buf == null) { buf = new Array[Long](1024); bloomBufs(i) = buf }
+    else if (bloomLens(i) == buf.length) {
+      buf = java.util.Arrays.copyOf(buf, buf.length * 2); bloomBufs(i) = buf
+    }
+    buf(bloomLens(i)) = pair
+    bloomLens(i) += 1
+  }
 
   private def ensureOpen(): Unit = if (out == null) {
     val f = DocStore.fs(tmp)
@@ -917,6 +1089,8 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
         if (nonNull(i) == 0 || DocStore.cmpValues(ext, mins(i)).exists(_ < 0)) mins(i) = ext
         if (nonNull(i) == 0 || DocStore.cmpValues(ext, maxs(i)).exists(_ > 0)) maxs(i) = ext
         nonNull(i) += 1
+        if (bloomTracked(i))
+          DocStore.Bloom.hashPair(ext).foreach(bloomAdd(i, _))
       }
       i += 1
     }
@@ -928,7 +1102,9 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
 
   private def shardStat: DocStore.ShardStat = DocStore.ShardStat(rows,
     schema.fields.zipWithIndex.map { case (fld, i) =>
-      fld.name -> DocStore.FieldStat(mins(i), maxs(i), nonNull(i))
+      val bloom = if (bloomTracked(i) && bloomLens(i) > 0)
+        Some(DocStore.Bloom.build(bloomBufs(i), bloomLens(i))) else None
+      fld.name -> DocStore.FieldStat(mins(i), maxs(i), nonNull(i), bloom)
     }.toMap)
 
   override def commit(): WriterCommitMessage = {
