@@ -313,6 +313,17 @@ object PlanCheck {
       "no nested-loop/cartesian execution" ->
         (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
 
+    // BM25 retrieval: the query-term table broadcasts into the postings
+    // (corpus terms never shuffle for the join), the per-query top-10 is
+    // the bounded-buffer aggregate with map-side partials — NOT a window
+    // sort funneling every candidate doc through 3 query-partition tasks.
+    check("ir_bm25")(
+      "query terms broadcast into postings (no sort-merge join)" ->
+        (p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")),
+      "per-query top-k via bounded-buffer aggregate, no window" ->
+        (p => !p.contains("Window") &&
+          p.toLowerCase.contains("partial_bottomkpairs")))
+
     // Unigram surprisal: the vocabulary table and the corpus total attach
     // by broadcast — a sort-merge join here would shuffle every corpus
     // token against the unigram table at 100 TB.

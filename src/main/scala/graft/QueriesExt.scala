@@ -1724,9 +1724,108 @@ object QueriesExt {
         .orderBy("source")
     })
 
+  /** BM25 keyword retrieval (Robertson & Spärck Jones; the Okapi/Lucene
+    * `+1`-idf variant, k1 = 1.2, b = 0.75) — the lexical-search complement
+    * to the dense-retrieval family (sim_knn_brute/sim_retrieve): score a
+    * small query workload against the whole corpus and keep each query's
+    * top-10 documents.
+    *
+    * Scale shape (what survives 100 TB):
+    *   - the QUERY-TERM table is the small side: broadcast into the
+    *     (doc, term, tf) postings, so the corpus-sized postings prune to
+    *     query-term rows map-side and never shuffle their terms
+    *     (PlanCheck-asserted: no sort-merge join anywhere);
+    *   - df/idf come from the PRUNED postings (a per-term count over ≤
+    *     |query vocabulary| groups), re-attached by broadcast;
+    *   - corpus constants (N, total token count → avgdl) ride a broadcast
+    *     1-row cross join, never a driver collect;
+    *   - per-query top-10 uses the bounded-buffer [[graft.functions.BottomKPairs]]
+    *     Aggregator — queries are FEW and their candidate sets huge (every
+    *     doc containing any query term), exactly the hot-key shape where a
+    *     per-query window sort would funnel the corpus through 3 tasks;
+    *     the aggregator shuffles ≤ 10 pairs per (partition, query).
+    *
+    * Cross-engine determinism: each matched term's BM25 contribution is
+    * floored to an integer at 1e-4 BEFORE the per-(query, doc) sum —
+    * integer sums are partitioning/order-proof, so the oracle can replay
+    * the identical arithmetic (ulp-level `ln` drift absorbed by the same
+    * pre-sum rounding as tx_tfidf_topk/tx_train_lr); the reported score is
+    * the one IEEE division sum/10⁴.
+    */
+  private val ir1 = QueryDef("ir_bm25",
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+           |  FROM documents),
+           |terms AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+           |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+           |              (SELECT count(*) FROM terms) AS n_terms),
+           |qt AS (SELECT cast(query_id as bigint) AS query_id, term
+           |       FROM (VALUES (1,'hash'),(1,'join'),(2,'slow'),(2,'scan'),(2,'filter'),
+           |                    (3,'customer'),(3,'order'),(3,'data')) AS v(query_id, term)),
+           |dft AS (SELECT term, count(*) AS df FROM tf
+           |        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+           |si AS (
+           |  SELECT q.query_id, tf.doc_id,
+           |    cast(floor(
+           |      (ln((cast(st.n_docs - dft.df as double) + 0.5) / (cast(dft.df as double) + 0.5) + 1.0)
+           |       * ((cast(tf.tf as double) * 2.2) /
+           |          (cast(tf.tf as double) + 1.2 *
+           |           (0.25 + 0.75 * (cast(dl.dl as double) /
+           |                           (cast(st.n_terms as double) / st.n_docs))))))
+           |      * 10000 + 0.5) as bigint) AS s
+           |  FROM tf JOIN qt q USING (term) JOIN dft USING (term)
+           |       JOIN dl USING (doc_id) CROSS JOIN st),
+           |sc AS (SELECT query_id, doc_id, cast(sum(s) as bigint) AS s_int FROM si GROUP BY 1, 2),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |                                        ORDER BY s_int DESC, doc_id) AS rn FROM sc)
+           |SELECT query_id, cast(rn as bigint) AS rnk, doc_id,
+           |       cast(s_int as double) / 10000 AS score
+           |FROM ranked WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin),
+    (s, d) => {
+      val base = docs(s, d)
+      val terms = base.select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = base.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(terms.agg(count(lit(1)).as("n_terms")))
+      val qt = s.createDataFrame(Seq(
+        (1L, "hash"), (1L, "join"),
+        (2L, "slow"), (2L, "scan"), (2L, "filter"),
+        (3L, "customer"), (3L, "order"), (3L, "data"))).toDF("query_id", "term")
+      // df over the corpus, restricted to query vocabulary (pruned BEFORE
+      // counting — a term in two queries must not double its df)
+      val dft = tf.join(broadcast(qt.select("term").distinct()), "term")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val avgdl = col("n_terms").cast("double") / col("n_docs")
+      val tfD = col("tf").cast("double")
+      val contrib = log(
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+        ((tfD * lit(2.2)) /
+          (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+      val si = tf.join(broadcast(qt), "term")
+        .join(broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("query_id"), col("doc_id"),
+          floor(contrib * lit(10000) + lit(0.5)).cast("long").as("s"))
+      si.groupBy("query_id", "doc_id").agg(sum(col("s")).as("s_int"))
+        .groupBy("query_id")
+        .agg(graft.functions.TopKAgg.bottomKPairs(-col("s_int"), col("doc_id"), 10).as("kept"))
+        .select(col("query_id"), posexplode(col("kept")).as(Seq("pos", "pair")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+          col("pair._2").as("doc_id"),
+          ((-col("pair._1")).cast("double") / lit(10000)).as("score"))
+        .orderBy("query_id", "rnk")
+    })
+
   val all: Seq[QueryDef] = Seq(
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21,
     dd1, dd2, dd3, dd4, dd5, dd6, dd7,
     sm1, sm2, sm2r, sm2m, sm3, sm4, sm5, sm6, sm7, sm8,
-    mm1, mm2, pl1, pl2, pl3)
+    mm1, mm2, pl1, pl2, pl3, ir1)
 }
