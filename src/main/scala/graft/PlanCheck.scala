@@ -313,6 +313,17 @@ object PlanCheck {
       "no nested-loop/cartesian execution" ->
         (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
 
+    // Backoff surprisal: the corpus-sized BIGRAM model attaches via a
+    // co-partitioned shuffle join keyed on the (a, b) pair — deliberately
+    // NOT broadcast (it scales with the corpus); the vocabulary-sized
+    // unigram table broadcasts twice (prev + cur attach).
+    check("tx_backoff_surprisal")(
+      "bigram join shuffles on the pair key" ->
+        (p => "hashpartitioning\\(a#\\d+, b#\\d+".r.findFirstIn(p).isDefined),
+      "unigram attaches broadcast (≥2 broadcast joins)" ->
+        (p => "BroadcastHashJoin".r.findAllIn(p).size >= 2),
+      "no cartesian pair scan" -> (p => !p.contains("CartesianProduct")))
+
     // BM25 retrieval: the query-term table broadcasts into the postings
     // (corpus terms never shuffle for the join), the per-query top-10 is
     // the bounded-buffer aggregate with map-side partials — NOT a window

@@ -1724,6 +1724,90 @@ object QueriesExt {
         .orderBy("source")
     })
 
+  /** Bigram Stupid-Backoff surprisal (Brants et al. 2007, "Large Language
+    * Models in Machine Translation") — the next step up from tx_surprisal's
+    * unigram proxy, with a real TRAIN/APPLY split: the LM trains on the
+    * in-model corpus slice (doc_id % 7 ≠ 0) and scores EVERY document, so
+    * held-out documents hit unseen bigrams and take the backoff path
+    * S(wᵢ|wᵢ₋₁) = 0.4·count(wᵢ)/N instead of count(wᵢ₋₁wᵢ)/count(wᵢ₋₁).
+    * Per-doc mean of −ln S over adjacent pairs; the quality signal
+    * production pipelines compute with a KenLM-style model.
+    *
+    * Scale shape — and the deliberate contrast with tx_surprisal: the
+    * BIGRAM table is corpus-sized (not vocabulary-sized), so it CANNOT
+    * broadcast; attaching it is an honest co-partitioned shuffle join on
+    * the (a, b) pair key (PlanCheck asserts the hash exchange rides those
+    * keys). The unigram table and the token-count bound stay broadcast,
+    * the pair explode is map-side (AdjacentPairs kernel — no self-join on
+    * position), and the per-doc regroup shuffles narrow (pos, surprisal)
+    * pairs. Unseen-word floor: count 1 (documented; the synthetic vocab
+    * makes it unreachable, the expression keeps the total function).
+    *
+    * Determinism: the per-doc fold runs in pair order on both engines
+    * (ln is not correctly-rounded; same discipline as tx_surprisal), and
+    * the mean is floor-rounded at 1e-4.
+    */
+  private val tx22 = QueryDef("tx_backoff_surprisal",
+    Some("""WITH pairs AS (
+           |  SELECT doc_id, u.pos AS pos, u.a AS a, u.b AS b FROM (
+           |    SELECT doc_id, unnest([{'pos': i, 'a': w[i], 'b': w[i+1]} for i in range(1, len(w))]) AS u
+           |    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents))),
+           |tokm AS (
+           |  SELECT unnest(string_split_regex(text, '\s+')) AS t
+           |  FROM documents WHERE doc_id % 7 <> 0),
+           |ug AS (SELECT t, count(*) AS cnt FROM tokm GROUP BY t),
+           |bg AS (SELECT a, b, count(*) AS cnt_ab FROM pairs WHERE doc_id % 7 <> 0 GROUP BY 1, 2),
+           |tot AS (SELECT cast(sum(cnt) as double) AS total FROM ug),
+           |j AS (
+           |  SELECT p.doc_id, p.pos,
+           |    CASE WHEN bg.cnt_ab IS NOT NULL
+           |         THEN ln(cast(up.cnt as double) / bg.cnt_ab)
+           |         ELSE ln(total / (0.4 * coalesce(uc.cnt, 1))) END AS surp
+           |  FROM pairs p
+           |  LEFT JOIN bg ON bg.a = p.a AND bg.b = p.b
+           |  LEFT JOIN ug up ON up.t = p.a
+           |  LEFT JOIN ug uc ON uc.t = p.b
+           |  CROSS JOIN tot),
+           |d AS (SELECT doc_id, count(*) AS n_pairs,
+           |  list_reduce(list_prepend(cast(0.0 as double), list(surp ORDER BY pos)), (x, y) -> x + y) AS s
+           |  FROM j GROUP BY doc_id)
+           |SELECT doc_id, doc_id % 7 = 0 AS held_out, cast(n_pairs as bigint) AS n_pairs,
+           |  floor(s / n_pairs * 10000 + 0.5) / 10000 AS mean_surprisal
+           |FROM d ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val base = docs(s, d)
+      val pairs = base.select(col("doc_id"),
+        posexplode(NativeExpressions.adjacentPairs(TextFunctions.tokens(col("text"))))
+          .as(Seq("pos", "pr")))
+        .select(col("doc_id"), col("pos"), col("pr.a").as("a"), col("pr.b").as("b"))
+      val inModel = pmod(col("doc_id"), lit(7)) =!= 0
+      val ug = base.filter(inModel)
+        .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("cnt"))
+      val bg = pairs.filter(inModel).groupBy("a", "b").agg(count(lit(1)).as("cnt_ab"))
+      val tot = ug.agg(sum("cnt").cast("double").as("total"))
+      pairs
+        .join(bg, Seq("a", "b"), "left")
+        .join(broadcast(ug.select(col("t").as("a"), col("cnt").as("cnt_prev"))), Seq("a"), "left")
+        .join(broadcast(ug.select(col("t").as("b"), col("cnt").as("cnt_cur"))), Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("pos"),
+          when(col("cnt_ab").isNotNull,
+            log(col("cnt_prev").cast("double") / col("cnt_ab")))
+            .otherwise(log(col("total") / (lit(0.4) * coalesce(col("cnt_cur"), lit(1L)))))
+            .as("surp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sort_array(collect_list(struct(col("pos"), col("surp")))).as("xs"))
+        .select(col("doc_id"),
+          (pmod(col("doc_id"), lit(7)) === 0).as("held_out"),
+          col("n_pairs"),
+          graft.functions.Rounding.round4(
+            aggregate(col("xs"), lit(0.0),
+              (acc, x) => acc + x.getField("surp")) / col("n_pairs")).as("mean_surprisal"))
+        .orderBy("doc_id")
+    })
+
   /** BM25 keyword retrieval (Robertson & Spärck Jones; the Okapi/Lucene
     * `+1`-idf variant, k1 = 1.2, b = 0.75) — the lexical-search complement
     * to the dense-retrieval family (sim_knn_brute/sim_retrieve): score a
@@ -1827,5 +1911,5 @@ object QueriesExt {
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21,
     dd1, dd2, dd3, dd4, dd5, dd6, dd7,
     sm1, sm2, sm2r, sm2m, sm3, sm4, sm5, sm6, sm7, sm8,
-    mm1, mm2, pl1, pl2, pl3, ir1)
+    mm1, mm2, pl1, pl2, pl3, ir1, tx22)
 }

@@ -199,4 +199,23 @@ class TrainingPrepSpec extends SparkSpec {
     assert(buckets.sorted.sameElements(buckets), "sorted by bucket")
     assert(buckets.distinct.length == buckets.length)
   }
+
+  test("tx_backoff_surprisal: held-out docs average higher surprisal") {
+    val out = SparkEntry.queries("tx_backoff_surprisal")(spark, sf).collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    val (held, inModel) = out.partition(_.getAs[Boolean]("held_out"))
+    assert(held.nonEmpty && inModel.nonEmpty)
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("mean_surprisal")).sum / rs.length
+    // held-out docs contain bigrams the model never saw → the 0.4-backoff
+    // path fires and their average surprisal exceeds the in-model slice's
+    assert(mean(held) > mean(inModel),
+      s"backoff penalty missing: held=${mean(held)} in=${mean(inModel)}")
+    // every surprisal is positive and finite (S < 1 for every pair by
+    // construction: no bigram dominates its history's unigram count)
+    out.foreach { r =>
+      val v = r.getAs[Double]("mean_surprisal")
+      assert(v > 0 && !v.isInfinite && !v.isNaN)
+    }
+  }
 }
