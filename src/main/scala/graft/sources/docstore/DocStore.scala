@@ -159,6 +159,63 @@ private[docstore] object DocStore {
       .sortBy(_.getName)
   }
 
+  // ---- commit manifests (snapshot reads / time travel) --------------------
+
+  val CommitsDir = "_commits"
+
+  /** Version manifests: every committed write appends `_commits/v%06d.json`
+    * holding the full live shard list at that commit, so
+    * `option("version", n)` re-reads EXACTLY the collection a past commit
+    * produced — the reproducible-corpus primitive ("train on snapshot v3")
+    * a training pipeline audits against. Append-only workloads (the
+    * store's native insert_many / streaming-epoch mode) keep every
+    * snapshot readable; OVERWRITE and the maintenance rewrites
+    * (compact/cluster/delete/update) rewrite physical history and RESET
+    * the log to v1 — like a table format's VACUUM, the trade is explicit
+    * and a missing-shard read fails loudly rather than returning a
+    * half-snapshot.
+    */
+  def listVersions(dir: String): Seq[Int] = {
+    val d = new Path(dir, CommitsDir)
+    val f = fs(d)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toInt }
+      .sorted.toSeq
+  }
+
+  def readManifest(dir: String, version: Int): Seq[String] = {
+    val p = new Path(new Path(dir, CommitsDir), f"v$version%06d.json")
+    val f = fs(p)
+    if (!f.exists(p))
+      throw new IllegalArgumentException(
+        s"docstore $dir has no version $version (available: ${listVersions(dir).mkString(", ")})")
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val arr = new ObjectMapper().readTree(txt).get("shards")
+    (0 until arr.size()).map(arr.get(_).asText())
+  }
+
+  /** Append the next version manifest recording the current live shard
+    * set. Called from every commit AFTER data+stats land (metadata-last
+    * discipline). `reset` wipes the log first (overwrite/maintenance).
+    */
+  def writeManifest(dir: String, reset: Boolean): Unit = {
+    val cd = new Path(dir, CommitsDir)
+    val f = fs(cd)
+    if (reset && f.exists(cd)) f.delete(cd, true)
+    if (!f.exists(cd)) f.mkdirs(cd)
+    val next = listVersions(dir).lastOption.getOrElse(0) + 1
+    val root = JsonNodeFactory.instance.objectNode()
+    val arr = root.putArray("shards")
+    listParts(dir).map(_.getName).foreach(arr.add)
+    val p = new Path(cd, f"v$next%06d.json")
+    val out = f.create(p, false)
+    try out.write(new ObjectMapper().writeValueAsString(root).getBytes("UTF-8"))
+    finally out.close()
+  }
+
   // ---- shard statistics (zone maps) ---------------------------------------
 
   val StatsFile = "_stats.json"
@@ -475,8 +532,10 @@ private[docstore] class DocStoreTable(path: String, schema: StructType)
     DocStoreMaintenance.deleteWhere(
       org.apache.spark.sql.SparkSession.active, path, filters.toSeq)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocStoreScanBuilder(path, schema)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val version = Option(options.get("version")).map(_.toInt)
+    new DocStoreScanBuilder(path, schema, version)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     DocStore.validateSchema(info.schema())
     // queryId scopes this job's shards in their NAMES: task commits from a
@@ -505,7 +564,8 @@ private[docstore] class DocStoreTable(path: String, schema: StructType)
 // Read path
 // ---------------------------------------------------------------------------
 
-private[docstore] class DocStoreScanBuilder(path: String, schema: StructType)
+private[docstore] class DocStoreScanBuilder(path: String, schema: StructType,
+                                            version: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
 
@@ -542,6 +602,9 @@ private[docstore] class DocStoreScanBuilder(path: String, schema: StructType)
     }
 
   private def canAnswerFromStats(agg: Aggregation): Boolean = {
+    // a snapshot read answers from its manifest's shards, not the live
+    // set the stats snapshot covers — decline and take the scan path
+    if (version.isDefined) return false
     if (pushed.nonEmpty || limit >= 0 || agg.groupByExpressions().nonEmpty) return false
     val referenced = Seq.newBuilder[String]
     val supportedFuncs = agg.aggregateExpressions().forall {
@@ -590,7 +653,7 @@ private[docstore] class DocStoreScanBuilder(path: String, schema: StructType)
 
   override def build(): Scan = aggPushed match {
     case Some(agg) => new DocStoreAggScan(path, schema, agg, aggSnapshot)
-    case None => new DocStoreScan(path, schema, required, pushed, limit)
+    case None => new DocStoreScan(path, schema, required, pushed, limit, version)
   }
 }
 
@@ -656,7 +719,7 @@ private[docstore] case class DocStoreAggPartition(values: Array[Any]) extends In
 
 private[docstore] class DocStoreScan(path: String, full: StructType,
                                      required: StructType, pushed: Array[Filter],
-                                     limit: Int)
+                                     limit: Int, version: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -664,10 +727,24 @@ private[docstore] class DocStoreScan(path: String, full: StructType,
   /** Shard planning with zone-map pruning: a shard is skipped when any
     * pushed (conjunctive) filter provably matches nothing in its
     * min/max/non-null stats — parquet row-group skipping, at shard
-    * granularity. Shards without stats are always kept.
+    * granularity. Shards without stats are always kept. A snapshot read
+    * (`option("version", n)`) plans the MANIFEST's shard set instead of
+    * the live listing — and fails loudly if any snapshot shard has been
+    * physically removed (overwrite/maintenance reset), never returning a
+    * partial snapshot.
     */
   private lazy val planned: (Array[Path], Int) = {
-    val all = DocStore.listParts(path)
+    val all: Array[Path] = version match {
+      case None => DocStore.listParts(path)
+      case Some(v) =>
+        val manifest = DocStore.readManifest(path, v)
+        val live = DocStore.listParts(path).map(p => p.getName -> p).toMap
+        val missing = manifest.filterNot(live.contains)
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"docstore $path version $v is no longer readable: " +
+            s"shard(s) ${missing.mkString(", ")} were removed by a later overwrite/maintenance")
+        manifest.map(live(_)).toArray
+    }
     if (pushed.isEmpty) (all, all.length)
     else {
       val stats = DocStore.readStats(path, full)
@@ -682,6 +759,7 @@ private[docstore] class DocStoreScan(path: String, full: StructType,
     s"docstore $path, PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadFields: [${required.fieldNames.mkString(", ")}]" +
       (if (limit >= 0) s", PushedLimit: $limit" else "") +
+      version.fold("")(v => s", Version: $v") +
       s", Shards: ${planned._1.length}/${planned._2}"
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -934,6 +1012,10 @@ private[docstore] class DocStoreStreamingWrite(path: String, schema: StructType,
       .foreach(p => f.delete(p, false))
     // Merge AFTER the replay cleanup so stale same-epoch entries drop out.
     DocStore.writeStats(path, DocStoreCommitOps.mergedStats(path, messages))
+    // Every epoch is a snapshot. A REPLAYED epoch replaces its earlier
+    // attempt's shards, so the pre-replay version referencing them reads
+    // as missing-shard — loud, per the at-least-once caveat above.
+    DocStore.writeManifest(path, reset = false)
     DocStore.writeStoredSchema(path, schema)
   }
 
@@ -975,9 +1057,11 @@ private[docstore] class DocStoreBatchWrite(path: String, schema: StructType, tru
         .foreach(p => f.delete(p, false))
     }
     // Zone maps: keep prior stats only for shards that still exist, add
-    // this write's entries, publish stats then schema last so a concurrent
-    // reader never sees a schema without data files.
+    // this write's entries, publish stats, then the version manifest
+    // (append = next snapshot; overwrite = history reset to v1), then
+    // schema last so a concurrent reader never sees a schema without data.
     DocStore.writeStats(path, DocStoreCommitOps.mergedStats(path, messages))
+    DocStore.writeManifest(path, reset = truncate)
     DocStore.writeStoredSchema(path, schema)
   }
 

@@ -313,5 +313,9 @@ object DocStoreMaintenance {
       }
       f.delete(staging, true)
     }
+    // Maintenance rewrites physical history: reset the snapshot log to a
+    // fresh v1 over the post-swap live set (runs on recover() roll-forward
+    // too, so a crash between swap and manifest cannot leave a stale log).
+    DocStore.writeManifest(path, reset = true)
   }
 }
