@@ -998,14 +998,23 @@ object Queries {
     * volume is (groups × sketch), independent of row count. Exact values
     * sit alongside for self-documenting error. No ANSI oracle (sketch
     * internals are engine-specific) — driver records rows-only;
-    * TrainingPrepSpec asserts the rank-error bound vs exact.
+    * TrainingPrepSpec asserts the rank-error bound vs exact. Output is one
+    * row per (event_type, percentile) with scalar doubles: the r6 shape
+    * returned the percentile ARRAYS, which the driver's pandas comparer
+    * cannot sort (unhashable ndarray) — even the rows-only check errored.
     */
   private val a19 = QueryDef("a19_approx_quantiles", None,
     (s, d) => ev(s, d).groupBy("event_type").agg(
-      expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("approx_q"),
-      expr("percentile(value, array(0.5, 0.9, 0.99))").as("exact_q"),
+      expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("aq"),
+      expr("percentile(value, array(0.5, 0.9, 0.99))").as("eq"),
       count(lit(1)).as("n"))
-      .orderBy("event_type"))
+      .select(col("event_type"),
+        posexplode(arrays_zip(col("aq"), col("eq"))).as(Seq("pos", "z")),
+        col("n"))
+      .select(col("event_type"),
+        element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("pos") + 1).as("p"),
+        col("z.aq").as("approx_v"), col("z.eq").as("exact_v"), col("n"))
+      .orderBy("event_type", "p"))
 
   /** A (rebuild extra): heavy hitters via Misra-Gries sketch + exact
     * verification — the production two-pass shape for "which keys exceed

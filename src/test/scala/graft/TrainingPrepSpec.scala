@@ -84,13 +84,12 @@ class TrainingPrepSpec extends SparkSpec {
       val vals = grouped(r.getAs[String]("event_type"))
       val n = vals.length.toDouble
       val tol = 1.0 / 10000 + 2.0 / n
-      Seq(0.5, 0.9, 0.99).zip(r.getSeq[Double](r.fieldIndex("approx_q"))).foreach {
-        case (q, a) =>
-          val below = vals.count(_ < a) / n   // lowest possible rank of a
-          val atOrBelow = vals.count(_ <= a) / n // highest possible rank
-          assert(below - q <= tol && q - atOrBelow <= tol,
-            s"q=$q approx=$a rank=[$below,$atOrBelow] for ${r.getAs[String]("event_type")}")
-      }
+      val q = r.getAs[Double]("p")
+      val a = r.getAs[Double]("approx_v")
+      val below = vals.count(_ < a) / n   // lowest possible rank of a
+      val atOrBelow = vals.count(_ <= a) / n // highest possible rank
+      assert(below - q <= tol && q - atOrBelow <= tol,
+        s"q=$q approx=$a rank=[$below,$atOrBelow] for ${r.getAs[String]("event_type")}")
     }
   }
 
