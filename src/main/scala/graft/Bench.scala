@@ -31,12 +31,26 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    // Untimed JIT/codegen/parquet-footer warmup. The one-row from_json keeps
-    // Jackson/json-codegen first-use init (~20 s) out of p9's timed pass.
-    try {
-      run(SparkEntry.queries("a14_scalar_stats")(spark, sfDir))
-      run(spark.range(1).selectExpr("""from_json('{"k":1}', 'k INT') AS j"""))
-    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // Untimed JIT/codegen/parquet-footer warmup. Each step is individually
+    // try-caught and no step depends on more than one table: in round 7 the
+    // warmup's single query read the (then-broken) events table, so the
+    // whole warmup died and the first timed heavy queries paid cold-JVM
+    // costs. Order: table-independent codegen/exchange paths first, then
+    // one tiny scan per table, then one representative aggregate query.
+    def warm(label: String)(body: => Unit): Unit =
+      try body
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $label failed: ${e.getMessage}") }
+    warm("range-agg-join-sort") {
+      val r = spark.range(1000000).selectExpr("id", "id % 7 AS k")
+      run(r.groupBy("k").count().join(r.limit(10), "k").orderBy("k"))
+    }
+    // The one-row from_json keeps Jackson/json-codegen first-use init
+    // (~20 s) out of p9's timed pass.
+    warm("from_json") (run(spark.range(1).selectExpr("""from_json('{"k":1}', 'k INT') AS j""")))
+    for (t <- Tables.names)
+      warm(s"scan-$t") (run(Tables.load(spark, sfDir, t).limit(100)))
+    warm("events-loader") (run(Tables.events(spark, sfDir).limit(100)))
+    warm("a14_scalar_stats") (run(SparkEntry.queries("a14_scalar_stats")(spark, sfDir)))
 
     var failed = List.empty[String]
     val names = SparkEntry.queries.keys.toSeq.sorted

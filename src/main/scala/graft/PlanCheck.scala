@@ -20,12 +20,21 @@ object PlanCheck {
     spark.sparkContext.setLogLevel("WARN")
 
     var failures = 0
+    // Plan construction itself can throw (round 7: an unreadable events
+    // table crashed the first check and killed the whole 32-check gate).
+    // A failed construction marks that check's assertions FAIL and moves
+    // on, so the checks for healthy tables still print their rows.
+    def planOf(name: String): Option[String] =
+      try Some(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString)
+      catch { case e: Throwable =>
+        System.err.println(s"[plancheck] $name plan construction failed: ${e.getMessage}")
+        None
+      }
     def check(name: String)(asserts: (String, String => Boolean)*): Unit = {
-      val plan = SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.executedPlan.toString
-      if (sys.env.contains("DUMP_PLANS")) println(s"===== $name =====\n$plan")
+      val plan = planOf(name)
+      plan.filter(_ => sys.env.contains("DUMP_PLANS")).foreach(p => println(s"===== $name =====\n$p"))
       asserts.foreach { case (what, pred) =>
-        val ok = pred(plan)
+        val ok = plan.exists(pred)
         if (!ok) failures += 1
         println(s"${if (ok) "PASS" else "FAIL"}  $name: $what")
       }
@@ -37,9 +46,14 @@ object PlanCheck {
     // prints only its partitioning KEYS, so "column X never shuffles"
     // must inspect the exchange child's OUTPUT, not the plan text.
     def checkTree(name: String)(asserts: (String, org.apache.spark.sql.execution.SparkPlan => Boolean)*): Unit = {
-      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+      val plan =
+        try Some(SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan)
+        catch { case e: Throwable =>
+          System.err.println(s"[plancheck] $name plan construction failed: ${e.getMessage}")
+          None
+        }
       asserts.foreach { case (what, pred) =>
-        val ok = pred(plan)
+        val ok = plan.exists(pred)
         if (!ok) failures += 1
         println(s"${if (ok) "PASS" else "FAIL"}  $name: $what")
       }

@@ -18,17 +18,31 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) in the driver's parquet — a type
-    * Spark 4 refuses by default ([PARQUET_TYPE_ILLEGAL]; nanosecond
-    * timestamps exceed TimestampType's microsecond precision). We read it
-    * as raw nanos via the legacy long mapping and truncate to µs — exactly
-    * what DuckDB's `cast(ts as timestamp)` does on the oracle side, so the
-    * two engines see identical instants.
+  /** `events.ts` has shipped as two different physical types across driver
+    * testdata generations: INT64 TIMESTAMP(NANOS) (rounds 1-6) and
+    * TIMESTAMP_MICROS / NTZ (round 7+). We keep both paths live and branch
+    * on the type Spark actually loaded, so a future regeneration flipping
+    * back does not break the suite again:
+    *
+    *   - LongType (via `nanosAsLong=true`, which Spark 4 needs because
+    *     nanosecond timestamps exceed TimestampType's µs precision):
+    *     truncate ns → µs, exactly what DuckDB's `cast(ts as timestamp)`
+    *     does on the oracle side, so both engines see identical instants.
+    *   - TimestampNTZType: cast to session-local TimestampType. The session
+    *     timezone is UTC (GraftSession), so NTZ → LTZ is an identity on the
+    *     underlying instant and matches DuckDB's naive-timestamp read.
+    *   - TimestampType: already what we want; pass through.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // integral div: ns → µs
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)")) // integral div: ns → µs
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
