@@ -348,6 +348,30 @@ object PlanCheck {
       "per-query top-k via bounded-buffer aggregate, no window" ->
         (p => !p.contains("Window") &&
           p.toLowerCase.contains("partial_bottomkpairs")))
+    // The tf/dl/dft/stats branches all aggregate the tokenized corpus. They
+    // are written to canonicalize IDENTICALLY so exchange reuse tokenizes
+    // the corpus once and the other branches read the same shuffle files.
+    // Under AQE the reuse only materializes at runtime (invisible in the
+    // pre-execution plan), so this gate prepares the plan in an AQE-off
+    // child session, where ReuseExchangeAndSubquery has already rewritten
+    // the duplicate subtrees into ReusedExchangeExec nodes.
+    locally {
+      val noAqe = spark.newSession()
+      noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan =
+        try Some(SparkEntry.queries("ir_bm25")(noAqe, sfDir).queryExecution.executedPlan)
+        catch { case e: Throwable =>
+          System.err.println(s"[plancheck] ir_bm25 (no-AQE) plan construction failed: ${e.getMessage}")
+          None
+        }
+      val reused = plan.map(_.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+            if r.output.map(_.name).contains("term") => r
+      }.size).getOrElse(0)
+      val ok = reused >= 3
+      if (!ok) failures += 1
+      println(s"${if (ok) "PASS" else "FAIL"}  ir_bm25: corpus tokenized once (dl/dft/stats reuse the tf exchange, $reused reused)")
+    }
 
     // Unigram surprisal: the vocabulary table and the corpus total attach
     // by broadcast — a sort-merge join here would shuffle every corpus

@@ -58,10 +58,29 @@ object Probe {
       samples.clear()
       sampling = true
       val t0 = System.nanoTime()
-      run(SparkEntry.queries(name)(spark, sfDir))
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      // The POST-execution plan is the only place AQE's runtime decisions
+      // (stage reuse, join demotions, skew splits) are visible — and the
+      // noop write runs its OWN QueryExecution, so the df's never executes.
+      // A listener grabs the write's QE after the action completes.
+      @volatile var finalPlan: String = null
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+          finalPlan = qe.executedPlan.toString
+        override def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      if (sys.env.contains("PROBE_FINAL_PLAN")) spark.listenerManager.register(listener)
+      run(df)
       val dt = (System.nanoTime() - t0) / 1e9
       sampling = false
       println(f"PROBE $name: $dt%.2f s")
+      if (sys.env.contains("PROBE_FINAL_PLAN")) {
+        spark.listenerManager.unregister(listener)
+        // listener bus is async; the plan lands shortly after the action
+        var waited = 0
+        while (finalPlan == null && waited < 50) { Thread.sleep(100); waited += 1 }
+        println(s"===== $name final plan =====\n$finalPlan")
+      }
       if (dt > hotMin) {
         samples.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (f, c) =>
           println(f"  HOT $c%4d  $f")

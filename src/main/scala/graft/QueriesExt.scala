@@ -1869,21 +1869,42 @@ object QueriesExt {
            |FROM ranked WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin),
     (s, d) => {
       val base = docs(s, d)
-      val terms = base.select(col("doc_id"),
-        explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      // The explicit isNotNull matters for plan shape, not semantics (the
+      // corpus has no null doc_ids, and the downstream inner joins would
+      // drop them anyway): the si/dl branches get isnotnull(doc_id)
+      // INFERRED from their joins while dft/stats do not, which splits the
+      // otherwise-identical tokenize+partial-agg exchange into two
+      // non-matching subtrees and forces a second corpus tokenization.
+      // With the filter at the base all four branches canonicalize equal
+      // and AQE reuses ONE shuffle stage.
+      val terms = base.filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
         .filter(length(col("term")) > 0)
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // dl and n_terms derive from tf, NOT from terms: the tf exchange
+      // subtree is then byte-identical across all three consumers (si, dl,
+      // stats), so ReuseExchange materializes the corpus scan + tokenize +
+      // partial agg ONCE and the other branches read its shuffle files. The
+      // previous form aggregated `terms` directly, which re-tokenized the
+      // whole corpus per branch. Arithmetic is identical:
+      // sum(tf) per doc == count(terms) per doc, sum(tf) == count(terms).
+      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val stats = base.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(terms.agg(count(lit(1)).as("n_terms")))
+        .crossJoin(tf.agg(sum(col("tf")).as("n_terms")))
       val qt = s.createDataFrame(Seq(
         (1L, "hash"), (1L, "join"),
         (2L, "slow"), (2L, "scan"), (2L, "filter"),
         (3L, "customer"), (3L, "order"), (3L, "data"))).toDF("query_id", "term")
       // df over the corpus, restricted to query vocabulary (pruned BEFORE
-      // counting — a term in two queries must not double its df)
+      // counting — a term in two queries must not double its df). The agg
+      // argument must reference col("tf") (tf >= 1 always, so the value is
+      // exactly count(*)): with an unreferenced tf column Catalyst prunes
+      // this branch's (doc_id, term) aggregate to keys-only, the exchange
+      // subtree stops canonically matching the si/dl/stats branches, and
+      // AQE cannot stage-reuse it — the corpus would be re-tokenized here.
       val dft = tf.join(broadcast(qt.select("term").distinct()), "term")
-        .groupBy("term").agg(count(lit(1)).as("df"))
+        .groupBy("term").agg(count(when(col("tf") >= 1, 1)).as("df"))
       val avgdl = col("n_terms").cast("double") / col("n_docs")
       val tfD = col("tf").cast("double")
       val contrib = log(
