@@ -113,8 +113,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fj = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.flatten.sum
+    // A run with failures reports a total that covers only the survivors —
+    // meaningless for round-over-round comparison. The flag makes that
+    // machine-visible instead of relying on readers noticing `failed`.
+    val valid = failed.isEmpty
     val fullLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${names.size},"queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
     // Full per-query data goes to a committed file (the judge reads it);
     // stdout gets a COMPACT line instead. The driver keeps only the last
     // ~2000 chars of output, so the full 109-query line can never survive
@@ -134,7 +138,7 @@ object Bench {
       "tx_train_lr", "ir_bm25", "pipe_clean_corpus", "st_sessionization",
       "mm_decode_features").filter(results.contains)
     val hq = headline.map(k => s"\"" + k + "\":" + fmt(results(k))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${names.size},"queries":$hq,"failed":$fj,"full":"bench_last.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$hq,"failed":$fj,"full":"bench_last.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
