@@ -378,6 +378,53 @@ object Queries {
         .orderBy("event_id")
     })
 
+  /** S15: bulk upsert through the document store — MongoDB
+    * `ReplaceOne(upsert=True)` bulk-write semantics over the reference's
+    * insert path (`insert_mongo.py:9-15` re-run on corrected data): a
+    * correction batch REPLACES stored documents by key and a backfill
+    * batch INSERTS new keys, in one crash-safe maintenance commit
+    * ([[graft.sources.docstore.DocStoreMaintenance.upsert]]). Scale shape:
+    * the delta's key set prunes the rewrite to the shards whose zone maps
+    * admit an incoming key; the batch stages as new shards through the
+    * connector's writer. The oracle recomposes the post-upsert collection
+    * relationally: delta ∪ backfill ∪ (base anti-join batch keys).
+    */
+  private val s15 = QueryDef("s15_docstore_upsert",
+    Some("""WITH base AS (SELECT event_id, event_type, user_id, value
+           |              FROM events WHERE event_id % 4 != 0),
+           |delta AS (SELECT event_id, 'corrected' AS event_type, user_id, value * 2 AS value
+           |          FROM events WHERE event_id % 8 = 1),
+           |ins AS (SELECT event_id + 10000000 AS event_id, 'backfill' AS event_type,
+           |               user_id, value
+           |        FROM events WHERE event_id % 8 = 0),
+           |finl AS (SELECT * FROM delta UNION ALL SELECT * FROM ins
+           |         UNION ALL
+           |         SELECT b.* FROM base b
+           |         WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.event_id = b.event_id)
+           |           AND NOT EXISTS (SELECT 1 FROM ins i WHERE i.event_id = b.event_id))
+           |SELECT event_type, count(*) AS cnt, cast(sum(user_id) as bigint) AS sum_users,
+           |       cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+           |FROM finl GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val path = s"/tmp/graft_s15_upsert_${Integer.toHexString(d.hashCode)}"
+      val e = ev(s, d).select("event_id", "event_type", "user_id", "value")
+      e.filter(pmod(col("event_id"), lit(4)) =!= 0)
+        .write.format("docstore").mode("overwrite").save(path)
+      val delta = e.filter(pmod(col("event_id"), lit(8)) === 1)
+        .withColumn("event_type", lit("corrected"))
+        .withColumn("value", col("value") * 2)
+      val ins = e.filter(pmod(col("event_id"), lit(8)) === 0)
+        .withColumn("event_id", col("event_id") + lit(10000000L))
+        .withColumn("event_type", lit("backfill"))
+      graft.sources.docstore.DocStoreMaintenance.upsert(
+        s, path, "event_id", delta.unionByName(ins))
+      s.read.format("docstore").load(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("sum_users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    })
+
   /** S (rebuild extra): bucketed sink + co-located join — the 100 TB
     * technique for repeated joins/aggregations on one key: both sides are
     * written `bucketBy(user_id)`, so the join AND the following aggregate
@@ -1450,7 +1497,7 @@ object Queries {
 
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
-    s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, s14, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
+    s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, s14, s15, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20, a21,
     j1, j2, j2ps, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, su, si, se, g1, g2, g3,

@@ -188,6 +188,119 @@ object DocStoreMaintenance {
     matched
   }
 
+  /** Bulk `replace_one(upsert=true)`: for every document in `incoming`,
+    * REPLACE the stored document carrying the same `keyField` value (whole-
+    * document replace, not `$set` merge — a column absent from the batch
+    * writes back as the store's native absent/null), and INSERT documents
+    * whose key is not stored yet. Returns (replaced, inserted).
+    *
+    * Scale design: the incoming batch is the DELTA of continuous ingestion
+    * — the same broadcastable-delta contract as `dd_incremental` — so its
+    * key set collects to the driver and prunes shards exactly like a scan:
+    * only shards whose zone maps (and blooms, when present) admit at least
+    * one incoming key are rewritten; on a key-clustered collection that is
+    * the handful of shards actually holding old versions. The batch itself
+    * stages as NEW shards through the connector's writer (stats collected
+    * inline), one per partition of the incoming DataFrame, so insert
+    * parallelism is the batch's own partitioning and the base is never
+    * read for the insert side. A batch too large to collect keys for is
+    * not a delta — compose a full rewrite via [[compact]]-style plans
+    * instead.
+    *
+    * Crash-safety: old-version drops and new-shard adds commit under ONE
+    * marker (same protocol as [[compact]]/[[deleteWhere]]) — the swap is
+    * all-or-roll-forward, so no crash point loses a document or applies
+    * half the batch. Reference shape: MongoDB `ReplaceOne(upsert=True)`
+    * bulk writes (the reference's insert path, `insert_mongo.py:9-15`,
+    * re-run on corrected data).
+    */
+  def upsert(spark: SparkSession, path: String, keyField: String,
+             incoming: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val dir = new Path(path)
+    val f = DocStore.fs(dir)
+    recover(path)
+    val schema = DocStore.readStoredSchema(path)
+    require(schema.fields.exists(_.name == keyField),
+      s"docstore upsert: unknown key field '$keyField'")
+
+    // Whole-document replace: align the batch to the stored schema by
+    // name; a missing column becomes the store's absent/null.
+    import org.apache.spark.sql.functions.{col, lit}
+    val aligned = incoming.select(schema.fields.toIndexedSeq.map { fld =>
+      if (incoming.columns.contains(fld.name)) col(fld.name).cast(fld.dataType).as(fld.name)
+      else lit(null).cast(fld.dataType).as(fld.name)
+    }: _*)
+
+    val keys = aligned.select(keyField).collect().map(_.get(0))
+    if (keys.isEmpty) return (0L, 0L)
+    require(keys.forall(_ != null), "docstore upsert: incoming batch has null keys")
+    require(keys.distinct.length == keys.length,
+      "docstore upsert: incoming batch has duplicate keys (dedup the delta first)")
+    val inFilter: Filter = org.apache.spark.sql.sources.In(keyField, keys)
+
+    val stats = DocStore.readStats(path, schema)
+    val all = DocStore.listParts(path).map(_.getName)
+    // prune on positive evidence only: a shard without stats is rewritten
+    val affected = all.filter { s =>
+      stats.get(s).forall(st => DocStore.shardMayMatch(inFilter, st))
+    }
+
+    val stagingId = UUID.randomUUID().toString
+    val staging = new Path(dir, s".compact-$stagingId")
+    f.mkdirs(staging)
+    val (pathStr, stagingStr) = (path, staging.toString)
+
+    // Old versions of incoming keys drop via the pruned per-shard rewrite.
+    val rewriteResults =
+      if (affected.isEmpty) Array.empty[(String, Option[(String, DocStore.ShardStat)], Long)]
+      else {
+        val slices = math.max(1, math.min(affected.length, spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(affected.toSeq.zipWithIndex, slices)
+          .map { case (shard, idx) =>
+            rewriteShard(pathStr, stagingStr, shard, schema, Seq(inFilter),
+              sets = Map.empty, delete = true, idx) }
+          .collect()
+      }
+    val replaced = rewriteResults.map(_._3).sum
+
+    // The batch stages as new shards through the connector's own writer.
+    val keepGzip = all.nonEmpty && all.forall(_.endsWith(".gz"))
+    val appendResults: Array[(String, DocStore.ShardStat)] =
+      aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val w = new DocStoreWriter(stagingStr, schema, partitionId = pid,
+            taskId = 0L, jobTag = Some("ups"), gzip = keepGzip)
+          it.foreach(w.write)
+          w.commit() match {
+            case DocStoreCommit(Some(file), Some(stat)) =>
+              Iterator.single(new Path(file).getName -> stat)
+            case _ => Iterator.empty
+          }
+        }
+      }.collect()
+    val inserted = appendResults.map(_._2.count).sum - replaced
+
+    val changed = rewriteResults.filter(_._3 > 0L)
+    val toReplace = changed.map(_._1).toSet
+    val replacements = changed.flatMap(_._2).toMap ++ appendResults.toMap
+    // Fence zombie attempts exactly as rewriteWhere: staged files not in
+    // the successful attempts' reported set die with this delete + the
+    // replacements-only swap below.
+    DocStore.listParts(stagingStr).filterNot(p => replacements.contains(p.getName))
+      .foreach(p => f.delete(p, false))
+    DocStore.writeStats(stagingStr, (stats -- toReplace) ++ replacements)
+
+    val markerPath = new Path(dir, Marker)
+    val out = f.create(markerPath, true)
+    try out.write((stagingId +: (toReplace.toSeq.sorted ++
+        replacements.keys.toSeq.sorted.map("+" + _))).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    swap(path, stagingId, toReplace, Some(replacements.keySet))
+    f.delete(markerPath, false)
+    (replaced, inserted)
+  }
+
   private def validateSets(schema: StructType, sets: Map[String, Any]): Unit =
     sets.foreach { case (name, v) =>
       val fld = schema.fields.find(_.name == name).getOrElse(
