@@ -228,6 +228,31 @@ object StreamingAnalytics {
           base, batch, "doc_id", "text", n, threshold, maxDf))
     }.start()
 
+  /** Streaming CDC apply: merge a change stream into a docstore collection
+    * continuously — each micro-batch upserts by key through
+    * [[graft.sources.docstore.DocStoreMaintenance.upsert]] verbatim, the
+    * `foreachBatch` production shape (one shared definition with the batch
+    * maintenance op, so stream and batch merges can never drift). A
+    * micro-batch carrying several versions of one key collapses to the
+    * LATEST by `seqCol` first — the CDC compaction step — so the store
+    * converges to the stream's final state regardless of micro-batch
+    * boundaries. Replay-safe: re-applying a batch replaces the same keys
+    * with the same documents (upsert idempotence), the standard
+    * foreachBatch recovery contract.
+    */
+  def upsertStream(changes: DataFrame, path: String, keyCol: String, seqCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCol).orderBy(col(seqCol).desc)
+        val latest = batch.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        graft.sources.docstore.DocStoreMaintenance.upsert(
+          batch.sparkSession, path, keyCol, latest)
+        ()
+    }.start()
+
   /** Stream-stream interval join: each left row matched to right rows with
     * the same key whose event time falls in [leftTs, leftTs + window] —
     * the "did a click follow this error within N hours" correlation shape.

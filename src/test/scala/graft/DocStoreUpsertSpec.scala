@@ -80,6 +80,27 @@ class DocStoreUpsertSpec extends SparkSpec {
     assert(back.filter(col("id") === 10L).count() == 1L, "no duplicate from re-apply")
   }
 
+  test("upsertStream applies a change stream: within-batch versions collapse to latest by seq") {
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir("cdc")
+    writeRange(dir, 0 until 5)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, Double)]
+    val q = graft.streaming.StreamingAnalytics.upsertStream(
+      mem.toDF().toDF("seq", "id", "name", "score"), dir, keyCol = "id", seqCol = "seq")
+    // batch 1: two versions of id=2 (seq 1 then 2 — latest wins) + a new id
+    mem.addData(Seq((1L, 2L, "v1", 0.0), (2L, 2L, "v2", 0.0), (3L, 50L, "new", 1.0)))
+    q.processAllAvailable()
+    // batch 2: a later correction of the same key across batches
+    mem.addData(Seq((4L, 50L, "new2", 2.0)))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.format("docstore").load(dir)
+    assert(back.count() == 6L)
+    assert(back.filter(col("id") === 2L).head().getAs[String]("name") == "v2")
+    assert(back.filter(col("id") === 50L).head().getAs[String]("name") == "new2")
+    assert(back.filter(col("id") === 50L).head().getAs[Double]("score") == 2.0)
+  }
+
   test("batch validation: duplicate or null keys are rejected, empty batch is a no-op") {
     val dir = tmpDir("valid")
     writeRange(dir, 0 until 3)
