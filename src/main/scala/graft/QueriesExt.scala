@@ -910,6 +910,53 @@ object QueriesExt {
         .orderBy("doc_id")
     })
 
+  /** Model evaluation at corpus scale: exact ROC-AUC of the frozen
+    * hashed-n-gram quality classifier (tx_classify's integer `sum_w`
+    * score) against the lang='en' label, via [[graft.functions.Eval
+    * .aucExact]] — rank-sum with average-rank ties, computed from the
+    * per-SCORE histogram so the global ranking never sorts the corpus:
+    * one partial-agg shuffle to #distinct-scores rows, then a cumulative
+    * window over that histogram. Integer arithmetic end-to-end (one final
+    * long/long division, IEEE-exact in both engines) makes the DuckDB
+    * oracle hash-exact: the oracle replays the same hash chain, histogram,
+    * and rank-sum in SQL.
+    */
+  private val tx23 = QueryDef("tx_eval_auc",
+    Some("""WITH t AS (
+           |  SELECT doc_id, lang,
+           |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id, lang,
+           |    list_concat(w, [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS feats
+           |  FROM t),
+           |h AS (
+           |  SELECT doc_id, lang,
+           |    cast(coalesce(list_sum(list_transform(feats, g ->
+           |      ((list_reduce(list_prepend(cast(7 as bigint),
+           |           list_transform(string_split(g, ''), c -> cast(ascii(c) as bigint))),
+           |         (a, b) -> (a * 31 + b) % 1000000007) % 1048576) * 2654435761) % 1048576
+           |        - 524288)), 0) AS bigint) AS sum_w
+           |  FROM f),
+           |sc AS (SELECT sum_w AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM h),
+           |b AS (SELECT s, cast(sum(pos) as bigint) AS np, count(*) AS ns FROM sc GROUP BY s),
+           |c AS (SELECT s, np, ns,
+           |        coalesce(sum(ns) OVER (ORDER BY s
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           |      FROM b),
+           |a AS (SELECT sum(np * (2*cb + ns + 1)) AS r2, sum(np) AS p, sum(ns) AS n_tot FROM c)
+           |SELECT cast(p as bigint) AS p, cast(n_tot - p as bigint) AS neg,
+           |       cast(r2 - p*(p+1) as bigint) AS u2,
+           |       cast(2*p*(n_tot - p) as bigint) AS denom,
+           |       cast(r2 - p*(p+1) as double) / (2*p*(n_tot - p)) AS auc
+           |FROM a""".stripMargin),
+    (s, d) => {
+      val scored = docs(s, d).select(
+        TextFunctions.classifierFeatures(col("text")).getField("sum_w").as("s"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("pos"))
+      graft.functions.Eval.aucExact(scored, col("s"), col("pos"))
+    })
+
   private val tx19 = QueryDef("tx_length_buckets", {
     val caseSql = LengthBuckets.map(b => s"WHEN n_tok <= $b THEN $b")
       .mkString("CASE ", " ", s" ELSE ${LengthBuckets.last * 2} END")
@@ -1932,5 +1979,5 @@ object QueriesExt {
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21,
     dd1, dd2, dd3, dd4, dd5, dd6, dd7,
     sm1, sm2, sm2r, sm2m, sm3, sm4, sm5, sm6, sm7, sm8,
-    mm1, mm2, pl1, pl2, pl3, ir1, tx22)
+    mm1, mm2, pl1, pl2, pl3, ir1, tx22, tx23)
 }
