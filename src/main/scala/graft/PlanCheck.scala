@@ -465,6 +465,40 @@ object PlanCheck {
       "projection pruned to the 2 used fields" ->
         (_.contains("ReadFields: [event_type, user_id]")))
 
+    // RRF fusion: both upstream retrieval systems keep their scale shapes —
+    // query terms broadcast into the postings (lexical), query vectors
+    // broadcast into the corpus scan (dense, streamed side of a BNLJ). The
+    // fused merge itself runs on two k·|queries| ranked lists (its
+    // full-outer sort-merge is corpus-size-independent), and the dense
+    // corpus scan must prune to (vec_id, embedding) with the query-id
+    // filter pushed down on the broadcast side.
+    check("ir_rrf_fusion")(
+      "query terms + stats broadcast on the lexical side" ->
+        (p => "BroadcastHashJoin".r.findAllIn(p).size >= 3),
+      "dense side scores map-side via broadcast queries" ->
+        (_.contains("BroadcastNestedLoopJoin")),
+      "dense query filter pushed to its scan" ->
+        (p => "In\\(vec_id, \\[1,2,3\\]\\)|vec_id#\\d+L IN \\(1,2,3\\)".r.findFirstIn(p).isDefined))
+
+    // Cohort retention: the whole matrix must cost ONE user_id exchange
+    // (per-user week sets reduced map-side, cells counted as rows); a
+    // countDistinct formulation would add a second user-wide shuffle. The
+    // events scan reads only (ts, user_id).
+    check("a22_cohort_retention")(
+      "exactly one user_id shuffle" ->
+        (p => "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1),
+      "scan pruned to ts + user_id" ->
+        (_.contains("ReadSchema: struct<ts:")))
+
+    // PSI drift: one events scan, no join, and a single hash exchange —
+    // the partial aggregate crushes the event volume to ≤10 bin rows
+    // BEFORE the shuffle (the window totals then run on those rows).
+    check("a23_psi_drift")(
+      "single events scan, no join" ->
+        (p => "Scan parquet".r.findAllIn(p).size == 1 && !p.contains("Join")),
+      "one hash exchange (bin counts), events never shuffle raw" ->
+        (p => "Exchange hashpartitioning\\(".r.findAllIn(p).size == 1))
+
     println(if (failures == 0) "PLANCHECK OK" else s"PLANCHECK $failures FAILURES")
     spark.stop()
     if (failures > 0) sys.exit(1)
