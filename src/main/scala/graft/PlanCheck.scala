@@ -499,6 +499,37 @@ object PlanCheck {
       "one hash exchange (bin counts), events never shuffle raw" ->
         (p => "Exchange hashpartitioning\\(".r.findAllIn(p).size == 1))
 
+    // Markov transitions: ONE user_id exchange feeds the lag window (the
+    // window partitions on the shuffle key — no global sort); everything
+    // after is the ≤|types|² matrix.
+    check("a24_markov_transitions")(
+      "exactly one user_id shuffle for the lag window" ->
+        (p => "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1),
+      "lag runs as a window on the user partitioning" -> (_.contains("Window")))
+
+    // DSIR weights: the tf/stats/totals branches all aggregate the
+    // tokenized corpus and are written to canonicalize identically —
+    // same trick (and same AQE-off gate) as ir_bm25: the corpus must
+    // tokenize ONCE, with the LM-count and totals branches reading the
+    // same shuffle files.
+    locally {
+      val noAqe = spark.newSession()
+      noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan =
+        try Some(SparkEntry.queries("tx_dsir_weights")(noAqe, sfDir).queryExecution.executedPlan)
+        catch { case e: Throwable =>
+          System.err.println(s"[plancheck] tx_dsir_weights (no-AQE) plan construction failed: ${e.getMessage}")
+          None
+        }
+      val scans = plan.map(p => "Scan parquet".r.findAllIn(p.toString).size).getOrElse(99)
+      val reused = plan.map(_.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }.size).getOrElse(0)
+      val ok = scans == 1 && reused >= 2
+      if (!ok) failures += 1
+      println(s"${if (ok) "PASS" else "FAIL"}  tx_dsir_weights: corpus tokenized once ($scans scans, $reused reused exchanges)")
+    }
+
     println(if (failures == 0) "PLANCHECK OK" else s"PLANCHECK $failures FAILURES")
     spark.stop()
     if (failures > 0) sys.exit(1)

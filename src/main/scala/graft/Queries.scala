@@ -1213,6 +1213,46 @@ object Queries {
         .orderBy("bin")
     })
 
+  /** A24 (rebuild extra): first-order Markov transition matrix over each
+    * user's event-type sequence — the session-modeling statistic behind
+    * next-action prediction and anomaly scoring: P(next | prev) with exact
+    * transition counts, rows normalized per prev state.
+    *
+    * Scale shape: ONE user_id shuffle for the lag window (sequences are
+    * per-user, so the window partitions on the shuffle key — no global
+    * sort); the (prev, next) aggregate is ≤ |event_types|² groups with
+    * map-side partials, and the normalizing window runs on that tiny
+    * matrix. Ordering within a user breaks ties on event_id, so the lag is
+    * deterministic under any partitioning.
+    */
+  private val a24 = QueryDef("a24_markov_transitions",
+    Some("""WITH seq AS (
+           |  SELECT user_id, event_type,
+           |         lag(event_type) OVER (PARTITION BY user_id
+           |                               ORDER BY ts, event_id) AS prev_type
+           |  FROM events),
+           |c AS (SELECT prev_type, event_type AS next_type, count(*) AS cnt
+           |      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+           |SELECT prev_type, next_type, cnt,
+           |  floor(cast(cnt as double) /
+           |        cast(cast(sum(cnt) OVER (PARTITION BY prev_type) as bigint) as double)
+           |        * 10000 + 0.5) / 10000 AS p
+           |FROM c ORDER BY prev_type, next_type""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val counts = ev(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(seq))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.select(col("prev_type"), col("next_type"), col("cnt"),
+          rnd(col("cnt").cast("double") /
+            sum(col("cnt")).over(Window.partitionBy("prev_type")).cast("double"), 4).as("p"))
+        .orderBy("prev_type", "next_type")
+    })
+
   /** A (rebuild extra): ordered conversion funnel — view → click →
     * purchase, each step within 24 h of the previous step's FIRST
     * qualifying event (ClickHouse `windowFunnel` semantics: t1 = first
@@ -1609,7 +1649,7 @@ object Queries {
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, s14, s15, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
-    a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23,
+    a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
     j1, j2, j2ps, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, su, si, se, g1, g2, g3,
     st1, st2, st3, st4)

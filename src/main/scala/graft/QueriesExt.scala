@@ -2052,9 +2052,78 @@ object QueriesExt {
         .orderBy("query_id", "fused_rank")
     })
 
+  /** Importance-resampling weights for data selection (DSIR — Xie et al.,
+    * NeurIPS 2023 — in its unigram-LM form; the paper's hashed-n-gram
+    * variant would be oracle-less, the unigram variant is exactly
+    * replayable in ANSI SQL): per-document log importance weight
+    * `log w(d) = Σ_t tf_t(d) · [ln p_target(t) − ln p_raw(t)]` with add-1
+    * smoothing over the joint vocabulary. Target distribution = the 'en'
+    * slice of the corpus (the quality domain we want more of), raw = the
+    * whole corpus. Documents with high `log_w_per_tok` look more like the
+    * target domain and survive resampling.
+    *
+    * Scale shape: ONE corpus tokenization into (doc, term, tf); term-level
+    * LM counts are a second aggregate over the tf rows keyed by term (both
+    * LMs ride the SAME aggregate as conditional sums — never two corpus
+    * passes); vocabulary totals ride a broadcast 1-row; the per-term log
+    * ratio is integer-floored at 1e-4 and multiplied by integer tf, so the
+    * per-doc Σ is an order-proof integer sum under any partitioning. The
+    * tf ⋈ ratio join is term-keyed on both sides (vocab-sized ratio table;
+    * co-partitioned hash join at scale, broadcast at small SF — either
+    * plan is correct).
+    */
+  private val ir3 = QueryDef("tx_dsir_weights",
+    Some("""WITH toks AS (
+           |  SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\s+')) AS term
+           |  FROM documents),
+           |terms AS (SELECT doc_id, lang, term FROM toks WHERE length(term) > 0),
+           |tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM terms GROUP BY 1, 2, 3),
+           |stats AS (SELECT term,
+           |            cast(sum(tf) as bigint) AS rcnt,
+           |            cast(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) as bigint) AS tcnt
+           |          FROM tf GROUP BY 1),
+           |tot AS (SELECT cast(sum(rcnt) as bigint) AS r_tot,
+           |               cast(sum(tcnt) as bigint) AS t_tot,
+           |               count(*) AS v FROM stats),
+           |ratio AS (SELECT term,
+           |            cast(floor((ln(cast(tcnt + 1 as double) / cast(t_tot + v as double))
+           |                      - ln(cast(rcnt + 1 as double) / cast(r_tot + v as double)))
+           |                 * 10000 + 0.5) as bigint) AS ci_unit
+           |          FROM stats CROSS JOIN tot),
+           |pd AS (SELECT tf.doc_id, cast(sum(ci_unit * tf) as bigint) AS ci,
+           |              cast(sum(tf) as bigint) AS n_tok
+           |       FROM tf JOIN ratio USING (term) GROUP BY 1)
+           |SELECT doc_id, n_tok, cast(ci as double) / 10000 AS log_w,
+           |       cast(ci as double) / 10000 / cast(n_tok as double) AS log_w_per_tok
+           |FROM pd ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val terms = docs(s, d).filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = terms.groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+      val stats = tf.groupBy("term").agg(
+        sum(col("tf")).as("rcnt"),
+        sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("tcnt"))
+      val tot = stats.agg(sum(col("rcnt")).as("r_tot"), sum(col("tcnt")).as("t_tot"),
+        count(lit(1)).as("v"))
+      val ratio = stats.crossJoin(broadcast(tot))
+        .select(col("term"),
+          floor((log((col("tcnt") + 1).cast("double") / (col("t_tot") + col("v")).cast("double")) -
+                 log((col("rcnt") + 1).cast("double") / (col("r_tot") + col("v")).cast("double")))
+            * 10000 + 0.5).cast("long").as("ci_unit"))
+      tf.join(ratio, "term")
+        .groupBy("doc_id")
+        .agg(sum(col("ci_unit") * col("tf")).as("ci"), sum(col("tf")).as("n_tok"))
+        .select(col("doc_id"), col("n_tok"),
+          (col("ci").cast("double") / 10000).as("log_w"),
+          (col("ci").cast("double") / 10000 / col("n_tok").cast("double")).as("log_w_per_tok"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] = Seq(
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21,
     dd1, dd2, dd3, dd4, dd5, dd6, dd7,
     sm1, sm2, sm2r, sm2m, sm3, sm4, sm5, sm6, sm7, sm8,
-    mm1, mm2, pl1, pl2, pl3, ir1, ir2, tx22, tx23)
+    mm1, mm2, pl1, pl2, pl3, ir1, ir2, ir3, tx22, tx23)
 }

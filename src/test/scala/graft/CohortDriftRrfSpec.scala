@@ -71,4 +71,36 @@ class CohortDriftRrfSpec extends SparkSpec {
     bothMax.foreach(s => assert(s > 1.0 / 70.0, "dual-system docs beat the single-system floor"))
     assert(oneMin > 0) // bound used above stays meaningful
   }
+
+  test("a24_markov_transitions: rows are probability distributions over observed next states") {
+    val rows = SparkEntry.queries("a24_markov_transitions")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val types = rows.map(_.getString(0)).toSet ++ rows.map(_.getString(1)).toSet
+    assert(rows.length <= types.size * types.size)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getString(1)).distinct.length == rs.length, "one row per (prev, next)")
+      rs.foreach(r => assert(r.getLong(2) > 0 && r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+      val psum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(psum - 1.0) < 1e-3, s"row distribution sums to ~1 (got $psum)")
+    }
+  }
+
+  test("tx_dsir_weights: target-domain (en) documents score higher than off-target ones") {
+    val rows = SparkEntry.queries("tx_dsir_weights")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size, "every document gets a weight")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, "token counts positive")
+      assert(r.getDouble(2) / r.getLong(1) == r.getDouble(3) ||
+        math.abs(r.getDouble(2) / r.getLong(1) - r.getDouble(3)) < 1e-12)
+    }
+    val (en, other) = rows.partition(r => docs(r.getLong(0)) == "en")
+    assert(en.nonEmpty && other.nonEmpty, "corpus has both en and non-en docs")
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    val enMean = mean(en.map(_.getDouble(3)))
+    val otherMean = mean(other.map(_.getDouble(3)))
+    assert(enMean > otherMean,
+      s"importance weighting prefers the target domain (en $enMean vs other $otherMean)")
+  }
 }
