@@ -862,6 +862,7 @@ private[docstore] class DocStoreReader(file: String, full: StructType,
       scala.io.Source.fromInputStream(in, "UTF-8").getLines()
     } catch { case _: java.io.FileNotFoundException => Iterator.empty }
   private val fullIdx: Map[String, StructField] = full.fields.map(f => f.name -> f).toMap
+  private val matches: JsonNode => Boolean = DocStoreFilters.compile(pushed, fullIdx)
   private var current: InternalRow = _
   private var emitted = 0L
 
@@ -871,7 +872,7 @@ private[docstore] class DocStoreReader(file: String, full: StructType,
       val line = lines.next()
       if (line.nonEmpty) {
         val doc = mapper.readTree(line)
-        if (pushed.forall(DocStoreFilters.eval(_, doc, fullIdx))) {
+        if (matches(doc)) {
           val vals = new Array[Any](required.length)
           var i = 0
           while (i < required.length) {
@@ -939,6 +940,39 @@ private[docstore] object DocStoreFilters {
   // The single shared order: evaluation MUST use the same comparison the
   // zone-map pruning uses, or a pruned shard could contain a matching doc.
   private def cmp(x: Any, v: Any): Option[Int] = DocStore.cmpValues(x, v)
+
+  /** Precompiled conjunction of pushed filters — semantics identical to
+    * `fs.forall(eval(_, doc, schema))`, hoisted out of per-document loops.
+    * The one specialization: an `In` over a LARGE homogeneous value list
+    * (a bulk upsert pushes its whole key set — tens of thousands of keys)
+    * evaluates as one hash probe per document instead of a linear scan of
+    * the value array, which turns the shard rewrite from
+    * O(docs·keys) into O(docs). The probe fires only when the extracted
+    * value has exactly the values' runtime class; any cross-box case
+    * (int column vs long literals, integral vs floating, ±0.0) falls back
+    * to the ordered cmp path the zone maps also use.
+    */
+  def compile(fs: Seq[Filter], schema: Map[String, StructField]): JsonNode => Boolean = {
+    def normZero(v: Any): Any = v match {
+      case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
+      case x => x
+    }
+    val fns: Seq[JsonNode => Boolean] = fs.map {
+      case f @ In(a, vs) =>
+        val nonNull = vs.filter(_ != null)
+        if (nonNull.length >= 8 && nonNull.forall(_.getClass == nonNull.head.getClass)) {
+          val cls: Class[_] = nonNull.head.getClass
+          val set = nonNull.iterator.map(normZero).toSet
+          doc => {
+            val x = ext(doc, a, schema)
+            x != null && (if (x.getClass == cls) set.contains(normZero(x))
+                          else vs.exists(v => cmp(x, v).contains(0)))
+          }
+        } else { doc => eval(f, doc, schema) }
+      case f => doc => eval(f, doc, schema)
+    }
+    doc => fns.forall(_(doc))
+  }
 
   def eval(f: Filter, doc: JsonNode, schema: Map[String, StructField]): Boolean = f match {
     case EqualTo(a, v) => cmp(ext(doc, a, schema), v).contains(0)

@@ -332,6 +332,7 @@ object DocStoreMaintenance {
       jobTag = Some(if (delete) "del" else "upd"), gzip = gz)
     val mapper = new ObjectMapper()
     val fullIdx = schema.fields.map(fl => fl.name -> fl).toMap
+    val matchesDoc = DocStoreFilters.compile(filters, fullIdx)
     var matched = 0L
     val raw = DocStore.fs(src).open(src)
     val in = if (gz) new java.util.zip.GZIPInputStream(raw) else raw
@@ -339,7 +340,7 @@ object DocStoreMaintenance {
       scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { line =>
         if (line.nonEmpty) {
           val doc = mapper.readTree(line).asInstanceOf[ObjectNode]
-          val isMatch = filters.forall(DocStoreFilters.eval(_, doc, fullIdx))
+          val isMatch = matchesDoc(doc)
           if (isMatch) matched += 1
           if (!(delete && isMatch)) {
             if (isMatch && !delete) applySets(doc, sets, schema)
