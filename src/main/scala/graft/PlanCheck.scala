@@ -530,6 +530,36 @@ object PlanCheck {
       println(s"${if (ok) "PASS" else "FAIL"}  tx_dsir_weights: corpus tokenized once ($scans scans, $reused reused exchanges)")
     }
 
+    // Retrieval eval: label lookups and per-label counts attach by
+    // broadcast around the bruteForceTopK core — the eval adds no
+    // corpus-sized shuffle of its own.
+    check("ir_ndcg_eval")(
+      "labels + counts broadcast (≥3 broadcast joins)" ->
+        (p => "BroadcastHashJoin".r.findAllIn(p).size >= 3),
+      "no sort-merge join anywhere" -> (p => !p.contains("SortMergeJoin")))
+
+    // PRF expansion runs TWO full BM25 passes — written so both passes'
+    // tokenize+tf subtrees canonicalize equal: the corpus must tokenize
+    // once, everything else reading reused shuffle files (AQE-off gate,
+    // as for ir_bm25/tx_dsir_weights).
+    locally {
+      val noAqe = spark.newSession()
+      noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan =
+        try Some(SparkEntry.queries("ir_prf_expansion")(noAqe, sfDir).queryExecution.executedPlan)
+        catch { case e: Throwable =>
+          System.err.println(s"[plancheck] ir_prf_expansion (no-AQE) plan construction failed: ${e.getMessage}")
+          None
+        }
+      val scans = plan.map(p => "Scan parquet".r.findAllIn(p.toString).size).getOrElse(99)
+      val reused = plan.map(_.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }.size).getOrElse(0)
+      val ok = scans <= 2 && reused >= 4
+      if (!ok) failures += 1
+      println(s"${if (ok) "PASS" else "FAIL"}  ir_prf_expansion: corpus tokenized once across both passes ($scans scans, $reused reused exchanges)")
+    }
+
     println(if (failures == 0) "PLANCHECK OK" else s"PLANCHECK $failures FAILURES")
     spark.stop()
     if (failures > 0) sys.exit(1)

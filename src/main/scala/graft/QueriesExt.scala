@@ -1928,7 +1928,22 @@ object QueriesExt {
     * ranked top-10 per query as (query_id, rnk, doc_id, score), unsorted.
     * Factored out so ir_rrf_fusion consumes the identical lexical ranking.
     */
-  private def bm25TopK(s: SparkSession, d: String): DataFrame = {
+  private def bm25TopK(s: SparkSession, d: String): DataFrame =
+    bm25TopKFor(s, d, defaultQt(s), k = 10)
+
+  /** The fixed benchmark query workload (query_id → terms). */
+  private def defaultQt(s: SparkSession): DataFrame =
+    s.createDataFrame(Seq(
+      (1L, "hash"), (1L, "join"),
+      (2L, "slow"), (2L, "scan"), (2L, "filter"),
+      (3L, "customer"), (3L, "order"), (3L, "data"))).toDF("query_id", "term")
+
+  /** BM25 ranking parameterized by the (query_id, term) workload — the PRF
+    * expansion pass scores a MINED workload with the identical arithmetic,
+    * and identical construction here means the corpus-tokenization subtrees
+    * of both passes canonicalize equal and share one shuffle stage.
+    */
+  private def bm25TopKFor(s: SparkSession, d: String, qt: DataFrame, k: Int): DataFrame = {
       val base = docs(s, d)
       // The explicit isNotNull matters for plan shape, not semantics (the
       // corpus has no null doc_ids, and the downstream inner joins would
@@ -1953,10 +1968,6 @@ object QueriesExt {
       val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val stats = base.agg(count(lit(1)).as("n_docs"))
         .crossJoin(tf.agg(sum(col("tf")).as("n_terms")))
-      val qt = s.createDataFrame(Seq(
-        (1L, "hash"), (1L, "join"),
-        (2L, "slow"), (2L, "scan"), (2L, "filter"),
-        (3L, "customer"), (3L, "order"), (3L, "data"))).toDF("query_id", "term")
       // df over the corpus, restricted to query vocabulary (pruned BEFORE
       // counting — a term in two queries must not double its df). The agg
       // argument must reference col("tf") (tf >= 1 always, so the value is
@@ -1981,7 +1992,7 @@ object QueriesExt {
           floor(contrib * lit(10000) + lit(0.5)).cast("long").as("s"))
       si.groupBy("query_id", "doc_id").agg(sum(col("s")).as("s_int"))
         .groupBy("query_id")
-        .agg(graft.functions.TopKAgg.bottomKPairs(-col("s_int"), col("doc_id"), 10).as("kept"))
+        .agg(graft.functions.TopKAgg.bottomKPairs(-col("s_int"), col("doc_id"), k).as("kept"))
         .select(col("query_id"), posexplode(col("kept")).as(Seq("pos", "pair")))
         .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
           col("pair._2").as("doc_id"),
@@ -2121,9 +2132,201 @@ object QueriesExt {
         .orderBy("doc_id")
     })
 
+  /** Retrieval-quality evaluation — MRR and nDCG@10 (Järvelin & Kekäläinen,
+    * TOIS 2002) of the dense cosine ranking, with "relevant = shares the
+    * query's label" as graded-binary ground truth. The eval-metric
+    * counterpart to tx_eval_auc for ranked retrieval: a training-data
+    * pipeline that builds a retrieval index needs its quality measured
+    * inside the same engine.
+    *
+    * Scale shape: ranking cost is bruteForceTopK's (queries broadcast,
+    * corpus scored map-side, bounded top-k); the eval itself touches
+    * k·|queries| ranked rows joined to two broadcast-sized sides (the
+    * query labels and the per-label corpus counts). Cross-engine: each
+    * position's DCG gain 1/log2(rank+1) is irrational, so per-position
+    * gains are floored to integers at 1e-6 BEFORE the per-query sum
+    * (order-proof); nDCG divides the two integer-derived doubles, and MRR
+    * is a single exact division.
+    */
+  private val ir4 = QueryDef("ir_ndcg_eval",
+    Some(s"""WITH pairs AS (
+            |  SELECT q.vec_id AS query_id, q.label AS qlabel,
+            |         c.vec_id AS neighbor_id, c.label AS nlabel,
+            |    ${dotSql("q", "c")} /
+            |      (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})) AS cos
+            |  FROM embeddings q, embeddings c
+            |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+            |ranked AS (
+            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            |  FROM pairs),
+            |top AS (SELECT query_id, qlabel, rank,
+            |          CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END AS rel
+            |        FROM ranked WHERE rank <= 10),
+            |nrel AS (SELECT q.vec_id AS query_id, count(*) AS n_rel
+            |         FROM embeddings q JOIN embeddings c
+            |           ON c.label = q.label AND c.vec_id <> q.vec_id
+            |         WHERE q.vec_id < 10 GROUP BY 1),
+            |perq AS (
+            |  SELECT query_id,
+            |    min(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank,
+            |    cast(sum(rel * cast(floor(1000000 / (ln(cast(rank + 1 as double)) / ln(cast(2.0 as double))) + 0.5) as bigint)) as bigint) AS dcg_i
+            |  FROM top GROUP BY 1),
+            |ideal AS (
+            |  SELECT n.query_id, n.n_rel,
+            |    cast(sum(cast(floor(1000000 / (ln(cast(g.rank + 1 as double)) / ln(cast(2.0 as double))) + 0.5) as bigint)) as bigint) AS idcg_i
+            |  FROM nrel n JOIN (SELECT unnest(range(1, 11)) AS rank) g
+            |    ON g.rank <= least(n.n_rel, 10)
+            |  GROUP BY 1, 2)
+            |SELECT p.query_id, i.n_rel, p.first_rel_rank,
+            |  CASE WHEN p.first_rel_rank IS NULL THEN cast(0.0 as double)
+            |       ELSE cast(1.0 as double) / cast(p.first_rel_rank as double) END AS mrr,
+            |  cast(p.dcg_i as double) / 1000000 AS dcg10,
+            |  cast(i.idcg_i as double) / 1000000 AS idcg10,
+            |  CASE WHEN i.idcg_i = 0 THEN cast(0.0 as double)
+            |       ELSE cast(p.dcg_i as double) / cast(i.idcg_i as double) END AS ndcg10
+            |FROM perq p JOIN ideal i USING (query_id)
+            |ORDER BY query_id""".stripMargin),
+    (s, d) => {
+      val e = emb(s, d)
+      val labels = e.select(col("vec_id"), col("label"))
+      val ranked = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 10)
+      // gain at a rank position, integer-floored at 1e-6 (see Scaladoc)
+      def gainI(rank: Column): Column =
+        floor(lit(1000000) / (log(rank.cast("double") + 1) / log(lit(2.0))) + 0.5).cast("long")
+      val top = ranked
+        .join(broadcast(labels.withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("label", "qlabel")), "query_id")
+        .join(broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")
+          .withColumnRenamed("label", "nlabel")), "neighbor_id")
+        .select(col("query_id"), col("rank"),
+          when(col("nlabel") === col("qlabel"), 1).otherwise(0).as("rel"))
+      val perq = top.groupBy("query_id").agg(
+        min(when(col("rel") === 1, col("rank"))).as("first_rel_rank"),
+        sum(col("rel") * gainI(col("rank"))).as("dcg_i"))
+      val nrel = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label"))
+        .join(broadcast(e.groupBy("label").agg(count(lit(1)).as("n_label"))), "label")
+        .select(col("query_id"), (col("n_label") - 1).as("n_rel"))
+      val ideal = nrel
+        .select(col("query_id"), col("n_rel"),
+          explode(sequence(lit(1), least(col("n_rel"), lit(10)).cast("int"))).as("rank"))
+        .groupBy("query_id", "n_rel")
+        .agg(sum(gainI(col("rank"))).as("idcg_i"))
+      perq.join(ideal, "query_id")
+        .select(col("query_id"), col("n_rel"), col("first_rel_rank"),
+          when(col("first_rel_rank").isNull, lit(0.0))
+            .otherwise(lit(1.0) / col("first_rel_rank").cast("double")).as("mrr"),
+          (col("dcg_i").cast("double") / 1000000).as("dcg10"),
+          (col("idcg_i").cast("double") / 1000000).as("idcg10"),
+          when(col("idcg_i") === 0, lit(0.0))
+            .otherwise(col("dcg_i").cast("double") / col("idcg_i").cast("double")).as("ndcg10"))
+        .orderBy("query_id")
+    })
+
+  /** Pseudo-relevance feedback query expansion (Rocchio 1971, in the
+    * two-pass BM25 form Lucene/Terrier ship as "RM"-style expansion):
+    * pass 1 ranks with the original terms; the top-3 documents per query
+    * are ASSUMED relevant; each query mines the 2 highest-weighted new
+    * terms from its feedback docs (weight = feedback tf × the same RSJ idf
+    * BM25 uses, integer arithmetic end-to-end); pass 2 re-ranks with the
+    * expanded term set.
+    *
+    * Scale shape: both BM25 passes keep ir_bm25's shape (query terms
+    * broadcast into the postings, bounded top-k aggregator) and their
+    * corpus-tokenization subtrees canonicalize equal, so the corpus
+    * tokenizes ONCE across the two passes (AQE-off gate in PlanCheck).
+    * The feedback set is k·|queries| ids broadcast into the postings to
+    * pull candidate terms; candidate df rides the same pruned-aggregate
+    * shape as dft. Everything between the passes is query-workload-sized.
+    */
+  private val ir5 = QueryDef("ir_prf_expansion",
+    Some(bm25RankedCtes +
+      """,
+        |fb AS (SELECT query_id, doc_id FROM ranked WHERE rn <= 3),
+        |fbtf AS (SELECT f.query_id, tf.term, cast(sum(tf.tf) as bigint) AS fb_tf
+        |         FROM tf JOIN fb f USING (doc_id) GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN (SELECT DISTINCT term FROM fbtf) GROUP BY 1),
+        |cand AS (
+        |  SELECT fbtf.query_id, fbtf.term,
+        |    fbtf.fb_tf * cast(floor(
+        |      ln((cast(st.n_docs - dfc.df as double) + 0.5) / (cast(dfc.df as double) + 0.5) + 1.0)
+        |      * 10000 + 0.5) as bigint) AS score_i
+        |  FROM fbtf JOIN dfc USING (term) CROSS JOIN st
+        |  WHERE NOT EXISTS (SELECT 1 FROM qt
+        |                    WHERE qt.query_id = fbtf.query_id AND qt.term = fbtf.term)),
+        |mined AS (SELECT query_id, term FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY score_i DESC, term) AS mr FROM cand)
+        |  WHERE mr <= 2),
+        |qt2 AS (SELECT query_id, term FROM qt UNION ALL SELECT query_id, term FROM mined),
+        |dft2 AS (SELECT term, count(*) AS df FROM tf
+        |         WHERE term IN (SELECT DISTINCT term FROM qt2) GROUP BY 1),
+        |si2 AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    cast(floor(
+        |      (ln((cast(st.n_docs - dft2.df as double) + 0.5) / (cast(dft2.df as double) + 0.5) + 1.0)
+        |       * ((cast(tf.tf as double) * 2.2) /
+        |          (cast(tf.tf as double) + 1.2 *
+        |           (0.25 + 0.75 * (cast(dl.dl as double) /
+        |                           (cast(st.n_terms as double) / st.n_docs))))))
+        |      * 10000 + 0.5) as bigint) AS s
+        |  FROM tf JOIN qt2 q USING (term) JOIN dft2 USING (term)
+        |       JOIN dl USING (doc_id) CROSS JOIN st),
+        |sc2 AS (SELECT query_id, doc_id, cast(sum(s) as bigint) AS s_int FROM si2 GROUP BY 1, 2),
+        |ranked2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                         ORDER BY s_int DESC, doc_id) AS rn FROM sc2)
+        |SELECT query_id, cast(rn as bigint) AS rnk, doc_id,
+        |       cast(s_int as double) / 10000 AS score
+        |FROM ranked2 WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val qt = defaultQt(s)
+      val fb = bm25TopKFor(s, d, qt, k = 3).select(col("query_id"), col("doc_id"))
+      // identical construction to bm25TopKFor's internals → same canonical
+      // subtrees, one physical tokenization across the passes
+      val base = docs(s, d)
+      val terms = base.filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // mining's idf needs ONLY n_docs — a zero-column count scan. Pulling
+      // the full (n_docs, n_terms) stats row here would drag a pruned copy
+      // of the n_terms tokenization branch into this subtree, which stops
+      // canonicalizing against the passes' stats and re-tokenizes the
+      // corpus a third time.
+      val nDocs = base.agg(count(lit(1)).as("n_docs"))
+      val fbtf = tf.join(broadcast(fb), "doc_id")
+        .groupBy("query_id", "term").agg(sum(col("tf")).as("fb_tf"))
+      // The filter is a tautology (fb_tf is a sum of tf ≥ 1) but it keeps
+      // the candidate-vocabulary branch REFERENCING fb_tf: a bare
+      // .select("term").distinct() lets Catalyst prune fbtf's sum to a
+      // keys-only aggregate, whose tokenize subtree then stops
+      // canonicalizing equal to the counted tf exchange — the corpus would
+      // tokenize a second time (the dft lesson above, recurring).
+      val dfc = tf.join(
+          broadcast(fbtf.filter(col("fb_tf") >= 1).select("term").distinct()), "term")
+        .groupBy("term").agg(count(when(col("tf") >= 1, 1)).as("df"))
+      val idfI = floor(log(
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)) * 10000 + lit(0.5)).cast("long")
+      val cand = fbtf.join(broadcast(dfc), "term")
+        .crossJoin(broadcast(nDocs))
+        .join(qt, Seq("query_id", "term"), "left_anti")
+        .select(col("query_id"), col("term"), (col("fb_tf") * idfI).as("score_i"))
+      val mined = cand
+        .withColumn("mr", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score_i").desc, col("term"))))
+        .filter(col("mr") <= 2)
+        .select("query_id", "term")
+      val qt2 = qt.unionByName(mined)
+      bm25TopKFor(s, d, qt2, k = 10).orderBy("query_id", "rnk")
+    })
+
   val all: Seq[QueryDef] = Seq(
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21,
     dd1, dd2, dd3, dd4, dd5, dd6, dd7,
     sm1, sm2, sm2r, sm2m, sm3, sm4, sm5, sm6, sm7, sm8,
-    mm1, mm2, pl1, pl2, pl3, ir1, ir2, ir3, tx22, tx23)
+    mm1, mm2, pl1, pl2, pl3, ir1, ir2, ir3, ir4, ir5, tx22, tx23)
 }

@@ -72,6 +72,43 @@ class CohortDriftRrfSpec extends SparkSpec {
     assert(oneMin > 0) // bound used above stays meaningful
   }
 
+  test("ir_ndcg_eval: metrics are bounded and consistent with each other") {
+    val rows = SparkEntry.queries("ir_ndcg_eval")(spark, sf).collect()
+    assert(rows.length == 10, "one row per query (vec_id < 10)")
+    rows.foreach { r =>
+      val (mrr, dcg, idcg, ndcg) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, "nDCG bounded by the ideal ranking")
+      assert(dcg <= idcg + 1e-9)
+      if (!r.isNullAt(2)) {
+        val first = r.getAs[Number](2).longValue()
+        assert(mrr == 1.0 / first)
+        assert(dcg > 0.0 && ndcg > 0.0)
+      } else assert(mrr == 0.0 && dcg == 0.0)
+      assert(r.getLong(1) > 0, "every query label has other members")
+    }
+  }
+
+  test("ir_prf_expansion: expanded ranking stays well-formed and keeps feedback docs rankable") {
+    val prf = SparkEntry.queries("ir_prf_expansion")(spark, sf).collect()
+    val base = SparkEntry.queries("ir_bm25")(spark, sf).collect()
+    assert(prf.map(_.getLong(0)).toSet == base.map(_.getLong(0)).toSet, "same query workload")
+    prf.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length), "ranks dense from 1")
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "scores non-increasing")
+      assert(rs.forall(_.getDouble(3) > 0.0))
+    }
+    // expansion only ADDS terms, so every doc keeps its base contribution:
+    // a query's expanded candidate set must be a superset of its base top
+    // docs' presence — check sizes don't shrink
+    prf.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val baseN = base.count(_.getLong(0) == q)
+      assert(rs.length >= math.min(baseN, 10) || rs.length == 10)
+    }
+  }
+
   test("a24_markov_transitions: rows are probability distributions over observed next states") {
     val rows = SparkEntry.queries("a24_markov_transitions")(spark, sf).collect()
     assert(rows.nonEmpty)
