@@ -1622,6 +1622,54 @@ object QueriesExt {
         "mean_intensity", "frames_sampled")
       .orderBy("media_id"))
 
+  /** Multimodal near-dup detection: perceptual average-hash (aHash) over
+    * the REAL decoded image pixels — see
+    * [[graft.multimodal.Multimodal.imageAHashes]] for the integer-exact
+    * 4×4 block-grid hash — then hash-grouped dup clusters with a canonical
+    * representative, the image-side twin of dd_exact. Payload bytes never
+    * shuffle: only (id, 16-bit hash) pairs leave the decode scan, and the
+    * grouping window runs on those. The oracle replays the hash from the
+    * synthesis formulas (the mm_decode_features pattern), verifying the
+    * byte-level decode AND the hash arithmetic end-to-end.
+    */
+  private val mm3 = QueryDef("mm_phash_dedup",
+    Some("""WITH m AS (SELECT doc_id AS media_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
+           |           FROM documents WHERE doc_id % 3 = 0),
+           |g AS (SELECT media_id, w, h, unnest(range(0, w*h)) AS p FROM m),
+           |b AS (SELECT media_id,
+           |        ((media_id*7 + (3*p)*13) % 256) + ((media_id*7 + (3*p+1)*13) % 256)
+           |          + ((media_id*7 + (3*p+2)*13) % 256) AS gray3,
+           |        (p % w) * 4 // w + 4 * ((p // w) * 4 // h) AS blk
+           |      FROM g),
+           |bs AS (SELECT media_id, blk, cast(sum(gray3) as bigint) AS bsum, count(*) AS bn
+           |       FROM b GROUP BY 1, 2),
+           |tot AS (SELECT media_id, cast(sum(bsum) as bigint) AS tsum,
+           |               cast(sum(bn) as bigint) AS tn FROM bs GROUP BY 1),
+           |bits AS (SELECT bs.media_id, bs.blk,
+           |           CASE WHEN bs.bsum * t.tn >= t.tsum * bs.bn THEN 1 ELSE 0 END AS bit
+           |         FROM bs JOIN tot t USING (media_id)),
+           |hs AS (SELECT media_id, cast(sum(bit * (1 << blk)) as bigint) AS ahash
+           |       FROM bits GROUP BY 1)
+           |SELECT media_id, ahash,
+           |  count(*) OVER (PARTITION BY ahash) AS n_images,
+           |  min(media_id) OVER (PARTITION BY ahash) AS canonical_id,
+           |  media_id <> min(media_id) OVER (PARTITION BY ahash) AS is_dup
+           |FROM hs ORDER BY media_id""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = Multimodal.syntheticMediaTable(docs(s, d), "doc_id")
+      val hashes = {
+        import s.implicits._
+        Multimodal.imageAHashes(media.as[Multimodal.MediaRow]).toDF()
+      }
+      val w = Window.partitionBy("ahash")
+      hashes.select(col("media_id"), col("ahash"),
+          count(lit(1)).over(w).as("n_images"),
+          min(col("media_id")).over(w).as("canonical_id"))
+        .withColumn("is_dup", col("media_id") =!= col("canonical_id"))
+        .orderBy("media_id")
+    })
+
   // ---- composed cleaning pipeline ---------------------------------------
 
   /** The end-to-end shape a training-data ingest actually runs: exact
@@ -2328,5 +2376,5 @@ object QueriesExt {
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21,
     dd1, dd2, dd3, dd4, dd5, dd6, dd7,
     sm1, sm2, sm2r, sm2m, sm3, sm4, sm5, sm6, sm7, sm8,
-    mm1, mm2, pl1, pl2, pl3, ir1, ir2, ir3, ir4, ir5, tx22, tx23)
+    mm1, mm2, mm3, pl1, pl2, pl3, ir1, ir2, ir3, ir4, ir5, tx22, tx23)
 }

@@ -227,4 +227,51 @@ object Multimodal {
     val parts = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
     decodeAndFeaturize(parts.as[MediaRow]).toDF()
   }
+
+  case class ImageHash(media_id: Long, ahash: Long)
+
+  /** Perceptual average-hash (aHash — the classic pHash-family baseline)
+    * over REAL decoded PPM pixels: the image is partitioned into a 4×4
+    * block grid (block of pixel (x, y) = (x·4/w, y·4/h)), each block's
+    * gray mass is the integer sum of its pixels' r+g+b, and bit j is set
+    * iff block j's mean ≥ the global mean. The comparison is cross-
+    * multiplied (`bsum·n_total ≥ tsum·n_block`) so the whole hash is
+    * integer arithmetic end-to-end — bit-identical on any engine, which
+    * is what lets the DuckDB oracle replay it from the synthesis formulas.
+    *
+    * Same scale contract as [[decodeAndFeaturize]]: one decoder pass per
+    * partition, payload bytes never shuffle — only (id, 16-bit hash) pairs
+    * leave the scan, and downstream dedup groups on the hash.
+    */
+  def imageAHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "image").mapPartitions { it =>
+      it.map { row =>
+        val (w, h, _, pixOff, _) = decodePpm(row.payload, 0)
+        val bsum = new Array[Long](16)
+        val bn = new Array[Long](16)
+        var p = 0
+        val np = w * h
+        while (p < np) {
+          val base = pixOff + 3 * p
+          val gray3 = (row.payload(base) & 0xFF) + (row.payload(base + 1) & 0xFF) +
+            (row.payload(base + 2) & 0xFF)
+          val blk = (p % w) * 4 / w + 4 * ((p / w) * 4 / h)
+          bsum(blk) += gray3
+          bn(blk) += 1
+          p += 1
+        }
+        var tsum = 0L; var tn = 0L
+        var j = 0
+        while (j < 16) { tsum += bsum(j); tn += bn(j); j += 1 }
+        var hash = 0L
+        j = 0
+        while (j < 16) {
+          if (bsum(j) * tn >= tsum * bn(j)) hash |= (1L << j)
+          j += 1
+        }
+        ImageHash(row.media_id, hash)
+      }
+    }
+  }
 }

@@ -71,4 +71,27 @@ class MultimodalSpec extends SparkSpec {
     val px2 = out(0L).payload.slice(headerLen + 3, headerLen + 6).map(_ & 0xFF)
     assert(px2.toSeq == Seq((6 * 13) % 256, (7 * 13) % 256, (8 * 13) % 256))
   }
+
+  test("imageAHashes: hand-built light/dark halves set exactly the bright blocks' bits") {
+    // 8x8 image, left half black (0,0,0), right half white (255,255,255):
+    // 4x4 grid columns 0-1 dark (bits off), columns 2-3 bright (bits on).
+    val px = Array.tabulate(8 * 8 * 3) { i => if ((i / 3) % 8 < 4) 0.toByte else 255.toByte }
+    val payload = "P6\n8 8\n255\n".getBytes(US_ASCII) ++ px
+    // identical twin must collide; the inverse image must not
+    val inv = "P6\n8 8\n255\n".getBytes(US_ASCII) ++ px.map(b => (255 - (b & 0xFF)).toByte)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", payload, 8, 8),
+      Multimodal.MediaRow(2L, "image", payload, 8, 8),
+      Multimodal.MediaRow(3L, "image", inv, 8, 8),
+      Multimodal.MediaRow(4L, "audio", Array[Byte](65, 56, 10, 49, 10, 0), 0, 0)).toDS()
+    val hs = Multimodal.imageAHashes(media).collect().map(h => h.media_id -> h.ahash).toMap
+    assert(hs.keySet == Set(1L, 2L, 3L), "non-images skipped")
+    // bright blocks: grid columns 2,3 in every row -> bits {2,3,6,7,10,11,14,15}
+    val expected = Seq(2, 3, 6, 7, 10, 11, 14, 15).map(1L << _).sum
+    assert(hs(1L) == expected)
+    assert(hs(1L) == hs(2L), "identical payloads collide")
+    assert(hs(3L) != hs(1L), "inverse image hashes differently")
+    // inverse: dark blocks were bright -> bits {0,1,4,5,8,9,12,13}
+    assert(hs(3L) == Seq(0, 1, 4, 5, 8, 9, 12, 13).map(1L << _).sum)
+  }
 }
