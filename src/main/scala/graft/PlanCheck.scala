@@ -530,6 +530,15 @@ object PlanCheck {
       println(s"${if (ok) "PASS" else "FAIL"}  tx_dsir_weights: corpus tokenized once ($scans scans, $reused reused exchanges)")
     }
 
+    // Rolling z-score anomalies: the trailing frame runs per-user on ONE
+    // user_id exchange (a per-event_type window would be 5 partitions at
+    // any scale); the anomaly predicate is integral, no join anywhere.
+    check("a25_zscore_anomaly")(
+      "one user_id shuffle feeds the trailing window" ->
+        (p => "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1),
+      "no join, single events scan" ->
+        (p => !p.contains("Join") && "Scan parquet".r.findAllIn(p).size == 1))
+
     // Retrieval eval: label lookups and per-label counts attach by
     // broadcast around the bruteForceTopK core — the eval adds no
     // corpus-sized shuffle of its own.

@@ -1253,6 +1253,60 @@ object Queries {
         .orderBy("prev_type", "next_type")
     })
 
+  /** A25 (rebuild extra): per-entity rolling z-score anomaly detection —
+    * the streaming-logs outlier primitive (the reference's suspicion
+    * scoring is a static rule set; this is its statistical sibling): each
+    * event's value scored against the entity's own trailing-20 history,
+    * flagged when |z| > 3 with ≥10 observations of warmup.
+    *
+    * Scale shape: ONE user_id exchange; the trailing frame is a per-user
+    * ROWS window over that partitioning (never a per-type global sort — a
+    * 5-partition event_type window would funnel 100 TB through 5 tasks).
+    * Cross-engine exactness: values quantize to integer cents via
+    * decimal(18,2) — the window then carries only integer sums (s1, s2),
+    * the anomaly predicate is fully integral
+    * ((vc·n − s1)² > 9·(n·s2 − s1²), plus a positive-variance guard), and
+    * the reported z is one double division/sqrt of those integers.
+    */
+  private val a25 = QueryDef("a25_zscore_anomaly",
+    Some("""WITH c AS (
+           |  SELECT event_id, user_id, ts, value,
+           |         cast(cast(value as decimal(18,2)) * 100 as bigint) AS vc
+           |  FROM events),
+           |w AS (
+           |  SELECT event_id, user_id, ts, value, vc,
+           |    count(*) OVER tw AS n,
+           |    cast(sum(vc) OVER tw as bigint) AS s1,
+           |    cast(sum(vc * vc) OVER tw as bigint) AS s2
+           |  FROM c
+           |  WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+           |                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+           |SELECT event_id, user_id, ts, value, n,
+           |  cast(vc * n - s1 as double) / sqrt(cast(n * s2 - s1 * s1 as double)) AS z
+           |FROM w
+           |WHERE n >= 10 AND n * s2 - s1 * s1 > 0
+           |  AND (vc * n - s1) * (vc * n - s1) > 9 * (n * s2 - s1 * s1)
+           |ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tw = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-20, -1)
+      val vc = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val scored = ev(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"), vc.as("vc"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("vc"),
+          count(lit(1)).over(tw).as("n"),
+          sum(col("vc")).over(tw).as("s1"),
+          sum(col("vc") * col("vc")).over(tw).as("s2"))
+      val d2 = col("n") * col("s2") - col("s1") * col("s1")
+      val zn = col("vc") * col("n") - col("s1")
+      scored
+        .filter(col("n") >= 10 && d2 > 0 && zn * zn > d2 * 9)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("n"),
+          (zn.cast("double") / sqrt(d2.cast("double"))).as("z"))
+        .orderBy("event_id")
+    })
+
   /** A (rebuild extra): ordered conversion funnel — view → click →
     * purchase, each step within 24 h of the previous step's FIRST
     * qualifying event (ClickHouse `windowFunnel` semantics: t1 = first
@@ -1649,7 +1703,7 @@ object Queries {
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, s14, s15, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
-    a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
+    a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24, a25,
     j1, j2, j2ps, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, su, si, se, g1, g2, g3,
     st1, st2, st3, st4)

@@ -45,6 +45,46 @@ object StreamingAnalytics {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col(keyCol), col("count"))
 
+  /** Streaming distribution-drift monitor — the streaming twin of
+    * a23_psi_drift: per tumbling window, the metric's 10-bin histogram is
+    * Laplace-smoothed and compared to a FIXED baseline share vector
+    * (computed once from history and passed in as constants — the
+    * baseline must not recompute on the stream), emitting each window's
+    * per-bin PSI terms and total.
+    *
+    * All ten bins ride ONE stateful aggregate as conditional sums —
+    * per-window state is 10 longs, and the total/shares/PSI arithmetic is
+    * a stateless projection after it (a second streaming aggregate for
+    * the window total would need multi-stateful-operator support; this
+    * shape needs none). Same integer-floored PSI terms as the batch twin,
+    * so an alerting sink sees identical numbers either way.
+    */
+  def psiDriftStream(events: DataFrame, tsCol: String, valueCol: String,
+                     baselineShares: Seq[Double], windowLen: String = "1 hour",
+                     watermark: String = "1 hour"): DataFrame = {
+    require(baselineShares.length == 10, "baseline must cover the 10 fixed bins")
+    val binCol = least(floor(col(valueCol) / 50), lit(9)).cast("int")
+    val aggs = (0 until 10).map(b => sum(when(binCol === b, 1L).otherwise(0L)).as(s"n$b"))
+    val perWindow = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    val total = (0 until 10).map(b => col(s"n$b")).reduce(_ + _)
+    def contribI(b: Int): org.apache.spark.sql.Column = {
+      val cur = (col(s"n$b").cast("double") + 1) / (total.cast("double") + 10)
+      val base = lit(baselineShares(b))
+      floor((base - cur) * log(base / cur) * 10000 + 0.5).cast("long")
+    }
+    val cis = (0 until 10).map(contribI)
+    perWindow.select(col("w.start").as("window_start"),
+        (cis.reduce(_ + _).cast("double") / 10000).as("psi_total"),
+        explode(array((0 until 10).map(b =>
+          struct(lit(b).as("bin"), col(s"n$b").as("cur_n"),
+            (contribI(b).cast("double") / 10000).as("psi_contrib"))): _*)).as("x"))
+      .select(col("window_start"), col("x.bin").as("bin"), col("x.cur_n").as("cur_n"),
+        col("x.psi_contrib").as("psi_contrib"), col("psi_total"))
+  }
+
   /** Incremental per-entity summary — the streaming version of the per-IP
     * summary: windowed conditional counts + distinct approximation. Exact
     * distincts aren't incrementally maintainable without state explosion, so

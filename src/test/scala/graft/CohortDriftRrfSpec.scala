@@ -122,6 +122,29 @@ class CohortDriftRrfSpec extends SparkSpec {
     }
   }
 
+  test("a25_zscore_anomaly: every flagged event is a genuine 3-sigma outlier of its own history") {
+    val rows = SparkEntry.queries("a25_zscore_anomaly")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(4)
+      assert(n >= 10 && n <= 20, "warmup and frame bounds respected")
+      assert(math.abs(r.getDouble(5)) > 3.0, "reported z exceeds the threshold")
+    }
+    // cross-check one flagged row against a direct recomputation
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val flagged = rows.head
+    val (uid, eid) = (flagged.getLong(1), flagged.getLong(0))
+    val hist = ev.filter(_._1 == uid).sortBy(e => (e._2.getTime, e._3))
+    val idx = hist.indexWhere(_._3 == eid)
+    val trail = hist.slice(math.max(0, idx - 20), idx).map(e => math.round(e._4 * 100))
+    val (s1, s2, n) = (trail.sum, trail.map(x => x * x).sum, trail.length.toLong)
+    val vc = math.round(hist(idx)._4 * 100)
+    val z = (vc * n - s1).toDouble / math.sqrt((n * s2 - s1 * s1).toDouble)
+    assert(math.abs(z - flagged.getDouble(5)) < 1e-9, "z matches the direct recomputation")
+  }
+
   test("tx_dsir_weights: target-domain (en) documents score higher than off-target ones") {
     val rows = SparkEntry.queries("tx_dsir_weights")(spark, sf).collect()
     val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()

@@ -174,4 +174,34 @@ class StreamingParitySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
     assert(streaming == batch && streaming.size == 3)
   }
+
+  test("PSI drift monitor: streaming equals batch across micro-batches") {
+    implicit val sq = spark.sqlContext
+    // two 1-hour windows with visibly different value distributions
+    val vals = Seq(
+      (t(0), 10.0), (t(5), 20.0), (t(12), 30.0), (t(20), 480.0), (t(31), 15.0),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), 400.0),
+      (Timestamp.valueOf("2024-01-01 11:10:00"), 410.0),
+      (Timestamp.valueOf("2024-01-01 11:40:00"), 25.0))
+    val baseline = (0 until 10).map(b => (1.0 + (if (b < 2) 5 else 0)) / 20.0) // skewed to low bins
+    val mem = MemoryStream[(Timestamp, Double)]
+    mem.addData(vals.take(4)) // split across micro-batches
+    mem.addData(vals.drop(4))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      StreamingAnalytics.psiDriftStream(df.toDF("ts", "value"), "ts", "value",
+        baseline, "1 hour")
+    val q = run(mem.toDF()).writeStream.format("memory")
+      .queryName("psi_test").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    val streaming = spark.table("psi_test").collect().map(key).toSet
+    val batch = run(vals.toDF("ts", "value")).collect().map(key).toSet
+    assert(streaming == batch && streaming.size == 20, "2 windows x 10 bins, identical numbers")
+    // the 11:00 window is dominated by high values -> positive drift vs the low-skewed baseline
+    val w11 = spark.table("psi_test").collect()
+      .filter(_.getTimestamp(0) == Timestamp.valueOf("2024-01-01 11:00:00"))
+    assert(w11.nonEmpty && w11.head.getDouble(4) > 0.0)
+  }
 }
