@@ -425,6 +425,46 @@ object Queries {
         .orderBy("event_type")
     })
 
+  /** S16: GDPR erasure ("right to be forgotten") through the document
+    * store — the data-governance operation every production training
+    * corpus needs: remove every record of (a) an explicit id list of
+    * data subjects and (b) an id range, each as one crash-safe
+    * `delete_many` through the connector's zone-map-pruned shard rewrite
+    * (the IN list takes the hash-probe evaluator path). The store is
+    * clustered on user_id at write, so both erasures rewrite only the
+    * shards whose zone maps admit a target id — at 100 TB an erasure
+    * request touches a handful of shards, not the collection. The oracle
+    * recomposes the surviving collection relationally; equal aggregates
+    * prove the erasure removed exactly the subjects' records and nothing
+    * else.
+    */
+  private val s16 = QueryDef("s16_docstore_erasure",
+    Some("""SELECT event_type, count(*) AS cnt,
+           |  cast(sum(user_id) as bigint) AS sum_users,
+           |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+           |FROM events
+           |WHERE user_id NOT IN (3, 20, 37, 54, 71, 88, 105, 122, 139)
+           |  AND NOT (user_id >= 60 AND user_id < 70)
+           |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, In, LessThan}
+      val path = s"/tmp/graft_s16_gdpr_${Integer.toHexString(d.hashCode)}"
+      ev(s, d).select("event_id", "event_type", "user_id", "value")
+        .repartition(16, col("user_id"))
+        .write.format("docstore").mode("overwrite").save(path)
+      val subjects = Seq(3L, 20L, 37L, 54L, 71L, 88L, 105L, 122L, 139L)
+      graft.sources.docstore.DocStoreMaintenance.deleteWhere(
+        s, path, Seq(In("user_id", subjects.map(Long.box).toArray)))
+      graft.sources.docstore.DocStoreMaintenance.deleteWhere(
+        s, path, Seq(GreaterThanOrEqual("user_id", Long.box(60L)),
+          LessThan("user_id", Long.box(70L))))
+      s.read.format("docstore").load(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("sum_users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    })
+
   /** S (rebuild extra): bucketed sink + co-located join — the 100 TB
     * technique for repeated joins/aggregations on one key: both sides are
     * written `bucketBy(user_id)`, so the join AND the following aggregate
@@ -1702,7 +1742,7 @@ object Queries {
 
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
-    s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, s14, s15, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
+    s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24, a25,
     j1, j2, j2ps, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, su, si, se, g1, g2, g3,
