@@ -957,6 +957,64 @@ object QueriesExt {
       graft.functions.Eval.aucExact(scored, col("s"), col("pos"))
     })
 
+  /** Classifier calibration — the reliability diagram that completes the
+    * train (tx_train_lr) / filter (tx_classify) / evaluate (tx_eval_auc)
+    * loop: the frozen classifier's integer score range is split into 10
+    * equal-width bins (bounds from a broadcast 1-row min/max — NOT a
+    * global ntile sort), and each bin reports its document count, positive
+    * count, and empirical positive rate. A well-calibrated score has
+    * monotone rates; the gap per bin is the calibration error an alerting
+    * threshold would inherit.
+    *
+    * Scale shape: score = the map-only HashedNgramScore kernel, binning is
+    * a map-side integral expression against broadcast bounds, and the
+    * aggregate reduces to ≤10 rows with map-side partials. Integer
+    * arithmetic end-to-end (bin = (s−mn)·10 div (mx−mn+1) on longs),
+    * so the oracle replays the hash chain + binning exactly.
+    */
+  private val tx24 = QueryDef("tx_calibration",
+    Some("""WITH t AS (
+           |  SELECT doc_id, lang,
+           |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id, lang,
+           |    list_concat(w, [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS feats
+           |  FROM t),
+           |h AS (
+           |  SELECT doc_id, lang,
+           |    cast(coalesce(list_sum(list_transform(feats, g ->
+           |      ((list_reduce(list_prepend(cast(7 as bigint),
+           |           list_transform(string_split(g, ''), c -> cast(ascii(c) as bigint))),
+           |         (a, b) -> (a * 31 + b) % 1000000007) % 1048576) * 2654435761) % 1048576
+           |        - 524288)), 0) AS bigint) AS sum_w
+           |  FROM f),
+           |sc AS (SELECT sum_w AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM h),
+           |bd AS (SELECT min(s) AS mn, max(s) AS mx FROM sc),
+           |b AS (SELECT least(9, (s - mn) * 10 // (mx - mn + 1)) AS bin, s, pos
+           |      FROM sc CROSS JOIN bd)
+           |SELECT cast(bin as bigint) AS bin, count(*) AS n_docs,
+           |  cast(sum(pos) as bigint) AS n_pos,
+           |  floor(cast(sum(pos) as double) / count(*) * 10000 + 0.5) / 10000 AS pos_rate,
+           |  floor(cast(sum(s) as double) / count(*) * 10000 + 0.5) / 10000 AS mean_sum_w
+           |FROM b GROUP BY 1 ORDER BY bin""".stripMargin),
+    (s, d) => {
+      val scored = docs(s, d).select(
+        TextFunctions.classifierFeatures(col("text")).getField("sum_w").as("s"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("pos"))
+      val bounds = scored.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+      scored.crossJoin(broadcast(bounds))
+        .select(least(lit(9L), expr("((s - mn) * 10) div (mx - mn + 1)")).as("bin"),
+          col("s"), col("pos"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+          graft.functions.Rounding.round4(
+            sum(col("pos")).cast("double") / count(lit(1))).as("pos_rate"),
+          graft.functions.Rounding.round4(
+            sum(col("s")).cast("double") / count(lit(1))).as("mean_sum_w"))
+        .orderBy("bin")
+    })
+
   private val tx19 = QueryDef("tx_length_buckets", {
     val caseSql = LengthBuckets.map(b => s"WHEN n_tok <= $b THEN $b")
       .mkString("CASE ", " ", s" ELSE ${LengthBuckets.last * 2} END")
@@ -2376,5 +2434,5 @@ object QueriesExt {
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21,
     dd1, dd2, dd3, dd4, dd5, dd6, dd7,
     sm1, sm2, sm2r, sm2m, sm3, sm4, sm5, sm6, sm7, sm8,
-    mm1, mm2, mm3, pl1, pl2, pl3, ir1, ir2, ir3, ir4, ir5, tx22, tx23)
+    mm1, mm2, mm3, pl1, pl2, pl3, ir1, ir2, ir3, ir4, ir5, tx22, tx23, tx24)
 }
