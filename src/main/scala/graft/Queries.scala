@@ -1740,13 +1740,238 @@ object Queries {
         .orderBy("err_id", "click_id")
     })
 
+  // ======================================================================
+  // Round-8 additions — warehouse/window family completions: unpivot (the
+  // inverse of A7's pivot), SCD2 dimension history, blocked fuzzy join
+  // (entity resolution), exact-sum correlation, EWMA smoothing, ntile
+  // deciles. Same determinism discipline as the rest of the file.
+  // ======================================================================
+
+  /** D16 (rebuild extra): melt/unpivot — the inverse of A7's pivot
+    * (stats_dashboard.py:103 builds the wide per-IP×event matrix; the
+    * charts then re-melt it implicitly). We pivot events per user to the
+    * 5-column wide shape, then `Dataset.unpivot` back to long and drop the
+    * zero fill. At scale the pivot is one hash aggregate with an explicit
+    * value list (no distinct-scan planning pass) and unpivot is map-only
+    * (an Expand node — no shuffle, no join).
+    */
+  private val d16 = QueryDef("d16_unpivot",
+    Some("""SELECT user_id, event_type, count(*) AS cnt FROM events
+           |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin),
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = ev(s, d).groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+      wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "cnt")
+        .filter(col("cnt") > 0)
+        .orderBy("user_id", "event_type")
+    })
+
+  /** J12 (rebuild extra): SCD type-2 history build — collapse each user's
+    * event_type timeline into versioned validity intervals
+    * [valid_from, valid_to) with a run counter and an is_current flag (the
+    * warehouse shape a dimension-history table of the reference's per-IP
+    * states would take). Single-exchange design: run starts are detected
+    * with lag, and valid_to / n_events / version_n all come from windows
+    * over the SAME (user_id, event_id) partitioning — no follow-up
+    * group-by shuffle; Catalyst stacks the window functions into one sort
+    * per exchange. The oracle derives identical intervals via the
+    * conventional sum-of-changes + group-by formulation.
+    */
+  private val j12 = QueryDef("j12_scd2_history",
+    Some("""WITH o AS (
+           |  SELECT user_id, event_id, cast(ts as timestamp) AS ts, event_type,
+           |         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           |                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+           |  FROM events
+           |), r AS (
+           |  SELECT *, cast(sum(chg) OVER (PARTITION BY user_id ORDER BY event_id) as bigint) AS version_n FROM o
+           |), g AS (
+           |  SELECT user_id, version_n, event_type, min(ts) AS valid_from, count(*) AS n_events
+           |  FROM r GROUP BY 1, 2, 3
+           |)
+           |SELECT user_id, version_n, event_type, valid_from,
+           |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_n) AS valid_to,
+           |       n_events,
+           |       (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_n) IS NULL) AS is_current
+           |FROM g ORDER BY user_id, version_n""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byId = Window.partitionBy("user_id").orderBy("event_id")
+      val byUser = Window.partitionBy("user_id")
+      val prev = lag(col("event_type"), 1).over(byId)
+      val base = ev(s, d).select("user_id", "event_id", "ts", "event_type")
+        .withColumn("rn", row_number().over(byId))
+        .withColumn("n_user", count(lit(1)).over(byUser))
+        .withColumn("chg", when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+      val starts = base.filter(col("chg") === 1L)
+      starts
+        .withColumn("version_n", row_number().over(byId).cast("long"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(byId))
+        .withColumn("n_events",
+          coalesce(lead(col("rn"), 1).over(byId).cast("long"), col("n_user") + 1L) - col("rn"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("version_n"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
+        .orderBy("user_id", "version_n")
+    })
+
+  /** J13 (rebuild extra): blocked fuzzy join — entity resolution of a dirty
+    * probe list against the customer dimension. Probes are customers with
+    * the last two name characters transposed (a deterministic typo model);
+    * matching is Levenshtein ≤ 2 inside a blocking key (digits 1-6 of the
+    * 9-digit name suffix, which the typo preserves), best match per probe
+    * by (distance, key). Scale shape: the probe list is the small side →
+    * broadcast; the blocking key bounds candidate pairs per probe (≤1000
+    * names share a 6-digit prefix regardless of table size), so there is
+    * no quadratic name×name comparison and the big side is never shuffled.
+    */
+  private val j13 = QueryDef("j13_fuzzy_join",
+    Some("""WITH probes AS (
+           |  SELECT c_custkey AS probe_id,
+           |         substr(c_name,1,16) || substr(c_name,18,1) || substr(c_name,17,1) AS probe_name
+           |  FROM customer WHERE c_custkey % 7 = 3
+           |), cand AS (
+           |  SELECT p.probe_id, p.probe_name, c.c_custkey, c.c_name,
+           |         levenshtein(p.probe_name, c.c_name) AS dist
+           |  FROM probes p JOIN customer c
+           |    ON substr(p.probe_name, 10, 6) = substr(c.c_name, 10, 6)
+           |  WHERE levenshtein(p.probe_name, c.c_name) <= 2
+           |), best AS (
+           |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY dist, c_custkey) AS rn FROM cand
+           |)
+           |SELECT probe_id, probe_name, c_custkey AS match_key, c_name AS match_name,
+           |       cast(dist as int) AS dist
+           |FROM best WHERE rn = 1 ORDER BY probe_id""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val probes = cust.filter(col("c_custkey") % 7 === 3)
+        .select(col("c_custkey").as("probe_id"),
+          concat(substring(col("c_name"), 1, 16), substring(col("c_name"), 18, 1),
+            substring(col("c_name"), 17, 1)).as("probe_name"))
+      val joined = broadcast(probes.withColumn("blk", substring(col("probe_name"), 10, 6)))
+        .join(cust.withColumn("blk", substring(col("c_name"), 10, 6)), Seq("blk"))
+        .withColumn("dist", levenshtein(col("probe_name"), col("c_name")))
+        .filter(col("dist") <= 2)
+      val byProbe = Window.partitionBy("probe_id").orderBy(col("dist"), col("c_custkey"))
+      joined.withColumn("rn", row_number().over(byProbe)).filter(col("rn") === 1)
+        .select(col("probe_id"), col("probe_name"), col("c_custkey").as("match_key"),
+          col("c_name").as("match_name"), col("dist"))
+        .orderBy("probe_id")
+    })
+
+  /** A26 (rebuild extra): per-group Pearson correlation from exact partial
+    * sums — corr(value, hour) per event_type. The six sufficient statistics
+    * (n, Σx, Σx², Σy, Σy², Σxy) accumulate EXACTLY (decimal/bigint) in one
+    * partial-aggregated pass, then the correlation is assembled in double
+    * with the identical expression tree on both engines, so the result is
+    * bit-deterministic — unlike engine-native corr(), whose streaming float
+    * accumulation is order- (and therefore partitioning-) dependent. This
+    * is also the scale shape: the shuffle carries 6 numbers per group.
+    */
+  private val a26 = QueryDef("a26_corr_stats",
+    Some("""WITH h AS (
+           |  SELECT event_type, cast(value as decimal(18,2)) AS x,
+           |         cast(hour(cast(ts as timestamp)) as bigint) AS y
+           |  FROM events
+           |), s AS (
+           |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx,
+           |         sum(y) AS sy, sum(y*y) AS syy, sum(x*y) AS sxy
+           |  FROM h GROUP BY 1
+           |), f AS (
+           |  SELECT event_type, n, cast(n as double) AS nd,
+           |         cast(sx as double) AS sxd, cast(sxx as double) AS sxxd,
+           |         cast(sy as double) AS syd, cast(syy as double) AS syyd,
+           |         cast(sxy as double) AS sxyd
+           |  FROM s
+           |)
+           |SELECT event_type, n,
+           |       (nd*sxyd - sxd*syd) /
+           |         (sqrt(nd*sxxd - sxd*sxd) * sqrt(nd*syyd - syd*syd)) AS corr_value_hour
+           |FROM f ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val sums = ev(s, d)
+        .select(col("event_type"), col("value").cast("decimal(18,2)").as("x"),
+          hour(col("ts")).cast("long").as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("event_type"), col("n"), col("n").cast("double").as("nd"),
+          col("sx").cast("double").as("sxd"), col("sxx").cast("double").as("sxxd"),
+          col("sy").cast("double").as("syd"), col("syy").cast("double").as("syyd"),
+          col("sxy").cast("double").as("sxyd"))
+      sums.select(col("event_type"), col("n"),
+        ((col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+          (sqrt(col("nd") * col("sxxd") - col("sxd") * col("sxd")) *
+            sqrt(col("nd") * col("syyd") - col("syd") * col("syd")))).as("corr_value_hour"))
+        .orderBy("event_type")
+    })
+
+  /** A27 (rebuild extra): EWMA smoothing per user (α = 0.5) over a bounded
+    * 8-event lookback: e = fold(0.5·x + 0.5·e) over the trailing window,
+    * oldest→newest. The trailing values are gathered by a ROWS-frame
+    * collect_list (frame order = window order in both engines) and folded
+    * with a left fold — Spark `aggregate` seeded with the oldest element,
+    * DuckDB `list_reduce`, same association order → bit-identical doubles.
+    * Bounding the lookback keeps per-row state O(8) at any history length
+    * (an unbounded EWMA needs the recursive form, which is the a25 z-score
+    * family's job); the only exchange is the user_id window partition.
+    */
+  private val a27 = QueryDef("a27_ewma",
+    Some("""SELECT event_id, user_id,
+           |  list_reduce(list(value) OVER w, (acc, x) -> 0.5*x + 0.5*acc) AS ewma
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS 7 PRECEDING)
+           |ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-7, 0)
+      ev(s, d)
+        .select(col("event_id"), col("user_id"), collect_list(col("value")).over(w).as("arr"))
+        .select(col("event_id"), col("user_id"),
+          aggregate(slice(col("arr"), 2, 7), element_at(col("arr"), 1),
+            (acc, x) => lit(0.5) * x + lit(0.5) * acc).as("ewma"))
+        .orderBy("event_id")
+    })
+
+  /** W7 (rebuild extra): ntile decile bucketing — equal-frequency deciles
+    * of value within each event_type (the quantile-bucket shape behind the
+    * reference's score histogram at stats_dashboard.py:163, but
+    * rank-exact rather than fixed-width). The (value, event_id) tie-break
+    * makes bucket assignment total-order deterministic; ntile's
+    * first-(n mod k)-buckets-get-the-extra-row rule is SQL-standard in
+    * both engines. One exchange on event_type; the decile aggregate reuses
+    * the sorted partition.
+    */
+  private val w7 = QueryDef("w7_ntile_deciles",
+    Some("""WITH t AS (
+           |  SELECT event_type, value,
+           |         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+           |  FROM events)
+           |SELECT event_type, cast(decile as int) AS decile, count(*) AS cnt,
+           |       min(value) AS lo, max(value) AS hi
+           |FROM t GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      ev(s, d).select(col("event_type"), col("value"), ntile(10).over(w).as("decile"))
+        .groupBy("event_type", "decile")
+        .agg(count(lit(1)).as("cnt"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .orderBy("event_type", "decile")
+    })
+
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24, a25,
     j1, j2, j2ps, j3, j4, j5, j6, j7, j8, j9, j10, j11,
-    t2, t4, w1, w2, w3, w4, w5, w6, su, si, se, g1, g2, g3,
-    st1, st2, st3, st4)
+    t2, t4, w1, w2, w3, w4, w5, w6, w7, su, si, se, g1, g2, g3,
+    st1, st2, st3, st4, d16, j12, j13, a26, a27)
 
   val all: Seq[QueryDef] = core ++ QueriesExt.all
 
