@@ -40,14 +40,21 @@ object PlanCheck {
       }
     }
 
-    // Structural twin of check(): predicates see the physical-plan TREE
-    // (pre-AQE — AdaptiveSparkPlanExec hides its inner plan from collect),
+    // Structural twin of check(): predicates see the physical-plan TREE,
     // for invariants the string dump cannot express. An Exchange line
     // prints only its partitioning KEYS, so "column X never shuffles"
     // must inspect the exchange child's OUTPUT, not the plan text.
+    // Exchanges only exist after EnsureRequirements — `sparkPlan` has
+    // none (a tree predicate over it counts zero exchanges vacuously), and
+    // with AQE on, `executedPlan` is an AdaptiveSparkPlanExec whose inner
+    // plan `collect` cannot reach. So tree checks plan through a no-AQE
+    // session and inspect ITS executedPlan, where every ShuffleExchangeExec
+    // is a real, collectible node.
+    val treeSession = spark.newSession()
+    treeSession.conf.set("spark.sql.adaptive.enabled", "false")
     def checkTree(name: String)(asserts: (String, org.apache.spark.sql.execution.SparkPlan => Boolean)*): Unit = {
       val plan =
-        try Some(SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan)
+        try Some(SparkEntry.queries(name)(treeSession, sfDir).queryExecution.executedPlan)
         catch { case e: Throwable =>
           System.err.println(s"[plancheck] $name plan construction failed: ${e.getMessage}")
           None
@@ -568,6 +575,44 @@ object PlanCheck {
       if (!ok) failures += 1
       println(s"${if (ok) "PASS" else "FAIL"}  ir_prf_expansion: corpus tokenized once across both passes ($scans scans, $reused reused exchanges)")
     }
+
+    // Round-8 warehouse additions. d16: unpivot must lower to an Expand
+    // (map-only — melt is not a join or a second shuffle). j12: the SCD2
+    // build detects runs, numbers versions, and chains intervals all on
+    // windows over the SAME user_id partitioning — one hash exchange
+    // total; a groupBy formulation would pay a second. j13: the dirty
+    // probe list is the small side — broadcast, never sort-merge, so the
+    // customer table is not shuffled for the candidate join. a26: the
+    // correlation shuffle carries six partial sums per group, never the
+    // raw value rows. a27: the bounded-lookback EWMA is one user_id
+    // window exchange, no join.
+    check("d16_unpivot")(
+      "unpivot lowers to Expand (map-only)" -> (_.contains("Expand")),
+      "no join introduced" -> (p => !p.contains("Join")))
+
+    def hashExchanges(p: org.apache.spark.sql.execution.SparkPlan): Int = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }.size
+
+    checkTree("j12_scd2_history")(
+      "single user_id exchange feeds all SCD2 windows" -> (p => hashExchanges(p) == 1))
+
+    check("j13_fuzzy_join")(
+      "probe list broadcast into the blocked join" -> (_.contains("BroadcastHashJoin")),
+      "no sort-merge join of the customer side" -> (p => !p.contains("SortMergeJoin")))
+
+    checkTree("a26_corr_stats")(
+      "one hash exchange (partial-aggregated)" -> (p => hashExchanges(p) == 1),
+      "shuffle carries sums, not raw value rows" -> (p => !shuffledColumns(p).contains("value")))
+
+    checkTree("a27_ewma")(
+      "one user_id window exchange" -> (p => hashExchanges(p) == 1),
+      "no join" -> (p => p.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty))
+
+    checkTree("w7_ntile_deciles")(
+      "decile aggregate reuses the event_type window partitioning" ->
+        (p => hashExchanges(p) == 1))
 
     println(if (failures == 0) "PLANCHECK OK" else s"PLANCHECK $failures FAILURES")
     spark.stop()
