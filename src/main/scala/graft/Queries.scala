@@ -1821,12 +1821,16 @@ object Queries {
   /** J13 (rebuild extra): blocked fuzzy join — entity resolution of a dirty
     * probe list against the customer dimension. Probes are customers with
     * the last two name characters transposed (a deterministic typo model);
-    * matching is Levenshtein ≤ 2 inside a blocking key (digits 1-6 of the
-    * 9-digit name suffix, which the typo preserves), best match per probe
-    * by (distance, key). Scale shape: the probe list is the small side →
-    * broadcast; the blocking key bounds candidate pairs per probe (≤1000
-    * names share a 6-digit prefix regardless of table size), so there is
-    * no quadratic name×name comparison and the big side is never shuffled.
+    * matching is Levenshtein ≤ 2 inside a blocking key (digits 1-7 of the
+    * 9-digit name suffix — every digit the typo model cannot touch), best
+    * match per probe by (distance, key). Scale shape: the probe list is
+    * the small side → broadcast; the blocking key bounds candidate pairs
+    * per probe (≤100 names share a 7-digit prefix regardless of table
+    * size), so there is no quadratic name×name comparison and the big side
+    * is never shuffled. The Spark side computes the distance with the
+    * THRESHOLDED levenshtein (banded DP, early-exit above 2) — for every
+    * kept pair it equals the unbounded distance the oracle computes, but
+    * non-matches cost O(len·k) instead of O(len²).
     */
   private val j13 = QueryDef("j13_fuzzy_join",
     Some("""WITH probes AS (
@@ -1837,7 +1841,7 @@ object Queries {
            |  SELECT p.probe_id, p.probe_name, c.c_custkey, c.c_name,
            |         levenshtein(p.probe_name, c.c_name) AS dist
            |  FROM probes p JOIN customer c
-           |    ON substr(p.probe_name, 10, 6) = substr(c.c_name, 10, 6)
+           |    ON substr(p.probe_name, 10, 7) = substr(c.c_name, 10, 7)
            |  WHERE levenshtein(p.probe_name, c.c_name) <= 2
            |), best AS (
            |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY dist, c_custkey) AS rn FROM cand
@@ -1852,10 +1856,10 @@ object Queries {
         .select(col("c_custkey").as("probe_id"),
           concat(substring(col("c_name"), 1, 16), substring(col("c_name"), 18, 1),
             substring(col("c_name"), 17, 1)).as("probe_name"))
-      val joined = broadcast(probes.withColumn("blk", substring(col("probe_name"), 10, 6)))
-        .join(cust.withColumn("blk", substring(col("c_name"), 10, 6)), Seq("blk"))
-        .withColumn("dist", levenshtein(col("probe_name"), col("c_name")))
-        .filter(col("dist") <= 2)
+      val joined = broadcast(probes.withColumn("blk", substring(col("probe_name"), 10, 7)))
+        .join(cust.withColumn("blk", substring(col("c_name"), 10, 7)), Seq("blk"))
+        .withColumn("dist", levenshtein(col("probe_name"), col("c_name"), 2))
+        .filter(col("dist") >= 0)
       val byProbe = Window.partitionBy("probe_id").orderBy(col("dist"), col("c_custkey"))
       joined.withColumn("rn", row_number().over(byProbe)).filter(col("rn") === 1)
         .select(col("probe_id"), col("probe_name"), col("c_custkey").as("match_key"),

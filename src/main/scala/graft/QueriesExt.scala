@@ -1285,6 +1285,25 @@ object QueriesExt {
       emb(s, d), emb(s, d).filter(col("vec_id") < 10), k = 5)
       .orderBy("query_id", "rank"))
 
+  /** Radius (range) similarity search — every neighbor with cosine ≥ 0.25,
+    * however many or few that is per query: the quality-bounded complement
+    * of sim_knn_brute's count-bounded top-k. Identical fold-order dot
+    * product on both engines keeps the cosines (and therefore the
+    * threshold comparison) bit-deterministic.
+    */
+  private val sm2rad = QueryDef("sim_radius",
+    Some(s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            |  ${dotSql("q", "c")} /
+            |    (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})) AS cos
+            |FROM embeddings q, embeddings c
+            |WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+            |  AND ${dotSql("q", "c")} /
+            |    (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})) >= 0.25
+            |ORDER BY query_id, neighbor_id""".stripMargin),
+    (s, d) => Similarity.radiusSearch(
+      emb(s, d), emb(s, d).filter(col("vec_id") < 10), minCos = 0.25)
+      .orderBy("query_id", "neighbor_id"))
+
   /** Retrieval end-to-end — the RAG-shape result a user actually consumes:
     * top-3 neighbors per query WITH their document metadata. The metadata
     * join happens strictly AFTER ranking (k·|queries| ids broadcast into
@@ -2433,6 +2452,6 @@ object QueriesExt {
   val all: Seq[QueryDef] = Seq(
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21,
     dd1, dd2, dd3, dd4, dd5, dd6, dd7,
-    sm1, sm2, sm2r, sm2m, sm3, sm4, sm5, sm6, sm7, sm8,
+    sm1, sm2, sm2r, sm2rad, sm2m, sm3, sm4, sm5, sm6, sm7, sm8,
     mm1, mm2, mm3, pl1, pl2, pl3, ir1, ir2, ir3, ir4, ir5, tx22, tx23, tx24)
 }

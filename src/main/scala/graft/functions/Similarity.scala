@@ -68,6 +68,27 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** Radius (range) similarity search: ALL corpus vectors with cosine ≥
+    * minCos of each query — the fixed-threshold complement of top-k (top-k
+    * bounds the result count, radius bounds the result quality; near-dup
+    * mining and recall-oriented retrieval want the latter). Same scale
+    * shape as [[bruteForceTopK]]: queries broadcast, corpus map-only
+    * scanned, cosine filter evaluated inside the scan projection so
+    * non-matches never leave the partition. No ranking state at all —
+    * unlike top-k there is no per-query buffer to bound.
+    */
+  def radiusSearch(corpus: DataFrame, queries: DataFrame, minCos: Double): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", l2Norm(col("qe")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .withColumn("nn", l2Norm(col("ne")))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Deterministic random-hyperplane LSH bucket keys (one per table). */
   def lshBuckets(vec: Column, tables: Int, bits: Int): Column =
     NativeExpressions.hyperplaneBuckets(vec, tables, bits)

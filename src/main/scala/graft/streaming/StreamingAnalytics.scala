@@ -317,6 +317,43 @@ object StreamingAnalytics {
           col(rightTsCol) >= col(leftTsCol) &&
           col(rightTsCol) <= col(leftTsCol) + expr(s"interval $window"))
 
+  /** Streaming EWMA via flatMapGroupsWithState — the exact RECURSIVE form
+    * e_t = α·x_t + (1−α)·e_{t−1} over the key's full history, which the
+    * batch `a27_ewma` approximates with a bounded lookback (the recursion
+    * is inexpressible as a SQL window without one). State per key is a
+    * single (ewma, count) record — constant size at any stream length, no
+    * timeout needed — so total state is (active keys × one double), the
+    * smallest possible stateful footprint. One smoothed row per input
+    * event (Append mode). Events within a micro-batch fold in event_id
+    * order; across batches, arrival order is the fold order, as for any
+    * keyed stream.
+    */
+  case class EwmaState(ewma: Double, n: Long)
+  case class EwmaOut(user_id: Long, event_id: Long, value: Double, ewma: Double, n_seen: Long)
+
+  def ewmaStream(events: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+                 alpha: Double): org.apache.spark.sql.Dataset[EwmaOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[EwmaState]) => {
+          var cur = state.getOption
+          val out = rows.toSeq.sortBy(_._2).map { case (_, eid, x) =>
+            val next = cur match {
+              case Some(s) => EwmaState(alpha * x + (1 - alpha) * s.ewma, s.n + 1)
+              case None    => EwmaState(x, 1L) // first observation passes through
+            }
+            cur = Some(next)
+            EwmaOut(key, eid, x, next.ewma, next.n)
+          }
+          cur.foreach(state.update)
+          out.iterator
+        })
+  }
+
   /** Session windows via the built-in session_window (gap-based). */
   def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
                     gap: String, watermark: String = "1 hour"): DataFrame =

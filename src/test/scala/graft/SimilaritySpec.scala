@@ -170,6 +170,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count(_.getBoolean(2)) + pruned.length == out.length)
   }
 
+  test("radiusSearch: agrees with brute-force top-k on the overlap, respects the threshold") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val radius = Similarity.radiusSearch(emb, queries, minCos = 0.25).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(radius.values.forall(_ >= 0.25), "every returned cosine clears the threshold")
+    assert(radius.keys.forall { case (q, n) => q != n }, "self-pairs excluded")
+    // top-k and radius must agree wherever both apply: any top-5 neighbor
+    // with cos ≥ θ is in the radius result with the identical cosine
+    val topk = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    topk.filter(_._2 >= 0.25).foreach { case (pair, cos) =>
+      assert(radius.get(pair).contains(cos), s"pair $pair: same cosine in both searches")
+    }
+    // and a top-1 neighbor below θ proves its query legitimately has no
+    // radius matches (not a silent drop)
+    val top1Below = topk.groupBy(_._1._1).filter(_._2.map(_._2).max < 0.25).keySet
+    top1Below.foreach(q => assert(!radius.keys.exists(_._1 == q)))
+  }
+
   test("l2Norm matches local math") {
     val row = vectors.filter($"vec_id" === 2L)
       .select(Similarity.l2Norm($"embedding")).head()

@@ -204,4 +204,37 @@ class StreamingParitySpec extends SparkSpec {
       .filter(_.getTimestamp(0) == Timestamp.valueOf("2024-01-01 11:00:00"))
     assert(w11.nonEmpty && w11.head.getDouble(4) > 0.0)
   }
+
+  test("streaming EWMA: recursive fold across micro-batch splits equals the full-history reference") {
+    implicit val sq = spark.sqlContext
+    val alpha = 0.5
+    // (user_id, event_id, value) — two keys, interleaved arrivals
+    val data = Seq(
+      (1L, 1L, 10.0), (2L, 2L, 100.0), (1L, 3L, 20.0), (1L, 4L, 2.0),
+      (2L, 5L, 50.0), (1L, 6L, 40.0), (2L, 7L, 75.0), (1L, 8L, 8.0))
+    val mem = MemoryStream[(Long, Long, Double)]
+    val sdf = StreamingAnalytics.ewmaStream(mem.toDS(), alpha)
+    val q = sdf.writeStream.format("memory").queryName("ewma_test")
+      .outputMode("append").start()
+    // split mid-key: state must carry each key's ewma across batches
+    mem.addData(data.take(3)); q.processAllAvailable()
+    mem.addData(data.drop(3)); q.processAllAvailable()
+    q.stop()
+    val streaming = spark.table("ewma_test").collect()
+      .map(r => r.getLong(1) -> (r.getDouble(3), r.getLong(4))).toMap
+
+    // reference: plain Scala recursive fold per key in event_id order
+    val expected = data.groupBy(_._1).flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(_._2)
+      ordered.scanLeft((0L, 0.0, 0L)) { case ((_, e, n), (_, eid, x)) =>
+        (eid, if (n == 0) x else alpha * x + (1 - alpha) * e, n + 1)
+      }.tail.map { case (eid, e, n) => eid -> (e, n) }
+    }
+    assert(streaming.size == data.size, "one smoothed row per input event")
+    expected.foreach { case (eid, (e, n)) =>
+      assert(streaming(eid) == ((e, n)), s"event $eid: exact recursive parity")
+    }
+    // state is one record per key: first event of each key passes through
+    assert(streaming(1L)._1 == 10.0 && streaming(2L)._1 == 100.0)
+  }
 }

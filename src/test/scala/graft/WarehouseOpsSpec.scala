@@ -58,8 +58,8 @@ class WarehouseOpsSpec extends SparkSpec {
       val (probeName, matchName, dist) = (r.getString(1), r.getString(3), r.getInt(4))
       assert(dist >= 0 && dist <= 2)
       if (probeName == matchName) assert(dist == 0)
-      // the block key (digits 1-6) always agrees between probe and match
-      assert(probeName.substring(9, 15) == matchName.substring(9, 15))
+      // the block key (digits 1-7) always agrees between probe and match
+      assert(probeName.substring(9, 16) == matchName.substring(9, 16))
     }
     // a probe whose last two digits are equal is unmutated → exact self-match
     rows.filter { r => val n = r.getString(1); n(16) == n(17) }.foreach { r =>
