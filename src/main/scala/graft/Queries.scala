@@ -1969,13 +1969,96 @@ object Queries {
         .orderBy("event_type", "decile")
     })
 
+  /** G4 (rebuild extra): PageRank — the iterative-graph-computation family
+    * member beyond dd_cluster_canonical's connected components. Graph: the
+    * per-user transition graph over the `k` property (nodes = k values,
+    * edge weight = #times a user moved k_prev→k), i.e. the same graph
+    * a24_markov_transitions summarizes — PageRank ranks its hubs. Three
+    * damped iterations (d=0.85) in FIXED-POINT arithmetic: ranks are
+    * bigints scaled by 2^20 and every per-edge contribution is
+    * floor-divided BEFORE the incoming sum, so the distributed reduction
+    * is order-free/partitioning-proof (the same determinism trick as
+    * tx_train_lr) and the oracle replays all three iterations as unrolled
+    * CTEs and hash-matches the exact ranks. Scale shape: the one
+    * data-sized job is the edge aggregation (a user_id window + one
+    * (src,dst) partial agg); iterations run on the VOCABULARY-sized edge
+    * table (≤|k|² rows) with broadcast rank joins — the standard
+    * aggregate-then-iterate design, so iteration cost is independent of
+    * the event count. |nodes| is driver-collected as a bounded model
+    * artifact (≤100), like the k-means centroid collects.
+    */
+  private val g4 = QueryDef("g4_pagerank",
+    Some(s"""WITH ks AS (
+            |  SELECT user_id, event_id, $kSql AS k FROM events
+            |), seq AS (
+            |  SELECT user_id, k, lag(k) OVER (PARTITION BY user_id ORDER BY event_id) AS k_prev
+            |  FROM ks WHERE k IS NOT NULL
+            |), edges AS (
+            |  SELECT k_prev AS src, k AS dst, count(*) AS w
+            |  FROM seq WHERE k_prev IS NOT NULL AND k_prev <> k
+            |  GROUP BY 1, 2
+            |), nodes AS (
+            |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+            |), nn AS (SELECT count(*) AS n FROM nodes),
+            |outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
+            |r0 AS (SELECT node, 1048576 // (SELECT n FROM nn) AS r FROM nodes),
+            |c1 AS (SELECT e.dst AS node, sum((r0.r * e.w) // o.wout) AS s
+            |       FROM edges e JOIN r0 ON e.src = r0.node JOIN outw o ON e.src = o.src GROUP BY 1),
+            |r1 AS (SELECT n.node, (15 * 1048576) // (100 * (SELECT n FROM nn))
+            |         + (85 * coalesce(c1.s, 0)) // 100 AS r
+            |       FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+            |c2 AS (SELECT e.dst AS node, sum((r1.r * e.w) // o.wout) AS s
+            |       FROM edges e JOIN r1 ON e.src = r1.node JOIN outw o ON e.src = o.src GROUP BY 1),
+            |r2 AS (SELECT n.node, (15 * 1048576) // (100 * (SELECT n FROM nn))
+            |         + (85 * coalesce(c2.s, 0)) // 100 AS r
+            |       FROM nodes n LEFT JOIN c2 ON n.node = c2.node),
+            |c3 AS (SELECT e.dst AS node, sum((r2.r * e.w) // o.wout) AS s
+            |       FROM edges e JOIN r2 ON e.src = r2.node JOIN outw o ON e.src = o.src GROUP BY 1),
+            |r3 AS (SELECT n.node, (15 * 1048576) // (100 * (SELECT n FROM nn))
+            |         + (85 * coalesce(c3.s, 0)) // 100 AS r
+            |       FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
+            |SELECT node, cast(r as bigint) AS rank_fp
+            |FROM r3 ORDER BY node""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val S = 1048576L
+      val ks = ev(s, d).select(col("user_id"), col("event_id"), kCol.as("k"))
+        .filter(col("k").isNotNull)
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      val edges = ks.withColumn("k_prev", lag(col("k"), 1).over(byUser))
+        .filter(col("k_prev").isNotNull && col("k_prev") =!= col("k"))
+        .groupBy(col("k_prev").as("src"), col("k").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .persist() // vocabulary-sized (≤|k|²); reread by all three iterations
+      val outw = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst"))).distinct()
+      val n = nodes.count() // bounded model artifact: |k| ≤ 100 at any SF
+      val teleport = (15L * S) / (100L * n)
+      var rank = nodes.withColumn("r", lit(S / n))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(rank.withColumnRenamed("node", "src"), "src")
+          .join(outw, "src")
+          .select(col("dst").as("node"), expr("(r * w) div wout").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("s"))
+        rank = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(teleport) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+      }
+      val out = rank.select(col("node"), col("r").as("rank_fp")).orderBy("node")
+      out.cache().count() // materialize before unpersisting the edge table
+      edges.unpersist()
+      out
+    })
+
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24, a25,
     j1, j2, j2ps, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, w7, su, si, se, g1, g2, g3,
-    st1, st2, st3, st4, d16, j12, j13, a26, a27)
+    st1, st2, st3, st4, d16, j12, j13, a26, a27, g4)
 
   val all: Seq[QueryDef] = core ++ QueriesExt.all
 

@@ -103,6 +103,38 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("g4_pagerank: exact fixed-point parity with a local reference; mass and floor invariants") {
+    val out = SparkEntry.queries("g4_pagerank")(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // local reference: same edge extraction + 3 integer-floored iterations
+    val S = 1048576L
+    val kPat = "\"k\":\\s*(\\d+)".r
+    val rows = Tables.events(spark, sf).select("user_id", "event_id", "props").collect()
+      .flatMap(r => kPat.findFirstMatchIn(r.getString(2))
+        .map(m => (r.getLong(0), r.getLong(1), m.group(1).toInt)))
+    val edges = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ks = es.sortBy(_._2).map(_._3)
+      ks.zip(ks.tail).filter { case (a, b) => a != b }
+    }.groupBy(identity).map { case ((s0, d0), g) => (s0, d0, g.size.toLong) }.toSeq
+    val wout = edges.groupBy(_._1).map { case (s0, g) => s0 -> g.map(_._3).sum }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    var rank = nodes.map(_ -> S / n).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s0, _, w) => (rank(s0) * w) / wout(s0) }.sum
+      }
+      rank = nodes.map(nd => nd -> ((15L * S) / (100L * n) + 85L * contrib.getOrElse(nd, 0L) / 100L)).toMap
+    }
+    assert(out.keySet == rank.keySet)
+    rank.foreach { case (nd, r) => assert(out(nd) == r, s"node $nd exact fixed-point match") }
+    // every node holds at least the teleport mass; total mass ≈ S (floor leak only)
+    val teleport = (15L * S) / (100L * n)
+    assert(out.values.forall(_ >= teleport))
+    val total = out.values.sum
+    assert(total <= S && total > (S * 9) / 10, s"rank mass conserved up to floor leak: $total")
+  }
+
   test("w7_ntile_deciles: 10 near-equal buckets per type, ordered and exhaustive") {
     val rows = SparkEntry.queries("w7_ntile_deciles")(spark, sf).collect()
     val totals = Tables.events(spark, sf).groupBy("event_type").count().collect()
