@@ -2052,13 +2052,67 @@ object Queries {
       out
     })
 
+  /** A28 (rebuild extra): last-touch attribution — each purchase credited
+    * to the same user's most recent click within a 3-day window, revenue
+    * rolled up by the attributed click's hour (unattributed → -1). The
+    * as-of step is [[graft.operators.TemporalJoins.asOfJoin]]'s union +
+    * one-shuffle sort-merge formulation (no per-row range probe); the
+    * 3-day bound is a post-match filter, and the rollup is a ≤25-group
+    * aggregate. The oracle replays the identical union/last_value(IGNORE
+    * NULLS) window — same tie semantics (click at exactly the purchase ts
+    * is visible; greatest event_id wins among equal-ts clicks).
+    */
+  private val a28 = QueryDef("a28_attribution",
+    Some("""WITH u AS (
+           |  SELECT user_id, cast(ts as timestamp) AS ts, FALSE AS is_r, event_id,
+           |         cast(value as decimal(18,2)) AS value, NULL AS click_id, NULL AS cts
+           |  FROM events WHERE event_type = 'purchase'
+           |  UNION ALL
+           |  SELECT user_id, cast(ts as timestamp), TRUE, event_id,
+           |         NULL, event_id, cast(ts as timestamp)
+           |  FROM events WHERE event_type = 'click'
+           |), w AS (
+           |  SELECT *,
+           |    last_value(CASE WHEN is_r THEN click_id END IGNORE NULLS) OVER win AS a_click,
+           |    last_value(CASE WHEN is_r THEN cts END IGNORE NULLS) OVER win AS a_cts
+           |  FROM u
+           |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_r DESC, event_id
+           |                 ROWS UNBOUNDED PRECEDING)
+           |), p AS (
+           |  SELECT CASE WHEN a_click IS NOT NULL
+           |              AND epoch_us(ts) - epoch_us(a_cts) <= 259200000000
+           |         THEN hour(a_cts) ELSE -1 END AS click_hour, value
+           |  FROM w WHERE NOT is_r
+           |)
+           |SELECT click_hour, count(*) AS n_purchases,
+           |       cast(sum(value) as double) AS revenue
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").cast("decimal(18,2)").as("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+      val matched = graft.operators.TemporalJoins.asOfJoin(
+        purchases, clicks, "user_id", "ts", "cts", "click_id", Seq.empty)
+      val attributed = matched.withColumn("click_hour",
+        when(col("asof").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("asof.cts")) <= 259200000000L,
+          hour(col("asof.cts"))).otherwise(-1))
+      attributed.groupBy("click_hour")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value")).cast("double").as("revenue"))
+        .orderBy("click_hour")
+    })
+
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24, a25,
     j1, j2, j2ps, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, w7, su, si, se, g1, g2, g3,
-    st1, st2, st3, st4, d16, j12, j13, a26, a27, g4)
+    st1, st2, st3, st4, d16, j12, j13, a26, a27, a28, g4)
 
   val all: Seq[QueryDef] = core ++ QueriesExt.all
 

@@ -103,6 +103,18 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("a28_attribution: purchases and revenue conserved across attribution buckets") {
+    val rows = SparkEntry.queries("a28_attribution")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).forall(h => h == -1 || (h >= 0 && h <= 23)))
+    assert(rows.map(_.getInt(0)).distinct.length == rows.length, "one row per bucket")
+    val ev = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+    assert(rows.map(_.getLong(1)).sum == ev.count(),
+      "every purchase lands in exactly one bucket (attributed or -1)")
+    val totalRev = ev.agg(sum(col("value").cast("decimal(18,2)")).cast("double")).head.getDouble(0)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - totalRev) < 1e-6,
+      "attribution redistributes revenue, never creates or loses it")
+  }
+
   test("g4_pagerank: exact fixed-point parity with a local reference; mass and floor invariants") {
     val out = SparkEntry.queries("g4_pagerank")(spark, sf).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
