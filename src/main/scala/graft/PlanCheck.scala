@@ -614,6 +614,31 @@ object PlanCheck {
       "decile aggregate reuses the event_type window partitioning" ->
         (p => hashExchanges(p) == 1))
 
+    // a28: the as-of attribution keeps asOfJoin's one-exchange union
+    // formulation (plus the ≤25-group rollup's exchange) and must not
+    // degrade to a per-row range probe. a29: the concurrency sweep is
+    // day-partitioned — every window carries a PARTITION BY (a global
+    // sweep would be the single-partition sort that cannot scale), and the
+    // carry join is the 30-row days side broadcast (non-equi → nested
+    // loop, bounded by the broadcast). g4: iterations must reuse the
+    // cached vocabulary-sized edge table, not recompute the event-scale
+    // edge aggregation per round.
+    check("a28_attribution")(
+      "as-of union + rollup: ≤2 hash exchanges" ->
+        (p => "Exchange hashpartitioning".r.findAllIn(p).size <= 2),
+      "no nested-loop range probe" -> (p => !p.contains("NestedLoop")))
+
+    check("a29_peak_concurrency")(
+      "every sweep window is partitioned (no global sort)" ->
+        (p => "windowspecdefinition\\((user_id|d)#".r.findAllIn(p).nonEmpty &&
+          !"windowspecdefinition\\((?!(user_id|d)#)".r.findAllIn(p).exists(_ => true)),
+      "carry join broadcasts the 30-row days side" ->
+        (_.contains("BroadcastNestedLoopJoin")))
+
+    check("g4_pagerank")(
+      "iterations read the cached edge table" -> (_.contains("InMemoryTableScan")),
+      "rank joins broadcast (vocabulary-sized sides)" -> (_.contains("BroadcastHashJoin")))
+
     println(if (failures == 0) "PLANCHECK OK" else s"PLANCHECK $failures FAILURES")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -2106,13 +2106,97 @@ object Queries {
         .orderBy("click_hour")
     })
 
+  /** A29 (rebuild extra): interval analytics — per-day PEAK session
+    * concurrency (max sessions simultaneously active), over the same
+    * 2-hour-gap sessions as st_sessionization. The textbook formulation is
+    * one GLOBAL ordered sweep (+1 at start, −1 at end, running max) — a
+    * single-partition sort that cannot scale. This partitions the sweep by
+    * DAY and adds a carry-in per day (sessions spanning midnight, counted
+    * by a 30-row broadcast interval join), so concurrency(t) =
+    * carry(day) + prefix-sum of that day's boundary events: each day's
+    * sweep is an independent window partition, and days × spanning-
+    * sessions is the only cross-partition work. Touching sessions count as
+    * concurrent (+1 sorts before −1 at equal timestamps, deterministic
+    * tie-break by (user, sid)).
+    */
+  private val a29 = QueryDef("a29_peak_concurrency",
+    Some("""WITH o AS (
+           |  SELECT user_id, event_id, cast(ts as timestamp) AS ts,
+           |         CASE WHEN epoch_us(cast(ts as timestamp))
+           |                   - lag(epoch_us(cast(ts as timestamp)))
+           |                     OVER (PARTITION BY user_id ORDER BY event_id) > 7200000000
+           |              THEN 1 ELSE 0 END AS new_s
+           |  FROM events
+           |), s AS (
+           |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY event_id) AS sid FROM o
+           |), sess AS (
+           |  SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
+           |  FROM s GROUP BY 1, 2
+           |), ev AS (
+           |  SELECT cast(s_start as date) AS d, s_start AS pt, 1 AS delta, user_id, sid FROM sess
+           |  UNION ALL
+           |  SELECT cast(s_end as date), s_end, -1, user_id, sid FROM sess
+           |), days AS (SELECT DISTINCT d FROM ev),
+           |carry AS (
+           |  SELECT days.d, count(*) AS c
+           |  FROM days JOIN sess
+           |    ON sess.s_start < cast(days.d as timestamp) AND sess.s_end >= cast(days.d as timestamp)
+           |  GROUP BY 1
+           |), sweep AS (
+           |  SELECT d, delta, sum(delta) OVER (PARTITION BY d ORDER BY pt, delta DESC, user_id, sid
+           |                                    ROWS UNBOUNDED PRECEDING) AS run
+           |  FROM ev
+           |), agg AS (
+           |  SELECT d, cast(max(run) as bigint) AS max_run,
+           |         cast(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) as bigint) AS sessions_started
+           |  FROM sweep GROUP BY 1
+           |)
+           |SELECT agg.d AS date, coalesce(carry.c, 0) AS carry_in,
+           |       coalesce(carry.c, 0) + greatest(agg.max_run, 0) AS peak_concurrency,
+           |       agg.sessions_started
+           |FROM agg LEFT JOIN carry ON agg.d = carry.d
+           |ORDER BY date""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      val base = ev(s, d).select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("new_s",
+          when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+            > 7200000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sess = base.groupBy("user_id", "sid")
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      val evts = sess.select(to_date(col("s_start")).as("d"), col("s_start").as("pt"),
+          lit(1L).as("delta"), col("user_id"), col("sid"))
+        .unionAll(sess.select(to_date(col("s_end")).as("d"), col("s_end").as("pt"),
+          lit(-1L).as("delta"), col("user_id"), col("sid")))
+      val days = evts.select("d").distinct()
+      val carry = broadcast(days).join(sess,
+          col("s_start") < col("d").cast("timestamp") &&
+            col("s_end") >= col("d").cast("timestamp"))
+        .groupBy("d").agg(count(lit(1)).as("c"))
+      val sweepW = Window.partitionBy("d")
+        .orderBy(col("pt"), col("delta").desc, col("user_id"), col("sid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      evts.withColumn("run", sum(col("delta")).over(sweepW))
+        .groupBy("d").agg(max(col("run")).as("max_run"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("sessions_started"))
+        .join(carry, Seq("d"), "left")
+        .select(col("d").as("date"), coalesce(col("c"), lit(0L)).as("carry_in"),
+          (coalesce(col("c"), lit(0L)) + greatest(col("max_run"), lit(0L)))
+            .as("peak_concurrency"),
+          col("sessions_started"))
+        .orderBy("date")
+    })
+
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24, a25,
     j1, j2, j2ps, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, w7, su, si, se, g1, g2, g3,
-    st1, st2, st3, st4, d16, j12, j13, a26, a27, a28, g4)
+    st1, st2, st3, st4, d16, j12, j13, a26, a27, a28, a29, g4)
 
   val all: Seq[QueryDef] = core ++ QueriesExt.all
 

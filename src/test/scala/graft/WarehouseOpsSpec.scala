@@ -115,6 +115,33 @@ class WarehouseOpsSpec extends SparkSpec {
       "attribution redistributes revenue, never creates or loses it")
   }
 
+  test("a29_peak_concurrency: day-partitioned sweep equals a direct interval-overlap count") {
+    val out = SparkEntry.queries("a29_peak_concurrency")(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, carry, peak, _) => assert(peak >= carry && carry >= 0) }
+    // rebuild sessions locally (same 2h-gap rule) and check peaks directly
+    val evs = Tables.events(spark, sf).select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime * 1000L))
+    val sessions = evs.groupBy(_._1).values.flatMap { rows =>
+      val ts = rows.sortBy(_._2).map(_._3)
+      ts.tail.foldLeft(List((ts.head, ts.head))) { case (acc @ ((s0, e0) :: rest), t) =>
+        if (t - e0 > 7200000000L) (t, t) :: acc else (s0, t) :: rest
+      }
+    }.toSeq
+    assert(out.map(_._4).sum == sessions.size, "sessions_started partitions the session set")
+    val dayOf = (us: Long) => java.time.Instant.ofEpochSecond(us / 1000000L)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    out.foreach { case (day, carry, peak, _) =>
+      val dayStartUs = day.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000L
+      val expectedCarry = sessions.count { case (s0, e0) => s0 < dayStartUs && e0 >= dayStartUs }
+      assert(carry == expectedCarry, s"$day carry")
+      val candidates = sessions.collect { case (s0, _) if dayOf(s0) == day => s0 }
+        .map(t => sessions.count { case (s0, e0) => s0 <= t && e0 >= t }.toLong)
+      assert(peak == (candidates :+ expectedCarry.toLong).max, s"$day peak")
+    }
+  }
+
   test("g4_pagerank: exact fixed-point parity with a local reference; mass and floor invariants") {
     val out = SparkEntry.queries("g4_pagerank")(spark, sf).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
