@@ -297,6 +297,52 @@ object Queries {
         .orderBy("event_type")
     })
 
+  /** S (rebuild extra): Avro sink + re-scan — the row-oriented interchange
+    * format of Kafka/schema-registry pipelines; a switching user's event
+    * feed often lands as Avro before columnar conversion. Spark 4 bundles
+    * the Avro source; the re-scan's filter still prunes via the reader's
+    * row-level predicate (Avro has no columnar statistics — exactly why
+    * the pipeline converts to parquet; the carrier documents both halves).
+    * This Spark build ships the Avro classes inside spark-sql but without
+    * the `avro` shortname's service registration, so the format is
+    * addressed by its provider class name.
+    */
+  private val s17 = QueryDef("s17_avro_roundtrip",
+    Some("""SELECT event_type, count(*) AS cnt,
+           |       cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+           |FROM events WHERE value > 50 GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val path = s"/tmp/graft_s17_avro_${Integer.toHexString(d.hashCode)}"
+      ev(s, d).select("event_id", "event_type", "value")
+        .write.mode("overwrite").format("org.apache.spark.sql.avro.AvroFileFormat").save(path)
+      s.read.format("org.apache.spark.sql.avro.AvroFileFormat").load(path).filter(col("value") > 50)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    })
+
+  /** S (rebuild extra): XML sink + re-scan with an EXPLICIT schema (Spark
+    * 4's built-in XML source) — enterprise log exports still ship XML; the
+    * explicit schema avoids the inference pass a 100 TB directory cannot
+    * afford, the same discipline as the S3 CSV re-scan.
+    */
+  private val s18 = QueryDef("s18_xml_roundtrip",
+    Some("""SELECT event_type, count(*) AS cnt, cast(sum(user_id) as bigint) AS sum_users
+           |FROM events WHERE user_id % 3 = 0 GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val path = s"/tmp/graft_s18_xml_${Integer.toHexString(d.hashCode)}"
+      ev(s, d).select("event_id", "event_type", "user_id")
+        .write.mode("overwrite").option("rowTag", "event").format("xml").save(path)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, event_type STRING, user_id BIGINT")
+      s.read.schema(schema).option("rowTag", "event").format("xml").load(path)
+        .filter(col("user_id") % 3 === 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("user_id")).cast("bigint").as("sum_users"))
+        .orderBy("event_type")
+    })
+
   /** S11: document-store round-trip through the repo's own DataSource V2
     * connector (`graft.sources.docstore.DocStoreSource`) — the real rebuild
     * of the reference's MongoDB hop: `insert_mongo.py:9-15`
@@ -2192,7 +2238,7 @@ object Queries {
 
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
-    s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
+    s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24, a25,
     j1, j2, j2ps, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, w7, su, si, se, g1, g2, g3,
