@@ -354,6 +354,50 @@ object StreamingAnalytics {
         })
   }
 
+  /** Streaming last-touch attribution — the streaming lift of the batch
+    * `a28_attribution`: purchases are credited to the same user's most
+    * recent click within `windowMicros`, as they arrive. State per key is
+    * ONE (click_id, click_ts) pair — the streaming as-of needs only the
+    * latest left-hand row, not history — so total state is
+    * (active users × 16 bytes) at any stream length; no timeout needed
+    * because newer clicks simply overwrite. Rows fold in (ts, event_id)
+    * order within a micro-batch; across batches arrival order is event
+    * order, as for the other keyed folds here (the batch asOfJoin is the
+    * order-perfect reconciliation for late data).
+    */
+  case class LastClick(clickId: Long, clickTsUs: Long)
+  case class AttributionOut(user_id: Long, purchase_id: Long,
+                            purchase_ts: java.sql.Timestamp,
+                            click_id: java.lang.Long, attributed: Boolean)
+
+  def attributionStream(
+      events: org.apache.spark.sql.Dataset[(Long, Long, java.sql.Timestamp, String)],
+      windowMicros: Long): org.apache.spark.sql.Dataset[AttributionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, String)],
+         state: GroupState[LastClick]) => {
+          var last = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[AttributionOut]
+          rows.toSeq.sortBy(r => (r._3.getTime, r._2)).foreach { case (_, eid, ts, typ) =>
+            val tsUs = ts.getTime * 1000L
+            typ match {
+              case "click" => last = Some(LastClick(eid, tsUs))
+              case "purchase" =>
+                val hit = last.filter(c => tsUs - c.clickTsUs <= windowMicros)
+                out += AttributionOut(key, eid, ts,
+                  hit.map(c => java.lang.Long.valueOf(c.clickId)).orNull, hit.isDefined)
+              case _ => ()
+            }
+          }
+          last.foreach(state.update)
+          out.iterator
+        })
+  }
+
   /** Session windows via the built-in session_window (gap-based). */
   def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
                     gap: String, watermark: String = "1 hour"): DataFrame =

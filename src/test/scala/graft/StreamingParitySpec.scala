@@ -205,6 +205,56 @@ class StreamingParitySpec extends SparkSpec {
     assert(w11.nonEmpty && w11.head.getDouble(4) > 0.0)
   }
 
+  test("streaming attribution: last-touch matches the batch asOfJoin on in-order data") {
+    implicit val sq = spark.sqlContext
+    val win = 3L * 24 * 3600 * 1000000 // 3 days in micros
+    def ts(day: Int, hour: Int) = Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+    // user 1: click → purchase (attributed), old click → late purchase (window expired)
+    // user 2: purchase with no click ever (unattributed), then click → purchase
+    // user 3: two clicks before one purchase (latest click wins)
+    val data = Seq(
+      (1L, 1L, ts(1, 8), "click"), (1L, 2L, ts(1, 9), "purchase"),
+      (2L, 3L, ts(1, 10), "purchase"),
+      (3L, 4L, ts(1, 11), "click"), (3L, 5L, ts(1, 12), "click"),
+      (3L, 6L, ts(1, 13), "purchase"),
+      (2L, 7L, ts(2, 8), "click"), (2L, 8L, ts(2, 9), "purchase"),
+      (1L, 9L, ts(5, 10), "purchase")) // 4d2h after click 1 → expired
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val sdf = StreamingAnalytics.attributionStream(mem.toDS(), win)
+    val q = sdf.writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    mem.addData(data.take(4)); q.processAllAvailable() // split mid-user
+    mem.addData(data.drop(4)); q.processAllAvailable()
+    q.stop()
+    val streaming = spark.table("attr_test").collect()
+      .map(r => r.getLong(1) -> (Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      .toMap
+    assert(streaming.keySet == Set(2L, 3L, 6L, 8L, 9L), "one row per purchase")
+    assert(streaming(2L) == (Some(1L), true))
+    assert(streaming(3L) == (None, false), "no click ever")
+    assert(streaming(6L) == (Some(5L), true), "latest of two clicks wins")
+    assert(streaming(8L) == (Some(7L), true), "state carries clicks across micro-batches")
+    assert(streaming(9L) == (None, false), "3-day window expired")
+
+    // batch reconciliation: asOfJoin + window filter gives the same credit
+    import spark.implicits._
+    val purchases = data.filter(_._4 == "purchase").map(t => (t._1, t._2, t._3))
+      .toDF("user_id", "purchase_id", "pts")
+    val clicks = data.filter(_._4 == "click").map(t => (t._1, t._3, t._2))
+      .toDF("user_id", "cts", "click_id")
+    val batch = graft.operators.TemporalJoins
+      .asOfJoin(purchases, clicks, "user_id", "pts", "cts", "click_id", Seq.empty)
+      .select(col("purchase_id"),
+        when(col("asof").isNotNull &&
+          unix_micros(col("pts")) - unix_micros(col("asof.cts")) <= win,
+          col("asof.click_id")).as("click_id"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    streaming.foreach { case (pid, (cid, _)) =>
+      assert(batch(pid) == cid, s"purchase $pid: stream ≡ batch as-of")
+    }
+  }
+
   test("streaming EWMA: recursive fold across micro-batch splits equals the full-history reference") {
     implicit val sq = spark.sqlContext
     val alpha = 0.5
