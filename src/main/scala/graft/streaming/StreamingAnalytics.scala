@@ -354,6 +354,64 @@ object StreamingAnalytics {
         })
   }
 
+  /** Streaming SCD2 history build — the streaming lift of the batch
+    * `j12_scd2_history`: each user's event_type timeline collapses into
+    * versioned [valid_from, valid_to) intervals AS THE STREAM ARRIVES.
+    * State per key is exactly the one OPEN run (type, start, last, count,
+    * version) — the closed history is emitted, never retained — so state
+    * is (active keys × one record) at any stream length. A state change
+    * closes the open run at the new row's ts (half-open chain, identical
+    * to the batch operator's valid_to = next valid_from) and emits it;
+    * the open run itself is what the batch query reports as is_current.
+    * Rows fold in event order within a batch; late cross-batch data is
+    * the batch operator's job to reconcile, as with the other folds here.
+    */
+  /** java.sql.Timestamp ⇄ epoch-micros without dropping sub-millisecond
+    * precision (getTime alone truncates to ms; events carry µs).
+    */
+  private def tsToUs(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos(((us - math.floorDiv(us, 1000000L) * 1000000L) * 1000L).toInt)
+    t
+  }
+
+  case class Scd2State(tpe: String, startUs: Long, n: Long, version: Long)
+  case class Scd2Out(user_id: Long, version_n: Long, event_type: String,
+                     valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp,
+                     n_events: Long)
+
+  def scd2Stream(
+      events: org.apache.spark.sql.Dataset[(Long, Long, java.sql.Timestamp, String)])
+      : org.apache.spark.sql.Dataset[Scd2Out] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, String)],
+         state: GroupState[Scd2State]) => {
+          var cur = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[Scd2Out]
+          rows.toSeq.sortBy(_._2).foreach { case (_, _, ts, typ) =>
+            val tsUs = tsToUs(ts)
+            cur match {
+              case Some(s) if s.tpe == typ =>
+                cur = Some(s.copy(n = s.n + 1))
+              case Some(s) =>
+                out += Scd2Out(key, s.version, s.tpe,
+                  usToTs(s.startUs), usToTs(tsUs), s.n)
+                cur = Some(Scd2State(typ, tsUs, 1L, s.version + 1))
+              case None =>
+                cur = Some(Scd2State(typ, tsUs, 1L, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+        })
+  }
+
   /** Streaming last-touch attribution — the streaming lift of the batch
     * `a28_attribution`: purchases are credited to the same user's most
     * recent click within `windowMicros`, as they arrive. State per key is
@@ -382,8 +440,8 @@ object StreamingAnalytics {
          state: GroupState[LastClick]) => {
           var last = state.getOption
           val out = scala.collection.mutable.ListBuffer.empty[AttributionOut]
-          rows.toSeq.sortBy(r => (r._3.getTime, r._2)).foreach { case (_, eid, ts, typ) =>
-            val tsUs = ts.getTime * 1000L
+          rows.toSeq.sortBy(r => (tsToUs(r._3), r._2)).foreach { case (_, eid, ts, typ) =>
+            val tsUs = tsToUs(ts)
             typ match {
               case "click" => last = Some(LastClick(eid, tsUs))
               case "purchase" =>

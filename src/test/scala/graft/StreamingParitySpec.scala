@@ -205,6 +205,44 @@ class StreamingParitySpec extends SparkSpec {
     assert(w11.nonEmpty && w11.head.getDouble(4) > 0.0)
   }
 
+  test("streaming SCD2: closed intervals over the real events table equal the batch j12 history") {
+    implicit val sq = spark.sqlContext
+    // the full sf0.001 events table, in event order, split across 3 micro-batches
+    val rows = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+      .sortBy(_._2)
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val sdf = StreamingAnalytics.scd2Stream(mem.toDS())
+    val q = sdf.writeStream.format("memory").queryName("scd2_test")
+      .outputMode("append").start()
+    rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streaming = spark.table("scd2_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getTimestamp(3), r.getTimestamp(4), r.getLong(5))).toMap
+
+    val batch = SparkEntry.queries("j12_scd2_history")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getTimestamp(3),
+          if (r.isNullAt(4)) null else r.getTimestamp(4), r.getLong(5), r.getBoolean(6)))
+      .toMap
+    val closedBatch = batch.filter(!_._2._5)
+    assert(streaming.keySet == closedBatch.keySet,
+      "streaming emits exactly the batch history's closed versions")
+    streaming.foreach { case (k, (tpe, from, to, n)) =>
+      val (btpe, bfrom, bto, bn, _) = batch(k)
+      assert(tpe == btpe && from == bfrom && to == bto && n == bn, s"version $k parity")
+    }
+    // what the stream still holds open is exactly the batch's is_current rows
+    val openBatch = batch.filter(_._2._5)
+    assert(openBatch.size == rows.map(_._1).distinct.length,
+      "one open run per user remains in state")
+  }
+
   test("streaming attribution: last-touch matches the batch asOfJoin on in-order data") {
     implicit val sq = spark.sqlContext
     val win = 3L * 24 * 3600 * 1000000 // 3 days in micros
