@@ -2092,10 +2092,11 @@ object Queries {
           .select(col("node"),
             (lit(teleport) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
       }
-      val out = rank.select(col("node"), col("r").as("rank_fp")).orderBy("node")
-      out.cache().count() // materialize before unpersisting the edge table
-      edges.unpersist()
-      out
+      // edges stays cached for the consumer's action (the iteration plan
+      // references it 7×); it is vocabulary-sized, so leaving it resident
+      // costs KBs — an eager materialize-then-unpersist here would add a
+      // full extra run of the iteration chain instead.
+      rank.select(col("node"), col("r").as("rank_fp")).orderBy("node")
     })
 
   /** A28 (rebuild extra): last-touch attribution — each purchase credited
