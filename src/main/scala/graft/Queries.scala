@@ -343,6 +343,64 @@ object Queries {
         .orderBy("event_type")
     })
 
+  /** S19 (rebuild extra): malformed-record handling on CSV ingest — the
+    * robustness contract a 100 TB text feed needs: bad rows must neither
+    * kill the job (FAILFAST) nor vanish silently (DROPMALFORMED's trap).
+    * The carrier deterministically corrupts the `value` field of every
+    * 37th event, re-reads with an explicit schema in PERMISSIVE mode and
+    * a corrupt-record column, and reports good/bad counts plus the good
+    * rows' sum — quarantine accounting, so lost data is a COUNTED number.
+    * The oracle derives the same partition relationally from the
+    * corruption rule.
+    */
+  private val s19 = QueryDef("s19_csv_malformed",
+    Some("""SELECT cast(sum(CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END) as bigint) AS n_bad,
+           |       cast(sum(CASE WHEN event_id % 37 <> 0 THEN 1 ELSE 0 END) as bigint) AS n_good,
+           |       cast(sum(CASE WHEN event_id % 37 <> 0 THEN cast(value as decimal(18,2)) END) as double) AS sum_good
+           |FROM events""".stripMargin),
+    (s, d) => {
+      val path = s"/tmp/graft_s19_csv_${Integer.toHexString(d.hashCode)}"
+      ev(s, d).select(concat_ws(",", col("event_id"), col("event_type"),
+          when(col("event_id") % 37 === 0, lit("corrupted!")).otherwise(col("value").cast("string")))
+          .as("value"))
+        .write.mode("overwrite").text(path)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, event_type STRING, value DOUBLE, _bad STRING")
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(path)
+        .agg(cnt(col("_bad").isNotNull).as("n_bad"),
+          cnt(col("_bad").isNull).as("n_good"),
+          sum(when(col("_bad").isNull, col("value").cast("decimal(18,2)")))
+            .cast("double").as("sum_good"))
+    })
+
+  /** P10 (rebuild extra): semi-structured analytics through Spark 4's
+    * VARIANT type — `parse_json` once into the binary variant encoding,
+    * then typed `variant_get` path extraction, filter, and aggregate. The
+    * schema-on-read answer for property bags whose shape drifts (the
+    * regex kCol the other carriers use is the schema-free fallback; at
+    * 100 TB a stored VARIANT column parses once at ingest and every query
+    * after reads the binary encoding instead of re-tokenizing JSON text).
+    * The oracle extracts the same path with DuckDB's JSON functions.
+    */
+  private val p10 = QueryDef("p10_variant",
+    Some("""SELECT cast(json_extract_string(props, '$.k') as int) AS k,
+           |       count(*) AS cnt,
+           |       cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+           |FROM events
+           |WHERE cast(json_extract_string(props, '$.k') as int) >= 50
+           |GROUP BY k ORDER BY k""".stripMargin),
+    (s, d) => ev(s, d)
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+      .filter(col("k") >= 50)
+      .groupBy("k")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("k"))
+
   /** S11: document-store round-trip through the repo's own DataSource V2
     * connector (`graft.sources.docstore.DocStoreSource`) — the real rebuild
     * of the reference's MongoDB hop: `insert_mongo.py:9-15`
@@ -2239,7 +2297,7 @@ object Queries {
 
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
-    s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, p1, p2, p6, p9, pp, d1, d2, d3, d6, d7, d8, d10, d14,
+    s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, p1, p2, p6, p9, p10, pp, d1, d2, d3, d6, d7, d8, d10, d14,
     a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24, a25,
     j1, j2, j2ps, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, w7, su, si, se, g1, g2, g3,
