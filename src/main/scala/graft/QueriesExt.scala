@@ -183,6 +183,37 @@ object QueriesExt {
         .orderBy("doc_id")
     })
 
+  /** Character-level Shannon entropy per document — the
+    * gibberish/compression quality signal (uniform noise scores high,
+    * repeated-character spam low) completing the quality family beside
+    * the ratio features and the repetition stats. ONE map-only pass via
+    * the [[NativeExpressions.CharEntropyStats]] kernel (n, Σ c·ln c over
+    * non-whitespace chars in code-point order); entropy = ln n − Σ/n,
+    * floor-rounded at 1e-4 — the ordered-fold + rounding discipline that
+    * makes the DuckDB oracle's ln-sum hash-match (tx_surprisal's rule).
+    */
+  private val tx25 = QueryDef("tx_entropy",
+    Some("""WITH ch AS (
+           |  SELECT doc_id, c, count(*) AS cnt FROM (
+           |    SELECT doc_id, unnest(regexp_extract_all(text, '\S')) AS c
+           |    FROM documents) t
+           |  GROUP BY doc_id, c
+           |), d AS (
+           |  SELECT doc_id, cast(sum(cnt) as bigint) AS n,
+           |    list_reduce(list_prepend(cast(0.0 as double),
+           |      list(cnt * ln(cast(cnt as double)) ORDER BY c)), (p, q) -> p + q) AS s
+           |  FROM ch GROUP BY doc_id
+           |)
+           |SELECT doc_id, n AS n_chars,
+           |  floor((ln(cast(n as double)) - s / n) * 10000 + 0.5) / 10000 AS entropy
+           |FROM d ORDER BY doc_id""".stripMargin),
+    (s, d) => docs(s, d)
+      .select(col("doc_id"), NativeExpressions.charEntropyStats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_chars").as("n_chars"),
+        (floor((log(col("st.n_chars")) - col("st.sum_clnc") / col("st.n_chars"))
+          * 10000 + 0.5) / 10000).as("entropy"))
+      .orderBy("doc_id"))
+
   private val tx4 = QueryDef("tx_fingerprint",
     Some("""SELECT doc_id,
            |  list_reduce(list_prepend(cast(7 as bigint),
@@ -2453,5 +2484,5 @@ object QueriesExt {
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21,
     dd1, dd2, dd3, dd4, dd5, dd6, dd7,
     sm1, sm2, sm2r, sm2rad, sm2m, sm3, sm4, sm5, sm6, sm7, sm8,
-    mm1, mm2, mm3, pl1, pl2, pl3, ir1, ir2, ir3, ir4, ir5, tx22, tx23, tx24)
+    mm1, mm2, mm3, pl1, pl2, pl3, ir1, ir2, ir3, ir4, ir5, tx22, tx23, tx24, tx25)
 }

@@ -490,6 +490,71 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Per-document character-entropy sufficient statistics in ONE pass:
+    * `struct(n_chars BIGINT, sum_clnc DOUBLE)` over the document's
+    * NON-WHITESPACE characters, where sum_clnc = Σ_c count(c)·ln(count(c))
+    * folded in ASCENDING code-point order. The caller derives Shannon
+    * entropy as `ln(n) − sum_clnc/n` — the gibberish/compression quality
+    * signal (uniform noise → high entropy; repeated-character spam → low).
+    * Map-only by design: the DataFrame alternative explodes every character
+    * into a corpus-sized (doc, char) groupBy to answer a question local to
+    * each document.
+    *
+    * Determinism contract: whitespace = RE2's `\s` class (space, \t, \n,
+    * \f, \r — same as the `\S` the oracle extracts); the fold order is
+    * code-point ascending, matching DuckDB's `ORDER BY c` under binary
+    * collation (ln is not correctly-rounded, so order must match — then
+    * callers floor-round at 1e-4, the tx_surprisal discipline). Characters
+    * are UTF-16 code units; identical to code points on the BMP corpus.
+    */
+  case class CharEntropyStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_chars", LongType, nullable = false),
+      StructField("sum_clnc", DoubleType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_char_entropy_stats"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val ascii = new Array[Long](128)
+      var high: java.util.TreeMap[Integer, Long] = null
+      var n = 0L
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        val ws = c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+        if (!ws) {
+          n += 1
+          if (c < 128) ascii(c) += 1
+          else {
+            if (high == null) high = new java.util.TreeMap[Integer, Long]()
+            high.merge(Int.box(c.toInt), 1L, (a, b) => a + b)
+          }
+        }
+        i += 1
+      }
+      var sum = 0.0
+      var cp = 0
+      while (cp < 128) { // ascending code points: ASCII first…
+        if (ascii(cp) > 0) sum += ascii(cp) * math.log(ascii(cp).toDouble)
+        cp += 1
+      }
+      if (high != null) { // …then the ≥128 tail, TreeMap = ascending
+        val it = high.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          sum += e.getValue * math.log(e.getValue.toDouble)
+        }
+      }
+      org.apache.spark.sql.catalyst.InternalRow(n, sum)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Hashed-n-gram linear classifier features — the Spark side of a frozen
     * fastText-style quality model: every word unigram and adjacent word
     * bigram is hashed into one of 2^20 buckets, each bucket carries a fixed
@@ -1010,6 +1075,7 @@ object NativeExpressions {
   def markerTokenCounts(text: Column, sets: Seq[Seq[String]]): Column =
     toCol(MarkerTokenCounts(toExpr(text), sets))
   def repetitionStats(text: Column): Column = toCol(RepetitionStats(toExpr(text)))
+  def charEntropyStats(text: Column): Column = toCol(CharEntropyStats(toExpr(text)))
   def hashedNgramScore(text: Column): Column = toCol(HashedNgramScore(toExpr(text)))
   def minhashSignature(shingles: Column, k: Int): Column =
     toCol(MinHashSignature(toExpr(shingles), k))

@@ -93,4 +93,20 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(rows(1) == ((1, 1, 0)))  // no bigrams
     assert(rows(2) == ((4, 1, 3)))  // "x x" three times
   }
+
+  test("CharEntropyStats: uniform/degenerate entropy, whitespace exclusion, non-ASCII path") {
+    val df = Seq("abcd", "aaaa", "a b\tc\nd", "日a日a").toDF("t")
+    val rows = df.select(graft.functions.NativeExpressions.charEntropyStats(col("t")).as("s"))
+      .select("s.n_chars", "s.sum_clnc").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    def entropy(n: Long, s: Double) = math.log(n.toDouble) - s / n
+    assert(rows(0) == ((4L, 0.0)) && entropy(4, 0.0) == math.log(4.0),
+      "4 distinct chars → uniform entropy ln 4")
+    assert(rows(1)._1 == 4L && entropy(4, rows(1)._2) == 0.0,
+      "single repeated char → zero entropy")
+    assert(rows(2) == rows(0), "whitespace (space/tab/newline) never counts")
+    assert(rows(3)._1 == 4L &&
+      math.abs(entropy(4, rows(3)._2) - math.log(2.0)) < 1e-12,
+      "non-ASCII chars take the ordered TreeMap path: two symbols × two → ln 2")
+  }
 }
