@@ -639,6 +639,15 @@ object PlanCheck {
       "iterations read the cached edge table" -> (_.contains("InMemoryTableScan")),
       "rank joins broadcast (vocabulary-sized sides)" -> (_.contains("BroadcastHashJoin")))
 
+    // tx_entropy is a map-only kernel pass: one entropy-stats evaluation
+    // per row, no hash exchange anywhere (the per-(doc, char) groupBy
+    // formulation would shuffle the corpus' character stream).
+    checkTree("tx_entropy")(
+      "no hash exchange (map-only quality signal)" -> (p => hashExchanges(p) == 0))
+    check("tx_entropy")(
+      "single entropy kernel evaluation" ->
+        (p => "graft_char_entropy_stats".r.findAllIn(p).size == 1))
+
     println(if (failures == 0) "PLANCHECK OK" else s"PLANCHECK $failures FAILURES")
     spark.stop()
     if (failures > 0) sys.exit(1)
