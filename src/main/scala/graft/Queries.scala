@@ -2137,18 +2137,24 @@ object Queries {
       val outw = edges.groupBy("src").agg(sum(col("w")).as("wout"))
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst"))).distinct()
-      val n = nodes.count() // bounded model artifact: |k| ≤ 100 at any SF
-      val teleport = (15L * S) / (100L * n)
-      var rank = nodes.withColumn("r", lit(S / n))
+      // |nodes| enters as a LAZY broadcast 1-row aggregate (mirroring the
+      // oracle's scalar subquery), not a driver-side count(): query
+      // construction stays plan-only — no Spark job runs until the
+      // consumer acts (PlanCheck builds the plan without executing the
+      // event-scale edge aggregation).
+      val nDf = nodes.agg(count(lit(1)).as("n_nodes"))
+      var rank = nodes.crossJoin(broadcast(nDf))
+        .select(col("node"), expr(s"${S}L div n_nodes").as("r"))
       for (_ <- 1 to 3) {
         val contrib = edges
           .join(rank.withColumnRenamed("node", "src"), "src")
           .join(outw, "src")
           .select(col("dst").as("node"), expr("(r * w) div wout").as("c"))
           .groupBy("node").agg(sum(col("c")).as("s"))
-        rank = nodes.join(contrib, Seq("node"), "left")
+        rank = nodes.join(contrib, Seq("node"), "left").crossJoin(broadcast(nDf))
           .select(col("node"),
-            (lit(teleport) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+            (expr(s"(15L * ${S}L) div (100L * n_nodes)") +
+              expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
       }
       // edges stays cached for the consumer's action (the iteration plan
       // references it 7×); it is vocabulary-sized, so leaving it resident
@@ -2241,8 +2247,12 @@ object Queries {
            |  SELECT cast(s_start as date) AS d, s_start AS pt, 1 AS delta, user_id, sid FROM sess
            |  UNION ALL
            |  SELECT cast(s_end as date), s_end, -1, user_id, sid FROM sess
-           |), days AS (SELECT DISTINCT d FROM ev),
-           |carry AS (
+           |), days AS (
+           |  SELECT unnest(generate_series(cast(min(cast(s_start as date)) as date),
+           |                                cast(max(cast(s_end as date)) as date),
+           |                                INTERVAL 1 DAY))::date AS d
+           |  FROM sess
+           |), carry AS (
            |  SELECT days.d, count(*) AS c
            |  FROM days JOIN sess
            |    ON sess.s_start < cast(days.d as timestamp) AND sess.s_end >= cast(days.d as timestamp)
@@ -2256,10 +2266,10 @@ object Queries {
            |         cast(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) as bigint) AS sessions_started
            |  FROM sweep GROUP BY 1
            |)
-           |SELECT agg.d AS date, coalesce(carry.c, 0) AS carry_in,
-           |       coalesce(carry.c, 0) + greatest(agg.max_run, 0) AS peak_concurrency,
-           |       agg.sessions_started
-           |FROM agg LEFT JOIN carry ON agg.d = carry.d
+           |SELECT days.d AS date, coalesce(carry.c, 0) AS carry_in,
+           |       coalesce(carry.c, 0) + greatest(coalesce(agg.max_run, 0), 0) AS peak_concurrency,
+           |       coalesce(agg.sessions_started, 0) AS sessions_started
+           |FROM days LEFT JOIN agg ON days.d = agg.d LEFT JOIN carry ON days.d = carry.d
            |ORDER BY date""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -2276,7 +2286,12 @@ object Queries {
           lit(1L).as("delta"), col("user_id"), col("sid"))
         .unionAll(sess.select(to_date(col("s_end")).as("d"), col("s_end").as("pt"),
           lit(-1L).as("delta"), col("user_id"), col("sid")))
-      val days = evts.select("d").distinct()
+      // calendar spine over the covered range, NOT just boundary-event
+      // days: a session spanning a quiet day still raises that day's
+      // concurrency, so the day must get a row (carry-only, no sweep).
+      val days = sess
+        .agg(min(to_date(col("s_start"))).as("d0"), max(to_date(col("s_end"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("d"))
       val carry = broadcast(days).join(sess,
           col("s_start") < col("d").cast("timestamp") &&
             col("s_end") >= col("d").cast("timestamp"))
@@ -2284,14 +2299,15 @@ object Queries {
       val sweepW = Window.partitionBy("d")
         .orderBy(col("pt"), col("delta").desc, col("user_id"), col("sid"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      evts.withColumn("run", sum(col("delta")).over(sweepW))
+      val agg0 = evts.withColumn("run", sum(col("delta")).over(sweepW))
         .groupBy("d").agg(max(col("run")).as("max_run"),
           sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("sessions_started"))
-        .join(carry, Seq("d"), "left")
+      days.join(agg0, Seq("d"), "left").join(carry, Seq("d"), "left")
         .select(col("d").as("date"), coalesce(col("c"), lit(0L)).as("carry_in"),
-          (coalesce(col("c"), lit(0L)) + greatest(col("max_run"), lit(0L)))
+          (coalesce(col("c"), lit(0L)) +
+            greatest(coalesce(col("max_run"), lit(0L)), lit(0L)))
             .as("peak_concurrency"),
-          col("sessions_started"))
+          coalesce(col("sessions_started"), lit(0L)).as("sessions_started"))
         .orderBy("date")
     })
 

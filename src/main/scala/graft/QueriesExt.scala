@@ -204,11 +204,19 @@ object QueriesExt {
            |      list(cnt * ln(cast(cnt as double)) ORDER BY c)), (p, q) -> p + q) AS s
            |  FROM ch GROUP BY doc_id
            |)
-           |SELECT doc_id, n AS n_chars,
-           |  floor((ln(cast(n as double)) - s / n) * 10000 + 0.5) / 10000 AS entropy
-           |FROM d ORDER BY doc_id""".stripMargin),
+           |SELECT documents.doc_id AS doc_id, coalesce(d.n, 0) AS n_chars,
+           |  CASE WHEN d.n IS NULL THEN NULL
+           |       ELSE floor((ln(cast(d.n as double)) - d.s / d.n) * 10000 + 0.5) / 10000
+           |  END AS entropy
+           |FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
+           |ORDER BY doc_id""".stripMargin),
     (s, d) => docs(s, d)
       .select(col("doc_id"), NativeExpressions.charEntropyStats(col("text")).as("st"))
+      // empty/all-whitespace docs: one row with n_chars=0 and NULL entropy
+      // (Spark's ln(0) is null and null-propagates through the rounding) —
+      // the oracle's LEFT JOIN emits the same row, and the kernel stays a
+      // single map-only evaluation (a filter would push a second copy of
+      // the expression into the scan).
       .select(col("doc_id"), col("st.n_chars").as("n_chars"),
         (floor((log(col("st.n_chars")) - col("st.sum_clnc") / col("st.n_chars"))
           * 10000 + 0.5) / 10000).as("entropy"))

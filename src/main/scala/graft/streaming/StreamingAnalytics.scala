@@ -354,6 +354,17 @@ object StreamingAnalytics {
         })
   }
 
+  /** java.sql.Timestamp ⇄ epoch-micros without dropping sub-millisecond
+    * precision (getTime alone truncates to ms; events carry µs).
+    */
+  private[streaming] def tsToUs(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos(((us - math.floorDiv(us, 1000000L) * 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Streaming SCD2 history build — the streaming lift of the batch
     * `j12_scd2_history`: each user's event_type timeline collapses into
     * versioned [valid_from, valid_to) intervals AS THE STREAM ARRIVES.
@@ -366,17 +377,6 @@ object StreamingAnalytics {
     * Rows fold in event order within a batch; late cross-batch data is
     * the batch operator's job to reconcile, as with the other folds here.
     */
-  /** java.sql.Timestamp ⇄ epoch-micros without dropping sub-millisecond
-    * precision (getTime alone truncates to ms; events carry µs).
-    */
-  private def tsToUs(t: java.sql.Timestamp): Long =
-    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-  private def usToTs(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos(((us - math.floorDiv(us, 1000000L) * 1000000L) * 1000L).toInt)
-    t
-  }
-
   case class Scd2State(tpe: String, startUs: Long, n: Long, version: Long)
   case class Scd2Out(user_id: Long, version_n: Long, event_type: String,
                      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp,
@@ -440,7 +440,12 @@ object StreamingAnalytics {
          state: GroupState[LastClick]) => {
           var last = state.getOption
           val out = scala.collection.mutable.ListBuffer.empty[AttributionOut]
-          rows.toSeq.sortBy(r => (tsToUs(r._3), r._2)).foreach { case (_, eid, ts, typ) =>
+          // Tie-break at equal timestamps: clicks BEFORE purchases, then
+          // event_id — the same visibility rule as the batch asOfJoin
+          // (a click at exactly the purchase ts attributes), so the
+          // stream-equals-batch contract holds on equal-ts data too.
+          rows.toSeq.sortBy(r => (tsToUs(r._3), if (r._4 == "click") 0 else 1, r._2))
+            .foreach { case (_, eid, ts, typ) =>
             val tsUs = tsToUs(ts)
             typ match {
               case "click" => last = Some(LastClick(eid, tsUs))

@@ -109,4 +109,21 @@ class NativeExpressionsSpec extends SparkSpec {
       math.abs(entropy(4, rows(3)._2) - math.log(2.0)) < 1e-12,
       "non-ASCII chars take the ordered TreeMap path: two symbols × two → ln 2")
   }
+
+  test("CharEntropyStats: tx_entropy's projection yields (0, NULL) for empty docs, no error") {
+    // the tx_entropy query keeps empty docs as n_chars=0 / entropy NULL
+    // (ln(0) null-propagates) — assert that path evaluates rather than
+    // throwing, since the shipped corpora never exercise it
+    val df = Seq((1L, ""), (2L, " \t "), (3L, "ab")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.NativeExpressions.charEntropyStats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_chars").as("n_chars"),
+        (floor((log(col("st.n_chars")) - col("st.sum_clnc") / col("st.n_chars"))
+          * 10000 + 0.5) / 10000).as("entropy"))
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows(0).getLong(1) == 0L && rows(0).isNullAt(2), "empty text → (0, NULL)")
+    assert(rows(1).getLong(1) == 0L && rows(1).isNullAt(2), "whitespace-only → (0, NULL)")
+    assert(rows(2).getLong(1) == 2L && rows(2).getDouble(2) == math.floor(
+      math.log(2.0) * 10000 + 0.5) / 10000)
+  }
 }

@@ -256,7 +256,11 @@ class StreamingParitySpec extends SparkSpec {
       (3L, 4L, ts(1, 11), "click"), (3L, 5L, ts(1, 12), "click"),
       (3L, 6L, ts(1, 13), "purchase"),
       (2L, 7L, ts(2, 8), "click"), (2L, 8L, ts(2, 9), "purchase"),
-      (1L, 9L, ts(5, 10), "purchase")) // 4d2h after click 1 → expired
+      (1L, 9L, ts(5, 10), "purchase"), // 4d2h after click 1 → expired
+      // user 4: click and purchase at the SAME instant, purchase with the
+      // SMALLER event_id — the batch as-of makes an equal-ts click
+      // visible, so the stream's click-first tie-break must attribute
+      (4L, 10L, ts(3, 9), "purchase"), (4L, 11L, ts(3, 9), "click"))
     val mem = MemoryStream[(Long, Long, Timestamp, String)]
     val sdf = StreamingAnalytics.attributionStream(mem.toDS(), win)
     val q = sdf.writeStream.format("memory").queryName("attr_test")
@@ -267,12 +271,13 @@ class StreamingParitySpec extends SparkSpec {
     val streaming = spark.table("attr_test").collect()
       .map(r => r.getLong(1) -> (Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
       .toMap
-    assert(streaming.keySet == Set(2L, 3L, 6L, 8L, 9L), "one row per purchase")
+    assert(streaming.keySet == Set(2L, 3L, 6L, 8L, 9L, 10L), "one row per purchase")
     assert(streaming(2L) == (Some(1L), true))
     assert(streaming(3L) == (None, false), "no click ever")
     assert(streaming(6L) == (Some(5L), true), "latest of two clicks wins")
     assert(streaming(8L) == (Some(7L), true), "state carries clicks across micro-batches")
     assert(streaming(9L) == (None, false), "3-day window expired")
+    assert(streaming(10L) == (Some(11L), true), "equal-ts click visible, as in the batch as-of")
 
     // batch reconciliation: asOfJoin + window filter gives the same credit
     import spark.implicits._

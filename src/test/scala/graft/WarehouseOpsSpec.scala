@@ -122,7 +122,11 @@ class WarehouseOpsSpec extends SparkSpec {
     out.foreach { case (_, carry, peak, _) => assert(peak >= carry && carry >= 0) }
     // rebuild sessions locally (same 2h-gap rule) and check peaks directly
     val evs = Tables.events(spark, sf).select("user_id", "event_id", "ts").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime * 1000L))
+      .map { r =>
+        val t = r.getTimestamp(2) // exact µs: getTime alone floors to ms
+        (r.getLong(0), r.getLong(1),
+          math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+      }
     val sessions = evs.groupBy(_._1).values.flatMap { rows =>
       val ts = rows.sortBy(_._2).map(_._3)
       ts.tail.foldLeft(List((ts.head, ts.head))) { case (acc @ ((s0, e0) :: rest), t) =>
