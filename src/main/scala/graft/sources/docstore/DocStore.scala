@@ -96,6 +96,13 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
                         properties: java.util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("docstore requires a 'path' option"))
+    // Shards are task-scoped, not value-partitioned: silently accepting
+    // PARTITIONED BY would drop the user's layout request (clustering is
+    // the maintenance action `DocStoreMaintenance.cluster` instead).
+    if (partitioning.nonEmpty)
+      throw new IllegalArgumentException(
+        s"docstore does not support PARTITIONED BY (got: ${partitioning.mkString(", ")}); " +
+          "use DocStoreMaintenance.cluster for value clustering")
     DocStore.validateSchema(schema)
     new DocStoreTable(path, DocStore.allNullable(schema))
   }
@@ -106,7 +113,25 @@ private[docstore] object DocStore {
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("docstore requires a 'path' option"))
 
-  def fs(path: Path): FileSystem = path.getFileSystem(new Configuration())
+  /** One Hadoop Configuration per JVM, honoring `spark.hadoop.*` overrides
+    * (S3 credentials/endpoints, HDFS nameservices) the way Spark's own
+    * sources do: a bare `new Configuration()` sees only classpath XML, so
+    * the documented "same code against HDFS/S3 paths" claim would break on
+    * any cluster configured through SparkConf. SparkEnv is present on both
+    * driver and executors; building the conf once also keeps fs() cheap on
+    * the per-reader/per-writer hot paths.
+    */
+  @transient private lazy val hadoopConf: Configuration = {
+    val c = new Configuration()
+    Option(org.apache.spark.SparkEnv.get).foreach { env =>
+      env.conf.getAll.foreach { case (k, v) =>
+        if (k.startsWith("spark.hadoop.")) c.set(k.stripPrefix("spark.hadoop."), v)
+      }
+    }
+    c
+  }
+
+  def fs(path: Path): FileSystem = path.getFileSystem(hadoopConf)
 
   val SchemaFile = "_schema.json"
 
@@ -504,8 +529,14 @@ private[docstore] object DocStore {
         // any s with the prefix satisfies s >= prefix, so max < prefix
         // proves no match; the min-side bound needs a prefix-successor
         // computation — not worth the subtlety, keep the shard.
+        // The comparison MUST use the same UTF-8 byte order the stats were
+        // collected under (cmpValues): String.compareTo is UTF-16 code-unit
+        // order, which disagrees for supplementary-plane characters
+        // (an emoji max sorts above U+FFFF in UTF-8 but below it in
+        // UTF-16), and an order mismatch here silently prunes a shard
+        // that contains matching rows.
         s.nonNull > 0 && (s.max match {
-          case mx: String => mx.compareTo(prefix) >= 0
+          case mx: String => DocStore.cmpValues(mx, prefix).forall(_ >= 0)
           case _ => true
         })
       }
@@ -768,8 +799,18 @@ private[docstore] class DocStoreScan(path: String, full: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new DocStoreReaderFactory(full, required, pushed, limit)
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // A snapshot-pinned read cannot stream: offsets come from the LIVE
+    // shard listing, so silently accepting `version` here would replay
+    // arbitrary later data under a snapshot's name. Fail loudly (the
+    // file's stale-snapshot rule) rather than dropping the option.
+    version.foreach { v =>
+      throw new UnsupportedOperationException(
+        s"docstore $path: option(\"version\", $v) pins a batch snapshot and " +
+          "cannot drive a streaming read — remove the option to stream the live collection")
+    }
     new DocStoreMicroBatchStream(path, full, required, pushed)
+  }
 }
 
 /** Micro-batch streaming SOURCE over an append-only collection — the
@@ -1016,33 +1057,39 @@ private[docstore] class DocStoreWrite(path: String, schema: StructType, truncate
     // store is an append-only collection (insert_many), so only Append.
     if (truncate) throw new UnsupportedOperationException(
       "docstore streaming sink supports Append output mode only")
-    new DocStoreStreamingWrite(path, schema, gzip, bloomFields)
+    new DocStoreStreamingWrite(path, schema, queryId, gzip, bloomFields)
   }
 }
 
 /** Streaming sink: each micro-batch epoch appends its own set of shards,
-  * tagged `part-e<epoch>-…`. Epoch commit is IDEMPOTENT: it deletes any
-  * same-epoch shards not in the committing attempt (leftovers of a failed
-  * or replayed attempt), so a replayed epoch REPLACES its earlier files
-  * instead of duplicating them — effective exactly-once into the
-  * collection, same discipline as a file-sink metadata log but enforced
-  * with the shard-name epoch tag.
+  * tagged `part-e<epoch>-q<queryTag>-…`. Epoch commit is IDEMPOTENT: it
+  * deletes any same-epoch shards OF THIS QUERY not in the committing
+  * attempt (leftovers of a failed or replayed attempt), so a replayed
+  * epoch REPLACES its earlier files instead of duplicating them —
+  * effective exactly-once into the collection, same discipline as a
+  * file-sink metadata log but enforced with the shard-name tags. The
+  * query tag is the fencing the batch path already has (`part-q<tag>-`):
+  * without it, two streaming queries appending to one collection would
+  * delete each other's committed shards whenever their epoch counters
+  * collide.
   */
-private[docstore] class DocStoreStreamingWrite(path: String, schema: StructType, gzip: Boolean,
-                                               bloomFields: Set[String])
+private[docstore] class DocStoreStreamingWrite(path: String, schema: StructType, queryId: String,
+                                               gzip: Boolean, bloomFields: Set[String])
     extends StreamingWrite {
+  private val queryTag = queryId.replaceAll("[^0-9a-zA-Z]", "").take(12)
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val dir = new Path(path)
     val f = DocStore.fs(dir)
     if (!f.exists(dir)) f.mkdirs(dir)
-    new DocStoreStreamingWriterFactory(path, schema, gzip, bloomFields)
+    new DocStoreStreamingWriterFactory(path, schema, queryTag, gzip, bloomFields)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.collect { case DocStoreCommit(Some(file), _) => new Path(file).getName }.toSet
     val f = DocStore.fs(new Path(path))
     DocStore.listParts(path)
-      .filter(p => p.getName.startsWith(s"part-e$epochId-") && !committed.contains(p.getName))
+      .filter(p => p.getName.startsWith(s"part-e$epochId-q$queryTag-") && !committed.contains(p.getName))
       .foreach(p => f.delete(p, false))
     // Merge AFTER the replay cleanup so stale same-epoch entries drop out.
     DocStore.writeStats(path, DocStoreCommitOps.mergedStats(path, messages))
@@ -1060,11 +1107,12 @@ private[docstore] class DocStoreStreamingWrite(path: String, schema: StructType,
 }
 
 private[docstore] class DocStoreStreamingWriterFactory(path: String, schema: StructType,
+                                                       queryTag: String,
                                                        gzip: Boolean, bloomFields: Set[String])
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new DocStoreWriter(path, schema, partitionId, taskId, Some(epochId), gzip = gzip,
-      bloomFields = bloomFields)
+    new DocStoreWriter(path, schema, partitionId, taskId, Some(epochId),
+      jobTag = Some(queryTag), gzip = gzip, bloomFields = bloomFields)
 }
 
 private[docstore] class DocStoreBatchWrite(path: String, schema: StructType, truncate: Boolean,
@@ -1155,7 +1203,7 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
   // the `part-e…` pattern.
   private val ext = if (gzip) ".jsonl.gz" else ".jsonl"
   private val fin = new Path(dir, epoch match {
-    case Some(e) => s"part-e$e-$partitionId-$taskId-$uuid$ext"
+    case Some(e) => s"part-e$e-q${jobTag.getOrElse("x")}-$partitionId-$taskId-$uuid$ext"
     case None => s"part-q${jobTag.getOrElse("x")}-$partitionId-$taskId-$uuid$ext"
   })
   private var out: java.io.BufferedWriter = _

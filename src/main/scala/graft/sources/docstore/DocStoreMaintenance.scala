@@ -81,10 +81,15 @@ object DocStoreMaintenance {
     val staging = new Path(dir, s".compact-$stagingId")
     val oldShards = DocStore.listParts(path).map(_.getName)
     val keepGzip = oldShards.nonEmpty && oldShards.forall(_.endsWith(".gz"))
-    transform(spark.read.format("docstore").load(path))
+    // carry per-field bloom tracking through the rewrite: the prior stats
+    // say which fields were bloom-indexed, and dropping that here would
+    // silently degrade point-lookup pruning to zone maps forever after
+    val blooms = trackedBloomFields(DocStore.readStats(path, DocStore.readStoredSchema(path)))
+    val writer0 = transform(spark.read.format("docstore").load(path))
       .write.format("docstore").mode("overwrite")
       .option("compression", if (keepGzip) "gzip" else "none")
-      .save(staging.toString)
+    (if (blooms.nonEmpty) writer0.option("bloom.fields", blooms.toSeq.sorted.mkString(","))
+     else writer0).save(staging.toString)
 
     // Commit point: the marker durably records what to delete and where
     // the replacement lives.
@@ -152,10 +157,11 @@ object DocStoreMaintenance {
     val staging = new Path(dir, s".compact-$stagingId")
     f.mkdirs(staging)
     val (pathStr, stagingStr) = (path, staging.toString)
+    val blooms = trackedBloomFields(stats)
     val slices = math.max(1, math.min(affected.length, spark.sparkContext.defaultParallelism))
     val results = spark.sparkContext.parallelize(affected.toSeq.zipWithIndex, slices)
       .map { case (shard, idx) =>
-        rewriteShard(pathStr, stagingStr, shard, schema, filters, sets, delete, idx) }
+        rewriteShard(pathStr, stagingStr, shard, schema, filters, sets, delete, idx, blooms) }
       .collect()
     val matched = results.map(_._3).sum
     if (matched == 0L) { f.delete(staging, true); return 0L } // no doc changed — keep originals
@@ -166,25 +172,7 @@ object DocStoreMaintenance {
     val changed = results.filter(_._3 > 0L)
     val toReplace = changed.map(_._1).toSet
     val replacements = changed.flatMap(_._2).toMap // empty-result shards just disappear
-    // Fence zombie attempts: every staged file not among the successful
-    // attempts' reported replacements is deleted here, and the swap below
-    // moves ONLY the reported names (a late rename into staging after this
-    // point dies with the staging dir, so duplicates are impossible).
-    DocStore.listParts(stagingStr).filterNot(p => replacements.contains(p.getName))
-      .foreach(p => f.delete(p, false))
-
-    // merged zone maps ride through the swap with the data (metadata last)
-    DocStore.writeStats(stagingStr, (stats -- toReplace) ++ replacements)
-
-    // marker: staging id, old shards to delete, and (+-prefixed) the exact
-    // replacement files to move — recovery replays precisely this swap
-    val markerPath = new Path(dir, Marker)
-    val out = f.create(markerPath, true)
-    try out.write((stagingId +: (toReplace.toSeq.sorted ++
-        replacements.keys.toSeq.sorted.map("+" + _))).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    swap(path, stagingId, toReplace, Some(replacements.keySet))
-    f.delete(markerPath, false)
+    commitSwap(path, stagingId, toReplace, replacements, stats)
     matched
   }
 
@@ -192,7 +180,10 @@ object DocStoreMaintenance {
     * REPLACE the stored document carrying the same `keyField` value (whole-
     * document replace, not `$set` merge — a column absent from the batch
     * writes back as the store's native absent/null), and INSERT documents
-    * whose key is not stored yet. Returns (replaced, inserted).
+    * whose key is not stored yet. Returns (replaced, inserted) counted at
+    * KEY level: a key that matched stored documents counts replaced once
+    * (historic duplicate copies of that key all drop — replace-by-key
+    * collapses them), and replaced + inserted = batch size always.
     *
     * Scale design: the incoming batch is the DELTA of continuous ingestion
     * — the same broadcastable-delta contract as `dd_incremental` — so its
@@ -234,7 +225,17 @@ object DocStoreMaintenance {
     val keys = aligned.select(keyField).collect().map(_.get(0))
     if (keys.isEmpty) return (0L, 0L)
     require(keys.forall(_ != null), "docstore upsert: incoming batch has null keys")
-    require(keys.distinct.length == keys.length,
+    // duplicate detection must use the STORE's equality (cmpValues), not
+    // Java equals: -0.0 and 0.0 are distinct to Double.equals but match
+    // the same stored documents, which would break replace-by-key
+    def canonKey(v: Any): Any = v match {
+      case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
+      case f: java.lang.Float => java.lang.Double.valueOf(
+        if (f.floatValue() == 0.0f) 0.0 else f.doubleValue())
+      case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue())
+      case x => x
+    }
+    require(keys.map(canonKey).distinct.length == keys.length,
       "docstore upsert: incoming batch has duplicate keys (dedup the delta first)")
     val inFilter: Filter = org.apache.spark.sql.sources.In(keyField, keys)
 
@@ -250,6 +251,19 @@ object DocStoreMaintenance {
     f.mkdirs(staging)
     val (pathStr, stagingStr) = (path, staging.toString)
 
+    // Replaced/inserted are KEY-level (replace_one semantics): a key that
+    // matched ≥1 stored document counts replaced ONCE even if historic
+    // appends left several copies — all of them drop in the rewrite. The
+    // doc-level count would go negative on such duplicates
+    // (staged inserts − matched docs). The matched-key read is pruned by
+    // the same In pushdown as the rewrite, so it touches only `affected`.
+    val matchedKeys =
+      if (all.isEmpty) 0L
+      else spark.read.format("docstore").load(path)
+        .filter(org.apache.spark.sql.functions.col(keyField).isin(keys.toIndexedSeq: _*))
+        .select(keyField).distinct().count()
+
+    val blooms = trackedBloomFields(stats)
     // Old versions of incoming keys drop via the pruned per-shard rewrite.
     val rewriteResults =
       if (affected.isEmpty) Array.empty[(String, Option[(String, DocStore.ShardStat)], Long)]
@@ -258,10 +272,10 @@ object DocStoreMaintenance {
         spark.sparkContext.parallelize(affected.toSeq.zipWithIndex, slices)
           .map { case (shard, idx) =>
             rewriteShard(pathStr, stagingStr, shard, schema, Seq(inFilter),
-              sets = Map.empty, delete = true, idx) }
+              sets = Map.empty, delete = true, idx, blooms) }
           .collect()
       }
-    val replaced = rewriteResults.map(_._3).sum
+    val replaced = matchedKeys
 
     // The batch stages as new shards through the connector's own writer.
     val keepGzip = all.nonEmpty && all.forall(_.endsWith(".gz"))
@@ -270,7 +284,7 @@ object DocStoreMaintenance {
         if (it.isEmpty) Iterator.empty
         else {
           val w = new DocStoreWriter(stagingStr, schema, partitionId = pid,
-            taskId = 0L, jobTag = Some("ups"), gzip = keepGzip)
+            taskId = 0L, jobTag = Some("ups"), gzip = keepGzip, bloomFields = blooms)
           it.foreach(w.write)
           w.commit() match {
             case DocStoreCommit(Some(file), Some(stat)) =>
@@ -279,25 +293,12 @@ object DocStoreMaintenance {
           }
         }
       }.collect()
-    val inserted = appendResults.map(_._2.count).sum - replaced
+    val inserted = keys.length.toLong - matchedKeys
 
     val changed = rewriteResults.filter(_._3 > 0L)
     val toReplace = changed.map(_._1).toSet
     val replacements = changed.flatMap(_._2).toMap ++ appendResults.toMap
-    // Fence zombie attempts exactly as rewriteWhere: staged files not in
-    // the successful attempts' reported set die with this delete + the
-    // replacements-only swap below.
-    DocStore.listParts(stagingStr).filterNot(p => replacements.contains(p.getName))
-      .foreach(p => f.delete(p, false))
-    DocStore.writeStats(stagingStr, (stats -- toReplace) ++ replacements)
-
-    val markerPath = new Path(dir, Marker)
-    val out = f.create(markerPath, true)
-    try out.write((stagingId +: (toReplace.toSeq.sorted ++
-        replacements.keys.toSeq.sorted.map("+" + _))).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    swap(path, stagingId, toReplace, Some(replacements.keySet))
-    f.delete(markerPath, false)
+    commitSwap(path, stagingId, toReplace, replacements, stats)
     (replaced, inserted)
   }
 
@@ -318,6 +319,39 @@ object DocStoreMaintenance {
         s"docstore updateWhere: value ${v} does not fit field '$name': ${fld.dataType.simpleString}")
     }
 
+  /** Fields any prior shard tracked a bloom filter for — maintenance
+    * rewrites re-track exactly these, so opt-in bloom indexing survives
+    * delete/update/upsert/compact instead of silently washing out.
+    */
+  private def trackedBloomFields(stats: Map[String, DocStore.ShardStat]): Set[String] =
+    stats.values.flatMap(_.fields.collect {
+      case (name, st) if st.bloom.isDefined => name
+    }).toSet
+
+  /** The shared commit tail of every pruned rewrite (rewriteWhere and
+    * upsert): fence zombie staged files, publish staged stats, write the
+    * marker naming the exact swap, swap, clear the marker. One definition
+    * so the recovery contract ([[recover]]'s marker parsing) can never
+    * drift between the two call sites.
+    */
+  private def commitSwap(path: String, stagingId: String, toReplace: Set[String],
+                         replacements: Map[String, DocStore.ShardStat],
+                         priorStats: Map[String, DocStore.ShardStat]): Unit = {
+    val dir = new Path(path)
+    val f = DocStore.fs(dir)
+    val stagingStr = new Path(dir, s".compact-$stagingId").toString
+    DocStore.listParts(stagingStr).filterNot(p => replacements.contains(p.getName))
+      .foreach(p => f.delete(p, false))
+    DocStore.writeStats(stagingStr, (priorStats -- toReplace) ++ replacements)
+    val markerPath = new Path(dir, Marker)
+    val out = f.create(markerPath, true)
+    try out.write((stagingId +: (toReplace.toSeq.sorted ++
+        replacements.keys.toSeq.sorted.map("+" + _))).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    swap(path, stagingId, toReplace, Some(replacements.keySet))
+    f.delete(markerPath, false)
+  }
+
   /** Executor-side rewrite of one shard into staging. Returns the source
     * shard name, the staged (shardName → stats) replacement entry (None
     * when every document was deleted), and the matched-document count.
@@ -325,11 +359,12 @@ object DocStoreMaintenance {
   private def rewriteShard(dir: String, staging: String, shard: String,
                            schema: StructType, filters: Seq[Filter],
                            sets: Map[String, Any], delete: Boolean,
-                           idx: Int): (String, Option[(String, DocStore.ShardStat)], Long) = {
+                           idx: Int, bloomFields: Set[String])
+      : (String, Option[(String, DocStore.ShardStat)], Long) = {
     val src = new Path(dir, shard)
     val gz = shard.endsWith(".gz")
     val writer = new DocStoreWriter(staging, schema, partitionId = idx, taskId = 0L,
-      jobTag = Some(if (delete) "del" else "upd"), gzip = gz)
+      jobTag = Some(if (delete) "del" else "upd"), gzip = gz, bloomFields = bloomFields)
     val mapper = new ObjectMapper()
     val fullIdx = schema.fields.map(fl => fl.name -> fl).toMap
     val matchesDoc = DocStoreFilters.compile(filters, fullIdx)
@@ -375,6 +410,14 @@ object DocStoreMaintenance {
 
   /** Roll a committed-but-unfinished swap forward, then clear pre-commit
     * staging garbage. Idempotent; safe to call on a healthy collection.
+    *
+    * SINGLE-MAINTENANCE-WRITER CONTRACT: the staging cleanup assumes no
+    * OTHER maintenance op is concurrently in phase 1 on this collection —
+    * a second op's recover() would delete the first's live staging dir
+    * mid-prepare. Serialize maintenance per collection (the same rule
+    * table formats enforce with a lock service this file deliberately
+    * does not depend on); concurrent plain reads/appends are unaffected,
+    * since staging is invisible to the shard listing.
     */
   private def recover(path: String): Unit = {
     val dir = new Path(path)

@@ -99,14 +99,25 @@ class DocStoreBloomSpec extends graft.SparkSpec {
     assert(DocStore.shardMayMatch(EqualTo("id", 43.0), stat))
   }
 
-  test("maintenance rewrite drops blooms but stays correct (absence = keep)") {
+  test("maintenance rewrites PRESERVE bloom tracking: compact and deleteWhere still prune") {
     val dir = tmpDir("compact")
     writeScattered(dir, withBloom = true)
     DocStoreMaintenance.compact(spark, dir, targetShards = 4)
+    // the compacted writers re-track exactly the previously bloom-indexed
+    // fields, so point-lookup pruning survives the rewrite
     val q = spark.read.format("docstore").load(dir).filter(col("id") === 1234L)
     val (kept, total) = shardsKept(q.queryExecution.executedPlan.toString)
-    assert(total == 4 && kept == 4) // compacted writers track no bloom fields
+    assert(total == 4 && kept < total, s"blooms must survive compact: kept $kept/$total")
     assert(q.count() == 1)
+    // a pruned delete rewrite also re-tracks blooms on the rewritten shard
+    val deleted = DocStoreMaintenance.deleteWhere(spark, dir,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 1234L)))
+    assert(deleted == 1L)
+    val q2 = spark.read.format("docstore").load(dir).filter(col("id") === 777L)
+    val (kept2, total2) = shardsKept(q2.queryExecution.executedPlan.toString)
+    assert(kept2 < total2, s"blooms must survive deleteWhere: kept $kept2/$total2")
+    assert(q2.count() == 1)
+    assert(spark.read.format("docstore").load(dir).filter(col("id") === 1234L).count() == 0)
   }
 
   test("bloom survives the stats JSON round-trip bit-exact") {

@@ -129,4 +129,17 @@ class DocStoreCrudSpec extends SparkSpec {
       assert(spark.read.format("docstore").load(dir).count() == 8L)
     } finally spark.sql("DROP VIEW IF EXISTS del_t")
   }
+
+  test("PARTITIONED BY is rejected, not silently dropped") {
+    val dir = tmpDir("part")
+    val ex = intercept[Exception] {
+      spark.range(0, 5).selectExpr("id", "cast(id % 2 as string) as b")
+        .write.format("docstore").partitionBy("b").mode("overwrite").save(dir)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(e => e +: chain(e.getCause))
+    assert(chain(ex).exists(e =>
+      String.valueOf(e.getMessage).contains("PARTITIONED BY") ||
+        String.valueOf(e.getMessage).toLowerCase.contains("partition")), ex.toString)
+  }
 }

@@ -122,6 +122,19 @@ class DocStoreSpec extends SparkSpec {
     assert(spark.read.format("docstore").load(dir).count() == 1000)
   }
 
+  test("StringStartsWith pruning compares in UTF-8 order (supplementary-plane max)") {
+    val dir = tmpDir("utf8prune")
+    // one shard whose stats max is an emoji: in UTF-8 byte order the emoji
+    // (F0 9F ...) sorts ABOVE U+FFFF (EF BF BF), but in UTF-16 code-unit
+    // order its surrogate (0xD83D) sorts BELOW — a prune test using
+    // String.compareTo would skip this shard and silently drop the match
+    Seq((1L, "￿abc"), (2L, "😀hi"), (3L, "plain")).toDF("id", "s")
+      .coalesce(1).write.format("docstore").mode("overwrite").save(dir)
+    val q = spark.read.format("docstore").load(dir).filter(col("s").startsWith("￿"))
+    assert(q.count() == 1, "the U+FFFF-prefixed document must be found")
+    assert(q.head().getLong(0) == 1L)
+  }
+
   test("zone maps survive append and stay consistent after overwrite") {
     val dir = tmpDir("zonemap2")
     spark.range(0, 100).toDF("id").coalesce(1)

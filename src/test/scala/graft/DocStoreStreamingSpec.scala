@@ -106,4 +106,45 @@ class DocStoreStreamingSpec extends SparkSpec {
       e.isInstanceOf[UnsupportedOperationException] ||
         String.valueOf(e.getMessage).contains("Append")), ex.toString)
   }
+
+  test("snapshot-pinned readStream is rejected (offsets come from the live listing)") {
+    val dir = Files.createTempDirectory("graft_docstore_verstream").toString
+    Seq((1L, "a")).toDF("id", "name")
+      .write.format("docstore").mode("overwrite").save(dir)
+    val ckpt = Files.createTempDirectory("graft_docstore_verstream_ckpt").toString
+    val ex = intercept[Exception] {
+      val q = spark.readStream.format("docstore")
+        .option("version", 1).load(dir)
+        .writeStream.format("memory").queryName("verstream_test")
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(e => e +: chain(e.getCause))
+    assert(chain(ex).exists(e => String.valueOf(e.getMessage).contains("cannot drive a streaming read")),
+      ex.toString)
+  }
+
+  test("two streaming queries appending to one collection never delete each other's epochs") {
+    val dir = Files.createTempDirectory("graft_docstore_twoq").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def run(tag: String, ids: Seq[Long]): Unit = {
+      val ckpt = Files.createTempDirectory(s"graft_docstore_twoq_$tag").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("id", "name").writeStream.format("docstore")
+        .option("path", dir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try { ids.foreach { i => in.addData((i, s"$tag$i")); q.processAllAvailable() } }
+      finally q.stop()
+    }
+    // both queries run epochs 0..2 against the same collection; the
+    // epoch-replay cleanup is query-tag-scoped, so their same-numbered
+    // epochs must not fence each other
+    run("a", Seq(1L, 2L, 3L))
+    run("b", Seq(10L, 20L, 30L))
+    val back = spark.read.format("docstore").load(dir)
+    assert(back.count() == 6L, "all six documents from both queries survive")
+    assert(back.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 10L, 20L, 30L))
+  }
 }

@@ -116,4 +116,29 @@ class DocStoreUpsertSpec extends SparkSpec {
       Seq.empty[(Long, String, Double)].toDF("id", "name", "score")) == ((0L, 0L)))
     assert(spark.read.format("docstore").load(dir).count() == 3L, "failed upserts changed nothing")
   }
+
+  test("counts are KEY-level: duplicate stored copies collapse, never negative inserts") {
+    val dir = tmpDir("dupstore")
+    writeRange(dir, 0 until 5)
+    writeRange(dir, 0 until 5) // plain appends enforce no uniqueness: 2 docs per id
+    assert(spark.read.format("docstore").load(dir).count() == 10L)
+    val batch = Seq((2L, "two!", 9.0), (50L, "fifty", 1.0)).toDF("id", "name", "score")
+    val (replaced, inserted) = DocStoreMaintenance.upsert(spark, dir, "id", batch)
+    assert(replaced == 1L && inserted == 1L,
+      "key 2 matched (both copies drop, counted once); key 50 inserted")
+    val back = spark.read.format("docstore").load(dir)
+    assert(back.filter(col("id") === 2L).count() == 1L, "replace-by-key collapses duplicates")
+    assert(back.count() == 10L, "10 - 2 old copies + 1 replacement + 1 insert")
+  }
+
+  test("duplicate detection uses store equality: 0.0 and -0.0 keys are the SAME key") {
+    val dir = tmpDir("zerokey")
+    Seq((1.0, "a"), (2.0, "b")).toDF("k", "v")
+      .write.format("docstore").mode("overwrite").save(dir)
+    val batch = Seq((0.0, "plus"), (-0.0, "minus")).toDF("k", "v")
+    val ex = intercept[IllegalArgumentException] {
+      DocStoreMaintenance.upsert(spark, dir, "k", batch)
+    }
+    assert(ex.getMessage.contains("duplicate keys"))
+  }
 }
