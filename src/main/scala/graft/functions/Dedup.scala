@@ -139,6 +139,9 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0,
+      s"minhashLshPairs: k=$k must divide evenly into bands=$bands — a remainder " +
+        "silently drops the trailing signature positions from every band key")
     val rows = k / bands
     val sigs = docs.select(col(idCol).as("doc"),
         TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
@@ -159,11 +162,14 @@ object Dedup {
     cands
       .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("est_jaccard",
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / k, 4))
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .withColumn("est_raw",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      // filter on the RAW estimate, round for presentation — the repo-wide
+      // discipline (ngramJaccardPairs does the same); engine-native round()
+      // half-cases differ cross-engine and k=32 estimates ARE half-cases
+      .filter(col("est_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), Rounding.round4(col("est_raw")).as("est_jaccard"))
   }
 
   /** SimHash: 64-bit signature — for each bit, sum ±1 votes of the token

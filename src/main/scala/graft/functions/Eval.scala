@@ -47,6 +47,9 @@ object Eval {
         (col("n_tot") - col("p")).as("neg"),
         (col("r2") - col("p") * (col("p") + lit(1L))).as("u2"),
         (lit(2L) * col("p") * (col("n_tot") - col("p"))).as("denom"))
-      .withColumn("auc", col("u2").cast("double") / col("denom"))
+      // single-class input (p=0 or neg=0): AUC is undefined — null, not
+      // the Infinity/NaN an unguarded 0-denominator division produces
+      .withColumn("auc",
+        when(col("denom") > 0L, col("u2").cast("double") / col("denom")))
   }
 }

@@ -701,11 +701,14 @@ object NativeExpressions {
             val mmr =
               if (step == 0) lam * rel(c)
               else {
-                var pen = Double.NegativeInfinity
+                // pen starts at the cosine floor, not -Inf: a zero-norm
+                // candidate's NaN sims are skipped, and -Inf would turn
+                // into a +Inf MMR score that wins every argmax
+                var pen = -1.0
                 var s = 0
                 while (s < step) {
                   val sim = cosIJ(c, selected(s))
-                  if (sim > pen) pen = sim
+                  if (!sim.isNaN && sim > pen) pen = sim
                   s += 1
                 }
                 lam * rel(c) - penW * pen
@@ -801,9 +804,13 @@ object NativeExpressions {
       var j = 0
       while (j < centroids.length) {
         val c = centroids(j)
+        if (c.length != dim)
+          throw new IllegalStateException(
+            s"NearestCentroids: centroid $j has dim ${c.length} but vectors have dim $dim " +
+              "— a silent truncated dot product here would return plausible wrong cells")
         var acc = 0.0
         var i = 0
-        val n = math.min(dim, c.length)
+        val n = dim
         while (i < n) { acc += vec.getFloat(i).toDouble * c(i).toDouble; i += 1 }
         cos(j) = if (vn == 0 || cNorms(j) == 0) -2.0 else acc / (vn * cNorms(j))
         j += 1

@@ -33,6 +33,14 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Cosine from precomputed norms, null for a zero-norm side. The guard is
+    * load-bearing under ANSI mode (the Spark 4 default): an unguarded
+    * 0.0/0.0 is not NaN there but a DIVIDE_BY_ZERO error that kills the
+    * whole query the moment one failed-encoder zero vector appears.
+    */
+  private def safeCos(d: Column, na: Column, nb: Column): Column =
+    when(na * nb > 0, d / (na * nb))
+
   /** (query_id, neighbor_id, cos) for all candidate pairs, given frames that
     * carry precomputed norms. cos = dot/(norm_a·norm_b) is bit-identical to
     * dot/(sqrt(dot(a,a))·sqrt(dot(b,b))) — same doubles, same operations.
@@ -44,6 +52,11 @@ object Similarity {
       .orderBy(desc("cos"), col("neighbor_id"))
     val global = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     pairs
+      // a zero-norm embedding (failed encoder output) makes cos = 0/0 =
+      // NaN, and desc sorts NaN above every real — one degenerate vector
+      // would occupy a top-k slot for EVERY query. Drop it from ranking
+      // (radius/threshold paths are naturally safe: NaN ≥ t is false).
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .withColumn("pid", spark_partition_id())
       .withColumn("prank", row_number().over(perPart))
       .filter(col("prank") <= k)
@@ -64,7 +77,7 @@ object Similarity {
     val pairs = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cos"))
+        safeCos(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
     rankTopK(pairs, k)
   }
 
@@ -85,7 +98,7 @@ object Similarity {
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cos"))
+        safeCos(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
@@ -137,7 +150,7 @@ object Similarity {
       .join(broadcast(q), "query_id")
       .join(c, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cos"))
+        safeCos(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
     rankTopK(pairs, k)
   }
 
@@ -217,7 +230,7 @@ object Similarity {
     val pairs = c.join(broadcast(q), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cos"))
+        safeCos(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
     rankTopK(pairs, k)
   }
 
@@ -323,7 +336,7 @@ object Similarity {
     val scored = codes.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (adcDot / (col("qn") * col("rnorm"))).as("adc_cos"))
+        safeCos(adcDot, col("qn"), col("rnorm")).as("adc_cos"))
 
     // Shortlist by ADC with the same two-phase window bound as rankTopK.
     val sl = shortlistFactor * k
@@ -347,7 +360,7 @@ object Similarity {
     c.join(broadcast(shortlist), "neighbor_id")
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("neighbor_id"), col("adc_cos"),
-        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cos"))
+        safeCos(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
       .withColumn("rank", row_number().over(rerank))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "adc_cos", "cos", "rank")

@@ -47,9 +47,8 @@ object TextFunctions {
     val nTok = tokenCount(text).cast("double")
     val swRatio = when(nTok > 0, stopwordCount(text) / nTok).otherwise(lit(0.0))
     val lengthTerm = least(nTok / lit(100.0), lit(1.0))
-    // floor-based HALF_UP — the repo-wide cross-engine rounding rule
-    floor(least(lit(1.0), lit(0.5) * swRatio + lit(0.3) * lengthTerm + lit(0.2) * alphaRatio(text))
-      * 10000 + 0.5) / 10000
+    Rounding.round4(least(lit(1.0),
+      lit(0.5) * swRatio + lit(0.3) * lengthTerm + lit(0.2) * alphaRatio(text)))
   }
 
   /** Language-ID by marker-token voting: score per language = number of
@@ -81,7 +80,10 @@ object TextFunctions {
     */
   def predictedFromScores(en: Column, es: Column, fr: Column, de: Column): Column = {
     val m = greatest(en, es, fr, de)
-    when(m === 0, lit("unknown"))
+    // null scores (NULL text) must surface as null, not fall through every
+    // null-valued `when` condition into the otherwise("de") arm
+    when(m.isNull, lit(null).cast("string"))
+      .when(m === 0, lit("unknown"))
       .when(en === m, "en").when(es === m, "es")
       .when(fr === m, "fr").otherwise("de")
   }

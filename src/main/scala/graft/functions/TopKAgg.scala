@@ -45,12 +45,18 @@ class TopKDoubles(k: Int) extends Aggregator[Double, Array[Double], Array[Double
     }
   }
 
-  override def reduce(buf: Array[Double], v: Double): Array[Double] = insert(buf, v)
+  // NaN is excluded outright: every comparison with NaN is false, so one
+  // NaN in the buffer corrupts the ascending invariant and makes the
+  // retained set depend on arrival/merge order — the exact property this
+  // Aggregator promises not to have. Top-k of a set with NaNs is
+  // ill-defined anyway; callers that care should null-guard upstream.
+  override def reduce(buf: Array[Double], v: Double): Array[Double] =
+    if (v.isNaN) buf else insert(buf, v)
 
   override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
     var acc = a
     var i = 0
-    while (i < b.length) { acc = insert(acc, b(i)); i += 1 }
+    while (i < b.length) { acc = reduce(acc, b(i)); i += 1 }
     acc
   }
 

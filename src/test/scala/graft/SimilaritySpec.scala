@@ -191,6 +191,32 @@ class SimilaritySpec extends SparkSpec {
     top1Below.foreach(q => assert(!radius.keys.exists(_._1 == q)))
   }
 
+  test("degenerate inputs: a zero-norm vector never reaches top-k; NaN never enters TopKDoubles") {
+    import spark.implicits._
+    // corpus with one all-zero embedding (a failed encoder's output):
+    // its cosine is 0/0 = NaN, which desc-sorts above every real — the
+    // ranking must drop it, not hand it rank 1 for every query
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), "q"), (1L, Array(0.9f, 0.1f), "c"),
+      (2L, Array(0.0f, 0.0f), "zero"), (3L, Array(0.5f, 0.5f), "c"))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L), k = 3)
+      .collect()
+    assert(top.nonEmpty && top.forall(_.getLong(1) != 2L),
+      "the zero-norm vector must not occupy a top-k slot")
+    assert(top.forall(r => !r.getDouble(2).isNaN))
+
+    // TopKDoubles: NaN inputs are excluded, so the retained set is the
+    // same multiset regardless of partitioning/arrival order
+    val data = Seq(3.0, Double.NaN, 1.0, 5.0, Double.NaN, 4.0)
+    val results = Seq(1, 2, 3).map { parts =>
+      data.toDF("v").repartition(parts)
+        .agg(graft.functions.TopKAgg.topKValues(col("v"), 2)).head.getSeq[Double](0).toList
+    }
+    assert(results.distinct.size == 1, s"partitioning-independent: $results")
+    assert(results.head == List(5.0, 4.0))
+  }
+
   test("l2Norm matches local math") {
     val row = vectors.filter($"vec_id" === 2L)
       .select(Similarity.l2Norm($"embedding")).head()
