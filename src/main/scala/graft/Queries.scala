@@ -35,10 +35,8 @@ object Queries {
 
   private def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
   /** Cross-engine-stable HALF_UP rounding: floor(x·10^d + 0.5)/10^d. */
-  private def rnd(c: Column, d: Int): Column = {
-    val f = math.pow(10, d)
-    floor(c * f + 0.5) / f
-  }
+  private def rnd(c: Column, d: Int): Column =
+    graft.functions.Rounding.roundAt(c, d) // ONE definition of the repo-wide HALF_UP rule
 
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)

@@ -32,10 +32,8 @@ object Scoring {
     * repo-wide determinism rule (engine-native round() differs across
     * engines on half-cases; Python's round() is even half-even).
     */
-  private def rnd(c: Column, d: Int): Column = {
-    val f = math.pow(10, d)
-    floor(c * f + 0.5) / f
-  }
+  private def rnd(c: Column, d: Int): Column =
+    graft.functions.Rounding.roundAt(c, d) // ONE definition of the repo-wide HALF_UP rule
 
   /** (attacker, bot, authorized) percentages, each rounded to 1 decimal
     * (stats_dashboard.py:127-143; the reference's Python round() is

@@ -29,19 +29,29 @@ object SshAnalytics {
 
   private def cnt(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
 
+  /** The reference's dashboard preamble, applied before every metric:
+    * `df['user'] = df['user'].fillna('')` (stats_dashboard.py:23) and
+    * `dropna(subset=['datetime'])` (stats_dashboard.py:29). Without the
+    * fill, a user-less row (ubiquitous in sshd logs — "Connection closed
+    * by ...") is DROPPED from nunique instead of counting as the ''
+    * value; without the drop, rows whose timestamp failed to parse leak a
+    * null-hour/null-date group into every temporal metric. Applied inside
+    * each dashboard transform so callers can pass the raw parsed frame.
+    */
+  private def prepare(df: DataFrame): DataFrame =
+    df.na.fill(Map("user" -> "")).na.drop(Seq("datetime"))
+
   /** Cross-engine-stable HALF_UP rounding — floor(x·10^d + 0.5)/10^d. Native
     * round() on doubles is banned repo-wide: its half-case behavior differs
     * between engines, which would break the oracle the day these queries get
     * hash-checked.
     */
-  private def rnd(c: Column, d: Int): Column = {
-    val f = math.pow(10, d)
-    floor(c * f + 0.5) / f
-  }
+  private def rnd(c: Column, d: Int): Column =
+    graft.functions.Rounding.roundAt(c, d) // ONE definition of the repo-wide HALF_UP rule
 
   /** Global dashboard metrics (stats_dashboard.py:35-42) in one pass. */
-  def globalMetrics(df: DataFrame): DataFrame =
-    df.agg(
+  def globalMetrics(raw: DataFrame): DataFrame =
+    prepare(raw).agg(
       count(lit(1)).as("total_records"),
       countDistinct(col("user")).as("unique_users"),
       countDistinct(col("ip")).as("unique_ips"),
@@ -51,22 +61,22 @@ object SshAnalytics {
         .as("failed_rate_pct"))
 
   /** Per-event access evolution grouped by hour (stats_dashboard.py:60-63). */
-  def accessByHour(df: DataFrame, eventFilter: String): DataFrame =
-    df.filter(col("event") === eventFilter)
+  def accessByHour(raw: DataFrame, eventFilter: String): DataFrame =
+    prepare(raw).filter(col("event") === eventFilter)
       .groupBy(hour(col("datetime")).as("hour")).count()
       .withColumn("hour_label", lpad(col("hour").cast("string"), 2, "0"))
       .orderBy("hour")
 
   /** Per-event access evolution grouped by day (stats_dashboard.py:65-69). */
-  def accessByDay(df: DataFrame, eventFilter: String): DataFrame =
-    df.filter(col("event") === eventFilter)
+  def accessByDay(raw: DataFrame, eventFilter: String): DataFrame =
+    prepare(raw).filter(col("event") === eventFilter)
       .groupBy(to_date(col("datetime")).as("date")).count()
       .withColumn("date_label", date_format(col("date"), "MMM dd"))
       .orderBy("date")
 
   /** Suspicious-vs-Normal daily pivot (stats_dashboard.py:82-86). */
-  def suspiciousVsNormalDaily(df: DataFrame): DataFrame =
-    df.withColumn("event_type", LogParser.eventTypeCol(col("event")))
+  def suspiciousVsNormalDaily(raw: DataFrame): DataFrame =
+    prepare(raw).withColumn("event_type", LogParser.eventTypeCol(col("event")))
       .groupBy(to_date(col("datetime")).as("date"))
       .pivot("event_type", Seq("Suspicious", "Normal")).count()
       .na.fill(0L, Seq("Suspicious", "Normal"))
@@ -78,7 +88,8 @@ object SshAnalytics {
     * failed_logins, failed_users, tried_root_admin, event_diversity,
     * suspicious_score, attacker/bot/authorized percentages.
     */
-  def ipEventSummary(df: DataFrame): DataFrame = {
+  def ipEventSummary(raw: DataFrame): DataFrame = {
+    val df = prepare(raw)
     val susp = col("event").isin(suspiciousEvents: _*)
     val rootAdmin = lower(col("user")).isin("root", "admin")
 

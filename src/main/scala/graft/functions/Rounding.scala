@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions.floor
   * oracle fragment in lockstep or hashes drift.
   */
 object Rounding {
-  def round4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+  def roundAt(c: Column, digits: Int): Column = {
+    val f = math.pow(10, digits)
+    floor(c * f + 0.5) / f
+  }
+  def round4(c: Column): Column = roundAt(c, 4)
   def round4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
 }

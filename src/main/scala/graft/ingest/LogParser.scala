@@ -31,32 +31,12 @@ object LogParser {
     */
   val LinePattern = """^(\w+)\s+(\d+)\s+([\d:]+)\s+(\S+)\s+sshd\[(\d+)\]:\s+(.*)"""
 
-  private def nullIfEmpty(c: Column): Column = nullif(c, lit(""))
-
   /** Unanchored single-group extract; no-match → null (Python None parity). */
-  private def rx(c: Column, pattern: String, group: Int = 1): Column =
-    nullIfEmpty(regexp_extract(c, pattern, group))
-
-  /** ip: one alternation regex searched once; group 1 preferred if non-empty,
-    * else group 2 of the *same* match — replicates Python's first-position
-    * search over `from ([\d\.]+)|\[(\d+\.\d+\.\d+\.\d+)\]`. Both groups come
-    * from a single [[graft.functions.NativeExpressions.RegexpExtractGroups]]
-    * search.
-    */
-  def ipCol(message: Column): Column = {
-    val g = graft.functions.NativeExpressions.regexpGroups(
-      message, """from ([\d\.]+)|\[(\d+\.\d+\.\d+\.\d+)\]""")
-    coalesce(nullIfEmpty(g.getItem(0)), nullIfEmpty(g.getItem(1)))
-  }
-
-  /** user: first-match cascade — `Invalid user (\S+)` > `user=(\S+)` >
-    * `for (\w+) from`; cascade priority is semantic (parse_logs.py:19-22).
-    */
-  def userCol(message: Column): Column =
-    coalesce(
-      rx(message, """Invalid user (\S+)"""),
-      rx(message, """user=(\S+)"""),
-      rx(message, """for (\w+) from"""))
+  // NOTE: the per-column ip/user/protocol extraction lives ONLY in the
+  // fused slot-based path inside [[parse]] (one MultiRegexpFirstMatch
+  // kernel evaluation per row) — standalone per-column helpers existed
+  // here once, drifted from the slot path's empty-string semantics, and
+  // were deleted rather than left as diverging duplicates.
 
   /** 11-way first-match substring classifier (order is semantic). */
   def eventCol(message: Column): Column =
@@ -71,11 +51,6 @@ object LogParser {
       .when(message.contains("ignoring max retries"), "ignoring_max_retries")
       .when(message.contains("Failed none"), "failed_none")
       .otherwise("other")
-
-  /** `ssh(\d)` → "ssh{n}", else null. */
-  def protocolVersionCol(message: Column): Column =
-    when(message.rlike("""ssh\d"""),
-      concat(lit("ssh"), regexp_extract(message, """ssh(\d)""", 1)))
 
   /** 4-way disconnect classifier; last arm is case-insensitive. */
   def disconnectReasonCol(message: Column): Column =

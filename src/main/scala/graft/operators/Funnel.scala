@@ -39,10 +39,21 @@ object Funnel {
       .filter(col(typeCol).isin(steps.map(lit(_)): _*))
       .select(col(entityCol), col(tsCol), col(typeCol))
     val withSteps = steps.zipWithIndex.foldLeft(filtered) { case (df, (step, i)) =>
+      // consecutive IDENTICAL step types need a STRICT lower bound: with
+      // >=, the single event that anchored step i would also satisfy step
+      // i+1 (one page_view "completing" view→view), which windowFunnel
+      // forbids — it consumes one event per chain position. The strict
+      // bound assumes distinct events carry distinct timestamps (µs
+      // precision here); distinct-type steps keep >= so a same-instant
+      // view→click→purchase still completes.
       val qualifies =
         if (i == 0) col(typeCol) === step
-        else col(typeCol) === step &&
-          col(tsCol) >= col(s"t$i") && col(tsCol) <= col(s"t$i") + window
+        else {
+          val lower =
+            if (step == steps(i - 1)) col(tsCol) > col(s"t$i")
+            else col(tsCol) >= col(s"t$i")
+          col(typeCol) === step && lower && col(tsCol) <= col(s"t$i") + window
+        }
       df.withColumn(s"t${i + 1}", min(when(qualifies, col(tsCol))).over(w))
     }
     withSteps
@@ -129,18 +140,28 @@ object Funnel {
             // Fold in event-time order; ties ordered by step position so a
             // same-timestamp view→click→purchase completes like the batch
             // operator's >= boundary.
+            // fold at exact MICROSECONDS (getTime truncates to ms, which
+            // can reorder sub-ms events and emits timestamps that can
+            // never equal the batch operator's) — ties by step position
+            def us(t: java.sql.Timestamp): Long =
+              math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+            def tsOf(u: Long): java.sql.Timestamp = {
+              val t = new java.sql.Timestamp(math.floorDiv(u, 1000000L) * 1000L)
+              t.setNanos(((u - math.floorDiv(u, 1000000L) * 1000000L) * 1000L).toInt)
+              t
+            }
             rows.toSeq.filter(r => stepIdx.contains(r._3))
-              .sortBy(r => (r._2.getTime, stepIdx(r._3)))
+              .sortBy(r => (us(r._2), stepIdx(r._3)))
               .foreach { case (_, ts, typ) =>
                 val k = st.times.length
                 if (!st.done && typ == steps(k)) {
-                  val t = ts.getTime
+                  val t = us(ts)
                   val qualifies = k == 0 ||
-                    (t >= st.times.last && t <= st.times.last + windowMillis)
+                    (t >= st.times.last && t <= st.times.last + windowMillis * 1000L)
                   if (qualifies) {
                     st = FunnelState(st.times :+ t, done = k + 1 == steps.length)
                     if (st.done)
-                      out += ConversionOut(key, st.times.map(new java.sql.Timestamp(_)))
+                      out += ConversionOut(key, st.times.map(tsOf))
                   }
                 }
               }
@@ -155,7 +176,7 @@ object Funnel {
               // at-most-once PER FUNNEL WINDOW (clearing it on the next
               // advance would let an immediate second chain re-convert).
               state.setTimeoutTimestamp(
-                math.max(st.times.last + windowMillis, wm + 1))
+                math.max(st.times.last / 1000L + windowMillis, wm + 1))
             }
             out.iterator
           }

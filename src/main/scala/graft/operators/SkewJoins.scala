@@ -37,6 +37,11 @@ object SkewJoins {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int, saltSource: Column): DataFrame = {
+    // buckets <= 0 would make pmod null (every big row salted to the
+    // coalesce fallback) while the small side's (0 until buckets) explode
+    // produces NOTHING — the join silently returns empty instead of
+    // failing; surface the misuse
+    require(buckets > 0, s"saltedJoin: buckets must be positive, got $buckets")
     val saltCol = Iterator.from(0).map(i => s"_graft_salt$i")
       .find(c => !big.columns.contains(c) && !small.columns.contains(c)).get
     val salted = big.withColumn(saltCol,

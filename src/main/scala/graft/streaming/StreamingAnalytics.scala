@@ -63,7 +63,18 @@ object StreamingAnalytics {
                      baselineShares: Seq[Double], windowLen: String = "1 hour",
                      watermark: String = "1 hour"): DataFrame = {
     require(baselineShares.length == 10, "baseline must cover the 10 fixed bins")
-    val binCol = least(floor(col(valueCol) / 50), lit(9)).cast("int")
+    // a zero baseline share makes log(base/cur) null and the null would
+    // propagate through the summed PSI into a silently-null psi_total on
+    // every window — Laplace-smooth the baseline exactly like the current
+    // side before passing it in
+    require(baselineShares.forall(_ > 0.0),
+      "baseline shares must all be positive (smooth the baseline histogram)")
+    // clamp BOTH ends: the 10 conditional sums structurally drop rows
+    // whose bin falls outside 0..9, silently excluding e.g. negative
+    // values from the window total (the batch twin reports out-of-range
+    // bins as their own rows; the stream folds them into the edge bins —
+    // either way every event is counted)
+    val binCol = greatest(least(floor(col(valueCol) / 50), lit(9)), lit(0)).cast("int")
     val aggs = (0 until 10).map(b => sum(when(binCol === b, 1L).otherwise(0L)).as(s"n$b"))
     val perWindow = events
       .withWatermark(tsCol, watermark)
@@ -156,19 +167,19 @@ object StreamingAnalytics {
             // Idle key past its gap: close and emit the open session, drop
             // the state — total state stays (active keys × one record).
             val closed = state.getOption.map(s => SessionOut(key,
-              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+              usToTs(s.start), usToTs(s.last),
               s.n, "timeout"))
             state.remove()
             closed.iterator
           } else {
             val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
             var cur = state.getOption
-            rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, ts, typ) =>
-              val t = ts.getTime
+            rows.toSeq.sortBy(r => (tsToUs(r._2), r._3)).foreach { case (_, ts, typ) =>
+              val t = tsToUs(ts)
               cur match {
-                case Some(s) if t - s.last > gapMillis =>
-                  out += SessionOut(key, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.last), s.n, "gap")
+                case Some(s) if t - s.last > gapMillis * 1000L =>
+                  out += SessionOut(key, usToTs(s.start),
+                    usToTs(s.last), s.n, "gap")
                   cur = Some(SessionState(t, t, 1))
                 case Some(s) =>
                   cur = Some(SessionState(s.start, t, s.n + 1))
@@ -177,8 +188,8 @@ object StreamingAnalytics {
               }
               if (typ == terminalType) {
                 val s = cur.get
-                out += SessionOut(key, new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.last), s.n, "terminal")
+                out += SessionOut(key, usToTs(s.start),
+                  usToTs(s.last), s.n, "terminal")
                 cur = None
               }
             }
@@ -192,7 +203,7 @@ object StreamingAnalytics {
                 // the timeout is set-and-ignored by design.
                 val wm = try state.getCurrentWatermarkMs()
                   catch { case _: UnsupportedOperationException => Long.MinValue }
-                state.setTimeoutTimestamp(math.max(s.last + gapMillis, wm + 1))
+                state.setTimeoutTimestamp(math.max(s.last / 1000L + gapMillis, wm + 1))
               case None => state.remove()
             }
             out.iterator
@@ -450,7 +461,12 @@ object StreamingAnalytics {
             typ match {
               case "click" => last = Some(LastClick(eid, tsUs))
               case "purchase" =>
-                val hit = last.filter(c => tsUs - c.clickTsUs <= windowMicros)
+                // lower bound matters: a click stored from an earlier
+                // micro-batch can be in the event-time FUTURE of a late
+                // purchase — the batch as-of (rts <= lts) never attributes
+                // those, so neither does the stream
+                val hit = last.filter(c =>
+                  c.clickTsUs <= tsUs && tsUs - c.clickTsUs <= windowMicros)
                 out += AttributionOut(key, eid, ts,
                   hit.map(c => java.lang.Long.valueOf(c.clickId)).orNull, hit.isDefined)
               case _ => ()

@@ -260,24 +260,33 @@ class StreamingParitySpec extends SparkSpec {
       // user 4: click and purchase at the SAME instant, purchase with the
       // SMALLER event_id — the batch as-of makes an equal-ts click
       // visible, so the stream's click-first tie-break must attribute
-      (4L, 10L, ts(3, 9), "purchase"), (4L, 11L, ts(3, 9), "click"))
+      (4L, 10L, ts(3, 9), "purchase"), (4L, 11L, ts(3, 9), "click"),
+      // user 5: the click arrives in micro-batch 1 but its EVENT time is
+      // after the purchase that arrives late in micro-batch 2 — the batch
+      // as-of (rts <= lts) never attributes a future click, nor may the
+      // stream's stored-state shortcut
+      (5L, 12L, ts(4, 10), "click"), (5L, 13L, ts(4, 8), "purchase"))
     val mem = MemoryStream[(Long, Long, Timestamp, String)]
     val sdf = StreamingAnalytics.attributionStream(mem.toDS(), win)
     val q = sdf.writeStream.format("memory").queryName("attr_test")
       .outputMode("append").start()
-    mem.addData(data.take(4)); q.processAllAvailable() // split mid-user
-    mem.addData(data.drop(4)); q.processAllAvailable()
+    // chunk 1 ends after user 5's click, so that click sits in STATE when
+    // user 5's earlier-event-time purchase arrives in chunk 2
+    val split = data.indexWhere(_._2 == 12L) + 1
+    mem.addData(data.take(split)); q.processAllAvailable()
+    mem.addData(data.drop(split)); q.processAllAvailable()
     q.stop()
     val streaming = spark.table("attr_test").collect()
       .map(r => r.getLong(1) -> (Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
       .toMap
-    assert(streaming.keySet == Set(2L, 3L, 6L, 8L, 9L, 10L), "one row per purchase")
+    assert(streaming.keySet == Set(2L, 3L, 6L, 8L, 9L, 10L, 13L), "one row per purchase")
     assert(streaming(2L) == (Some(1L), true))
     assert(streaming(3L) == (None, false), "no click ever")
     assert(streaming(6L) == (Some(5L), true), "latest of two clicks wins")
     assert(streaming(8L) == (Some(7L), true), "state carries clicks across micro-batches")
     assert(streaming(9L) == (None, false), "3-day window expired")
     assert(streaming(10L) == (Some(11L), true), "equal-ts click visible, as in the batch as-of")
+    assert(streaming(13L) == (None, false), "a click in the event-time future never attributes")
 
     // batch reconciliation: asOfJoin + window filter gives the same credit
     import spark.implicits._
