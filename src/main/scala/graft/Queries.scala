@@ -38,6 +38,13 @@ object Queries {
   private def rnd(c: Column, d: Int): Column =
     graft.functions.Rounding.roundAt(c, d) // ONE definition of the repo-wide HALF_UP rule
 
+  /** The generator's event_type domain — ONE definition for every explicit
+    * pivot/unpivot value list (a7's row-sum over the pivoted columns
+    * silently under-counts vs its count(*) oracle for any type missing
+    * from a stale local copy).
+    */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
@@ -764,7 +771,7 @@ object Queries {
            |  count(*) AS total_events
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
     (s, d) => {
-      val types = Seq("click", "error", "purchase", "signup", "view")
+      val types = EventTypes
       ev(s, d).groupBy("user_id")
         .pivot("event_type", types).count()
         .na.fill(0L, types)
@@ -1779,37 +1786,51 @@ object Queries {
       .select(col("w.start").as("window_start"), col("cnt"))
       .orderBy("window_start"))
 
+  /** THE 2-hour-gap session derivation, shared by st_sessionization and
+    * a29_peak_concurrency — one definition per engine so a gap/tie-break
+    * tune can never leave the two computing differently-bounded sessions
+    * (the drift class suspicionCtes exists to prevent).
+    */
+  private val SessionGapMicros = 7200000000L
+  private val sessionCtesSql: String =
+    s"""flagged AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN epoch_us(cast(ts as timestamp)) -
+       |              lag(epoch_us(cast(ts as timestamp))) OVER (PARTITION BY user_id ORDER BY event_id)
+       |           > $SessionGapMicros THEN 1 ELSE 0 END AS new_session,
+       |    event_id
+       |  FROM events),
+       |sessions AS (
+       |  SELECT user_id,
+       |    cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) as bigint) AS session_id,
+       |    ts FROM flagged)""".stripMargin
+  /** (user_id, session_id, ts, event_id) — session ids via lag + running
+    * sum over ONE user_id exchange; all downstream windows/groupings on
+    * (user_id, session_id) reuse it.
+    */
+  private def sessionized(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    df.select(col("user_id"), col("ts"), col("event_id"),
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+          > SessionGapMicros, 1L).otherwise(0L).as("new_session"))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Batch sessionization: gap-based session ids via lag + running sum —
     * the batch-SQL twin of streaming session windows / mapGroupsWithState.
     */
   private val st3 = QueryDef("st_sessionization",
-    Some("""WITH flagged AS (
-           |  SELECT user_id, ts,
-           |    CASE WHEN epoch_us(cast(ts as timestamp)) -
-           |              lag(epoch_us(cast(ts as timestamp))) OVER (PARTITION BY user_id ORDER BY event_id)
-           |           > 7200000000 THEN 1 ELSE 0 END AS new_session,
-           |    event_id
-           |  FROM events),
-           |sessions AS (
-           |  SELECT user_id,
-           |    cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) as bigint) AS session_id,
-           |    ts FROM flagged)
-           |SELECT user_id, session_id, count(*) AS n_events,
-           |       cast(min(ts) as timestamp) AS session_start
-           |FROM sessions GROUP BY user_id, session_id
-           |ORDER BY user_id, session_id""".stripMargin),
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy("user_id").orderBy("event_id")
-      val flagged = ev(s, d).select(col("user_id"), col("ts"), col("event_id"),
-        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
-          > 7200000000L, 1L).otherwise(0L).as("new_session"))
-      val sessions = flagged.withColumn("session_id",
-        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      sessions.groupBy("user_id", "session_id")
-        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
-        .orderBy("user_id", "session_id")
-    })
+    Some(s"""WITH $sessionCtesSql
+            |SELECT user_id, session_id, count(*) AS n_events,
+            |       cast(min(ts) as timestamp) AS session_start
+            |FROM sessions GROUP BY user_id, session_id
+            |ORDER BY user_id, session_id""".stripMargin),
+    (s, d) => sessionized(ev(s, d))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+      .orderBy("user_id", "session_id"))
 
   /** Batch twin of the stream-stream interval join (the streaming parity
     * test runs [[graft.streaming.StreamingAnalytics.intervalJoin]] itself
@@ -1861,7 +1882,7 @@ object Queries {
     Some("""SELECT user_id, event_type, count(*) AS cnt FROM events
            |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin),
     (s, d) => {
-      val types = Seq("click", "error", "purchase", "signup", "view")
+      val types = EventTypes
       val wide = ev(s, d).groupBy("user_id")
         .pivot("event_type", types)
         .agg(count(lit(1)))
@@ -2229,18 +2250,12 @@ object Queries {
     * tie-break by (user, sid)).
     */
   private val a29 = QueryDef("a29_peak_concurrency",
-    Some("""WITH o AS (
-           |  SELECT user_id, event_id, cast(ts as timestamp) AS ts,
-           |         CASE WHEN epoch_us(cast(ts as timestamp))
-           |                   - lag(epoch_us(cast(ts as timestamp)))
-           |                     OVER (PARTITION BY user_id ORDER BY event_id) > 7200000000
-           |              THEN 1 ELSE 0 END AS new_s
-           |  FROM events
-           |), s AS (
-           |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY event_id) AS sid FROM o
-           |), sess AS (
-           |  SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
-           |  FROM s GROUP BY 1, 2
+    Some(s"""WITH $sessionCtesSql,
+           |sess AS (
+           |  SELECT user_id, session_id AS sid,
+           |         cast(min(ts) as timestamp) AS s_start,
+           |         cast(max(ts) as timestamp) AS s_end
+           |  FROM sessions GROUP BY 1, 2
            |), ev AS (
            |  SELECT cast(s_start as date) AS d, s_start AS pt, 1 AS delta, user_id, sid FROM sess
            |  UNION ALL
@@ -2271,14 +2286,9 @@ object Queries {
            |ORDER BY date""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy("user_id").orderBy("event_id")
-      val base = ev(s, d).select(col("user_id"), col("event_id"), col("ts"))
-        .withColumn("new_s",
-          when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
-            > 7200000000L, 1L).otherwise(0L))
-        .withColumn("sid", sum(col("new_s"))
-          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val sess = base.groupBy("user_id", "sid")
+      val sess = sessionized(ev(s, d))
+        .withColumnRenamed("session_id", "sid")
+        .groupBy("user_id", "sid")
         .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
       val evts = sess.select(to_date(col("s_start")).as("d"), col("s_start").as("pt"),
           lit(1L).as("delta"), col("user_id"), col("sid"))

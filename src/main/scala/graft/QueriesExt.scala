@@ -122,12 +122,15 @@ object QueriesExt {
     Some("""SELECT doc_id,
            |  len(list_filter(string_split_regex(lower(text), '\s+'),
            |      t -> t IN ('the','a','of','and','to','in','is'))) AS stopword_cnt,
-           |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * cast(1.0 as double) / length(text) AS alpha_ratio
+           |  CASE WHEN length(text) > 0
+           |       THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * cast(1.0 as double) / length(text)
+           |       ELSE 0.0 END AS alpha_ratio
            |FROM documents ORDER BY doc_id""".stripMargin),
     (s, d) => docs(s, d).select(col("doc_id"),
       TextFunctions.stopwordCount(col("text")).as("stopword_cnt"),
-      (length(regexp_replace(col("text"), "[^A-Za-z]", "")) * lit(1.0) / length(col("text")))
-        .as("alpha_ratio"))
+      // the shared guarded helper: an empty doc is 0.0, not an ANSI
+      // divide-by-zero (Spark) vs NaN (DuckDB) divergence
+      TextFunctions.alphaRatio(col("text")).as("alpha_ratio"))
       .orderBy("doc_id"))
 
   private val tx3 = QueryDef("tx_lang_id",
@@ -177,9 +180,16 @@ object QueriesExt {
             |FROM documents ORDER BY doc_id""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val q = TextFunctions.qualityScore(col("text"))
-      docs(s, d).select(col("doc_id"), col("lang"), q.as("quality"),
-          ntile(10).over(Window.partitionBy("lang").orderBy(q, col("doc_id"))).as("decile"))
+      // score once, THEN rank over the projected column — putting the
+      // kernel expression in both the projection and the window sort key
+      // would tokenize+score every document twice (the one-kernel-pass
+      // discipline of tx_lang_id)
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .select(col("doc_id"), col("lang"), col("quality"),
+          ntile(10).over(Window.partitionBy("lang")
+            .orderBy(col("quality"), col("doc_id"))).as("decile"))
         .orderBy("doc_id")
     })
 
@@ -916,22 +926,34 @@ object QueriesExt {
     * the DuckDB oracle exact (no float-accumulation drift at any corpus
     * size). At 100 TB this is embarrassingly parallel scan work.
     */
+  /** The frozen hashed-ngram classifier score as ONE shared oracle
+    * fragment (CTEs t/f/h: RE2-tokenize, unigram+bigram features, rolling-
+    * hash bucket weights summed per doc) — tx_classify, tx_eval_auc, and
+    * tx_calibration all interpolate it, so a change to the hash chain or
+    * the weight centering can never drift one oracle out of sync with the
+    * [[graft.functions.NativeExpressions.HashedNgramScore]] kernel.
+    * `carry` threads extra grouping columns (", lang") through the CTEs.
+    */
+  private def classifierCtes(carry: String): String =
+    s"""t AS (
+       |  SELECT doc_id$carry,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS w
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id$carry,
+       |    list_concat(w, [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS feats
+       |  FROM t),
+       |h AS (
+       |  SELECT doc_id$carry, cast(len(feats) AS bigint) AS n_feat,
+       |    cast(coalesce(list_sum(list_transform(feats, g ->
+       |      ((list_reduce(list_prepend(cast(7 as bigint),
+       |           list_transform(string_split(g, ''), c -> cast(ascii(c) as bigint))),
+       |         (a, b) -> (a * 31 + b) % 1000000007) % 1048576) * 2654435761) % 1048576
+       |        - 524288)), 0) AS bigint) AS sum_w
+       |  FROM f)""".stripMargin
+
   private val tx20 = QueryDef("tx_classify",
-    Some("""WITH t AS (
-           |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
-           |  FROM documents),
-           |f AS (
-           |  SELECT doc_id,
-           |    list_concat(w, [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS feats
-           |  FROM t),
-           |h AS (
-           |  SELECT doc_id, cast(len(feats) AS bigint) AS n_feat,
-           |    cast(coalesce(list_sum(list_transform(feats, g ->
-           |      ((list_reduce(list_prepend(cast(7 as bigint),
-           |           list_transform(string_split(g, ''), c -> cast(ascii(c) as bigint))),
-           |         (a, b) -> (a * 31 + b) % 1000000007) % 1048576) * 2654435761) % 1048576
-           |        - 524288)), 0) AS bigint) AS sum_w
-           |  FROM f)
+    Some(s"""WITH ${classifierCtes("")}
            |SELECT doc_id, n_feat, sum_w,
            |  CASE WHEN n_feat = 0 THEN cast(0.0 as double)
            |       ELSE floor(sum_w / (n_feat * 1048576.0) * 10000 + 0.5) / 10000 END AS score,
@@ -961,22 +983,7 @@ object QueriesExt {
     * and rank-sum in SQL.
     */
   private val tx23 = QueryDef("tx_eval_auc",
-    Some("""WITH t AS (
-           |  SELECT doc_id, lang,
-           |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
-           |  FROM documents),
-           |f AS (
-           |  SELECT doc_id, lang,
-           |    list_concat(w, [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS feats
-           |  FROM t),
-           |h AS (
-           |  SELECT doc_id, lang,
-           |    cast(coalesce(list_sum(list_transform(feats, g ->
-           |      ((list_reduce(list_prepend(cast(7 as bigint),
-           |           list_transform(string_split(g, ''), c -> cast(ascii(c) as bigint))),
-           |         (a, b) -> (a * 31 + b) % 1000000007) % 1048576) * 2654435761) % 1048576
-           |        - 524288)), 0) AS bigint) AS sum_w
-           |  FROM f),
+    Some(s"""WITH ${classifierCtes(", lang")},
            |sc AS (SELECT sum_w AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM h),
            |b AS (SELECT s, cast(sum(pos) as bigint) AS np, count(*) AS ns FROM sc GROUP BY s),
            |c AS (SELECT s, np, ns,
@@ -1012,22 +1019,7 @@ object QueriesExt {
     * so the oracle replays the hash chain + binning exactly.
     */
   private val tx24 = QueryDef("tx_calibration",
-    Some("""WITH t AS (
-           |  SELECT doc_id, lang,
-           |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
-           |  FROM documents),
-           |f AS (
-           |  SELECT doc_id, lang,
-           |    list_concat(w, [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS feats
-           |  FROM t),
-           |h AS (
-           |  SELECT doc_id, lang,
-           |    cast(coalesce(list_sum(list_transform(feats, g ->
-           |      ((list_reduce(list_prepend(cast(7 as bigint),
-           |           list_transform(string_split(g, ''), c -> cast(ascii(c) as bigint))),
-           |         (a, b) -> (a * 31 + b) % 1000000007) % 1048576) * 2654435761) % 1048576
-           |        - 524288)), 0) AS bigint) AS sum_w
-           |  FROM f),
+    Some(s"""WITH ${classifierCtes(", lang")},
            |sc AS (SELECT sum_w AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM h),
            |bd AS (SELECT min(s) AS mn, max(s) AS mx FROM sc),
            |b AS (SELECT least(9, (s - mn) * 10 // (mx - mn + 1)) AS bin, s, pos
@@ -1106,20 +1098,31 @@ object QueriesExt {
     * sf0.01) jaccard≥0.5 truth set, verified pairwise in DuckDB against
     * the bigram/relative-cap config before switching.
     */
+  /** The 5-gram shingle → absolute-df-cap → common-count pipeline shared
+    * by the dd_* oracles (dd_ngram_jaccard and dd_cluster_canonical both
+    * interpolate it; dd_incremental mirrors the same constants on its
+    * split base/delta shape). One definition, so re-tuning the shingle
+    * width / df cap / threshold — already done once, bigram→5-gram —
+    * cannot leave one oracle clustering different pairs than another.
+    */
+  private val ShingleDfCap = 100
+  private val ngramPairCtes: String =
+    s"""sh AS (
+       |  SELECT doc_id AS doc, unnest(list_distinct(
+       |    [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)])) AS shingle
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents)),
+       |capped AS (
+       |  SELECT doc, shingle FROM
+       |    (SELECT doc, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |  WHERE df <= $ShingleDfCap),
+       |sizes AS (SELECT doc, count(*) AS n_shingles FROM capped GROUP BY doc),
+       |common AS (
+       |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+       |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc < b.doc
+       |  GROUP BY 1, 2)""".stripMargin
+
   private val dd2 = QueryDef("dd_ngram_jaccard",
-    Some("""WITH sh AS (
-           |  SELECT doc_id AS doc, unnest(list_distinct(
-           |    [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)])) AS shingle
-           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
-           |capped AS (
-           |  SELECT doc, shingle FROM
-           |    (SELECT doc, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
-           |  WHERE df <= 100),
-           |sizes AS (SELECT doc, count(*) AS n_shingles FROM capped GROUP BY doc),
-           |common AS (
-           |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
-           |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc < b.doc
-           |  GROUP BY 1, 2)
+    Some(s"""WITH $ngramPairCtes
            |SELECT doc_a, doc_b,
            |  floor(c * cast(1.0 as double) / (sa.n_shingles + sb.n_shingles - c) * 10000 + 0.5) / 10000 AS jaccard
            |FROM common
@@ -1177,19 +1180,7 @@ object QueriesExt {
     * Oracle: recursive-CTE reachability over the same pairs.
     */
   private val dd5 = QueryDef("dd_cluster_canonical",
-    Some("""WITH RECURSIVE sh AS (
-           |  SELECT doc_id AS doc, unnest(list_distinct(
-           |    [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)])) AS shingle
-           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
-           |capped AS (
-           |  SELECT doc, shingle FROM
-           |    (SELECT doc, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
-           |  WHERE df <= 100),
-           |sizes AS (SELECT doc, count(*) AS n_shingles FROM capped GROUP BY doc),
-           |common AS (
-           |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
-           |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc < b.doc
-           |  GROUP BY 1, 2),
+    Some(s"""WITH RECURSIVE $ngramPairCtes,
            |pairs AS (
            |  SELECT doc_a, doc_b FROM common
            |  JOIN sizes sa ON sa.doc = doc_a
@@ -2372,6 +2363,11 @@ object QueriesExt {
         .join(broadcast(e.groupBy("label").agg(count(lit(1)).as("n_label"))), "label")
         .select(col("query_id"), (col("n_label") - 1).as("n_rel"))
       val ideal = nrel
+        // n_rel = 0 must DROP the query (as the oracle's g.rank <= least(..)
+        // inner join does): Spark's two-arg sequence counts DOWN when
+        // start > stop, so sequence(1, 0) = [1, 0] and the rank-0 ideal
+        // gain divides by log2(1) = 0 — an ANSI DIVIDE_BY_ZERO
+        .filter(col("n_rel") > 0)
         .select(col("query_id"), col("n_rel"),
           explode(sequence(lit(1), least(col("n_rel"), lit(10)).cast("int"))).as("rank"))
         .groupBy("query_id", "n_rel")
