@@ -1121,15 +1121,18 @@ object QueriesExt {
        |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc < b.doc
        |  GROUP BY 1, 2)""".stripMargin
 
+  private val ngramPairSql: String =
+    s"""WITH $ngramPairCtes
+       |SELECT doc_a, doc_b,
+       |  floor(c * cast(1.0 as double) / (sa.n_shingles + sb.n_shingles - c) * 10000 + 0.5) / 10000 AS jaccard
+       |FROM common
+       |JOIN sizes sa ON sa.doc = doc_a
+       |JOIN sizes sb ON sb.doc = doc_b
+       |WHERE c * cast(1.0 as double) / (sa.n_shingles + sb.n_shingles - c) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private val dd2 = QueryDef("dd_ngram_jaccard",
-    Some(s"""WITH $ngramPairCtes
-           |SELECT doc_a, doc_b,
-           |  floor(c * cast(1.0 as double) / (sa.n_shingles + sb.n_shingles - c) * 10000 + 0.5) / 10000 AS jaccard
-           |FROM common
-           |JOIN sizes sa ON sa.doc = doc_a
-           |JOIN sizes sb ON sb.doc = doc_b
-           |WHERE c * cast(1.0 as double) / (sa.n_shingles + sb.n_shingles - c) >= 0.5
-           |ORDER BY doc_a, doc_b""".stripMargin),
+    Some(ngramPairSql),
     (s, d) => Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 5,
       threshold = 0.5, maxDf = 100)
       .orderBy("doc_a", "doc_b"))
@@ -1207,20 +1210,54 @@ object QueriesExt {
       "doc_a", "doc_b")
       .orderBy("doc_id"))
 
-  /** MinHash+LSH near-dup candidates (no ANSI oracle: murmur3-based
-    * signatures). Invariant-tested in ScalaTest instead.
+  /** MinHash+LSH candidates + EXACT verification pass
+    * ([[Dedup.minhashLshVerifiedPairs]]): output is the true jaccard≥0.5
+    * pair set, so the oracle is dd_ngram_jaccard's pair SQL verbatim. The
+    * hash match certifies end-to-end banding recall = 1.0 on this corpus
+    * (a recall drop now breaks the oracle loudly, a stronger tripwire
+    * than RecallGateSpec's ≥0.9 floor, which stays as the candidate-stage
+    * gate). Graduated from no-oracle in round 9.
     */
-  private val dd3 = QueryDef("dd_minhash_lsh", None,
-    (s, d) => Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
-      shingleN = 5, k = 32, bands = 8, threshold = 0.5)
+  private val dd3 = QueryDef("dd_minhash_lsh",
+    Some(ngramPairSql),
+    (s, d) => Dedup.minhashLshVerifiedPairs(docs(s, d), "doc_id", "text",
+      shingleN = 5, k = 32, bands = 16, threshold = 0.5, maxDf = 100)
       .orderBy("doc_a", "doc_b"))
 
-  /** SimHash Hamming-distance near-dups (no ANSI oracle: xxhash64-based).
-    * maxDist=6 covers the measured Hamming span (0-5) of true jaccard≥0.9
-    * near-dups with one bit of headroom; RecallGateSpec asserts the floor.
+  /** SimHash Hamming-distance near-dups over the MD5-based signature
+    * ([[Dedup.simhashMd5]]) — cross-engine deterministic, so the oracle
+    * recomputes every signature from `md5(token)` hex nibbles and
+    * brute-force-joins all pairs at Hamming ≤ 6. The hash match therefore
+    * also PROVES the block-pair pigeonhole claim (all C(8,2)=28 block-pair
+    * keys ⟹ every Hamming≤6 pair lands in some shared bucket) on real
+    * data, not just in the scaladoc. The oracle's all-pairs join is
+    * check-only (bounded SF); the Spark side keeps the blocked shape.
+    * Graduated from no-oracle in round 9.
     */
-  private val dd4 = QueryDef("dd_simhash", None,
-    (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 6)
+  private val dd4 = QueryDef("dd_simhash",
+    Some("""WITH tok AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t
+           |  FROM documents),
+           |tb AS (SELECT doc_id, md5(t) AS h FROM tok),
+           |votes AS (
+           |  SELECT doc_id, i.range AS i,
+           |    sum(CASE WHEN ((strpos('0123456789abcdef',
+           |          substr(h, cast(16 - i.range // 4 as int), 1)) - 1)
+           |          >> cast(i.range % 4 as int)) & 1 = 1
+           |        THEN 1 ELSE -1 END) AS v
+           |  FROM tb, range(0, 64) i GROUP BY 1, 2),
+           |sig AS (
+           |  SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END,
+           |                            '' ORDER BY i) AS s
+           |  FROM votes GROUP BY doc_id)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       cast(hamming(a.s, b.s) as int) AS hamming
+           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |WHERE hamming(a.s, b.s) <= 6
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 6,
+      md5Sig = true)
+      .withColumn("hamming", col("hamming").cast("int"))
       .orderBy("doc_a", "doc_b"))
 
   /** Incremental dedup — classify a NEW batch (doc_id % 10 = 7 simulates

@@ -172,12 +172,90 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), Rounding.round4(col("est_raw")).as("est_jaccard"))
   }
 
+  /** MinHash+LSH candidates, then EXACT verification: output is the true
+    * word-n-gram-jaccard ≥ threshold pair set (identical to
+    * [[ngramJaccardPairs]]'s, same df-cap, same rounding), computed
+    * without the inverted-index pair join — candidate pairs come from LSH
+    * banding, and only candidate docs' capped shingles are compared. The
+    * a21 heavy-hitters pattern (sketch proposes, exact pass certifies)
+    * applied to dedup: the sketch bounds the work, the verify pass makes
+    * the output exact, so the query graduates from recall-gated to
+    * hash-oracle-checked — and a banding regression that drops a true pair
+    * breaks the hash loudly instead of nudging a recall metric.
+    *
+    * Defaults bias the banding to recall (rows = k/bands = 2: a true
+    * j=0.5 pair misses all 16 bands with prob (1-0.25)^16 ≈ 1%, j=0.8
+    * with ≈ 1e-7) because the exact pass deletes every false positive for
+    * free — with no verify step, narrower bands (rows=4) would be needed
+    * to keep precision, at the price of recall.
+    *
+    * Scale shape: banding shuffle is docs × bands narrow rows; the
+    * verification joins explode each CANDIDATE pair by its capped shingle
+    * lists (≤ candidate-count × shingles-per-doc rows), never corpus².
+    * The df-cap window runs over the full corpus index BEFORE the
+    * candidate semi-join, so sizes and intersections match
+    * [[ngramJaccardPairs]] exactly.
+    */
+  def minhashLshVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int = 5, k: Int = 32, bands: Int = 16,
+                              threshold: Double = 0.5, maxDf: Long = 100): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide evenly into bands=$bands")
+    val rows = k / bands
+    val sigs = docs.select(col(idCol).as("doc"),
+        TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc"), minhashSignature(col("sh"), k).as("sig"))
+
+    val banded = sigs.select(col("doc"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
+      }: _*)).as("bb"))
+
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.bb") === col("b.bb") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+      .cache()
+
+    val idx = shingleIndex(docs, idCol, textCol, shingleN, maxDf)
+    val candDocs = cands.select(col("doc_a").as("doc"))
+      .union(cands.select(col("doc_b").as("doc"))).distinct()
+    val idxC = idx.join(candDocs, Seq("doc"), "left_semi").cache()
+    val sizes = idxC.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
+    val common = cands
+      .join(idxC.select(col("doc").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(idxC.select(col("doc").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+
+    // Identical expression tree to ngramJaccardPairs — raw-ratio filter,
+    // floor-based round4 for presentation.
+    val rawJaccard = col("common").cast("double") * 1.0 /
+      (col("size_a") + col("size_b") - col("common"))
+    common
+      .join(sizes.select(col("doc").as("doc_a"), col("n_shingles").as("size_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n_shingles").as("size_b")), "doc_b")
+      .filter(rawJaccard >= threshold)
+      .withColumn("jaccard", Rounding.round4(rawJaccard))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** SimHash: 64-bit signature — for each bit, sum ±1 votes of the token
     * xxhash64 bits; bit = 1 if the sum is positive. One native pass over
     * the tokens ([[NativeExpressions.SimHash64]]).
     */
   def simhash(text: Column): Column =
     NativeExpressions.simhash64(TextFunctions.tokens(text))
+
+  /** MD5-based SimHash ([[NativeExpressions.Md5SimHash64]]): identical
+    * vote/sign rule, token bit pattern = first 8 bytes of md5(token)
+    * big-endian. This is the ORACLE-CHECKABLE definition — a SQL engine
+    * can recompute the signature from `md5(token)` hex chars, so the whole
+    * Hamming pair set is brute-force verifiable cross-engine. ~2-3× the
+    * hash cost of [[simhash]]; use that one when reproducibility outside
+    * this engine doesn't matter.
+    */
+  def simhashMd5(text: Column): Column =
+    NativeExpressions.simhash64Md5(TextFunctions.tokens(text))
 
   /** SimHash near-dup candidate pairs: the 64-bit signature is split into
     * 8 byte-blocks and candidates are blocked on PAIRS of equal blocks
@@ -197,9 +275,10 @@ object Dedup {
     * buy the d≤6 guarantee for a 28-row-per-doc narrow explode.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 6): DataFrame = {
+                   maxDist: Int = 6, md5Sig: Boolean = false): DataFrame = {
     require(maxDist <= 6, "block-pair scheme guarantees recall only for maxDist <= 6")
-    val sigs = docs.select(col(idCol).as("doc"), simhash(col(textCol)).as("sig")).cache()
+    val sigExpr = if (md5Sig) simhashMd5(col(textCol)) else simhash(col(textCol))
+    val sigs = docs.select(col(idCol).as("doc"), sigExpr.as("sig")).cache()
     def block(q: Int): Column = shiftright(col("sig"), q * 8).bitwiseAND(0xFFL)
     val pairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield
       struct(lit(i).as("i"), lit(j).as("j"), block(i).as("ki"), block(j).as("kj"))

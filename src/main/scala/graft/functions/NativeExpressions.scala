@@ -162,6 +162,69 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** 64-bit SimHash over MD5 token digests — the cross-engine-deterministic
+    * sibling of [[SimHash64]]. Each token's bit pattern is the first 8
+    * bytes of `md5(token)` read big-endian (bit i of the pattern = bit i
+    * of that 64-bit integer), votes and sign rule identical to
+    * [[SimHash64]] (sum > 0 ⟹ bit set). MD5 is chosen NOT for speed or
+    * security but because every SQL engine exposes it with an identical
+    * definition, so a DuckDB oracle can recompute the signature from
+    * `md5(token)` hex chars and brute-force-verify the Hamming pair set —
+    * something no xxhash64/murmur3-based signature permits. The hash costs
+    * ~2-3× xxh64 per token; callers who don't need cross-engine
+    * reproducibility keep [[SimHash64]].
+    */
+  case class Md5SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_simhash_md5"
+
+    override def nullSafeEval(input: Any): Any = {
+      val md = Md5SimHash64.digests.get()
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          md.reset()
+          val d = md.digest(arr.getUTF8String(i).getBytes)
+          var h = 0L
+          var k = 0
+          while (k < 8) { h = (h << 8) | (d(k).toLong & 0xFFL); k += 1 }
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object Md5SimHash64 {
+    // MessageDigest is stateful and not thread-safe; expression instances
+    // can be shared across local-mode task threads, so the instance is
+    // per-thread, reset per token.
+    private val digests = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  }
+
   /** Word n-gram shingles of a text column: whitespace-split tokens, then
     * each run of n consecutive tokens joined with a single space. Output
     * is identical to
@@ -1087,6 +1150,7 @@ object NativeExpressions {
   def minhashSignature(shingles: Column, k: Int): Column =
     toCol(MinHashSignature(toExpr(shingles), k))
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+  def simhash64Md5(tokens: Column): Column = toCol(Md5SimHash64(toExpr(tokens)))
   def wordShingles(text: Column, n: Int): Column = toCol(WordShingles(toExpr(text), n))
   def hyperplaneBuckets(vec: Column, tables: Int, bits: Int): Column =
     toCol(HyperplaneBuckets(toExpr(vec), tables, bits))

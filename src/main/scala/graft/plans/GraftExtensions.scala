@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash64(args(0))))
 
+    ext.injectFunction((FunctionIdentifier("graft_simhash_md5"),
+      new ExpressionInfo(classOf[Md5SimHash64].getName, "graft_simhash_md5"),
+      (args: Seq[Expression]) => Md5SimHash64(args(0))))
+
     ext.injectFunction((FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (args: Seq[Expression]) =>

@@ -17,8 +17,9 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without queries: ${o.diff(q)}")
     val noOracle = q.diff(o)
-    // only engine-hash/sketch-based ops may lack oracles
-    assert(noOracle == Set("dd_minhash_lsh", "dd_simhash", "sim_ann_lsh",
+    // only sketch-by-definition ops may lack oracles (dd_minhash_lsh and
+    // dd_simhash graduated in round 9: exact-verify pass / md5 signature)
+    assert(noOracle == Set("sim_ann_lsh",
       "a18_approx_distinct", "a19_approx_quantiles"), s"unexpected: $noOracle")
   }
 }
