@@ -226,8 +226,11 @@ object QueriesExt {
       // (Spark's ln(0) is null and null-propagates through the rounding) —
       // the oracle's LEFT JOIN emits the same row, and the kernel stays a
       // single map-only evaluation (a filter would push a second copy of
-      // the expression into the scan).
-      .select(col("doc_id"), col("st.n_chars").as("n_chars"),
+      // the expression into the scan). NULL text: the kernel
+      // null-propagates st itself, but the oracle's LEFT JOIN still emits
+      // n_chars=0 — coalesce aligns the engines (latent until the driver
+      // ships a null-text doc; round-9 advice).
+      .select(col("doc_id"), coalesce(col("st.n_chars"), lit(0L)).as("n_chars"),
         (floor((log(col("st.n_chars")) - col("st.sum_clnc") / col("st.n_chars"))
           * 10000 + 0.5) / 10000).as("entropy"))
       .orderBy("doc_id"))

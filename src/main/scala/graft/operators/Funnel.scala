@@ -45,7 +45,12 @@ object Funnel {
       // forbids — it consumes one event per chain position. The strict
       // bound assumes distinct events carry distinct timestamps (µs
       // precision here); distinct-type steps keep >= so a same-instant
-      // view→click→purchase still completes.
+      // view→click→purchase still completes. Known limit (accepted): two
+      // SAME-type events of one entity sharing an exact µs could complete
+      // a view→view chain but the strict bound rejects them here while
+      // the streaming fold (which consumes events, not timestamps) would
+      // accept — if a data source can produce such ties, the fix is to
+      // thread a (ts, event_id) pair through t_i and bound on the pair.
       val qualifies =
         if (i == 0) col(typeCol) === step
         else {

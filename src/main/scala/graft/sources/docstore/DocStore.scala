@@ -1072,6 +1072,15 @@ private[docstore] class DocStoreWrite(path: String, schema: StructType, truncate
   * without it, two streaming queries appending to one collection would
   * delete each other's committed shards whenever their epoch counters
   * collide.
+  *
+  * Compatibility note: shards written by the pre-query-tag sink naming
+  * (`part-e<epoch>-<pid>-…`, rounds ≤7) are NOT matched by this cleanup —
+  * an in-flight epoch from before the rename that replays after an
+  * upgrade would leave its old-name shards behind as duplicates. This
+  * repo has no such collections (every docstore dir is driver-rebuilt per
+  * round); a production migration would either drain queries before
+  * upgrading or extend the filter to the legacy prefix scoped to this
+  * query's checkpoint.
   */
 private[docstore] class DocStoreStreamingWrite(path: String, schema: StructType, queryId: String,
                                                gzip: Boolean, bloomFields: Set[String])
