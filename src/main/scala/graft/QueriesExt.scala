@@ -1180,6 +1180,33 @@ object QueriesExt {
         .orderBy("doc_id")
     })
 
+  /** Span-level exact-substring dedup ([[Dedup.substringSpans]]; Lee et
+    * al. 2022 ExactSubstr): maximal runs of cross-document-duplicated
+    * word-5-grams, reported per document as 0-based (span_start,
+    * span_tokens) for spans ≥ 15 tokens — the "cut the copied passage"
+    * primitive, where dd_substring_dup only scores the fraction. At
+    * sf0.01: 45 spans across the corpus, lengths 15-93 tokens.
+    */
+  private val dd8 = QueryDef("dd_substring_spans",
+    Some("""WITH sh AS (
+           |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS shingle
+           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+           |       LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i)
+           |), df AS (SELECT shingle, count(DISTINCT doc_id) AS df FROM sh GROUP BY shingle),
+           |dup AS (SELECT s.doc_id, s.pos FROM sh s JOIN df USING (shingle) WHERE df.df >= 2),
+           |isl AS (
+           |  SELECT doc_id, pos,
+           |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           |  FROM dup),
+           |spans AS (
+           |  SELECT doc_id, min(pos) AS span_start, max(pos) - min(pos) + 5 AS span_tokens
+           |  FROM isl GROUP BY doc_id, grp)
+           |SELECT doc_id, span_start, span_tokens FROM spans
+           |WHERE span_tokens >= 15 ORDER BY doc_id, span_start""".stripMargin),
+    (s, d) => Dedup.substringSpans(docs(s, d), "doc_id", "text", n = 5, minTokens = 15)
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy("doc_id", "span_start"))
+
   /** Near-dup clustering: connected components over the (hash-verified)
     * Jaccard pair graph, canonical = min doc id per component, plus
     * cluster size — the "keep one per near-dup cluster" dedup primitive.
@@ -2526,7 +2553,7 @@ object QueriesExt {
 
   val all: Seq[QueryDef] = Seq(
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21,
-    dd1, dd2, dd3, dd4, dd5, dd6, dd7,
+    dd1, dd2, dd3, dd4, dd5, dd6, dd7, dd8,
     sm1, sm2, sm2r, sm2rad, sm2m, sm3, sm4, sm5, sm6, sm7, sm8,
     mm1, mm2, mm3, pl1, pl2, pl3, ir1, ir2, ir3, ir4, ir5, tx22, tx23, tx24, tx25)
 }

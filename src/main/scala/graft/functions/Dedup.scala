@@ -300,6 +300,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact-substring duplicate SPANS (the production shape of suffix-array
+    * substring dedup — Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", ExactSubstr): for each document, the maximal
+    * runs of consecutive token positions whose word-n-gram also occurs in
+    * at least one OTHER document, reported as (span_start, span_tokens)
+    * for runs covering ≥ minTokens tokens. This is the REMOVAL primitive
+    * that [[ngramJaccardPairs]]-style whole-document matching misses: a
+    * unique document can still carry a copied passage, and the training
+    * fix is to cut the span, not drop the document. A run of m consecutive
+    * duplicated n-gram positions covers m+n-1 tokens.
+    *
+    * Duplication is CROSS-document (a shingle repeated only within one doc
+    * does not mark it) — the same df convention as the dup_frac signal.
+    *
+    * Scale shape — same no-pair-join discipline as the rest of the family:
+    * one shingle-keyed df aggregate over distinct (doc, shingle), one
+    * shingle-keyed join marking duplicated positions, then gaps-and-islands
+    * per document (pos − row_number over the doc's dup positions), whose
+    * window is bounded by single-document length. Nothing quadratic: no
+    * doc×doc comparison exists anywhere, and at 100 TB the join key
+    * becomes xxhash64(shingle) so only 8-byte keys move (raw shingles ship
+    * here so a SQL oracle can replicate the grouping exactly).
+    */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, minTokens: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc"),
+        posexplode(TextFunctions.wordShingles(col(textCol), n)).as(Seq("pos", "shingle")))
+      .select(col("doc"), col("pos").cast("long").as("pos"), col("shingle"))
+    val df = sh.select("doc", "shingle").distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+    val dup = sh.join(df.filter(col("df") >= 2).select("shingle"), Seq("shingle"))
+      .select("doc", "pos")
+    val isl = dup.withColumn("grp",
+      col("pos") - row_number().over(Window.partitionBy("doc").orderBy("pos")))
+    isl.groupBy("doc", "grp")
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + n).as("span_tokens"))
+      .filter(col("span_tokens") >= minTokens)
+      .select(col("doc"), col("span_start"), col("span_tokens"))
+  }
+
   /** Incremental dedup: classify each document of a NEW batch (`delta`)
     * against an existing corpus (`base`) as `exact_dup` (identical text in
     * base, by 64-bit hash — same collision convention as [[exact]]),

@@ -38,6 +38,38 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size == 3)
   }
 
+  test("substring spans: maximal cross-doc dup runs, overlap/nesting merged, threshold applied") {
+    // doc 10 shares its 8-token head with doc 11 and its 7-token tail with
+    // doc 12, separated by unique tokens → TWO distinct spans.
+    // doc 20's copies OVERLAP: doc 21 shares tokens 0-4, doc 22 shares
+    // tokens 3-7 — the dup trigram positions are consecutive, so the
+    // islands logic must merge them into ONE maximal whole-doc span (the
+    // per-partner formulation would emit two overlapping fragments).
+    val fixture = Seq(
+      (10L, "a1 a2 a3 a4 a5 a6 a7 a8 u1 u2 b1 b2 b3 b4 b5 b6 b7"),
+      (11L, "a1 a2 a3 a4 a5 a6 a7 a8 x1 x2 x3 x4 x5"),
+      (12L, "y1 y2 y3 y4 y5 b1 b2 b3 b4 b5 b6 b7"),
+      (20L, "c1 c2 c3 c4 c5 c6 c7 c8"),
+      (21L, "c1 c2 c3 c4 c5 q1 q2"),
+      (22L, "q3 q4 c4 c5 c6 c7 c8"),
+      (30L, "entirely unique words with no copied passage anywhere at all")
+    ).toDF("doc_id", "text")
+    def spans(minTokens: Int): Set[(Long, Long, Long)] =
+      Dedup.substringSpans(fixture, "doc_id", "text", n = 3, minTokens = minTokens)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val s7 = spans(7)
+    assert(s7.filter(_._1 == 10L) == Set((10L, 0L, 8L), (10L, 10L, 7L)),
+      s"doc 10 spans: ${s7.filter(_._1 == 10L)}")
+    assert(s7.filter(_._1 == 20L) == Set((20L, 0L, 8L)),
+      s"doc 20 must have ONE merged maximal span: ${s7.filter(_._1 == 20L)}")
+    assert(!s7.exists(_._1 == 30L))
+    // threshold: the 7-token tail span drops at minTokens=8, the 8-token
+    // spans stay
+    val s8 = spans(8)
+    assert(s8.filter(_._1 == 10L) == Set((10L, 0L, 8L)))
+    assert(s8.filter(_._1 == 20L) == Set((20L, 0L, 8L)))
+  }
+
   test("minhash LSH: candidates include exact and near dups, not unrelated docs") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleN = 2, k = 32, bands = 8, threshold = 0.5)
