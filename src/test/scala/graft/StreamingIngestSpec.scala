@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.StreamingAnalytics
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** End-to-end streaming ingest pipe (change-stream → clean gates →
+  * incremental dedup → docstore upsert): the final store must not depend
+  * on where micro-batch boundaries fall. The fixture exercises every
+  * admission path:
+  *
+  *   - gate drop (Spanish doc),
+  *   - exact dup of the base corpus,
+  *   - near-dup of the base corpus,
+  *   - exact dup WITHIN the delta,
+  *   - and the greedy near-dup CHAIN: 106 is a near-dup of admitted 101
+  *     (dropped), 107 is a near-dup of 106 but NOT of 101 — sequential
+  *     semantics must ADMIT 107 (its only near neighbor was itself
+  *     dropped). A connected-components admission would wrongly cluster
+  *     {101,106,107} and drop 107; this pins the greedy rule the
+  *     one-doc-per-batch split naturally produces.
+  *
+  * Doc construction: 80 tokens alternating "the"/family-words; one edited
+  * mid-token kills exactly 5 of the 76 5-gram shingles, so pair jaccards
+  * are exact by arithmetic: 1 edit → 71/81 ≈ 0.88 (near), 106 vs 107
+  * differ in 5 → 51/101 ≈ 0.505 (still ≥ 0.5), 101 vs 107 differ in 6 →
+  * 46/106 ≈ 0.434 (below threshold).
+  */
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDoc(family: String, edits: Map[Int, String]): String =
+    (1 to 80).map { i =>
+      if (i % 2 == 1) "the" else edits.getOrElse(i, s"$family${i / 2}")
+    }.mkString(" ")
+
+  private val baseA = mkDoc("alpha", Map.empty)
+  private val baseB = mkDoc("beta", Map.empty)
+  private val baseC = mkDoc("gamma", Map.empty)
+  private val d101 = mkDoc("delta", Map.empty)
+  private val spanish = (1 to 40).flatMap(i => Seq("el", s"palabra$i")).mkString(" ")
+
+  private val delta: Seq[(Long, String)] = Seq(
+    101L -> d101,                                    // fresh → admitted
+    102L -> baseA,                                   // exact dup of base → dropped
+    103L -> mkDoc("beta", Map(24 -> "zz")),          // near-dup of base → dropped
+    104L -> spanish,                                 // lang gate → dropped
+    105L -> d101,                                    // exact dup of 101 → dropped
+    106L -> mkDoc("delta", Map(24 -> "qq")),         // near-dup of 101 → dropped
+    107L -> mkDoc("delta", Map(8 -> "q8", 16 -> "q16", 24 -> "qq",
+      32 -> "q32", 40 -> "q40", 56 -> "q56"))        // near of 106 only → ADMITTED
+  )
+
+  private def runSplit(batches: Seq[Seq[(Long, String)]]): Map[Long, String] = {
+    val dir = Files.createTempDirectory("graft_ingest_store").toString
+    Seq((1L, baseA), (2L, baseB), (3L, baseC)).toDF("doc_id", "text")
+      .coalesce(1).write.format("docstore").mode("append").save(dir)
+
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingAnalytics.streamingIngest(
+      mem.toDF().toDF("doc_id", "text"), dir, n = 5, threshold = 0.5, maxDf = 100)
+    batches.foreach { b =>
+      mem.addData(b)
+      q.processAllAvailable()
+    }
+    q.stop()
+    spark.read.format("docstore").load(dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  test("final store is split-invariant across 1/3/5/7-way micro-batch splits") {
+    val whole = runSplit(Seq(delta))
+    val three = runSplit(Seq(delta.slice(0, 2), delta.slice(2, 5), delta.slice(5, 7)))
+    val five = runSplit(Seq(delta.slice(0, 1), delta.slice(1, 3), delta.slice(3, 5),
+      delta.slice(5, 6), delta.slice(6, 7)))
+    val perDoc = runSplit(delta.map(Seq(_))) // the sequential reference
+
+    assert(whole.keySet == Set(1L, 2L, 3L, 101L, 107L),
+      s"single-batch admissions: ${whole.keySet}")
+    assert(three == whole, "3-way split diverged")
+    assert(five == whole, "5-way split diverged")
+    assert(perDoc == whole, "per-doc sequential reference diverged")
+    // the chain case really took the greedy path, not CC
+    assert(whole(107L) == delta.toMap.apply(107L))
+  }
+}
