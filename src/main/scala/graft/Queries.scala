@@ -1612,21 +1612,34 @@ object Queries {
     * percentile use; `lo + (hi-lo)·d` differs in the last ulp on this very
     * data (14.2475 vs 14.247499999999999 at sf0.01 error/p25).
     */
+  /** The bounded per-(event_type, cent-value) histogram with cumulative
+    * and total counts that BOTH quantile rewrites (w5, w7) run over —
+    * single-sourced so a change to one (e.g. the null convention below)
+    * cannot miss the other. NULL values are excluded on the Spark side
+    * AND in both oracles' WHERE clauses: the engines disagree on where
+    * NULL ranks (Spark windows sort it first, DuckDB's ntile last), so
+    * "quantiles of the non-null values" is the only cross-engine-stable
+    * contract — and the statistically meaningful one.
+    */
+  private def valueHistogram(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.filter(col("value").isNotNull)
+      .groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("event_type").orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+  }
+
   private val w5 = QueryDef("w5_percentiles",
     Some("""SELECT event_type,
            |       quantile_cont(value, 0.25) AS p25,
            |       quantile_cont(value, 0.5) AS p50,
            |       quantile_cont(value, 0.75) AS p75
-           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+           |FROM events WHERE value IS NOT NULL
+           |GROUP BY event_type ORDER BY event_type""".stripMargin),
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val hist = ev(s, d).filter(col("value").isNotNull)
-        .groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
-      val cum = hist
-        .withColumn("cum", sum("cnt").over(
-          Window.partitionBy("event_type").orderBy("value")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+      val cum = valueHistogram(ev(s, d))
       // rank indices are 0-based: value at index i = min value with cum ≥ i+1
       def vAt(idx: Column): Column = min(when(col("cum") >= idx + 1, col("value")))
       def h(p: Double): Column = lit(p) * (col("n").cast("double") - 1.0)
@@ -2135,20 +2148,12 @@ object Queries {
     Some("""WITH t AS (
            |  SELECT event_type, value,
            |         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
-           |  FROM events)
+           |  FROM events WHERE value IS NOT NULL)
            |SELECT event_type, cast(decile as int) AS decile, count(*) AS cnt,
            |       min(value) AS lo, max(value) AS hi
            |FROM t GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin),
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val hist = ev(s, d)
-        .groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
-      val cum = hist
-        .withColumn("cum", sum("cnt").over(
-          Window.partitionBy("event_type").orderBy("value")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
-      val dec = cum
+      val dec = valueHistogram(ev(s, d))
         .withColumn("decile", explode(array((1 to 10).map(lit): _*)))
         .withColumn("base", expr("n div 10"))
         .withColumn("extra", col("n") % 10)

@@ -97,6 +97,27 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs via inverted-index self-join.
     * Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold, doc_a < doc_b.
     */
+  /** The jaccard assembly + threshold shared by every exact-verification
+    * path ([[ngramJaccardPairs]]'s full pair join and
+    * [[minhashLshVerifiedPairs]]'s candidate-restricted join): one
+    * expression tree, so the two queries cannot drift from each other or
+    * from the DuckDB oracle that replays it. Cross-engine determinism:
+    * filter on the raw ratio, then round via floor(x·10^4 + 0.5)/10^4
+    * (engine-native round() differs on half-cases). `common` carries
+    * (doc_a, doc_b, common); `sizes` carries (doc, n_shingles).
+    */
+  private def jaccardAtLeast(common: DataFrame, sizes: DataFrame,
+                             threshold: Double): DataFrame = {
+    val rawJaccard = col("common").cast("double") * 1.0 /
+      (col("size_a") + col("size_b") - col("common"))
+    common
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
+      .filter(rawJaccard >= threshold)
+      .withColumn("jaccard", Rounding.round4(rawJaccard))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double, maxDf: Long = 100,
                         maxDfFraction: Double = 0.0): DataFrame = {
@@ -108,16 +129,7 @@ object Dedup {
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("common"))
 
-    // Cross-engine determinism: filter on the raw ratio, then round via
-    // floor(x·10^4 + 0.5)/10^4 (engine-native round() differs on half-cases).
-    val rawJaccard = col("common").cast("double") * 1.0 /
-      (col("size_a") + col("size_b") - col("common"))
-    common
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
-      .filter(rawJaccard >= threshold)
-      .withColumn("jaccard", Rounding.round4(rawJaccard))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    jaccardAtLeast(common, sizes, threshold)
   }
 
   /** MinHash signature: k permutation-style hashes over murmur3 shingle
@@ -136,28 +148,41 @@ object Dedup {
     * re-attached to the surviving pairs afterwards, so no wide arrays move
     * through the pair shuffle.
     */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.5): DataFrame = {
-    require(k % bands == 0,
-      s"minhashLshPairs: k=$k must divide evenly into bands=$bands — a remainder " +
-        "silently drops the trailing signature positions from every band key")
-    val rows = k / bands
-    val sigs = docs.select(col(idCol).as("doc"),
+  /** MinHash signatures (doc, sig) for LSH banding. */
+  private def minhashSigs(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
         TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc"), minhashSignature(col("sh"), k).as("sig"))
-      .cache()
 
+  /** LSH banding self-join over (doc, sig): candidate (doc_a, doc_b)
+    * pairs sharing at least one band key — the ONE definition both the
+    * est-filtered [[minhashLshPairs]] and the exact-verified
+    * [[minhashLshVerifiedPairs]] use, so a banding tweak cannot
+    * desynchronize them. Shuffle is docs × bands narrow rows; the
+    * distinct carries two longs per row.
+    */
+  private def bandedCandidates(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k must divide evenly into bands=$bands — a remainder " +
+        "silently drops the trailing signature positions from every band key")
+    val rows = k / bands
     val banded = sigs.select(col("doc"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
       }: _*)).as("bb"))
-
-    val cands = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.bb") === col("b.bb") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct() // narrow: two longs per row
+      .distinct()
+  }
+
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSigs(docs, idCol, textCol, shingleN, k).cache()
+    val cands = bandedCandidates(sigs, k, bands)
 
     cands
       .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -199,23 +224,8 @@ object Dedup {
   def minhashLshVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                               shingleN: Int = 5, k: Int = 32, bands: Int = 16,
                               threshold: Double = 0.5, maxDf: Long = 100): DataFrame = {
-    require(k % bands == 0, s"k=$k must divide evenly into bands=$bands")
-    val rows = k / bands
-    val sigs = docs.select(col(idCol).as("doc"),
-        TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc"), minhashSignature(col("sh"), k).as("sig"))
-
-    val banded = sigs.select(col("doc"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
-      }: _*)).as("bb"))
-
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a.bb") === col("b.bb") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
-      .cache()
+    val cands = bandedCandidates(
+      minhashSigs(docs, idCol, textCol, shingleN, k), k, bands).cache()
 
     val idx = shingleIndex(docs, idCol, textCol, shingleN, maxDf)
     val candDocs = cands.select(col("doc_a").as("doc"))
@@ -227,16 +237,7 @@ object Dedup {
       .join(idxC.select(col("doc").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
 
-    // Identical expression tree to ngramJaccardPairs — raw-ratio filter,
-    // floor-based round4 for presentation.
-    val rawJaccard = col("common").cast("double") * 1.0 /
-      (col("size_a") + col("size_b") - col("common"))
-    common
-      .join(sizes.select(col("doc").as("doc_a"), col("n_shingles").as("size_a")), "doc_a")
-      .join(sizes.select(col("doc").as("doc_b"), col("n_shingles").as("size_b")), "doc_b")
-      .filter(rawJaccard >= threshold)
-      .withColumn("jaccard", Rounding.round4(rawJaccard))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    jaccardAtLeast(common, sizes, threshold)
   }
 
   /** SimHash: 64-bit signature — for each bit, sum ±1 votes of the token

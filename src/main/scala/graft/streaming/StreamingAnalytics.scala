@@ -367,31 +367,57 @@ object StreamingAnalytics {
   private[graft] def ingestBatch(batch: DataFrame, storePath: String,
                                  n: Int, threshold: Double, maxDf: Long): Unit = {
     val spark = batch.sparkSession
-    val gated = graft.QueriesExt.cleanGates(batch, Seq("doc_id", "text"))
-    val canon = graft.functions.Dedup.exact(gated, "doc_id", "text")
-      .filter(col("canonical_id") === col("doc_id")).select("doc_id")
-    val kept = gated.join(canon, "doc_id")
-    val store = spark.read.format("docstore").load(storePath).select("doc_id", "text")
-    val fresh = kept.join(
-      graft.functions.Dedup.incrementalStatus(store, kept, "doc_id", "text",
+    // The helpers below (incrementalStatus, ngramJaccardPairs) cache
+    // intermediate indexes for multi-action reuse; in the batch registry
+    // that happens once per process, but HERE it happens every trigger —
+    // without cleanup the block manager accumulates one orphaned base
+    // shingle index per micro-batch for the stream's lifetime. Snapshot
+    // the persistent-RDD set and unpersist everything this batch added.
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      // Robustness guard: the ingest contract is doc_id-unique deltas
+      // (a crawl snapshot), but a malformed batch carrying two texts for
+      // one doc_id must not crash the stream via upsert's duplicate-key
+      // require. Collapse to one row per doc_id, deterministically (min
+      // content hash) — NOT last-writer-wins: a true revision stream
+      // carries a sequence column and belongs in [[upsertStream]].
+      val oneRow = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(xxhash64(col("text")))
+      val unique = batch.withColumn("_rn", row_number().over(oneRow))
+        .filter(col("_rn") === 1).drop("_rn")
+      val gated = graft.QueriesExt.cleanGates(unique, Seq("doc_id", "text"))
+      val canon = graft.functions.Dedup.exact(gated, "doc_id", "text")
+        .filter(col("canonical_id") === col("doc_id")).select("doc_id")
+      val kept = gated.join(canon, "doc_id")
+      val store = spark.read.format("docstore").load(storePath).select("doc_id", "text")
+      // fresh is consumed by THREE actions (pair collect, upsert's key
+      // collect, upsert's write) — persist it so cleanGates + the
+      // store-sized incrementalStatus classification run once per trigger.
+      val fresh = kept.join(
+        graft.functions.Dedup.incrementalStatus(store, kept, "doc_id", "text",
+            n, threshold, maxDf)
+          .filter(col("status") === "new").select("doc_id"),
+        "doc_id").persist()
+      // Greedy sequential admission over the batch's near-dup pair graph:
+      // pairs sorted by the larger id — when (a, b) is visited every pair
+      // ending below b is final, so a's admitted/dropped status is settled.
+      val pairs = graft.functions.Dedup.ngramJaccardPairs(fresh, "doc_id", "text",
           n, threshold, maxDf)
-        .filter(col("status") === "new").select("doc_id"),
-      "doc_id")
-    // Greedy sequential admission over the batch's near-dup pair graph:
-    // pairs sorted by the larger id — when (a, b) is visited every pair
-    // ending below b is final, so a's admitted/dropped status is settled.
-    val pairs = graft.functions.Dedup.ngramJaccardPairs(fresh, "doc_id", "text",
-        n, threshold, maxDf)
-      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
-    val droppedIds = scala.collection.mutable.Set[Long]()
-    pairs.sortBy(_._2).foreach { case (a, b) => if (!droppedIds(a)) droppedIds += b }
-    val admitted =
-      if (droppedIds.isEmpty) fresh
-      else {
-        import spark.implicits._
-        fresh.join(droppedIds.toSeq.toDF("doc_id"), Seq("doc_id"), "left_anti")
-      }
-    graft.sources.docstore.DocStoreMaintenance.upsert(spark, storePath, "doc_id", admitted)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val droppedIds = scala.collection.mutable.Set[Long]()
+      pairs.sortBy(_._2).foreach { case (a, b) => if (!droppedIds(a)) droppedIds += b }
+      val admitted =
+        if (droppedIds.isEmpty) fresh
+        else {
+          import spark.implicits._
+          fresh.join(droppedIds.toSeq.toDF("doc_id"), Seq("doc_id"), "left_anti")
+        }
+      graft.sources.docstore.DocStoreMaintenance.upsert(spark, storePath, "doc_id", admitted)
+    } finally {
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => persistedBefore(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
     ()
   }
 

@@ -43,7 +43,7 @@ class RecallGateSpec extends SparkSpec {
     // filter can drop borderline-true pairs (k=32 quantizes to 1/32).
     val truth = idPairs("dd_ngram_jaccard")
     val lsh = graft.functions.Dedup.minhashLshPairs(
-        spark.read.parquet(s"$sfDir/documents.parquet"),
+        Tables.documents(spark, sfDir),
         "doc_id", "text", shingleN = 5, k = 32, bands = 8, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & lsh).size.toDouble / truth.size

@@ -86,4 +86,23 @@ class StreamingIngestSpec extends SparkSpec {
     // the chain case really took the greedy path, not CC
     assert(whole(107L) == delta.toMap.apply(107L))
   }
+
+  test("malformed batch with two texts for one doc_id does not kill the stream") {
+    // The contract is doc_id-unique deltas; a violating batch must
+    // collapse deterministically (min content hash), not crash upsert's
+    // duplicate-key require inside foreachBatch.
+    val textX = mkDoc("epsilon", Map.empty)
+    val textY = mkDoc("zeta", Map.empty)
+    val expected = if (xxhash64Lt(textX, textY)) textX else textY
+    val stored = runSplit(Seq(Seq(201L -> textX, 201L -> textY)))
+    assert(stored.keySet == Set(1L, 2L, 3L, 201L))
+    assert(stored(201L) == expected)
+  }
+
+  private def xxhash64Lt(a: String, b: String): Boolean = {
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    val r = Seq(1).toDF("x")
+      .select(xxhash64(lit(a)).as("ha"), xxhash64(lit(b)).as("hb")).head()
+    r.getLong(0) < r.getLong(1)
+  }
 }
