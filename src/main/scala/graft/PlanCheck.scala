@@ -198,6 +198,19 @@ object PlanCheck {
       "no shuffle carries document text (keys OR payload)" ->
         (p => !shuffledColumns(p).contains("text")))
 
+    // LSH bucket self-joins (simhash blocks, minhash bands): the exploded
+    // index is data-sized but statically estimated at the slim pre-explode
+    // projection — without a stage boundary the planner broadcasts it to
+    // the driver (x100p measured: 1.2 GiB of task results, maxResultSize
+    // kill). The build-side repartition marks the plan; AQE then picks
+    // the join strategy from the RUNTIME size.
+    check("dd_simhash")(
+      "bucket join stage-bounded (runtime-size strategy, no blind broadcast)" ->
+        (_.contains("REPARTITION_BY_COL")))
+    check("dd_minhash_lsh")(
+      "banding join stage-bounded (runtime-size strategy, no blind broadcast)" ->
+        (_.contains("REPARTITION_BY_COL")))
+
     // Language-id: ONE tokenization kernel evaluation per row (the
     // interpreted-HOF form evaluated 12 regex splits per row; a Catalyst
     // projection collapse would inline the kernel once per extract).

@@ -172,7 +172,11 @@ object Dedup {
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
       }: _*)).as("bb"))
-    banded.as("a").join(banded.as("b"),
+    // Build-side repartition for the same reason as simhashPairs' bucket
+    // join (see there): a stage boundary so the join strategy is decided
+    // from the exploded index's RUNTIME size, not the slim pre-explode
+    // estimate that invites a driver-killing broadcast at scale.
+    banded.as("a").join(banded.repartition(col("bb")).as("b"),
         col("a.bb") === col("b.bb") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
@@ -275,26 +279,81 @@ object Dedup {
     * effective key 16 bits wide (n/65536 occupancy, same as before) and
     * buy the d≤6 guarantee for a 28-row-per-doc narrow explode.
     */
+  /** The blocking keys are parameterized Manku-style as (blocks, subset):
+    * the 64-bit signature splits into `blocks` nearly-equal bit ranges,
+    * and candidates are blocked on equality of every
+    * (blocks − maxDist)-subset of them. Pigeonhole: Hamming ≤ maxDist
+    * touches at most maxDist blocks, so some (blocks − maxDist)-subset is
+    * untouched — and ALL such subsets are enumerated, so every true pair
+    * lands in at least one shared bucket; exact `bit_count` then verifies.
+    * The exactness guarantee holds for EVERY valid (blocks, maxDist), so
+    * the DuckDB brute-force oracle keeps verifying the output no matter
+    * which blocking is chosen — blocking is purely a cost knob:
+    *
+    *   - effective key width = (blocks − maxDist)·(64/blocks) bits; the
+    *     random-collision candidate term is C(blocks, keep) · n² /
+    *     2^keyWidth. Default blocks=8 (28 pair-keys, 16-bit keys) holds
+    *     comfortably at 5·10⁵ docs — measured 27.7 s at SCALE.md's x100p
+    *     (19× for 100× data) once the join was stage-bounded (below);
+    *     blocks=10 (210 subset-keys, ~25.6-bit) measured 86.8 s on the
+    *     same corpus because its 7.5× explode dominates while the n²/2^16
+    *     term is still small there. The wider keys win only when
+    *     n²/2^16 · keyCount overtakes the explode — n in the ~10⁷ range —
+    *     so raise `blocks` with corpus size, not before.
+    *   - the subset count C(blocks, blocks−maxDist) is the per-doc
+    *     explode factor — capped below so a mis-parameterization cannot
+    *     emit thousands of rows per doc.
+    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 6, md5Sig: Boolean = false): DataFrame = {
-    require(maxDist <= 6, "block-pair scheme guarantees recall only for maxDist <= 6")
+                   maxDist: Int = 6, md5Sig: Boolean = false,
+                   blocks: Int = 8): DataFrame = {
+    val keep = blocks - maxDist
+    require(keep >= 1 && blocks <= 64,
+      s"blocking needs maxDist=$maxDist < blocks=$blocks <= 64")
+    val subsets = (0 until blocks).combinations(keep).toIndexedSeq
+    require(subsets.size <= 512,
+      s"C($blocks, $keep) = ${subsets.size} subset keys per doc — beyond 512 the " +
+        "explode dominates; pick fewer blocks")
+    // block q covers bits [q*64/blocks, (q+1)*64/blocks) — nearly equal
+    // integer ranges, full coverage, no overlap
+    def block(q: Int): Column = {
+      val lo = q * 64 / blocks
+      val hi = (q + 1) * 64 / blocks
+      shiftright(col("sig"), lo).bitwiseAND((1L << (hi - lo)) - 1L)
+    }
     val sigExpr = if (md5Sig) simhashMd5(col(textCol)) else simhash(col(textCol))
     val sigs = docs.select(col(idCol).as("doc"), sigExpr.as("sig")).cache()
-    def block(q: Int): Column = shiftright(col("sig"), q * 8).bitwiseAND(0xFFL)
-    val pairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield
-      struct(lit(i).as("i"), lit(j).as("j"), block(i).as("ki"), block(j).as("kj"))
-    val blocked = sigs.select(col("doc"), col("sig"), explode(array(pairs: _*)).as("blk"))
+    val keys = subsets.zipWithIndex.map { case (sub, sid) =>
+      // one 64-bit key per subset: fold the subset id + block values
+      // through xxhash64 so the join key stays a single long regardless
+      // of subset size
+      xxhash64(lit(sid) +: sub.map(block): _*)
+    }
+    val blocked = sigs.select(col("doc"), col("sig"), explode(array(keys: _*)).as("blk"))
 
     val hamming = {
       val x = col("a.sig").bitwiseXOR(col("b.sig"))
       bit_count(x)
     }
 
-    // Filter BEFORE distinct: with 28 block-pair keys a true pair emits up
-    // to 28 duplicate candidate rows, and far pairs colliding on one bucket
+    // Filter BEFORE distinct: a true pair emits one duplicate candidate
+    // row per shared subset key, and far pairs colliding on one bucket
     // are dead weight — the Hamming check is a pure function of the pair,
     // so filtering first is identical and shrinks the distinct's shuffle.
-    blocked.as("a").join(blocked.as("b"),
+    //
+    // The build-side repartition on the bucket key is the scale guard:
+    // the STATIC size estimate under the explode is the slim (doc, sig)
+    // projection, so without it the planner broadcast the whole exploded
+    // index to the driver (measured at x100p/blocks=10: 1.2 GiB of task
+    // results, query killed by maxResultSize; at x100p/blocks=8 the
+    // successfully-built 14M-row broadcast still cost 157.8 s vs 27.7 s
+    // stage-bounded). The repartition inserts a stage boundary, so AQE
+    // picks the join strategy from the exploded index's RUNTIME size —
+    // broadcast when it truly is small (sf0.1: 140k rows ≈ 3 MB, ~1.4 s
+    // of extra stage latency, the price of the guard), sort-merge when
+    // it's data-sized (a forced shuffle_hash refused its 134 MB
+    // per-partition build at x100p, while SMJ spills gracefully).
+    blocked.as("a").join(blocked.repartition(col("blk")).as("b"),
         col("a.blk") === col("b.blk") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxDist)
