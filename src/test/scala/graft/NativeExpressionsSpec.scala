@@ -74,6 +74,38 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(ham(sigs(0), sigs(2)) < ham(sigs(0), sigs(3)))
   }
 
+  test("Md5SimHash64 equals an independent JVM reference (bit layout pinned)") {
+    // The DuckDB oracle recomputes the signature from md5 hex nibbles, so
+    // the kernel's bit layout is a cross-engine CONTRACT: token pattern =
+    // first 8 digest bytes read big-endian, vote > 0 ⟹ bit set. This
+    // reference implementation derives it independently (BigInteger over
+    // the digest) — a kernel byte-order or sign slip breaks here before
+    // it breaks the oracle hash.
+    def reference(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](64)
+      text.split("\\s+").foreach { t =>
+        val d = md.digest(t.getBytes("UTF-8"))
+        val h = new java.math.BigInteger(1, d.take(8)) // big-endian, unsigned
+        (0 until 64).foreach { b =>
+          if (h.testBit(b)) votes(b) += 1 else votes(b) -= 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, b) => if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    val texts = Seq(
+      "the quick brown fox",
+      "one",
+      "a b c d e f g h i j k l m n o p",
+      "unicode tökens über ærger")
+    val got = texts.toDF("t")
+      .select(NativeExpressions.simhash64Md5(graft.functions.TextFunctions.tokens($"t")))
+      .collect().map(_.getLong(0))
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == reference(t), s"kernel/reference mismatch for '$t'")
+    }
+  }
+
   test("HyperplaneBuckets: deterministic; identical vectors share all buckets") {
     val v = Array.tabulate(16)(i => (i * 0.3f) - 2f)
     val df = Seq(v, v, v.map(x => -x)).toDF("e")

@@ -87,6 +87,35 @@ class StreamingIngestSpec extends SparkSpec {
     assert(whole(107L) == delta.toMap.apply(107L))
   }
 
+  test("driven by the real docstore change-stream source: same final store") {
+    // The composed claim end-to-end: a SOURCE docstore collection's
+    // change stream (batch appends surfacing as micro-batches) feeds
+    // streamingIngest into a TARGET collection — no MemoryStream anywhere.
+    val src = Files.createTempDirectory("graft_ingest_src").toString
+    val dir = Files.createTempDirectory("graft_ingest_tgt").toString
+    Seq((1L, baseA), (2L, baseB), (3L, baseC)).toDF("doc_id", "text")
+      .coalesce(1).write.format("docstore").mode("append").save(dir)
+
+    delta.slice(0, 2).toDF("doc_id", "text").coalesce(1)
+      .write.format("docstore").mode("overwrite").save(src)
+    val stream = spark.readStream.format("docstore")
+      .schema("doc_id BIGINT, text STRING").load(src)
+    val q = StreamingAnalytics.streamingIngest(stream, dir,
+      n = 5, threshold = 0.5, maxDf = 100)
+    q.processAllAvailable()
+    delta.slice(2, 5).toDF("doc_id", "text").coalesce(1)
+      .write.format("docstore").mode("append").save(src)
+    q.processAllAvailable()
+    delta.slice(5, 7).toDF("doc_id", "text").coalesce(1)
+      .write.format("docstore").mode("append").save(src)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.format("docstore").load(dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 101L, 107L), s"change-stream-driven store: $got")
+  }
+
   test("malformed batch with two texts for one doc_id does not kill the stream") {
     // The contract is doc_id-unique deltas; a violating batch must
     // collapse deterministically (min content hash), not crash upsert's
