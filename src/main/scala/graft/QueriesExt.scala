@@ -324,8 +324,15 @@ object QueriesExt {
         explode(array_distinct(TextFunctions.wordShingles(col("text"), 3))).as("shingle"))
       val bench = sh.filter(pmod(col("doc_id"), lit(13)) === 0)
         .select("shingle").distinct()
+      // No broadcast hint: a real benchmark suite is small, but THIS
+      // bench side is 1/13 of the corpus — data-sized. `distinct()`
+      // already puts an aggregate exchange under it, so AQE sees the
+      // runtime size and broadcasts exactly when it actually fits
+      // (it does at every test SF); forcing the hint would ship a
+      // corpus-fraction to the driver at scale — the blind-broadcast
+      // class the round-9 LSH audit removed.
       sh.filter(pmod(col("doc_id"), lit(13)) =!= 0)
-        .join(broadcast(bench), "shingle")
+        .join(bench, "shingle")
         .groupBy("doc_id").agg(count_distinct(col("shingle")).as("n_hits"))
         .orderBy("doc_id")
     })
@@ -2415,11 +2422,16 @@ object QueriesExt {
       // gain at a rank position, integer-floored at 1e-6 (see Scaladoc)
       def gainI(rank: Column): Column =
         floor(lit(1000000) / (log(rank.cast("double") + 1) / log(lit(2.0))) + 0.5).cast("long")
-      val top = ranked
-        .join(broadcast(labels.withColumnRenamed("vec_id", "query_id")
-          .withColumnRenamed("label", "qlabel")), "query_id")
-        .join(broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")
-          .withColumnRenamed("label", "nlabel")), "neighbor_id")
+      // Broadcast the RANKED LISTS (k × |queries| rows, bounded) into the
+      // corpus-sized labels table, not the other way around — the prior
+      // broadcast(labels) shipped |corpus| rows to the driver, backwards
+      // at scale (round-9 blind-broadcast audit).
+      val top = ranked.hint("broadcast")
+        .join(labels.withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("label", "qlabel"), "query_id")
+        .hint("broadcast")
+        .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+          .withColumnRenamed("label", "nlabel"), "neighbor_id")
         .select(col("query_id"), col("rank"),
           when(col("nlabel") === col("qlabel"), 1).otherwise(0).as("rel"))
       val perq = top.groupBy("query_id").agg(

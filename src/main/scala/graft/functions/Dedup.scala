@@ -426,6 +426,17 @@ object Dedup {
     * Jaccard is computed over the capped shingle universe on BOTH sides
     * (a delta shingle absent from base has df 0 and stays), so sizes and
     * intersections agree with what the join can see.
+    *
+    * The delta-side broadcasts are a CONTRACT, not an estimate: this
+    * operator is for bounded ingest batches (a crawl snapshot, a
+    * micro-batch — [[graft.streaming.StreamingAnalytics.streamingIngest]]
+    * feeds exactly those). A caller holding a data-sized "delta" should
+    * chunk it into bounded batches (what the streaming pipe does
+    * naturally) rather than relax the broadcasts — a corpus-vs-corpus
+    * comparison belongs to [[ngramJaccardPairs]], whose index self-join
+    * is built for it. (SCALE.md's x100 run measured the worst case —
+    * delta held at 10% of a 500k-doc corpus — at 145 s: it completes,
+    * but the broadcast grows with the violation.)
     */
   def incrementalStatus(base: DataFrame, delta: DataFrame, idCol: String,
                         textCol: String, n: Int, threshold: Double,
