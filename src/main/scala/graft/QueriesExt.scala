@@ -302,12 +302,18 @@ object QueriesExt {
     * (Real pipelines use 8-13-gram overlap; the synthetic docs are 10-99
     * tokens, so 3-grams give the same selectivity here.)
     *
-    * Scale shape: the benchmark suite is tiny next to a 100 TB corpus, so
-    * its distinct shingles are BROADCAST — the corpus side never shuffles
-    * its shingles for the join (PlanCheck-asserted); only the matched
-    * (doc_id, shingle) hits shuffle into the per-doc distinct count.
-    * Here both sides derive from one table split by `doc_id % 13`; in
-    * production the benchmark side is its own small table.
+    * Scale shape: a real benchmark suite is tiny next to a 100 TB corpus
+    * and its distinct shingles broadcast, so the corpus side never
+    * shuffles its shingles for the join; only the matched
+    * (doc_id, shingle) hits shuffle into the per-doc distinct count. The
+    * broadcast decision is left to AQE (the `distinct()` provides the
+    * runtime-sized stage boundary) rather than forced — so the plan
+    * still broadcasts whenever the benchmark actually fits, but a
+    * benchmark side that is NOT small (here both sides derive from one
+    * table split by `doc_id % 13`, so the proxy grows with the corpus)
+    * degrades to a keyed shuffle instead of shipping a corpus fraction
+    * to the driver. PlanCheck accepts both shapes and forbids the
+    * nested-loop one.
     */
   private val tx7 = QueryDef("tx_decontaminate",
     Some("""WITH sh AS (

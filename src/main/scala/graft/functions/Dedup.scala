@@ -148,6 +148,30 @@ object Dedup {
     * re-attached to the surviving pairs afterwards, so no wide arrays move
     * through the pair shuffle.
     */
+  /** Self-join of a bucket index (doc, keyCol, …) on the bucket key with
+    * doc_a < doc_b — the LSH candidate join shared by the simhash block
+    * scheme and the minhash banding, STAGE-BOUNDED so the data-sized
+    * exploded index is never blindly broadcast: the static size estimate
+    * under an un-materialized explode is the slim pre-explode projection,
+    * and without a guard the planner ships the whole index to the driver
+    * (measured in SCALE.md's x100p: 1.2 GiB of task results at one
+    * parameterization — maxResultSize kill — and a 157.8 s vs 27.7 s
+    * penalty at another). With AQE on (the default), a build-side
+    * `repartition(key)` inserts the stage boundary and AQE picks the
+    * strategy from the RUNTIME size — broadcast when the index truly is
+    * small, spill-safe sort-merge when it isn't. With AQE OFF the
+    * boundary cannot inform the planner (static estimates pass through
+    * repartition), so the join is pinned to sort-merge outright — slower
+    * at small scale but never driver-fatal.
+    */
+  private def bucketSelfJoin(idx: DataFrame, keyCol: String): DataFrame = {
+    val aqe = idx.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+      .equalsIgnoreCase("true")
+    val build = if (aqe) idx.repartition(col(keyCol)) else idx.hint("merge")
+    idx.as("a").join(build.as("b"),
+      col(s"a.$keyCol") === col(s"b.$keyCol") && col("a.doc") < col("b.doc"))
+  }
+
   /** MinHash signatures (doc, sig) for LSH banding. */
   private def minhashSigs(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int, k: Int): DataFrame =
@@ -172,12 +196,7 @@ object Dedup {
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
       }: _*)).as("bb"))
-    // Build-side repartition for the same reason as simhashPairs' bucket
-    // join (see there): a stage boundary so the join strategy is decided
-    // from the exploded index's RUNTIME size, not the slim pre-explode
-    // estimate that invites a driver-killing broadcast at scale.
-    banded.as("a").join(banded.repartition(col("bb")).as("b"),
-        col("a.bb") === col("b.bb") && col("a.doc") < col("b.doc"))
+    bucketSelfJoin(banded, "bb")
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
   }
@@ -308,8 +327,12 @@ object Dedup {
                    maxDist: Int = 6, md5Sig: Boolean = false,
                    blocks: Int = 8): DataFrame = {
     val keep = blocks - maxDist
-    require(keep >= 1 && blocks <= 64,
-      s"blocking needs maxDist=$maxDist < blocks=$blocks <= 64")
+    // blocks >= 2 also keeps every block under 64 bits — a 64-bit-wide
+    // block's mask (1L << 64) - 1L would wrap to 0 (JVM shifts are
+    // mod 64) and silently collapse every doc into ONE bucket, turning
+    // the join into the all-pairs shape this operator exists to avoid
+    require(keep >= 1 && blocks >= 2 && blocks <= 64,
+      s"blocking needs maxDist=$maxDist < blocks=$blocks, 2 <= blocks <= 64")
     val subsets = (0 until blocks).combinations(keep).toIndexedSeq
     require(subsets.size <= 512,
       s"C($blocks, $keep) = ${subsets.size} subset keys per doc — beyond 512 the " +
@@ -341,20 +364,7 @@ object Dedup {
     // are dead weight — the Hamming check is a pure function of the pair,
     // so filtering first is identical and shrinks the distinct's shuffle.
     //
-    // The build-side repartition on the bucket key is the scale guard:
-    // the STATIC size estimate under the explode is the slim (doc, sig)
-    // projection, so without it the planner broadcast the whole exploded
-    // index to the driver (measured at x100p/blocks=10: 1.2 GiB of task
-    // results, query killed by maxResultSize; at x100p/blocks=8 the
-    // successfully-built 14M-row broadcast still cost 157.8 s vs 27.7 s
-    // stage-bounded). The repartition inserts a stage boundary, so AQE
-    // picks the join strategy from the exploded index's RUNTIME size —
-    // broadcast when it truly is small (sf0.1: 140k rows ≈ 3 MB, ~1.4 s
-    // of extra stage latency, the price of the guard), sort-merge when
-    // it's data-sized (a forced shuffle_hash refused its 134 MB
-    // per-partition build at x100p, while SMJ spills gracefully).
-    blocked.as("a").join(blocked.repartition(col("blk")).as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc") < col("b.doc"))
+    bucketSelfJoin(blocked, "blk")
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()

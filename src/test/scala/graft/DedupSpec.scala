@@ -87,6 +87,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 1.0)
   }
 
+  test("LSH bucket self-joins pin sort-merge when AQE is off (no blind broadcast)") {
+    // With AQE disabled the repartition stage boundary cannot inform the
+    // planner, and the static estimate under the explode is slim enough
+    // to invite a broadcast of the data-sized index (the SCALE.md x100p
+    // driver-kill). The guard must fall back to a pinned sort-merge.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    import s2.implicits._
+    val d2 = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
+    val simPlan = Dedup.simhashPairs(d2, "doc_id", "text", maxDist = 6)
+      .queryExecution.executedPlan.toString
+    assert(simPlan.contains("SortMergeJoin") && !simPlan.contains("BroadcastHashJoin"),
+      simPlan.linesIterator.take(20).mkString("\n"))
+    val mhPlan = Dedup.minhashLshPairs(d2, "doc_id", "text", shingleN = 2)
+      .queryExecution.executedPlan.toString
+    assert(mhPlan.contains("SortMergeJoin"), mhPlan.linesIterator.take(20).mkString("\n"))
+  }
+
   test("simhash pairs: exact dups at hamming 0; unrelated docs not paired") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap

@@ -61,11 +61,10 @@ class StreamingIngestSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String)]
     val q = StreamingAnalytics.streamingIngest(
       mem.toDF().toDF("doc_id", "text"), dir, n = 5, threshold = 0.5, maxDf = 100)
-    batches.foreach { b =>
+    try batches.foreach { b =>
       mem.addData(b)
       q.processAllAvailable()
-    }
-    q.stop()
+    } finally q.stop()
     spark.read.format("docstore").load(dir)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -102,14 +101,15 @@ class StreamingIngestSpec extends SparkSpec {
       .schema("doc_id BIGINT, text STRING").load(src)
     val q = StreamingAnalytics.streamingIngest(stream, dir,
       n = 5, threshold = 0.5, maxDf = 100)
-    q.processAllAvailable()
-    delta.slice(2, 5).toDF("doc_id", "text").coalesce(1)
-      .write.format("docstore").mode("append").save(src)
-    q.processAllAvailable()
-    delta.slice(5, 7).toDF("doc_id", "text").coalesce(1)
-      .write.format("docstore").mode("append").save(src)
-    q.processAllAvailable()
-    q.stop()
+    try {
+      q.processAllAvailable()
+      delta.slice(2, 5).toDF("doc_id", "text").coalesce(1)
+        .write.format("docstore").mode("append").save(src)
+      q.processAllAvailable()
+      delta.slice(5, 7).toDF("doc_id", "text").coalesce(1)
+        .write.format("docstore").mode("append").save(src)
+      q.processAllAvailable()
+    } finally q.stop()
 
     val got = spark.read.format("docstore").load(dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
