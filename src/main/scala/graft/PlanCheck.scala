@@ -457,6 +457,25 @@ object PlanCheck {
         (p => !p.contains("Join") && !p.contains("CartesianProduct")),
       "df via window + final agg" -> (p => p.contains("Window") && p.contains("HashAggregate")))
 
+    // Substring SPANS: duplicated positions are marked by a shingle-keyed
+    // equi-join against the df>=2 shingle set (aggregate boundary → AQE
+    // runtime strategy), islands run per-doc — no doc×doc comparison
+    // exists, and no window may be global (the islands row_number must
+    // partition by doc).
+    checkTree("dd_substring_spans")(
+      "no nested-loop / cartesian pair comparison" ->
+        (p => p.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }.isEmpty),
+      "every window partitions by doc (no global islands sort)" ->
+        (p => {
+          val ws = p.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+          }
+          ws.nonEmpty && ws.forall(_.nonEmpty)
+        }))
+
     // Mixture planning: the budget bound is ONE broadcast row against the
     // 5-row stratum aggregate — no sort-merge join, no second pass over
     // documents (one scan feeds both the aggregate and the bound).
