@@ -4,10 +4,22 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Ordered conversion funnels (ClickHouse `windowFunnel` semantics): for
-  * an ordered list of step event types, a user reaches step i+1 when an
+/** Ordered conversion funnels, gap-window greedy semantics: for an
+  * ordered list of step event types, a user reaches step i+1 when an
   * event of that type occurs within `window` of the FIRST qualifying
-  * step-i event — greedy earliest-chain, per user.
+  * step-i event — greedy earliest-chain, per user, with the window
+  * re-anchored at EVERY step (each gap must fit in `window`).
+  *
+  * These are bespoke semantics, NOT ClickHouse-windowFunnel parity:
+  * windowFunnel bounds the WHOLE chain within `window` of the chain
+  * start and slides over later step-1 events when an earlier anchor
+  * fails (view@0, view@3h, click@4h with window 1h: windowFunnel
+  * reports level 2 off the second view; this operator anchors the first
+  * view greedily and reports level 1). The greedy-anchor + per-gap
+  * window pair is what the single-exchange nested-window-minimum plan
+  * below can express exactly — and it is a defensible funnel definition
+  * in its own right (each step must follow the previous "promptly") —
+  * but a user porting ClickHouse funnels must re-derive expectations.
   *
   * Scale shape (the reason this is NOT the textbook self-join chain): the
   * whole funnel is computed from ONE scan of the events relation,
@@ -41,16 +53,19 @@ object Funnel {
     val withSteps = steps.zipWithIndex.foldLeft(filtered) { case (df, (step, i)) =>
       // consecutive IDENTICAL step types need a STRICT lower bound: with
       // >=, the single event that anchored step i would also satisfy step
-      // i+1 (one page_view "completing" view→view), which windowFunnel
-      // forbids — it consumes one event per chain position. The strict
-      // bound assumes distinct events carry distinct timestamps (µs
-      // precision here); distinct-type steps keep >= so a same-instant
-      // view→click→purchase still completes. Known limit (accepted): two
-      // SAME-type events of one entity sharing an exact µs could complete
-      // a view→view chain but the strict bound rejects them here while
-      // the streaming fold (which consumes events, not timestamps) would
-      // accept — if a data source can produce such ties, the fix is to
-      // thread a (ts, event_id) pair through t_i and bound on the pair.
+      // i+1 (one page_view "completing" view→view) — a chain consumes one
+      // event per position. The strict bound assumes distinct events
+      // carry distinct timestamps (µs precision here); distinct-type
+      // steps keep >= so a same-instant view→click→purchase still
+      // completes. Known limits at EXACT-tie timestamps (accepted; the
+      // fix for tie-prone sources is threading a (ts, event_id) pair
+      // through t_i and bounding on the pair): (a) two SAME-type events
+      // of one entity sharing a µs cannot complete a view→view chain here
+      // though the streaming fold — which consumes events, not
+      // timestamps — would; (b) a step type REPEATED non-adjacently
+      // ([view, click, view]) can re-use the step-1 event for step 3 when
+      // view and click share a µs, because only adjacency triggers the
+      // strict bound.
       val qualifies =
         if (i == 0) col(typeCol) === step
         else {
@@ -127,7 +142,12 @@ object Funnel {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
     require(steps.nonEmpty, "at least one funnel step")
-    val stepIdx = steps.zipWithIndex.toMap
+    // FIRST occurrence index per type: zipWithIndex.toMap keeps the LAST
+    // index for a step type repeated at multiple positions, which would
+    // order same-timestamp ties of an early-step type AFTER later steps
+    // and stall the fold; first-occurrence restores batch parity for
+    // repeated-type funnels
+    val stepIdx = steps.zipWithIndex.reverse.toMap
     events
       .withWatermark("_2", watermarkDelay) // no-op on batch inputs
       .groupByKey(_._1)

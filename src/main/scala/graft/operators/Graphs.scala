@@ -26,7 +26,14 @@ import org.apache.spark.sql.functions._
   *     lineage so round N does not replay rounds 1..N-1) and the previous
   *     round's checkpoint blocks are unpersisted as soon as the next round
   *     is materialized — executor storage holds at most two label
-  *     snapshots at any time.
+  *     snapshots DURING the computation. The FINAL round's blocks back
+  *     the returned DataFrame and stay persisted for its lifetime (a
+  *     localCheckpoint cannot be unpersisted-and-recomputed), so a
+  *     long-running caller invoking this repeatedly retains one final
+  *     label snapshot per call — per-process callers are fine;
+  *     per-trigger callers must reclaim, as
+  *     StreamingAnalytics.ingestBatch does by unpersisting every RDD its
+  *     trigger persisted once the batch's writes commit.
   *   - convergence is a `changed` flag computed INSIDE the propagation
   *     round (nbr_min < component) — detecting it is a short-circuiting
   *     local scan of the already-materialized checkpoint blocks, not a

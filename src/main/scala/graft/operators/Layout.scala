@@ -37,6 +37,17 @@ object Layout {
 
   /** Morton interleave of two non-negative 32-bit values: bits of `a` on
     * even positions, bits of `b` on odd.
+    *
+    * Input DOMAIN caveat: `b`'s bit 31 lands on the z-value's bit 63 —
+    * the sign bit of the LongType result — so for b ≥ 2³¹ the z-value is
+    * negative and the signed `repartitionByRange` splits the Morton curve
+    * at the sign boundary (results stay correct — pruning reads real
+    * min/max — but one shard straddles far-apart boxes and prunes
+    * poorly). Values above 32 bits are masked. For full-range uint32
+    * inputs (e.g. a 32-bit hash column), pre-shift to 31 bits
+    * (`shiftright(x, 1)`) or flip the sign bit so the unsigned order
+    * survives the signed sort; this repo's z-order carriers use small
+    * non-negative domains where neither applies.
     */
   def zorder2(a: Column, b: Column): Column =
     spreadBits32(a).bitwiseOR(shiftleft(spreadBits32(b), 1))

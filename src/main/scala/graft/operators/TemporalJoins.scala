@@ -35,12 +35,22 @@ object TemporalJoins {
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTs: String, rightTs: String, rightOrd: String,
                rightPayload: Seq[String]): DataFrame = {
+    // Typed null literal built from the actual schema, not a DDL string —
+    // string-concatenated DDL breaks on any column name that is not a
+    // bare identifier (spaces, dots, colons), while the struct() call on
+    // the tagged side handles them fine.
+    val rrowType = org.apache.spark.sql.types.StructType(
+      (Seq(rightTs, rightOrd) ++ rightPayload).map(c =>
+        org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     val lTagged = left.withColumn("__is_r", lit(false))
       .withColumn("__ts", col(leftTs))
       .withColumn("__ord", lit(Long.MaxValue))
-      .withColumn("__rrow", lit(null).cast(
-        s"struct<${(Seq(rightTs, rightOrd) ++ rightPayload).map(c => s"$c:${right.schema(c).dataType.sql}").mkString(",")}>"))
-    val rTagged = right.select(
+      .withColumn("__rrow", lit(null).cast(rrowType))
+    // A right row with a NULL timestamp is "as of" nothing: ascending
+    // sorts place NULL first, so without the filter a null-rts row would
+    // become the running match for every left row that precedes all real
+    // right rows — violating the rts <= lts contract.
+    val rTagged = right.filter(col(rightTs).isNotNull).select(
       col(keyCol), lit(true).as("__is_r"), col(rightTs).as("__ts"),
       col(rightOrd).cast("long").as("__ord"),
       struct((Seq(rightTs, rightOrd) ++ rightPayload).map(col): _*).as("__rrow"))
@@ -68,8 +78,11 @@ object TemporalJoins {
   def rangeJoinCount(probe: DataFrame, build: DataFrame, keyCol: String,
                      probeTs: String, buildTs: String, probeId: String,
                      windowMicros: Long): DataFrame = {
+    // bin off the aliased __pus (as the build side does off __bus) — an
+    // expr() interpolating the raw probeTs name breaks on non-bare
+    // identifiers and re-evaluates unix_micros for nothing
     val p = probe.withColumn("__pus", unix_micros(col(probeTs)))
-      .withColumn("__bin", expr(s"unix_micros($probeTs) div ${windowMicros}L"))
+      .withColumn("__bin", expr(s"__pus div ${windowMicros}L"))
     val b = build.select(col(keyCol).as("__bkey"), unix_micros(col(buildTs)).as("__bus"))
       // a build row at bin h can only match probes in bins h and h+1
       .withColumn("__bin", explode(array(

@@ -35,6 +35,22 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(504L) == -1L)
   }
 
+  test("asOfJoin: a right row with NULL ts never matches (rts <= lts contract)") {
+    // ascending sort places NULL first — without the null filter the
+    // null-ts click would become the running match for every purchase
+    // preceding all real clicks
+    val nullRights = Seq(
+      (2L, Option.empty[Timestamp], 300L, 5.0),
+      (2L, Some(t(30)), 200L, 9.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = TemporalJoins
+      .asOfJoin(lefts.filter($"user_id" === 2L), nullRights,
+        "user_id", "ts", "ts", "event_id", Seq("value"))
+      .select($"event_id", $"asof.event_id".as("m"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(503L) == -1L) // t(20) precedes the only real click; null click must NOT match
+  }
+
   test("rangeJoinCount: [ts - window, ts) counts incl. bin-boundary cases") {
     val out = TemporalJoins
       .rangeJoinCount(lefts, rights, "user_id", "ts", "ts", "event_id",
