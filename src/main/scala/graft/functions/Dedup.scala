@@ -120,8 +120,15 @@ object Dedup {
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double, maxDf: Long = 100,
-                        maxDfFraction: Double = 0.0): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, n, maxDf, maxDfFraction).cache()
+                        maxDfFraction: Double = 0.0,
+                        cacheIndex: Boolean = true): DataFrame = {
+    // cacheIndex=false for PER-TRIGGER callers (streamingIngest): every
+    // .cache() registers a CacheManager entry the caller cannot reach to
+    // uncache, so a long-running stream would accumulate one pinned plan
+    // per trigger. Uncached, the index subtree is re-evaluated per
+    // consumer within the one action — the right trade for micro-batches.
+    val idx0 = shingleIndex(docs, idCol, textCol, n, maxDf, maxDfFraction)
+    val idx = if (cacheIndex) idx0.cache() else idx0
     val sizes = idx.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
 
     val common = idx.as("a").join(idx.as("b"),
@@ -450,7 +457,7 @@ object Dedup {
     */
   def incrementalStatus(base: DataFrame, delta: DataFrame, idCol: String,
                         textCol: String, n: Int, threshold: Double,
-                        maxDf: Long): DataFrame = {
+                        maxDf: Long, cacheIndex: Boolean = true): DataFrame = {
     val bh = base.select(col(idCol).as("base_id"), xxhash64(col(textCol)).as("th"))
     val dh = delta.select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("th"))
     val exactM = bh.join(broadcast(dh), "th")
@@ -462,8 +469,10 @@ object Dedup {
 
     // cached: the index feeds the df table, the sizes, and the candidate
     // join — without it the base text re-explodes once per consumer (the
-    // same tradeoff ngramJaccardPairs makes; Spark spills it if large)
-    val baseSh = shingled(base, "base_id").cache()
+    // same tradeoff ngramJaccardPairs makes; Spark spills it if large).
+    // cacheIndex=false for per-trigger callers (see ngramJaccardPairs).
+    val baseSh0 = shingled(base, "base_id")
+    val baseSh = if (cacheIndex) baseSh0.cache() else baseSh0
     val dfTab = baseSh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val hot = dfTab.filter(col("df") > maxDf).select("shingle")
     val baseIdx = baseSh.join(broadcast(hot), Seq("shingle"), "left_anti")

@@ -165,16 +165,10 @@ object Funnel {
             // Fold in event-time order; ties ordered by step position so a
             // same-timestamp view→click→purchase completes like the batch
             // operator's >= boundary.
-            // fold at exact MICROSECONDS (getTime truncates to ms, which
-            // can reorder sub-ms events and emits timestamps that can
-            // never equal the batch operator's) — ties by step position
-            def us(t: java.sql.Timestamp): Long =
-              math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-            def tsOf(u: Long): java.sql.Timestamp = {
-              val t = new java.sql.Timestamp(math.floorDiv(u, 1000000L) * 1000L)
-              t.setNanos(((u - math.floorDiv(u, 1000000L) * 1000000L) * 1000L).toInt)
-              t
-            }
+            // fold at exact MICROSECONDS — graft.TimeUs, the shared µs
+            // conversion (getTime truncates to ms) — ties by step position
+            def us(t: java.sql.Timestamp): Long = graft.TimeUs.toUs(t)
+            def tsOf(u: Long): java.sql.Timestamp = graft.TimeUs.toTs(u)
             rows.toSeq.filter(r => stepIdx.contains(r._3))
               .sortBy(r => (us(r._2), stepIdx(r._3)))
               .foreach { case (_, ts, typ) =>

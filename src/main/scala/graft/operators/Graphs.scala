@@ -30,10 +30,11 @@ import org.apache.spark.sql.functions._
   *     the returned DataFrame and stay persisted for its lifetime (a
   *     localCheckpoint cannot be unpersisted-and-recomputed), so a
   *     long-running caller invoking this repeatedly retains one final
-  *     label snapshot per call — per-process callers are fine;
-  *     per-trigger callers must reclaim, as
-  *     StreamingAnalytics.ingestBatch does by unpersisting every RDD its
-  *     trigger persisted once the batch's writes commit.
+  *     label snapshot per call — per-process callers are fine; a
+  *     per-trigger caller would need to reclaim the snapshot blocks
+  *     after consuming the result (none exists in this repo: the
+  *     streaming ingest pipe classifies against the docstore without
+  *     clustering).
   *   - convergence is a `changed` flag computed INSIDE the propagation
   *     round (nbr_min < component) — detecting it is a short-circuiting
   *     local scan of the already-materialized checkpoint blocks, not a

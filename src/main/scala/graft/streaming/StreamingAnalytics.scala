@@ -8,11 +8,16 @@ import graft.ingest.LogParser
   * streaming — its dashboard re-scans everything per refresh,
   * stats_dashboard.py:13-18; this module is the north-star replacement).
   *
-  * Every transform here takes a DataFrame and works identically on batch and
-  * streaming inputs — the parity tests exploit that by running the same
-  * function over `spark.read` and `MemoryStream` inputs. Watermarks bound
-  * state so a 100 TB/day stream holds only (watermark window × key
-  * cardinality) state, not history.
+  * Every transform here takes a DataFrame and works identically on batch
+  * and streaming inputs — the parity tests exploit that by running the
+  * same function over `spark.read` and `MemoryStream` inputs — with two
+  * STREAMING-ONLY exceptions: [[dedupStream]] and [[cleanCorpusStream]]
+  * build on `dropDuplicatesWithinWatermark`, which Spark rejects on
+  * batch DataFrames; their batch equivalents are
+  * [[graft.functions.Dedup.exact]] (keep-min-id, deterministic) followed
+  * by [[graft.QueriesExt.cleanGates]], i.e. the `pipe_clean_corpus`
+  * composition. Watermarks bound state so a 100 TB/day stream holds only
+  * (watermark window × key cardinality) state, not history.
   */
 object StreamingAnalytics {
 
@@ -69,18 +74,22 @@ object StreamingAnalytics {
     // side before passing it in
     require(baselineShares.forall(_ > 0.0),
       "baseline shares must all be positive (smooth the baseline histogram)")
-    // clamp BOTH ends: the 10 conditional sums structurally drop rows
-    // whose bin falls outside 0..9, silently excluding e.g. negative
-    // values from the window total (the batch twin reports out-of-range
-    // bins as their own rows; the stream folds them into the edge bins —
-    // either way every event is counted)
+    // clamp BOTH ends: negative values fold into bin 0, >449 into bin 9
+    // (the batch twin reports out-of-range bins as their own rows — a
+    // documented numerator divergence). The TOTAL is count(*) of the
+    // window, NOT the sum of the 10 bins: a NULL value joins no bin
+    // (binCol null fails every equality) but the batch twin counts the
+    // null-bin row in its windowed totals, so the denominators — and
+    // therefore every share and PSI term — would silently diverge on the
+    // first null-valued event if the total were bin-summed.
     val binCol = greatest(least(floor(col(valueCol) / 50), lit(9)), lit(0)).cast("int")
-    val aggs = (0 until 10).map(b => sum(when(binCol === b, 1L).otherwise(0L)).as(s"n$b"))
+    val aggs = (0 until 10).map(b => sum(when(binCol === b, 1L).otherwise(0L)).as(s"n$b")) :+
+      count(lit(1)).as("n_all")
     val perWindow = events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen).as("w"))
       .agg(aggs.head, aggs.tail: _*)
-    val total = (0 until 10).map(b => col(s"n$b")).reduce(_ + _)
+    val total = col("n_all")
     def contribI(b: Int): org.apache.spark.sql.Column = {
       val cur = (col(s"n$b").cast("double") + 1) / (total.cast("double") + 10)
       val base = lit(baselineShares(b))
@@ -295,8 +304,14 @@ object StreamingAnalytics {
       : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream.outputMode("append").foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // deterministic tie-break on equal seqCol: without it row_number
+        // picks by partition arrival order, so a replayed micro-batch
+        // could converge the store to a DIFFERENT document than the first
+        // attempt — breaking the replay-idempotence contract above. The
+        // whole-row hash is arbitrary but stable.
+        val tieBreak = xxhash64(struct(batch.columns.map(col).toIndexedSeq: _*))
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keyCol).orderBy(col(seqCol).desc)
+          .partitionBy(keyCol).orderBy(col(seqCol).desc, tieBreak)
         val latest = batch.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
         graft.sources.docstore.DocStoreMaintenance.upsert(
@@ -367,13 +382,14 @@ object StreamingAnalytics {
   private[graft] def ingestBatch(batch: DataFrame, storePath: String,
                                  n: Int, threshold: Double, maxDf: Long): Unit = {
     val spark = batch.sparkSession
-    // The helpers below (incrementalStatus, ngramJaccardPairs) cache
-    // intermediate indexes for multi-action reuse; in the batch registry
-    // that happens once per process, but HERE it happens every trigger —
-    // without cleanup the block manager accumulates one orphaned base
-    // shingle index per micro-batch for the stream's lifetime. Snapshot
-    // the persistent-RDD set and unpersist everything this batch added.
-    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    // Per-trigger cache discipline: the Dedup helpers are called with
+    // cacheIndex=false (a .cache() inside them would register a
+    // CacheManager entry per trigger that this caller can never uncache —
+    // RDD-level unpersist frees blocks but leaves the cached-plan entry,
+    // and a session-wide snapshot sweep could steal a concurrent query's
+    // caches). The ONE multi-action intermediate worth keeping, `fresh`,
+    // is persisted here and unpersisted through its own Dataset handle.
+    var fresh: DataFrame = null
     try {
       // Robustness guard: the ingest contract is doc_id-unique deltas
       // (a crawl snapshot), but a malformed batch carrying two texts for
@@ -393,16 +409,16 @@ object StreamingAnalytics {
       // fresh is consumed by THREE actions (pair collect, upsert's key
       // collect, upsert's write) — persist it so cleanGates + the
       // store-sized incrementalStatus classification run once per trigger.
-      val fresh = kept.join(
+      fresh = kept.join(
         graft.functions.Dedup.incrementalStatus(store, kept, "doc_id", "text",
-            n, threshold, maxDf)
+            n, threshold, maxDf, cacheIndex = false)
           .filter(col("status") === "new").select("doc_id"),
         "doc_id").persist()
       // Greedy sequential admission over the batch's near-dup pair graph:
       // pairs sorted by the larger id — when (a, b) is visited every pair
       // ending below b is final, so a's admitted/dropped status is settled.
       val pairs = graft.functions.Dedup.ngramJaccardPairs(fresh, "doc_id", "text",
-          n, threshold, maxDf)
+          n, threshold, maxDf, cacheIndex = false)
         .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
       val droppedIds = scala.collection.mutable.Set[Long]()
       pairs.sortBy(_._2).foreach { case (a, b) => if (!droppedIds(a)) droppedIds += b }
@@ -414,9 +430,7 @@ object StreamingAnalytics {
         }
       graft.sources.docstore.DocStoreMaintenance.upsert(spark, storePath, "doc_id", admitted)
     } finally {
-      spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => persistedBefore(id) }
-        .values.foreach(_.unpersist(blocking = false))
+      if (fresh != null) fresh.unpersist(blocking = false)
     }
     ()
   }
@@ -482,16 +496,9 @@ object StreamingAnalytics {
         })
   }
 
-  /** java.sql.Timestamp ⇄ epoch-micros without dropping sub-millisecond
-    * precision (getTime alone truncates to ms; events carry µs).
-    */
-  private[streaming] def tsToUs(t: java.sql.Timestamp): Long =
-    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-  private def usToTs(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos(((us - math.floorDiv(us, 1000000L) * 1000000L) * 1000L).toInt)
-    t
-  }
+  /** µs-exact Timestamp conversion — single-sourced in [[graft.TimeUs]]. */
+  private[streaming] def tsToUs(t: java.sql.Timestamp): Long = graft.TimeUs.toUs(t)
+  private def usToTs(us: Long): java.sql.Timestamp = graft.TimeUs.toTs(us)
 
   /** Streaming SCD2 history build — the streaming lift of the batch
     * `j12_scd2_history`: each user's event_type timeline collapses into
@@ -505,7 +512,10 @@ object StreamingAnalytics {
     * Rows fold in event order within a batch; late cross-batch data is
     * the batch operator's job to reconcile, as with the other folds here.
     */
-  case class Scd2State(tpe: String, startUs: Long, n: Long, version: Long)
+  case class Scd2State(tpe: String, startUs: Long, n: Long, version: Long) {
+    def withRow(tsUs: Long): Scd2State =
+      copy(startUs = math.min(startUs, tsUs), n = n + 1)
+  }
   case class Scd2Out(user_id: Long, version_n: Long, event_type: String,
                      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp,
                      n_events: Long)
@@ -522,11 +532,20 @@ object StreamingAnalytics {
          state: GroupState[Scd2State]) => {
           var cur = state.getOption
           val out = scala.collection.mutable.ListBuffer.empty[Scd2Out]
+          // valid_from tracks the RUN MINIMUM ts, not the first-by-event_id
+          // ts — the batch j12 (deliberately, round 9) uses min(ts) per run
+          // because per-user ts monotone in event_id is not a guaranteed
+          // data property. Closed versions therefore match batch whenever
+          // the whole run was visible before the close; what can still
+          // diverge under non-monotone ts is valid_to (batch uses the NEXT
+          // run's eventual min, the stream can only know the next run's
+          // min SO FAR at close time) — a bounded-state consequence, same
+          // class as the expiry notes on the other folds here.
           rows.toSeq.sortBy(_._2).foreach { case (_, _, ts, typ) =>
             val tsUs = tsToUs(ts)
             cur match {
               case Some(s) if s.tpe == typ =>
-                cur = Some(s.copy(n = s.n + 1))
+                cur = Some(s.withRow(tsUs))
               case Some(s) =>
                 out += Scd2Out(key, s.version, s.tpe,
                   usToTs(s.startUs), usToTs(tsUs), s.n)
@@ -576,7 +595,16 @@ object StreamingAnalytics {
             .foreach { case (_, eid, ts, typ) =>
             val tsUs = tsToUs(ts)
             typ match {
-              case "click" => last = Some(LastClick(eid, tsUs))
+              case "click" =>
+                // keep the EVENT-TIME-latest click: an unconditional
+                // overwrite would let a late (older-ts) click from a later
+                // micro-batch clobber a newer stored click and steal
+                // attribution — the batch as-of attributes the most recent
+                // click, so the stream must too; ties break on event_id
+                // like the sort above
+                if (last.forall(c => tsUs > c.clickTsUs ||
+                    (tsUs == c.clickTsUs && eid >= c.clickId)))
+                  last = Some(LastClick(eid, tsUs))
               case "purchase" =>
                 // lower bound matters: a click stored from an earlier
                 // micro-batch can be in the event-time FUTURE of a late

@@ -265,7 +265,13 @@ class StreamingParitySpec extends SparkSpec {
       // after the purchase that arrives late in micro-batch 2 — the batch
       // as-of (rts <= lts) never attributes a future click, nor may the
       // stream's stored-state shortcut
-      (5L, 12L, ts(4, 10), "click"), (5L, 13L, ts(4, 8), "purchase"))
+      // user 6: click 14 arrives in micro-batch 1; a LATE click 15 (OLDER
+      // event time) arrives in micro-batch 2 and must not clobber the
+      // newer stored click — the batch as-of attributes the most recent
+      // click, so the stream keeps the event-time-latest
+      (6L, 14L, ts(6, 10), "click"),
+      (5L, 12L, ts(4, 10), "click"), (5L, 13L, ts(4, 8), "purchase"),
+      (6L, 15L, ts(6, 8), "click"), (6L, 16L, ts(6, 12), "purchase"))
     val mem = MemoryStream[(Long, Long, Timestamp, String)]
     val sdf = StreamingAnalytics.attributionStream(mem.toDS(), win)
     val q = sdf.writeStream.format("memory").queryName("attr_test")
@@ -279,7 +285,7 @@ class StreamingParitySpec extends SparkSpec {
     val streaming = spark.table("attr_test").collect()
       .map(r => r.getLong(1) -> (Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
       .toMap
-    assert(streaming.keySet == Set(2L, 3L, 6L, 8L, 9L, 10L, 13L), "one row per purchase")
+    assert(streaming.keySet == Set(2L, 3L, 6L, 8L, 9L, 10L, 13L, 16L), "one row per purchase")
     assert(streaming(2L) == (Some(1L), true))
     assert(streaming(3L) == (None, false), "no click ever")
     assert(streaming(6L) == (Some(5L), true), "latest of two clicks wins")
@@ -287,6 +293,8 @@ class StreamingParitySpec extends SparkSpec {
     assert(streaming(9L) == (None, false), "3-day window expired")
     assert(streaming(10L) == (Some(11L), true), "equal-ts click visible, as in the batch as-of")
     assert(streaming(13L) == (None, false), "a click in the event-time future never attributes")
+    assert(streaming(16L) == (Some(14L), true),
+      "a late older click must not clobber the newer stored click")
 
     // batch reconciliation: asOfJoin + window filter gives the same credit
     import spark.implicits._
