@@ -66,6 +66,29 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - offline compaction with a crash-safe two-phase marker protocol
   *     ([[DocStoreMaintenance]]).
   *
+  * Consistency model, stated plainly (round-9 audit):
+  *   - batch-write VISIBILITY is at TASK commit (each task renames its
+  *     shard into the live listing as it finishes), not job commit. The
+  *     window this opens: a driver killed between the last task commit
+  *     and job commit leaves the committed tasks' shards live with no
+  *     sweeper (no future job knows the dead job's tag), and a reader
+  *     racing a job that later aborts can see its shards. The
+  *     `_commits` manifest machinery already records per-commit shard
+  *     sets — a deployment needing read-committed batch semantics gates
+  *     every scan on the latest manifest (one metadata read per scan,
+  *     and maintenance must then prune manifests); this repo's driver
+  *     contract (single writer, crash = rebuild) takes the cheaper
+  *     listing-based reads and this documented window.
+  *   - a LONG-RUNNING streaming sink accrues per-epoch metadata: each
+  *     epoch commit rewrites `_stats.json` for all shards and appends a
+  *     full-shard-list manifest, and source offsets carry the seen-shard
+  *     name set — O(shards) work per trigger, O(shards²) cumulative.
+  *     Periodic `compact` resets all three (fewer shards, fresh stats,
+  *     manifest reset); a production stream at high trigger rates would
+  *     move to incremental stats sidecars + manifest deltas +
+  *     high-water-mark offsets, none of which change the read or commit
+  *     contracts above.
+  *
   * Scale design: all I/O goes through the Hadoop FileSystem API, so the
   * same code runs against HDFS/S3 paths on a cluster. Reads plan one
   * InputPartition per part file (writers shard the collection, readers
@@ -797,7 +820,12 @@ private[docstore] class DocStoreScan(path: String, full: StructType,
     planned._1.map(p => DocStorePartition(p.toString): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocStoreReaderFactory(full, required, pushed, limit)
+    // batch reads fail loudly on a shard deleted between planning and
+    // read: silently dropping it returns a partial result (and a
+    // version-pinned read explicitly PROMISES to fail rather than return
+    // a half-snapshot). Only the streaming source tolerates missing files
+    // (epoch replay legitimately replaces shards between offsets).
+    new DocStoreReaderFactory(full, required, pushed, limit, tolerateMissing = false)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     // A snapshot-pinned read cannot stream: offsets come from the LIVE
@@ -863,7 +891,7 @@ private[docstore] class DocStoreMicroBatchStream(path: String, full: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocStoreReaderFactory(full, required, pushed, limit = -1)
+    new DocStoreReaderFactory(full, required, pushed, limit = -1, tolerateMissing = true)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -872,11 +900,12 @@ private[docstore] class DocStoreMicroBatchStream(path: String, full: StructType,
 private[docstore] case class DocStorePartition(file: String) extends InputPartition
 
 private[docstore] class DocStoreReaderFactory(full: StructType, required: StructType,
-                                              pushed: Array[Filter], limit: Int)
+                                              pushed: Array[Filter], limit: Int,
+                                              tolerateMissing: Boolean)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new DocStoreReader(partition.asInstanceOf[DocStorePartition].file, full, required,
-      pushed, limit)
+      pushed, limit, tolerateMissing)
 }
 
 /** Streams one shard: parse each line's document, evaluate pushed filters on
@@ -885,23 +914,34 @@ private[docstore] class DocStoreReaderFactory(full: StructType, required: Struct
   */
 private[docstore] class DocStoreReader(file: String, full: StructType,
                                        required: StructType, pushed: Array[Filter],
-                                       limit: Int)
+                                       limit: Int, tolerateMissing: Boolean)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val p = new Path(file)
   private var in: java.io.InputStream = _
-  // Lazy + missing-file tolerant: a streaming sink's epoch replay can
-  // delete a shard between offset capture and read — an empty read (the
-  // replacement shard arrives as a later offset) beats crashing the query.
+  // Lazy; missing-file tolerance is the STREAMING source's contract only
+  // (a sink epoch replay can delete a shard between offset capture and
+  // read — the replacement arrives as a later offset). Batch scans
+  // rethrow: silently dropping a shard returns a partial result, and the
+  // version-pinned read documents the opposite.
   private lazy val lines: Iterator[String] =
     try {
-      val raw = DocStore.fs(p).open(p)
-      // keep the OUTERMOST stream for close(): a GZIPInputStream holds a
-      // native Inflater that only end()s on close — closing just the raw
-      // stream leaks off-heap memory across many-shard scans.
-      in = if (file.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
+      // assign `in` BEFORE the gzip wrap: the GZIPInputStream constructor
+      // eagerly reads the header and can throw on a corrupt shard — `in`
+      // must already hold the raw stream so close() releases the fd. The
+      // OUTERMOST stream then replaces it: a GZIPInputStream holds a
+      // native Inflater that only end()s on close.
+      in = DocStore.fs(p).open(p)
+      if (file.endsWith(".gz")) in = new java.util.zip.GZIPInputStream(in)
       scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-    } catch { case _: java.io.FileNotFoundException => Iterator.empty }
+    } catch {
+      case e: java.io.FileNotFoundException =>
+        if (tolerateMissing) Iterator.empty
+        else throw new java.io.FileNotFoundException(
+          s"docstore shard vanished between planning and read: $file — " +
+            "a concurrent overwrite/compaction raced this scan (maintenance " +
+            s"belongs in a writer-free window); original: ${e.getMessage}")
+    }
   private val fullIdx: Map[String, StructField] = full.fields.map(f => f.name -> f).toMap
   private val matches: JsonNode => Boolean = DocStoreFilters.compile(pushed, fullIdx)
   private var current: InternalRow = _
@@ -947,6 +987,11 @@ private[docstore] object DocStoreFilters {
     case IsNull(a) => top(schema, a)
     case IsNotNull(a) => top(schema, a)
     case StringStartsWith(a, _) => top(schema, a)
+    // SQL `DELETE FROM t` with no WHERE arrives as AlwaysTrue — the
+    // trivially supportable unconditional case (canDeleteWhere rejected
+    // it before this arm existed)
+    case _: org.apache.spark.sql.sources.AlwaysTrue => true
+    case _: org.apache.spark.sql.sources.AlwaysFalse => true
     case _ => false
   }
   private def top(schema: StructType, attr: String): Boolean =
@@ -994,6 +1039,13 @@ private[docstore] object DocStoreFilters {
     * to the ordered cmp path the zone maps also use.
     */
   def compile(fs: Seq[Filter], schema: Map[String, StructField]): JsonNode => Boolean = {
+    // -0.0 ⇄ 0.0 canonicalization: the SAME rule lives in Bloom.hashPair,
+    // cmpValues' norm, and upsert's canonKey (which adds integral
+    // widening) — filter eval, stats, blooms, and prune decisions must
+    // share ONE equality; editing any copy without the others produces
+    // unsound pruning. (Kept as per-site code rather than one helper
+    // because the sites canonicalize at different type scopes; the
+    // cross-reference is the drift tripwire.)
     def normZero(v: Any): Any = v match {
       case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
       case x => x
@@ -1028,6 +1080,8 @@ private[docstore] object DocStoreFilters {
       case s: String => s.startsWith(v)
       case _ => false
     }
+    case _: org.apache.spark.sql.sources.AlwaysTrue => true
+    case _: org.apache.spark.sql.sources.AlwaysFalse => false
     case other => throw new IllegalStateException(s"unsupported pushed filter: $other")
   }
   private def ext(doc: JsonNode, attr: String, schema: Map[String, StructField]): Any =

@@ -4,7 +4,7 @@ import java.util.UUID
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -45,6 +45,27 @@ import org.apache.spark.sql.types._
   */
 object DocStoreMaintenance {
   private val Marker = "_compact_commit"
+
+  /** Write the commit marker ATOMICALLY: content goes to a temp name
+    * first, then renames into place. A direct create+write+close can be
+    * torn by a crash mid-write, and recover() rolling forward from a
+    * truncated marker either deletes old shards whose replacements never
+    * got listed (data loss) or moves replacements without deleting the
+    * olds (duplication) — the two failure modes the two-phase swap exists
+    * to exclude. A crash before the rename leaves only an ignored temp
+    * file (recover matches the exact marker name) and the operation
+    * simply never committed; rename is atomic on HDFS and the local FS.
+    */
+  private def writeMarkerAtomic(f: FileSystem, dir: Path, lines: Seq[String]): Path = {
+    val markerPath = new Path(dir, Marker)
+    val tmp = new Path(dir, Marker + ".inprogress")
+    val out = f.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    if (f.exists(markerPath)) f.delete(markerPath, false)
+    if (!f.rename(tmp, markerPath))
+      throw new java.io.IOException(s"marker rename failed: $tmp -> $markerPath")
+    markerPath
+  }
 
   def compact(spark: SparkSession, path: String, targetShards: Int): Unit = {
     require(targetShards > 0, "targetShards must be positive")
@@ -93,10 +114,7 @@ object DocStoreMaintenance {
 
     // Commit point: the marker durably records what to delete and where
     // the replacement lives.
-    val markerPath = new Path(dir, Marker)
-    val out = f.create(markerPath, true)
-    try out.write((stagingId +: oldShards.toSeq).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    val markerPath = writeMarkerAtomic(f, dir, stagingId +: oldShards.toSeq)
 
     // Phase 2: swap, then clear the marker.
     swap(path, stagingId, oldShards.toSet)
@@ -215,19 +233,26 @@ object DocStoreMaintenance {
       s"docstore upsert: unknown key field '$keyField'")
 
     // Whole-document replace: align the batch to the stored schema by
-    // name; a missing column becomes the store's absent/null.
+    // name; a missing column becomes the store's absent/null. PERSISTED:
+    // the batch is executed twice (key collect below, staged write at the
+    // end) and a nondeterministic delta — repartition+limit, rand()
+    // salting, re-read mutable files — would otherwise collect one key
+    // set and stage a DIFFERENT row set, leaving un-dropped old documents
+    // for the keys that actually landed (replace-by-key broken silently).
     import org.apache.spark.sql.functions.{col, lit}
     val aligned = incoming.select(schema.fields.toIndexedSeq.map { fld =>
       if (incoming.columns.contains(fld.name)) col(fld.name).cast(fld.dataType).as(fld.name)
       else lit(null).cast(fld.dataType).as(fld.name)
-    }: _*)
-
+    }: _*).persist()
+    try {
     val keys = aligned.select(keyField).collect().map(_.get(0))
     if (keys.isEmpty) return (0L, 0L)
     require(keys.forall(_ != null), "docstore upsert: incoming batch has null keys")
     // duplicate detection must use the STORE's equality (cmpValues), not
     // Java equals: -0.0 and 0.0 are distinct to Double.equals but match
-    // the same stored documents, which would break replace-by-key
+    // the same stored documents, which would break replace-by-key.
+    // (The zero rule is mirrored in DocStoreFilters.compile/cmpValues/
+    // Bloom.hashPair — see the cross-reference comment in compile.)
     def canonKey(v: Any): Any = v match {
       case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
       case f: java.lang.Float => java.lang.Double.valueOf(
@@ -300,6 +325,7 @@ object DocStoreMaintenance {
     val replacements = changed.flatMap(_._2).toMap ++ appendResults.toMap
     commitSwap(path, stagingId, toReplace, replacements, stats)
     (replaced, inserted)
+    } finally aligned.unpersist(blocking = false)
   }
 
   private def validateSets(schema: StructType, sets: Map[String, Any]): Unit =
@@ -343,11 +369,8 @@ object DocStoreMaintenance {
     DocStore.listParts(stagingStr).filterNot(p => replacements.contains(p.getName))
       .foreach(p => f.delete(p, false))
     DocStore.writeStats(stagingStr, (priorStats -- toReplace) ++ replacements)
-    val markerPath = new Path(dir, Marker)
-    val out = f.create(markerPath, true)
-    try out.write((stagingId +: (toReplace.toSeq.sorted ++
-        replacements.keys.toSeq.sorted.map("+" + _))).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    val markerPath = writeMarkerAtomic(f, dir, stagingId +: (toReplace.toSeq.sorted ++
+        replacements.keys.toSeq.sorted.map("+" + _)))
     swap(path, stagingId, toReplace, Some(replacements.keySet))
     f.delete(markerPath, false)
   }
@@ -369,9 +392,12 @@ object DocStoreMaintenance {
     val fullIdx = schema.fields.map(fl => fl.name -> fl).toMap
     val matchesDoc = DocStoreFilters.compile(filters, fullIdx)
     var matched = 0L
-    val raw = DocStore.fs(src).open(src)
-    val in = if (gz) new java.util.zip.GZIPInputStream(raw) else raw
+    // two-step assignment: the GZIP constructor reads the header eagerly
+    // and can throw on a corrupt shard — `in` must already hold the raw
+    // stream so the finally releases the fd
+    var in: java.io.InputStream = DocStore.fs(src).open(src)
     try {
+      if (gz) in = new java.util.zip.GZIPInputStream(in)
       scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { line =>
         if (line.nonEmpty) {
           val doc = mapper.readTree(line).asInstanceOf[ObjectNode]
@@ -437,6 +463,14 @@ object DocStoreMaintenance {
     f.listStatus(dir).map(_.getPath)
       .filter(_.getName.startsWith(".compact-"))
       .foreach(p => f.delete(p, true))
+    // Writer temp files (`.tmp-*`) from crashed tasks are invisible to
+    // readers but otherwise accumulate forever (task abort deletes its
+    // own temp only when the JVM survives). Maintenance ops run in a
+    // writer-free window by contract (see the compact scaladoc), so every
+    // surviving temp here is dead garbage.
+    f.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith(".tmp-"))
+      .foreach(p => f.delete(p, false))
   }
 
   /** Delete `oldShards` (those still present) and move the staged files of

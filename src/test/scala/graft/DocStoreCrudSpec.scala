@@ -130,6 +130,19 @@ class DocStoreCrudSpec extends SparkSpec {
     } finally spark.sql("DROP VIEW IF EXISTS del_t")
   }
 
+  test("SQL DELETE FROM without WHERE deletes everything (AlwaysTrue filter)") {
+    // Spark turns the absent condition into AlwaysTrue; before round 9
+    // canDeleteWhere rejected it and the trivially-supportable
+    // unconditional delete failed with 'Cannot delete from table'.
+    val dir = tmpDir("sqlall")
+    writeRange(dir, 0 until 6, "a")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW del_all_t USING docstore OPTIONS (path '$dir')")
+    try {
+      spark.sql("DELETE FROM del_all_t")
+      assert(spark.read.format("docstore").load(dir).count() == 0L)
+    } finally spark.sql("DROP VIEW IF EXISTS del_all_t")
+  }
+
   test("PARTITIONED BY is rejected, not silently dropped") {
     val dir = tmpDir("part")
     val ex = intercept[Exception] {
