@@ -48,7 +48,13 @@ object Dedup {
       val hashed = docs.select(col(idCol), col(textCol), xxhash64(col(textCol)).as("h"))
       val groups = hashed.groupBy(col("h"), col(textCol))
         .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
-      hashed.join(groups, Seq("h", textCol))
+        .withColumnRenamed("h", "__h").withColumnRenamed(textCol, "__t")
+      // text equality must be NULL-SAFE: groupBy keeps null-text rows as
+      // their own group, but a plain equi-join on the text column drops
+      // them — the "stricter" variant would silently LOSE every null-text
+      // document where the hash-only variant keeps them (xxhash64(null)
+      // is a non-null constant, so the hash leg needs no <=>)
+      hashed.join(groups, col("h") === col("__h") && col(textCol) <=> col("__t"))
         .select(col(idCol), col("canonical_id"), col("group_size"))
     } else {
       val hashed = docs.select(col(idCol), xxhash64(col(textCol)).as("h"))
@@ -82,16 +88,22 @@ object Dedup {
     val exploded = docs
       .select(col(idCol).as("doc"),
         explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("shingle"))
-    val withDf = exploded
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-    val capped =
+    // Cap via a map-side-aggregated df table + broadcast LEFT ANTI join of
+    // the HOT shingle set — the shape incrementalStatus always used. The
+    // previous per-shingle WINDOW shuffled and sorted the ENTIRE exploded
+    // index just to drop the hot tail; the df aggregate shuffles only
+    // (shingle, partial-count) pairs and the anti join is map-only. The
+    // hot set (df above the cap) is small by construction — it IS the
+    // boilerplate tail the cap exists to remove.
+    val dfTab = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val hot =
       if (maxDfFraction > 0) {
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-        withDf.crossJoin(broadcast(nDocs))
-          .filter(col("df") <= greatest(lit(maxDf), col("n_docs") * maxDfFraction))
-          .drop("df", "n_docs")
-      } else withDf.filter(col("df") <= maxDf).drop("df")
-    capped
+        dfTab.crossJoin(broadcast(nDocs))
+          .filter(col("df") > greatest(lit(maxDf), col("n_docs") * maxDfFraction))
+          .select("shingle")
+      } else dfTab.filter(col("df") > maxDf).select("shingle")
+    exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
   }
 
   /** N-gram Jaccard near-dup pairs via inverted-index self-join.

@@ -312,7 +312,15 @@ object NativeExpressions {
       extends UnaryExpression {
 
     @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
-    @transient private lazy val reusedMatcher = compiled.matcher("")
+    // ThreadLocal, not a bare field: interpreted eval instances are
+    // per-task after plan deserialization, but nothing in the contract
+    // FORBIDS cross-thread sharing (the Md5SimHash64 digest takes the
+    // same precaution) — a shared Matcher reset() mid-scan by two threads
+    // corrupts match spans. Codegen holds per-instance mutable state and
+    // is unaffected.
+    @transient private lazy val reusedMatcherTL =
+      java.lang.ThreadLocal.withInitial[java.util.regex.Matcher](() => compiled.matcher(""))
+    private def reusedMatcher: java.util.regex.Matcher = reusedMatcherTL.get()
 
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = true
@@ -390,8 +398,11 @@ object NativeExpressions {
 
     @transient private lazy val compiled: Array[java.util.regex.Pattern] =
       patterns.map(java.util.regex.Pattern.compile).toArray
-    @transient private lazy val matchers: Array[java.util.regex.Matcher] =
-      compiled.map(_.matcher(""))
+    // ThreadLocal for the same reason as reusedMatcherTL above
+    @transient private lazy val matchersTL =
+      java.lang.ThreadLocal.withInitial[Array[java.util.regex.Matcher]](() =>
+        compiled.map(_.matcher("")))
+    private def matchers: Array[java.util.regex.Matcher] = matchersTL.get()
     @transient private lazy val groupCounts: Array[Int] =
       compiled.map(_.matcher("").groupCount())
     @transient private lazy val offsets: Array[Int] =
@@ -906,7 +917,15 @@ object NativeExpressions {
 
     // Matcher reused across rows (same discipline as Spark's own
     // RegExpExtractBase — per-instance transient state, reset per row).
-    @transient private lazy val reusedMatcher = compiled.matcher("")
+    // ThreadLocal, not a bare field: interpreted eval instances are
+    // per-task after plan deserialization, but nothing in the contract
+    // FORBIDS cross-thread sharing (the Md5SimHash64 digest takes the
+    // same precaution) — a shared Matcher reset() mid-scan by two threads
+    // corrupts match spans. Codegen holds per-instance mutable state and
+    // is unaffected.
+    @transient private lazy val reusedMatcherTL =
+      java.lang.ThreadLocal.withInitial[java.util.regex.Matcher](() => compiled.matcher(""))
+    private def reusedMatcher: java.util.regex.Matcher = reusedMatcherTL.get()
 
     override def nullSafeEval(input: Any): Any = {
       val m = reusedMatcher.reset(input.asInstanceOf[UTF8String].toString)
@@ -979,7 +998,15 @@ object NativeExpressions {
 
     @transient private lazy val compiled = java.util.regex.Pattern.compile(
       patterns.map(p => s"($p)").mkString("|"))
-    @transient private lazy val reusedMatcher = compiled.matcher("")
+    // ThreadLocal, not a bare field: interpreted eval instances are
+    // per-task after plan deserialization, but nothing in the contract
+    // FORBIDS cross-thread sharing (the Md5SimHash64 digest takes the
+    // same precaution) — a shared Matcher reset() mid-scan by two threads
+    // corrupts match spans. Codegen holds per-instance mutable state and
+    // is unaffected.
+    @transient private lazy val reusedMatcherTL =
+      java.lang.ThreadLocal.withInitial[java.util.regex.Matcher](() => compiled.matcher(""))
+    private def reusedMatcher: java.util.regex.Matcher = reusedMatcherTL.get()
     @transient private lazy val replArr: Array[String] = replacements.toArray
 
     override def dataType: DataType = StructType(Seq(

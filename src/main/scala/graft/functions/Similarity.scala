@@ -31,7 +31,12 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Null for a zero-norm side — under ANSI (the Spark 4 default) the
+    * unguarded 0.0/0.0 is a query-killing DIVIDE_BY_ZERO, not NaN. */
+  def cosine(a: Column, b: Column): Column = {
+    val nn = l2Norm(a) * l2Norm(b)
+    when(nn > 0, dot(a, b) / nn)
+  }
 
   /** Cosine from precomputed norms, null for a zero-norm side. The guard is
     * load-bearing under ANSI mode (the Spark 4 default): an unguarded
@@ -126,6 +131,13 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               tables: Int = 4, bits: Int = 8, probes: Int = 0): DataFrame = {
+    // 1 << bits wraps at 31 (Int shift is mod 32): bits=31 enumerates an
+    // EMPTY mask set (probing silently returns nothing) and bits>=32
+    // silently disables multi-probe — the simhash blocking guards its
+    // analogous shift the same way. >30 hyperplane bits per table is also
+    // useless (2^30 buckets ⟹ every bucket a singleton).
+    require(bits >= 1 && bits <= 30,
+      s"lshTopK: bits=$bits out of range 1..30 (mask enumeration wraps at 31)")
     def banded(df: DataFrame, idAs: String): DataFrame =
       df.select(col("vec_id").as(idAs),
         posexplode(lshBuckets(col("embedding"), tables, bits)).as(Seq("t", "bk")))
@@ -344,6 +356,11 @@ object Similarity {
       .orderBy(desc("adc_cos"), col("neighbor_id"))
     val global = Window.partitionBy("query_id").orderBy(desc("adc_cos"), col("neighbor_id"))
     val shortlist = scored
+      // same guard as rankTopK (its comment is load-bearing): a NaN score
+      // (NaN floats in a vector) sorts above every real under desc and
+      // would occupy shortlist slots for EVERY query; null (zero norm)
+      // is excluded for symmetry with the other top-k paths
+      .filter(col("adc_cos").isNotNull && !isnan(col("adc_cos")))
       .withColumn("pid", spark_partition_id())
       .withColumn("prank", row_number().over(perPart))
       .filter(col("prank") <= sl)
@@ -361,6 +378,7 @@ object Similarity {
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("neighbor_id"), col("adc_cos"),
         safeCos(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
+      .filter(col("cos").isNotNull && !isnan(col("cos"))) // as in rankTopK
       .withColumn("rank", row_number().over(rerank))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "adc_cos", "cos", "rank")
@@ -392,8 +410,12 @@ object Similarity {
     corpus.select(col("vec_id"), col("embedding"),
         element_at(NativeExpressions.nearestCentroids(col("embedding"), cents, 1), 1).as("cell"))
       .withColumn("ce", element_at(centsLit, col("cell") + 1))
+      // safeCos, not a bare division: one zero-norm member would kill the
+      // whole query under ANSI (a null cos instead nulls that cell's
+      // avg_cos through the ordered fold — visible, not fatal)
       .withColumn("cos",
-        dot(col("embedding"), col("ce")) / (l2Norm(col("embedding")) * l2Norm(col("ce"))))
+        safeCos(dot(col("embedding"), col("ce")),
+          l2Norm(col("embedding")), l2Norm(col("ce"))))
       .groupBy("cell")
       .agg(count(lit(1)).as("n_members"),
         min("vec_id").as("min_vec_id"),
@@ -427,8 +449,11 @@ object Similarity {
       .withColumn("nrm", l2Norm(col("embedding")))
     val pruned = v.as("a").join(v.as("b"),
         col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
-      .filter(dot(col("a.embedding"), col("b.embedding")) /
-        (col("a.nrm") * col("b.nrm")) >= threshold)
+      // safeCos: a zero-norm vector must not DIVIDE_BY_ZERO the query
+      // under ANSI; its null cosine fails the threshold, so the
+      // degenerate vector is simply never pruned-by nor prunes anyone
+      .filter(safeCos(dot(col("a.embedding"), col("b.embedding")),
+        col("a.nrm"), col("b.nrm")) >= threshold)
       .groupBy(col("a.vec_id").as("vec_id"))
       .agg(min(col("b.vec_id")).as("pruned_by"))
     v.select(col("vec_id"), col("cell").cast("long").as("cell"))
@@ -477,8 +502,10 @@ object Similarity {
       .withColumn("nrm", l2Norm(col("embedding")))
     v.as("a").join(v.as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.vec_id") < col("b.vec_id"))
+      // safeCos: see semanticDedup — a zero-norm side yields null, which
+      // fails the threshold instead of killing the query under ANSI
       .withColumn("cos",
-        dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+        safeCos(dot(col("a.embedding"), col("b.embedding")), col("a.nrm"), col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
   }
