@@ -28,12 +28,10 @@ object Scoring {
   def botScore(diversity: Column, ports: Column): Column =
     least(lit(100.0), lit(1.5) * diversity + lit(2.0) * ports)
 
-  /** Cross-engine-stable HALF_UP rounding: floor(x·10^d + 0.5)/10^d — the
-    * repo-wide determinism rule (engine-native round() differs across
-    * engines on half-cases; Python's round() is even half-even).
-    */
-  private def rnd(c: Column, d: Int): Column =
-    graft.functions.Rounding.roundAt(c, d) // ONE definition of the repo-wide HALF_UP rule
+  // HALF_UP rounding comes from graft.functions.Rounding.roundAt — the
+  // repo-wide single definition (engine-native round() differs on half
+  // cases; Python's round() is even half-even)
+  private def rnd(c: Column, d: Int): Column = graft.functions.Rounding.roundAt(c, d)
 
   /** (attacker, bot, authorized) percentages, each rounded to 1 decimal
     * (stats_dashboard.py:127-143; the reference's Python round() is

@@ -41,13 +41,10 @@ object SshAnalytics {
   private def prepare(df: DataFrame): DataFrame =
     df.na.fill(Map("user" -> "")).na.drop(Seq("datetime"))
 
-  /** Cross-engine-stable HALF_UP rounding — floor(x·10^d + 0.5)/10^d. Native
-    * round() on doubles is banned repo-wide: its half-case behavior differs
-    * between engines, which would break the oracle the day these queries get
-    * hash-checked.
-    */
-  private def rnd(c: Column, d: Int): Column =
-    graft.functions.Rounding.roundAt(c, d) // ONE definition of the repo-wide HALF_UP rule
+  // HALF_UP rounding comes from graft.functions.Rounding.roundAt — the
+  // repo-wide single definition (native round() is banned: engine-divergent
+  // half cases)
+  private def rnd(c: Column, d: Int): Column = graft.functions.Rounding.roundAt(c, d)
 
   /** Global dashboard metrics (stats_dashboard.py:35-42) in one pass. */
   def globalMetrics(raw: DataFrame): DataFrame =
@@ -89,6 +86,14 @@ object SshAnalytics {
     * suspicious_score, attacker/bot/authorized percentages.
     */
   def ipEventSummary(raw: DataFrame): DataFrame = {
+    // DELIBERATE divergence from the pandas reference: rows with a null ip
+    // (pam-style lines with no "from <ip>" token, ~25% of real SSH logs)
+    // form their own "unattributed" group here, where pandas
+    // groupby('ip') silently DROPS them — silently losing a quarter of
+    // the events from a security dashboard is the wrong default. The
+    // DuckDB oracles group nulls the same way, so the carriers stay
+    // hash-exact; a consumer wanting pandas parity filters
+    // ip IS NOT NULL first (as the s12 pipeline query does).
     val df = prepare(raw)
     val susp = col("event").isin(suspiciousEvents: _*)
     val rootAdmin = lower(col("user")).isin("root", "admin")
@@ -101,7 +106,8 @@ object SshAnalytics {
       min(col("datetime")).as("first_seen"),
       max(col("datetime")).as("last_seen"),
       cnt(susp).as("failed_logins"),
-      sort_array(collect_set(when(susp, coalesce(col("user"), lit(""))))).as("failed_users"),
+      // user is non-null here by construction (prepare() na.fill's it)
+      sort_array(collect_set(when(susp, col("user")))).as("failed_users"),
       cnt(rootAdmin).as("tried_root_admin"),
       countDistinct(col("event")).as("event_diversity"))
 

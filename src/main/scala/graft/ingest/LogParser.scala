@@ -86,12 +86,17 @@ object LogParser {
     fields.getItem(slotOffsets(pattern) + group - 1)
 
   /** Dashboard-derived timestamp: hard-coded year 2024, `%Y %b %d %H:%M:%S`,
-    * null on parse failure (pandas errors='coerce' parity).
+    * null on parse failure (pandas errors='coerce' parity). The hour
+    * pattern is `H` (1-2 digits), not strict `HH`: pandas' %H accepts a
+    * single-digit hour, and a strict pattern would silently drop such
+    * rows through prepare()'s dropna — syslog normally zero-pads, so this
+    * only matters for nonconforming sources, where dropping data beats
+    * nothing but pandas keeps it.
     */
   def datetimeCol(month: Column, day: Column, time: Column): Column =
     try_to_timestamp(
       concat_ws(" ", lit("2024"), month, day.cast("string"), time),
-      lit("yyyy MMM d HH:mm:ss"))
+      lit("yyyy MMM d H:mm:ss"))
 
   /** Suspicious/Normal binary label (stats_dashboard.py:82-83). */
   val suspiciousEvents: Seq[String] = Seq("failed_password", "invalid_user", "auth_failure")

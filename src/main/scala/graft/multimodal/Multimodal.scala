@@ -105,6 +105,10 @@ object Multimodal {
     require(magic == "P6", s"not a P6 PPM at offset $off: '$magic'")
     val w = sc.token().toInt
     val h = sc.token().toInt
+    // positive dims: w=0/h=0 passes the truncation check vacuously and a
+    // later resize indexes past the payload; a negative dim makes n
+    // negative, so the bound check proves nothing
+    require(w > 0 && h > 0, s"invalid PPM dimensions ${w}x$h")
     require(sc.token() == "255", "unsupported maxval")
     val pixOff = sc.pos + 1 // exactly one whitespace byte after maxval
     val n = 3 * w * h
@@ -147,6 +151,9 @@ object Multimodal {
             while (i < n) { sum += bytes(off + i) & 0xFF; i += 1 }
             MediaFeatures(r.media_id, r.modality, bytes.length.toLong, 0, 0,
               round4(sum.toDouble / n), math.max(1, n / 1024))
+          case other if other != "image" && other != "audio" && other != "video" =>
+            throw new IllegalArgumentException(
+              s"unknown modality '$other' for media ${r.media_id} — expected image|audio|video")
           case "video" =>
             val sc = new ByteScanner(bytes, 0)
             require(sc.token() == "V", "not a V video container")
@@ -267,7 +274,11 @@ object Multimodal {
         var hash = 0L
         j = 0
         while (j < 16) {
-          if (bsum(j) * tn >= tsum * bn(j)) hash |= (1L << j)
+          // empty blocks (w<4 or h<4 leaves grid cells unreachable) must
+          // NOT set their bit: 0*tn >= tsum*0 is vacuously true, but the
+          // oracle computes bits only over EXISTING (media_id, blk) rows —
+          // an empty block contributes a cleared bit there
+          if (bn(j) > 0 && bsum(j) * tn >= tsum * bn(j)) hash |= (1L << j)
           j += 1
         }
         ImageHash(row.media_id, hash)
