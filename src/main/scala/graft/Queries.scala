@@ -821,15 +821,18 @@ object Queries {
     * formulation would shuffle every row of every key.
     */
   private val a16 = QueryDef("a16_topk_agg",
+    // value IS NOT NULL on both sides: the primitive-Double Aggregator
+    // would decode a NULL as 0.0 into the top-k while the oracle's DESC
+    // ranking shuffles nulls to the tail — neither is a sane "top value"
     Some("""WITH ranked AS (
            |  SELECT user_id, value,
            |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC) AS rn
-           |  FROM events)
+           |  FROM events WHERE value IS NOT NULL)
            |SELECT user_id,
            |       array_to_string(list(cast(cast(value as decimal(18,2)) as varchar)
            |                            ORDER BY value DESC), ',') AS top_values
            |FROM ranked WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin),
-    (s, d) => ev(s, d).groupBy("user_id")
+    (s, d) => ev(s, d).filter(col("value").isNotNull).groupBy("user_id")
       .agg(array_join(
         transform(graft.functions.TopKAgg.topKValues(col("value"), 3),
           x => x.cast("decimal(18,2)").cast("string")),
@@ -1378,7 +1381,7 @@ object Queries {
     Some("""WITH seq AS (
            |  SELECT user_id, event_type,
            |         lag(event_type) OVER (PARTITION BY user_id
-           |                               ORDER BY ts, event_id) AS prev_type
+           |                               ORDER BY cast(ts as timestamp), event_id) AS prev_type
            |  FROM events),
            |c AS (SELECT prev_type, event_type AS next_type, count(*) AS cnt
            |      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
@@ -1419,7 +1422,7 @@ object Queries {
     */
   private val a25 = QueryDef("a25_zscore_anomaly",
     Some("""WITH c AS (
-           |  SELECT event_id, user_id, ts, value,
+           |  SELECT event_id, user_id, cast(ts as timestamp) AS ts, value,
            |         cast(cast(value as decimal(18,2)) * 100 as bigint) AS vc
            |  FROM events),
            |w AS (
@@ -1458,9 +1461,10 @@ object Queries {
 
   /** A (rebuild extra): ordered conversion funnel — view → click →
     * purchase, each step within 24 h of the previous step's FIRST
-    * qualifying event (ClickHouse `windowFunnel` semantics: t1 = first
-    * view, t2 = first click in [t1, t1+24h], t3 = first purchase in
-    * [t2, t2+24h]).
+    * qualifying event (gap-window greedy semantics: t1 = first view,
+    * t2 = first click in [t1, t1+24h], t3 = first purchase in
+    * [t2, t2+24h] — NOT ClickHouse-windowFunnel parity; see the
+    * divergence spelled out in [[graft.operators.Funnel]]'s scaladoc).
     *
     * Scale shape: ONE events scan (filter to the 3 step types PUSHED to
     * parquet, projection pruned to 3 columns) and ONE hash exchange on
@@ -1892,7 +1896,8 @@ object Queries {
            |  (epoch_us(cast(c.ts as timestamp)) - epoch_us(cast(e.ts as timestamp))) // 1000000 AS gap_sec
            |FROM events e JOIN events c
            |  ON e.user_id = c.user_id AND e.event_type = 'error' AND c.event_type = 'click'
-           |  AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 6 HOUR
+           |  AND cast(c.ts as timestamp) >= cast(e.ts as timestamp)
+           |  AND cast(c.ts as timestamp) <= cast(e.ts as timestamp) + INTERVAL 6 HOUR
            |ORDER BY err_id, click_id""".stripMargin),
     (s, d) => {
       val e = ev(s, d)
@@ -2078,8 +2083,10 @@ object Queries {
            |  FROM s
            |)
            |SELECT event_type, n,
-           |       (nd*sxyd - sxd*syd) /
-           |         (sqrt(nd*sxxd - sxd*sxd) * sqrt(nd*syyd - syd*syd)) AS corr_value_hour
+           |       CASE WHEN nd*sxxd - sxd*sxd > 0 AND nd*syyd - syd*syd > 0
+           |            THEN (nd*sxyd - sxd*syd) /
+           |                 (sqrt(nd*sxxd - sxd*sxd) * sqrt(nd*syyd - syd*syd))
+           |       END AS corr_value_hour
            |FROM f ORDER BY event_type""".stripMargin),
     (s, d) => {
       val sums = ev(s, d)
@@ -2094,10 +2101,16 @@ object Queries {
           col("sx").cast("double").as("sxd"), col("sxx").cast("double").as("sxxd"),
           col("sy").cast("double").as("syd"), col("syy").cast("double").as("syyd"),
           col("sxy").cast("double").as("sxyd"))
+      // zero-variance guard, mirrored in the oracle's CASE: a constant-x
+      // or constant-y group makes the denominator exactly 0 — ANSI would
+      // kill the query with DIVIDE_BY_ZERO and the engines disagree on
+      // NULL-vs-NaN without it; corr is undefined there, so NULL it is
       sums.select(col("event_type"), col("n"),
-        ((col("nd") * col("sxyd") - col("sxd") * col("syd")) /
-          (sqrt(col("nd") * col("sxxd") - col("sxd") * col("sxd")) *
-            sqrt(col("nd") * col("syyd") - col("syd") * col("syd")))).as("corr_value_hour"))
+        when((col("nd") * col("sxxd") - col("sxd") * col("sxd")) > 0 &&
+             (col("nd") * col("syyd") - col("syd") * col("syd")) > 0,
+          (col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+            (sqrt(col("nd") * col("sxxd") - col("sxd") * col("sxd")) *
+              sqrt(col("nd") * col("syyd") - col("syd") * col("syd")))).as("corr_value_hour"))
         .orderBy("event_type")
     })
 
@@ -2112,15 +2125,19 @@ object Queries {
     * family's job); the only exchange is the user_id window partition.
     */
   private val a27 = QueryDef("a27_ewma",
+    // WHERE value IS NOT NULL on BOTH sides: Spark's collect_list silently
+    // drops nulls while DuckDB's list() keeps them (0.5*NULL poisons the
+    // fold) — excluding null-valued events from the series and the output
+    // is the one convention the engines can share
     Some("""SELECT event_id, user_id,
            |  list_reduce(list(value) OVER w, (acc, x) -> 0.5*x + 0.5*acc) AS ewma
-           |FROM events
+           |FROM events WHERE value IS NOT NULL
            |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS 7 PRECEDING)
            |ORDER BY event_id""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-7, 0)
-      ev(s, d)
+      ev(s, d).filter(col("value").isNotNull)
         .select(col("event_id"), col("user_id"), collect_list(col("value")).over(w).as("arr"))
         .select(col("event_id"), col("user_id"),
           aggregate(slice(col("arr"), 2, 7), element_at(col("arr"), 1),

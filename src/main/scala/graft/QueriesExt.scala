@@ -50,7 +50,11 @@ object QueriesExt {
 
   /** Argmax over the four *_score columns, priority en > es > fr > de. */
   private val predictedSql =
-    """CASE WHEN greatest(en_score, es_score, fr_score, de_score) = 0 THEN 'unknown'
+    // leading NULL arm: a null-text doc scores NULL everywhere; every WHEN
+    // is then falsy and the CASE would land on ELSE 'de', while the Spark
+    // twin (predictedFromScores) leads with when(isNull, null)
+    """CASE WHEN en_score IS NULL THEN NULL
+      |       WHEN greatest(en_score, es_score, fr_score, de_score) = 0 THEN 'unknown'
       |       WHEN en_score = greatest(en_score, es_score, fr_score, de_score) THEN 'en'
       |       WHEN es_score = greatest(en_score, es_score, fr_score, de_score) THEN 'es'
       |       WHEN fr_score = greatest(en_score, es_score, fr_score, de_score) THEN 'fr'
@@ -119,9 +123,10 @@ object QueriesExt {
       .orderBy("doc_id"))
 
   private val tx2 = QueryDef("tx_quality_features",
-    Some("""SELECT doc_id,
-           |  len(list_filter(string_split_regex(lower(text), '\s+'),
-           |      t -> t IN ('the','a','of','and','to','in','is'))) AS stopword_cnt,
+    // stopword list interpolated from TextFunctions.stopwords — a copied
+    // literal list here would go stale the day the model list changes
+    Some(s"""SELECT doc_id,
+           |  ${markerCountSql(TextFunctions.stopwords)} AS stopword_cnt,
            |  CASE WHEN length(text) > 0
            |       THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * cast(1.0 as double) / length(text)
            |       ELSE 0.0 END AS alpha_ratio
@@ -230,9 +235,14 @@ object QueriesExt {
       // null-propagates st itself, but the oracle's LEFT JOIN still emits
       // n_chars=0 — coalesce aligns the engines (latent until the driver
       // ships a null-text doc; round-9 advice).
+      // the n_chars > 0 guard is load-bearing under ANSI: for an empty/
+      // all-whitespace doc the division 0.0/0 is a query-killing
+      // DIVIDE_BY_ZERO (verified on this Spark), not a null — the guard
+      // yields the NULL entropy the oracle's LEFT JOIN produces
       .select(col("doc_id"), coalesce(col("st.n_chars"), lit(0L)).as("n_chars"),
-        (floor((log(col("st.n_chars")) - col("st.sum_clnc") / col("st.n_chars"))
-          * 10000 + 0.5) / 10000).as("entropy"))
+        when(col("st.n_chars") > 0,
+          floor((log(col("st.n_chars")) - col("st.sum_clnc") / col("st.n_chars"))
+            * 10000 + 0.5) / 10000).as("entropy"))
       .orderBy("doc_id"))
 
   private val tx4 = QueryDef("tx_fingerprint",
@@ -595,7 +605,9 @@ object QueriesExt {
            |b AS (SELECT min(chars / weight) AS budget FROM w)
            |SELECT lang, n_docs, chars, weight,
            |  cast(floor(weight * budget) as bigint) AS planned_chars,
-           |  floor(weight * budget / chars * 10000 + 0.5) / 10000 AS rate
+           |  CASE WHEN chars > 0
+           |       THEN floor(weight * budget / chars * 10000 + 0.5) / 10000
+           |  END AS rate
            |FROM w, b ORDER BY lang""".stripMargin),
     (s, d) => {
       val weight = when(col("lang") === "en", 0.4)
@@ -607,8 +619,11 @@ object QueriesExt {
       val bounds = byLang.agg(min(col("chars") / col("weight")).as("budget"))
       byLang.crossJoin(broadcast(bounds))
         .withColumn("planned_chars", floor(col("weight") * col("budget")).cast("bigint"))
-        .withColumn("rate", graft.functions.Rounding.round4(
-          col("weight") * col("budget") / col("chars")))
+        // chars > 0 guard: a stratum of all-empty docs makes the rate
+        // 0.0/0 — ANSI DIVIDE_BY_ZERO — and forces budget to 0; NULL rate
+        // on both engines instead (oracle CASE mirrors this)
+        .withColumn("rate", when(col("chars") > 0, graft.functions.Rounding.round4(
+          col("weight") * col("budget") / col("chars"))))
         .drop("budget")
         .orderBy("lang")
     })
@@ -1010,7 +1025,9 @@ object QueriesExt {
            |SELECT cast(p as bigint) AS p, cast(n_tot - p as bigint) AS neg,
            |       cast(r2 - p*(p+1) as bigint) AS u2,
            |       cast(2*p*(n_tot - p) as bigint) AS denom,
-           |       cast(r2 - p*(p+1) as double) / (2*p*(n_tot - p)) AS auc
+           |       CASE WHEN 2*p*(n_tot - p) > 0
+           |            THEN cast(r2 - p*(p+1) as double) / (2*p*(n_tot - p))
+           |       END AS auc
            |FROM a""".stripMargin),
     (s, d) => {
       val scored = docs(s, d).select(
@@ -1364,13 +1381,12 @@ object QueriesExt {
 
   // ---- similarity search -------------------------------------------------
 
-  /** Identical left-fold dot product on both engines → bit-equal cosines. */
-  private val simDotSql =
-    """list_reduce(list_prepend(cast(0.0 as double),
-      |  [cast(%s.embedding[i] as double) * cast(%s.embedding[i] as double)
-      |   for i in range(1, len(%s.embedding) + 1)]), (a, b) -> a + b)""".stripMargin
-
-  private def dotSql(a: String, b: String) = simDotSql.format(a, b, a)
+  /** Identical left-fold dot product on both engines → bit-equal cosines.
+    * ONE generator ([[foldDot]]) for every oracle family — the fold text
+    * is bit-exactness-critical, so a second hand-rolled copy is a drift
+    * surface, not a convenience.
+    */
+  private def dotSql(a: String, b: String) = foldDot(s"$a.embedding", s"$b.embedding")
 
   private val sm1 = QueryDef("sim_norms",
     Some(s"""SELECT vec_id, label, sqrt(${dotSql("embeddings", "embeddings")}) AS l2_norm
@@ -1454,10 +1470,7 @@ object QueriesExt {
     * doubles hash-match with no rounding.
     */
   private def mmrOracleSql(m: Int, k: Int): String = {
-    def dotEmb(x: String, y: String) =
-      s"""list_reduce(list_prepend(cast(0.0 as double),
-         |  [cast($x.emb[i] as double) * cast($y.emb[i] as double)
-         |   for i in range(1, len($x.emb) + 1)]), (a, b) -> a + b)""".stripMargin
+    def dotEmb(x: String, y: String) = foldDot(s"$x.emb", s"$y.emb")
     val stages = (2 to k).map { i =>
       s"""s${i}_sc AS (
          |  SELECT c.qid, c.cid,
