@@ -1526,12 +1526,85 @@ object QueriesExt {
     (s, d) => Similarity.nearDupPairs(emb(s, d), "label", 0.45)
       .orderBy("id_a", "id_b"))
 
-  /** LSH-bucketed ANN (no ANSI oracle: xxhash64-derived hyperplanes);
-    * recall@5 vs sim_knn_brute is asserted in RecallGateSpec. Multi-probe
-    * (probes=2) buys the recall on the query side — corpus-side shuffle
-    * stays one narrow row per (vector, table).
+  /** Deterministic ANSI replay of the ENTIRE multi-probe LSH algorithm —
+    * the oracle that graduated sim_ann_lsh from recall-gated to
+    * hash-checked. The hyperplanes are data-independent (xxhash64-seeded
+    * integers via [[NativeExpressions.hyperplaneCoeffInt]], the kernel's
+    * own generator), so the builder embeds them as integer VALUES literals
+    * and DuckDB re-derives bucket keys (ordered-fold projection, strict
+    * `> 0` sign bit), probes every ≤`probes`-bit XOR perturbation, joins
+    * candidates on (table, key), and exact-cosine re-ranks — step-for-step
+    * the [[graft.functions.Similarity.lshTopK]] pipeline. Unlike the
+    * "oracle against brute force and hope recall stays 1.0" alternative,
+    * this hash match is unconditional: it survives any testdata
+    * regeneration because it checks the algorithm, not a lucky recall.
+    * Coefficient arithmetic is bit-identical on both engines: long
+    * subtraction, long→double cast, division by 1000000.0, then the same
+    * left-fold multiply-add order as the kernel's `proj` loop.
+    * `maxDim` literals per hyperplane (vs the corpus' current 64) keep the
+    * SQL valid if the driver regenerates embeddings at a higher dim.
     */
-  private val sm4 = QueryDef("sim_ann_lsh", None,
+  private def annLshOracleSql(tables: Int, bits: Int, probes: Int, k: Int,
+                              maxDim: Int = 128): String = {
+    val hpRows = (for { t <- 0 until tables; b <- 0 until bits } yield {
+      val ks = (0 until maxDim)
+        .map(d => NativeExpressions.hyperplaneCoeffInt(t, b, d)).mkString(",")
+      s"($t, $b, [$ks])"
+    }).mkString(",\n")
+    val maskRows = (0 until (1 << bits))
+      .filter(Integer.bitCount(_) <= probes).map(m => s"($m)").mkString(",")
+    val proj =
+      """list_reduce(list_prepend(cast(0.0 as double),
+        |    [cast(e.embedding[i] as double) * (cast(h.ks[i] - 1000000 as double) / 1000000.0)
+        |     for i in range(1, len(e.embedding) + 1)]), (x, y) -> x + y)""".stripMargin
+    s"""WITH hp(t, b, ks) AS (VALUES $hpRows),
+       |masks(m) AS (VALUES $maskRows),
+       |projs AS (
+       |  SELECT e.vec_id, h.t, h.b, $proj AS proj
+       |  FROM embeddings e CROSS JOIN hp h),
+       |bkeys AS (
+       |  SELECT vec_id, t,
+       |    cast(sum(CASE WHEN proj > 0 THEN 1::bigint << b ELSE 0 END) AS bigint) AS bk
+       |  FROM projs GROUP BY vec_id, t),
+       |probed AS (
+       |  SELECT q.vec_id AS query_id, q.t, xor(q.bk, m.m::bigint) AS bk
+       |  FROM bkeys q CROSS JOIN masks m WHERE q.vec_id < 10),
+       |cands AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+       |  FROM probed p JOIN bkeys c ON c.t = p.t AND c.bk = p.bk
+       |  WHERE c.vec_id <> p.query_id),
+       |norms AS (
+       |  SELECT vec_id, sqrt(${foldDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT ca.query_id, ca.neighbor_id,
+       |    CASE WHEN qn.nrm * cn.nrm > 0 THEN
+       |      ${foldDot("q.embedding", "c.embedding")} / (qn.nrm * cn.nrm)
+       |    END AS cos
+       |  FROM cands ca
+       |  JOIN embeddings q ON q.vec_id = ca.query_id
+       |  JOIN embeddings c ON c.vec_id = ca.neighbor_id
+       |  JOIN norms qn ON qn.vec_id = ca.query_id
+       |  JOIN norms cn ON cn.vec_id = ca.neighbor_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored WHERE cos IS NOT NULL AND NOT isnan(cos))
+       |SELECT query_id, neighbor_id, cos, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** LSH-bucketed ANN, hash-oracle-checked (graduated round 10): the
+    * oracle replays bucketing + multi-probing + exact re-rank in ANSI SQL
+    * from the kernel's own hyperplane integers — see [[annLshOracleSql]].
+    * RecallGateSpec still asserts recall@5 vs brute force separately
+    * (oracle proves the algorithm ran right; the gate proves the
+    * parameterization is WORTH running). Multi-probe (probes=2) buys the
+    * recall on the query side — corpus-side shuffle stays one narrow row
+    * per (vector, table).
+    */
+  private val sm4 = QueryDef("sim_ann_lsh",
+    Some(annLshOracleSql(tables = 8, bits = 8, probes = 2, k = 5)),
     (s, d) => Similarity.lshTopK(
       emb(s, d), emb(s, d).filter(col("vec_id") < 10), k = 5,
       tables = 8, bits = 8, probes = 2)

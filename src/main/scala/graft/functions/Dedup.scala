@@ -456,23 +456,48 @@ object Dedup {
     * (a delta shingle absent from base has df 0 and stays), so sizes and
     * intersections agree with what the join can see.
     *
-    * The delta-side broadcasts are a CONTRACT, not an estimate: this
-    * operator is for bounded ingest batches (a crawl snapshot, a
-    * micro-batch — [[graft.streaming.StreamingAnalytics.streamingIngest]]
-    * feeds exactly those). A caller holding a data-sized "delta" should
-    * chunk it into bounded batches (what the streaming pipe does
-    * naturally) rather than relax the broadcasts — a corpus-vs-corpus
-    * comparison belongs to [[ngramJaccardPairs]], whose index self-join
-    * is built for it. (SCALE.md's x100 run measured the worst case —
-    * delta held at 10% of a 500k-doc corpus — at 145 s: it completes,
-    * but the broadcast grows with the violation.)
+    * The delta-side broadcasts are a CONTRACT — and since round 10 the
+    * contract is MECHANICAL, not documentary: the operator counts the
+    * delta once and, above `deltaBroadcastLimit` rows, degrades every
+    * delta-side broadcast to a keyed shuffle join (both shingle-join
+    * inputs explicitly repartitioned on the key under AQE — the explode
+    * hides their true size from static estimation, the exact
+    * blind-broadcast class SCALE.md's x100p run measured at 145 s /
+    * driver-threatening — or pinned to sort-merge with AQE off).
+    * Chunking the delta is NOT needed for correctness — delta docs are
+    * only ever compared to base, never to each other, so the degraded
+    * plan computes the identical answer in one base pass instead of one
+    * per chunk. Callers with genuinely bounded batches (a crawl
+    * snapshot, a micro-batch —
+    * [[graft.streaming.StreamingAnalytics.streamingIngest]] feeds exactly
+    * those) never hit the count threshold and keep the broadcast plan; a
+    * corpus-vs-corpus comparison still belongs to [[ngramJaccardPairs]],
+    * whose index self-join is built for it.
     */
   def incrementalStatus(base: DataFrame, delta: DataFrame, idCol: String,
                         textCol: String, n: Int, threshold: Double,
-                        maxDf: Long, cacheIndex: Boolean = true): DataFrame = {
+                        maxDf: Long, cacheIndex: Boolean = true,
+                        deltaBroadcastLimit: Long = 500000L): DataFrame = {
+    // One count job over the delta (the contractually small side) buys a
+    // plan decision the static estimator cannot make: the delta's shingle
+    // explode is invisible to it.
+    val small = delta.count() <= deltaBroadcastLimit
+    val aqe = delta.sparkSession.conf
+      .get("spark.sql.adaptive.enabled", "true").equalsIgnoreCase("true")
+    // Degraded-path guard for delta-derived join inputs: the count PROVED
+    // the delta big, so no static broadcast decision may survive — under
+    // AQE the frames either already end at a shuffle boundary (aggregates)
+    // or get one (dh below), and runtime sizing takes over; with AQE off
+    // every such join is pinned sort-merge outright.
+    def bcD(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else if (aqe) df else df.hint("merge")
+
     val bh = base.select(col(idCol).as("base_id"), xxhash64(col(textCol)).as("th"))
-    val dh = delta.select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("th"))
-    val exactM = bh.join(broadcast(dh), "th")
+    val dh0 = delta.select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("th"))
+    // the one delta projection with no natural stage boundary: give it the
+    // join's own shuffle as a boundary (reused, not extra) so AQE sizes it
+    val dh = if (small || !aqe) dh0 else dh0.repartition(col("th"))
+    val exactM = bh.join(bcD(dh), "th")
       .groupBy("doc_id").agg(min("base_id").as("exact_match"))
 
     def shingled(df: DataFrame, idAs: String): DataFrame =
@@ -494,7 +519,15 @@ object Dedup {
     val baseSizes = baseIdx.groupBy("base_id").agg(count(lit(1)).as("size_b"))
     val deltaSizes = deltaShU.groupBy("doc_id").agg(count(lit(1)).as("size_d"))
 
-    val common = baseIdx.join(broadcast(deltaShU), "shingle")
+    // Degraded path: BOTH shingle-join inputs are un-materialized explodes
+    // whose static estimate is the slim pre-explode projection — stage-bound
+    // both on the join key (co-partitioned: one logical shuffle, no extra
+    // exchange) so AQE sizes them at runtime; with AQE off pin sort-merge.
+    val common = (
+      if (small) baseIdx.join(broadcast(deltaShU), "shingle")
+      else if (aqe) baseIdx.repartition(col("shingle"))
+        .join(deltaShU.repartition(col("shingle")), "shingle")
+      else baseIdx.hint("merge").join(deltaShU.hint("merge"), "shingle"))
       .groupBy("doc_id", "base_id").agg(count(lit(1)).as("common"))
 
     val rawJ = col("common").cast("double") * 1.0 /
@@ -504,7 +537,7 @@ object Dedup {
     // is the small side — pin it broadcast so the sizes join streams the
     // big table map-side instead of depending on stats estimation.
     val nearM = baseSizes
-      .join(broadcast(common.join(broadcast(deltaSizes), "doc_id")), "base_id")
+      .join(bcD(common.join(bcD(deltaSizes), "doc_id")), "base_id")
       .filter(rawJ >= threshold)
       .withColumn("j", rawJ)
       .withColumn("rn", row_number().over(best))
@@ -513,8 +546,8 @@ object Dedup {
         Rounding.round4(col("j")).as("near_jaccard"))
 
     delta.select(col(idCol).as("doc_id"))
-      .join(broadcast(exactM), Seq("doc_id"), "left")
-      .join(broadcast(nearM), Seq("doc_id"), "left")
+      .join(bcD(exactM), Seq("doc_id"), "left")
+      .join(bcD(nearM), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("exact_match").isNotNull, "exact_dup")
           .when(col("near_match").isNotNull, "near_dup")

@@ -806,6 +806,18 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Integer seed of the hyperplane coefficient for (table, bit, dim):
+    * xxhash64 of the dim index seeded by (table, bit), folded into
+    * [0, 2000000]. The actual coefficient is (k - 1000000)/1e6 ∈ [-1, 1].
+    * SHARED between the [[HyperplaneBuckets]] kernel and the sim_ann_lsh
+    * oracle-SQL builder (which embeds these integers as literals so DuckDB
+    * replays the identical hyperplanes) — keep it the single source of
+    * truth, or the oracle silently drifts from the kernel.
+    */
+  def hyperplaneCoeffInt(t: Int, b: Int, d: Int): Long =
+    java.lang.Math.floorMod(
+      XXH64.hashLong(d.toLong, t.toLong * 1315423911L + b.toLong), 2000001L)
+
   /** Random-hyperplane LSH bucket keys for a float vector: `tables` keys,
     * each of `bits` sign bits. Hyperplane coefficient for (table, bit, dim)
     * is a deterministic xxhash64 folded into [-1, 1] — reproducible across
@@ -818,10 +830,8 @@ object NativeExpressions {
     override def nullable: Boolean = true
     override def prettyName: String = s"graft_lsh_buckets($tables,$bits)"
 
-    private def coeff(t: Int, b: Int, d: Int): Double = {
-      val h = XXH64.hashLong(d.toLong, t.toLong * 1315423911L + b.toLong)
-      (java.lang.Math.floorMod(h, 2000001L) - 1000000L) / 1000000.0
-    }
+    private def coeff(t: Int, b: Int, d: Int): Double =
+      (hyperplaneCoeffInt(t, b, d) - 1000000L) / 1000000.0
 
     override def nullSafeEval(input: Any): Any = {
       val vec = input.asInstanceOf[ArrayData]

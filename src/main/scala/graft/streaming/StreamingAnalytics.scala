@@ -368,19 +368,27 @@ object StreamingAnalytics {
     * unchanged.
     */
   def streamingIngest(docs: DataFrame, storePath: String,
-                      n: Int = 5, threshold: Double = 0.5, maxDf: Long = 100)
+                      n: Int = 5, threshold: Double = 0.5, maxDf: Long = 100,
+                      maxBatchPairs: Int = 2000000)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        ingestBatch(batch.toDF(), storePath, n, threshold, maxDf)
+        ingestBatch(batch.toDF(), storePath, n, threshold, maxDf, maxBatchPairs)
     }.start()
 
   /** One micro-batch of [[streamingIngest]] — also the BATCH reference
     * implementation (a single batch containing the whole delta is the
     * batch pipe), which is what the parity spec exploits.
+    *
+    * `maxBatchPairs` makes the greedy-admission collect's bounded-batch
+    * contract MECHANICAL: the pair pull is `limit(max+1)` (the driver
+    * never materializes more than the cap even when violated) and a
+    * violation fails loudly with the split-the-batch recipe instead of
+    * silently growing driver memory with the batch size.
     */
   private[graft] def ingestBatch(batch: DataFrame, storePath: String,
-                                 n: Int, threshold: Double, maxDf: Long): Unit = {
+                                 n: Int, threshold: Double, maxDf: Long,
+                                 maxBatchPairs: Int = 2000000): Unit = {
     val spark = batch.sparkSession
     // Per-trigger cache discipline: the Dedup helpers are called with
     // cacheIndex=false (a .cache() inside them would register a
@@ -419,7 +427,14 @@ object StreamingAnalytics {
       // ending below b is final, so a's admitted/dropped status is settled.
       val pairs = graft.functions.Dedup.ngramJaccardPairs(fresh, "doc_id", "text",
           n, threshold, maxDf, cacheIndex = false)
-        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .select("doc_a", "doc_b").limit(maxBatchPairs + 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      require(pairs.length <= maxBatchPairs,
+        s"ingestBatch: within-batch near-dup pair graph exceeds maxBatchPairs=" +
+          s"$maxBatchPairs — greedy admission needs the full graph on the " +
+          "driver, which the ingest-batch contract bounds. Split the batch " +
+          "(smaller maxFilesPerTrigger / maxOffsetsPerTrigger on the source, " +
+          "or chunk a batch backfill) or raise maxBatchPairs deliberately.")
       val droppedIds = scala.collection.mutable.Set[Long]()
       pairs.sortBy(_._2).foreach { case (a, b) => if (!droppedIds(a)) droppedIds += b }
       val admitted =

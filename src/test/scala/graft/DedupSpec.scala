@@ -132,4 +132,49 @@ class DedupSpec extends SparkSpec {
     assert(j13.exists(j => j > 0.5 && j < 1.0))
     assert(out(15L) == (("new", None, None)))
   }
+
+  test("incremental dedup: oversized delta degrades broadcasts to shuffle, same answer") {
+    val delta = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (13L, "the quick brown fox jumps over the lazy dog near the river bank sometimes"),
+      (15L, "entirely novel delta text with no overlap in shingles whatsoever at all here")
+    ).toDF("doc_id", "text")
+    def rows(limit: Long) = Dedup.incrementalStatus(docs, delta, "doc_id", "text",
+        n = 2, threshold = 0.5, maxDf = 100, deltaBroadcastLimit = limit)
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.get(3))))
+      .sortBy(_._1).toSeq
+    // limit=1 < 3 delta rows → the degraded (keyed shuffle) plan; parity
+    // with the broadcast plan is the contract ("auto-degrade, not chunk")
+    assert(rows(limit = 1L) == rows(limit = 500000L))
+    // With AQE off the degraded plan must contain NO broadcast at all
+    // (runtime sizing is unavailable, so every broadcast would be a
+    // static blind one — the class the guard exists to prevent). Under
+    // AQE a runtime-sized broadcast of a genuinely-small side is fine.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    import s2.implicits._
+    val baseNoAqe = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (4L, "completely different content about spark catalyst optimizer rules and physical plans")
+    ).toDF("doc_id", "text")
+    val deltaNoAqe = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (15L, "entirely novel delta text with no overlap in shingles whatsoever at all here")
+    ).toDF("doc_id", "text")
+    val degraded = Dedup.incrementalStatus(baseNoAqe, deltaNoAqe, "doc_id", "text",
+      n = 2, threshold = 0.5, maxDf = 100, deltaBroadcastLimit = 1L)
+    val plan = degraded.queryExecution.executedPlan
+    val broadcastJoins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.joinType
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j.joinType
+    }
+    // the ONLY broadcasts allowed to survive degradation are the two
+    // left-anti hot-shingle caps (bounded by construction: ≤ shingle
+    // volume / maxDf rows); every delta-carrying join must be sort-merge
+    assert(broadcastJoins.nonEmpty && broadcastJoins.forall(_.sql == "LEFT ANTI"),
+      s"degraded incrementalStatus still broadcasts a non-anti join: $broadcastJoins\n" +
+        plan.toString.linesIterator.take(40).mkString("\n"))
+    assert(plan.toString.contains("SortMergeJoin"))
+    assert(degraded.collect().map(_.getLong(0)).sorted.toSeq == Seq(11L, 15L))
+  }
 }

@@ -116,6 +116,17 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(rows(0).zip(rows(2)).forall { case (x, y) => x != y })
   }
 
+  test("hyperplaneCoeffInt: pinned values (sim_ann_lsh oracle contract)") {
+    // Independently derived (pure-python xxh64 cross-checked against the
+    // JVM's xxhash64 expression). The sim_ann_lsh DuckDB oracle embeds
+    // these integers as literals — a generator change that slips past this
+    // pin would silently re-bucket the kernel away from its oracle.
+    assert((0 until 5).map(NativeExpressions.hyperplaneCoeffInt(0, 0, _)) ==
+      Seq(1846304L, 1187829L, 70805L, 251387L, 1341159L))
+    assert(NativeExpressions.hyperplaneCoeffInt(7, 7, 63) == 1990150L)
+    assert(NativeExpressions.hyperplaneCoeffInt(3, 5, 17) == 1502672L)
+  }
+
   test("RepetitionStats: token/distinct/top-bigram counts, single-token edge") {
     val df = Seq("a b a b c", "solo", "x x x x").toDF("t")
     val rows = df.select(graft.functions.NativeExpressions.repetitionStats(col("t")).as("s"))

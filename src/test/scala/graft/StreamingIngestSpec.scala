@@ -128,6 +128,28 @@ class StreamingIngestSpec extends SparkSpec {
     assert(stored(201L) == expected)
   }
 
+  test("oversized within-batch pair graph fails loudly with the split recipe") {
+    // maxBatchPairs=1 with a batch carrying TWO near-dup pairs (106-101,
+    // 107-106) must hit the mechanical bound — loud IllegalArgumentException
+    // naming the recipe, not a silently-growing driver collect. The limit+1
+    // pull also means the driver materialized at most 2 rows proving it.
+    val dir = Files.createTempDirectory("graft_ingest_guard").toString
+    Seq((1L, baseA)).toDF("doc_id", "text")
+      .coalesce(1).write.format("docstore").mode("append").save(dir)
+    val batch = delta.filter(d => Set(101L, 106L, 107L)(d._1)).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingAnalytics.ingestBatch(batch, dir, n = 5, threshold = 0.5,
+        maxDf = 100, maxBatchPairs = 1)
+    }
+    assert(ex.getMessage.contains("maxBatchPairs") &&
+      ex.getMessage.contains("Split the batch"), ex.getMessage)
+    // and the default bound admits the same batch fine
+    StreamingAnalytics.ingestBatch(batch, dir, n = 5, threshold = 0.5, maxDf = 100)
+    val got = spark.read.format("docstore").load(dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 101L, 107L), s"post-guard admission: $got")
+  }
+
   private def xxhash64Lt(a: String, b: String): Boolean = {
     import org.apache.spark.sql.functions.{lit, xxhash64}
     val r = Seq(1).toDF("x")
