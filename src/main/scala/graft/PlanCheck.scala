@@ -211,6 +211,31 @@ object PlanCheck {
       "banding join stage-bounded (runtime-size strategy, no blind broadcast)" ->
         (_.contains("REPARTITION_BY_COL")))
 
+    // Tree-level guard for the same defect CLASS (not just the marker):
+    // no BroadcastExchange subtree may contain a Generate (explode) that
+    // is not first bounded by an aggregate — a data-sized exploded index
+    // under a broadcast is exactly the statistics-blind driver-kill the
+    // x100p decade measured, whichever side the planner elects. The
+    // aggregate stop is deliberate: the df-capped hot-shingle sets
+    // (explode → groupBy → filter df>maxDf → broadcast anti-join) are
+    // bounded by construction and legitimate.
+    def blindExplodeBroadcast(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+      def unaggGenerate(n: org.apache.spark.sql.execution.SparkPlan): Boolean = n match {
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+        case _: org.apache.spark.sql.execution.GenerateExec => true
+        case other => other.children.exists(unaggGenerate)
+      }
+      p.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }.exists(b => unaggGenerate(b.child))
+    }
+    Seq("dd_simhash", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_substring_dup")
+      .foreach { q =>
+        checkTree(q)(
+          "no broadcast subtree contains an un-aggregated explode" ->
+            (p => !blindExplodeBroadcast(p)))
+      }
+
     // Language-id: ONE tokenization kernel evaluation per row (the
     // interpreted-HOF form evaluated 12 regex splits per row; a Catalyst
     // projection collapse would inline the kernel once per extract).

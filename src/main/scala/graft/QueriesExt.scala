@@ -1277,11 +1277,24 @@ object QueriesExt {
     * (a recall drop now breaks the oracle loudly, a stronger tripwire
     * than RecallGateSpec's ≥0.9 floor, which stays as the candidate-stage
     * gate). Graduated from no-oracle in round 9.
+    *
+    * This oracle is PROBABILISTIC over corpus content (unlike
+    * sim_ann_lsh's algorithm-replay oracle — minhash permutation hashes
+    * are not reproducible in ANSI SQL): a true pair at exactly j=0.5 can
+    * evade every band by luck. k=64/bands=32 (rows stays 2) makes that
+    * luck negligible — miss probability (1-0.25)^32 ≈ 1e-4 per borderline
+    * pair vs ~1% at the former 16 bands, so a driver testdata
+    * regeneration is ~100× less likely to fail the gate with no code
+    * regression. TRIAGE if this oracle ever mismatches alone: re-run
+    * RecallGateSpec first — candidate-stage recall < 1.0 with all
+    * banding/verify specs green means banding luck (regenerated corpus
+    * landed a j≈0.5 pair in the 1e-4 tail), not a code bug; any other
+    * signature means a real regression.
     */
   private val dd3 = QueryDef("dd_minhash_lsh",
     Some(ngramPairSql),
     (s, d) => Dedup.minhashLshVerifiedPairs(docs(s, d), "doc_id", "text",
-      shingleN = 5, k = 32, bands = 16, threshold = 0.5, maxDf = 100)
+      shingleN = 5, k = 64, bands = 32, threshold = 0.5, maxDf = 100)
       .orderBy("doc_a", "doc_b"))
 
   /** SimHash Hamming-distance near-dups over the MD5-based signature

@@ -186,8 +186,16 @@ object Dedup {
   private def bucketSelfJoin(idx: DataFrame, keyCol: String): DataFrame = {
     val aqe = idx.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
       .equalsIgnoreCase("true")
-    val build = if (aqe) idx.repartition(col(keyCol)) else idx.hint("merge")
-    idx.as("a").join(build.as("b"),
+    // BOTH sides get the boundary: the probe side is the same slim
+    // pre-explode estimate as the build side, and a planner/version change
+    // could flip WHICH side it elects to broadcast — identical sub-plans
+    // with identical partitioning also let the exchange be reused, so the
+    // second boundary costs one ReusedExchange node, not a second shuffle.
+    // (PlanCheck additionally tree-gates the family: no BroadcastExchange
+    // subtree may contain an un-aggregated Generate.)
+    def bound(df: DataFrame) =
+      if (aqe) df.repartition(col(keyCol)) else df.hint("merge")
+    bound(idx).as("a").join(bound(idx).as("b"),
       col(s"a.$keyCol") === col(s"b.$keyCol") && col("a.doc") < col("b.doc"))
   }
 
@@ -254,7 +262,11 @@ object Dedup {
     * j=0.5 pair misses all 16 bands with prob (1-0.25)^16 ≈ 1%, j=0.8
     * with ≈ 1e-7) because the exact pass deletes every false positive for
     * free — with no verify step, narrower bands (rows=4) would be needed
-    * to keep precision, at the price of recall.
+    * to keep precision, at the price of recall. The dd_minhash_lsh
+    * carrier runs k=64/bands=32 for extra margin: its DuckDB oracle is
+    * the exact pair set, so any banding miss on a borderline pair fails
+    * the round gate — at 32 bands that is a ≈1e-4 tail per j=0.5 pair
+    * instead of 1%.
     *
     * Scale shape: banding shuffle is docs × bands narrow rows; the
     * verification joins explode each CANDIDATE pair by its capped shingle

@@ -466,11 +466,18 @@ object DocStoreMaintenance {
     // Writer temp files (`.tmp-*`) from crashed tasks are invisible to
     // readers but otherwise accumulate forever (task abort deletes its
     // own temp only when the JVM survives). Maintenance ops run in a
-    // writer-free window by contract (see the compact scaladoc), so every
-    // surviving temp here is dead garbage.
-    f.listStatus(dir).map(_.getPath)
-      .filter(_.getName.startsWith(".tmp-"))
-      .foreach(p => f.delete(p, false))
+    // writer-free window by contract (see the compact scaladoc) — but the
+    // sweep is AGE-GATED so a contract violation degrades gracefully: a
+    // concurrent writer's in-flight temp is at most minutes old and is
+    // skipped (left as garbage for the next sweep) instead of deleted out
+    // from under its mid-task write. Only temps old enough to be
+    // provably-dead crash leftovers are removed.
+    val tmpMinAgeMs = 15L * 60 * 1000
+    val now = System.currentTimeMillis()
+    f.listStatus(dir)
+      .filter(s => s.getPath.getName.startsWith(".tmp-") &&
+        now - s.getModificationTime > tmpMinAgeMs)
+      .foreach(s => f.delete(s.getPath, false))
   }
 
   /** Delete `oldShards` (those still present) and move the staged files of

@@ -312,6 +312,27 @@ class DocStoreSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dir, "_compact_commit")))
   }
 
+  test("tmp sweep is age-gated: fresh writer temps survive, stale ones are removed") {
+    import graft.sources.docstore.DocStoreMaintenance
+    val dir = tmpDir("tmpsweep")
+    spark.range(50).toDF("id").write.format("docstore").mode("overwrite").save(dir)
+    // a FRESH temp models a contract-violating concurrent writer's
+    // in-flight task file — the sweep must leave it alone so the violation
+    // degrades to leftover garbage, not a broken mid-task write
+    val freshTmp = Paths.get(dir, ".tmp-0-1-fresh")
+    Files.write(freshTmp, "in-flight".getBytes)
+    // a STALE temp models a crashed task's leftover — provably dead, swept
+    val staleTmp = Paths.get(dir, ".tmp-0-2-stale")
+    Files.write(staleTmp, "crashed".getBytes)
+    Files.setLastModifiedTime(staleTmp,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60L * 60 * 1000))
+    DocStoreMaintenance.compact(spark, dir, 1)
+    assert(Files.exists(freshTmp), "fresh in-flight temp was deleted by the sweep")
+    assert(!Files.exists(staleTmp), "stale crash leftover survived the sweep")
+    assert(spark.read.format("docstore").load(dir).count() == 50)
+  }
+
   test("failed overwrite leaves the previous collection intact") {
     val dir = tmpDir("owfail")
     spark.range(10).toDF("id").write.format("docstore").mode("overwrite").save(dir)
