@@ -1746,12 +1746,23 @@ object QueriesExt {
     * pruned by the min lower-id same-cell member at cosine ≥ 0.45 (the
     * corpus' near-dup threshold, as in sim_near_dup). All output columns
     * are integers/booleans.
+    *
+    * nCentroids is NOT a manual knob here: both engines derive
+    * k = max(16, ⌊√n⌋) from the corpus count
+    * ([[graft.functions.Similarity.semanticDedupAuto]] / the `kk` CTE),
+    * so cells stay ~√n-bounded as the corpus grows and the oracle stays
+    * replayable — floor(sqrt(bigint)) is integer-exact IEEE on both.
     */
   private val sm8 = QueryDef("sim_semantic_dedup",
     Some(s"""WITH train AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+            |kk AS (
+            |  SELECT greatest(16, cast(floor(sqrt(count(*))) AS bigint)) AS k
+            |  FROM embeddings),
             |c0 AS (
-            |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS ce
-            |  FROM (SELECT vec_id, embedding FROM train ORDER BY vec_id LIMIT 16)),
+            |  SELECT cidx, ce FROM (
+            |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS ce
+            |    FROM train)
+            |  WHERE cidx < (SELECT k FROM kk)),
             |${lloydCteSql(2, "train")}
             |vc AS (
             |  SELECT e.vec_id, c.cidx,
@@ -1774,7 +1785,7 @@ object QueriesExt {
             |  (p.pruned_by IS NULL) AS keep, p.pruned_by
             |FROM assign a LEFT JOIN pr p ON p.vec_id = a.vec_id
             |ORDER BY a.vec_id""".stripMargin),
-    (s, d) => Similarity.semanticDedup(emb(s, d), nCentroids = 16, lloydIters = 2,
+    (s, d) => Similarity.semanticDedupAuto(emb(s, d), lloydIters = 2,
       trainModulus = 2, threshold = 0.45)
       .orderBy("vec_id"))
 

@@ -489,11 +489,21 @@ object Dedup {
   def incrementalStatus(base: DataFrame, delta: DataFrame, idCol: String,
                         textCol: String, n: Int, threshold: Double,
                         maxDf: Long, cacheIndex: Boolean = true,
-                        deltaBroadcastLimit: Long = 500000L): DataFrame = {
-    // One count job over the delta (the contractually small side) buys a
-    // plan decision the static estimator cannot make: the delta's shingle
-    // explode is invisible to it.
-    val small = delta.count() <= deltaBroadcastLimit
+                        deltaBroadcastLimit: Long = 500000L,
+                        shingleBroadcastLimit: Long = 2000000L): DataFrame = {
+    // One map-only pass over the delta (the contractually small side) buys
+    // a plan decision the static estimator cannot make: row count AND the
+    // exploded shingle volume — the latter is what actually broadcasts
+    // (~doc-length× the rows, invisible to static estimation under the
+    // explode), so a 50k-doc delta of long documents degrades even though
+    // its row count looks harmless. 2M shingle rows ≈ low hundreds of MB
+    // broadcast — a deliberate ceiling far under driver-threatening.
+    val stats = delta.agg(
+      count(lit(1)).as("rows"),
+      coalesce(sum(size(array_distinct(
+        TextFunctions.wordShingles(col(textCol), n)))), lit(0L)).as("sh")).head()
+    val small = stats.getLong(0) <= deltaBroadcastLimit &&
+      stats.getLong(1) <= shingleBroadcastLimit
     val aqe = delta.sparkSession.conf
       .get("spark.sql.adaptive.enabled", "true").equalsIgnoreCase("true")
     // Degraded-path guard for delta-derived join inputs: the count PROVED

@@ -899,8 +899,24 @@ object NativeExpressions {
         cos(j) = if (vn == 0 || cNorms(j) == 0) -2.0 else acc / (vn * cNorms(j))
         j += 1
       }
-      val idx = Array.tabulate(centroids.length)(identity)
-        .sortBy(j => (-cos(j), j)).take(top)
+      // O(top·k) unboxed selection (ties by index): top is 1 (assign) or
+      // nProbe (≤8) — a full boxed sortBy here was the hot frame when the
+      // trainer ran at auto-k centroid counts.
+      val m = math.min(top, centroids.length)
+      val idx = new Array[Int](m)
+      val taken = new Array[Boolean](centroids.length)
+      var s = 0
+      while (s < m) {
+        var bi = -1
+        var j = 0
+        while (j < centroids.length) {
+          if (!taken(j) && (bi == -1 || cos(j) > cos(bi))) bi = j
+          j += 1
+        }
+        taken(bi) = true
+        idx(s) = bi
+        s += 1
+      }
       new GenericArrayData(idx)
     }
 

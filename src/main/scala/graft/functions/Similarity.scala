@@ -191,17 +191,37 @@ object Similarity {
       .select("embedding").limit(nCentroids)
       .collect().map(_.getSeq[Float](0).toArray)
     for (_ <- 0 until lloydIters) {
+      // Update step aggregates WHOLE vectors per cell (vector-sum fold in
+      // vec_id order via zip_with — per dim this is the identical
+      // add-in-member-order chain as the oracle's per-(cell, d) fold, so
+      // the doubles are bit-equal). The earlier posexplode formulation
+      // multiplied every row by `dim` BEFORE the assignment projection, so
+      // Catalyst's collapsed Project evaluated the interpreted
+      // NearestCentroids kernel once per (row, dim) instead of once per
+      // row — at auto-k (√n centroids) that hidden dim× amplification was
+      // ~50 s of a 53 s x10 run.
+      val zeroVec = transform(element_at(col("xs"), 1).getField("embedding"),
+        _ => lit(0.0))
       val means = corpus.select(col("vec_id"),
           element_at(NativeExpressions.nearestCentroids(col("embedding"), cents, 1), 1).as("cell"),
-          posexplode(col("embedding")).as(Seq("d", "x")))
-        .groupBy(col("cell"), col("d"))
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("xs"))
-        .select(col("cell"), col("d"),
-          (aggregate(col("xs"), lit(0.0),
-            (acc, s) => acc + s.getField("x").cast("double")) / size(col("xs"))).as("mu"))
+          col("embedding"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("xs"))
+        .select(col("cell"),
+          transform(
+            aggregate(col("xs"), zeroVec,
+              (acc, s) => zip_with(acc, s.getField("embedding"),
+                (a, x) => a + x.cast("double"))),
+            v => v / col("n")).as("mu"))
         .collect()
       val next = cents.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+      means.foreach { r =>
+        val mu = r.getSeq[Double](1)
+        val c = next(r.getInt(0))
+        var d = 0
+        while (d < c.length) { c(d) = mu(d).toFloat; d += 1 }
+      }
       cents = next
     }
     cents
@@ -460,6 +480,26 @@ object Similarity {
       .join(pruned, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         col("pruned_by").isNull.as("keep"), col("pruned_by"))
+  }
+
+  /** [[semanticDedup]] with the centroid count derived FROM the corpus:
+    * nCentroids = max(minCentroids, ⌊√n⌋). With fixed k, cells grow
+    * linearly with the corpus and the within-cell pair join goes n²/k;
+    * at k=√n the expected cell is √n members and total pair cost is
+    * n^1.5 — the method's documented scale knob, turned automatically so
+    * a 100× corpus doesn't need operator intervention. The derivation is
+    * one count job + integer-exact floor(sqrt(double)) — deterministic,
+    * so an oracle can replay it as
+    * `greatest(min, cast(floor(sqrt(count(*))) as bigint))`. Driver-side
+    * state stays bounded: the trainer returns k·dim floats (√n·dim — at
+    * n=10⁹, dim=64 that is ~8 MB, broadcast inside the assignment
+    * kernel).
+    */
+  def semanticDedupAuto(corpus: DataFrame, lloydIters: Int, trainModulus: Int,
+                        threshold: Double, minCentroids: Int = 16): DataFrame = {
+    val n = corpus.count()
+    val k = math.max(minCentroids, math.floor(math.sqrt(n.toDouble)).toInt)
+    semanticDedup(corpus, k, lloydIters, trainModulus, threshold)
   }
 
   /** MMR-diversified top-k (Carbonell & Goldstein, SIGIR'98): rank an

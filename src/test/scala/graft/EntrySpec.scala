@@ -17,9 +17,10 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without queries: ${o.diff(q)}")
     val noOracle = q.diff(o)
-    // only sketch-by-definition ops may lack oracles (dd_minhash_lsh and
-    // dd_simhash graduated in round 9: exact-verify pass / md5 signature)
-    assert(noOracle == Set("sim_ann_lsh",
+    // only approximate-BY-DEFINITION sketches may lack oracles
+    // (dd_minhash_lsh / dd_simhash graduated round 9; sim_ann_lsh round 10
+    // via the full algorithm-replay oracle)
+    assert(noOracle == Set(
       "a18_approx_distinct", "a19_approx_quantiles"), s"unexpected: $noOracle")
   }
 }
