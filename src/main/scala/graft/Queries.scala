@@ -1215,6 +1215,80 @@ object Queries {
         col("z.aq").as("approx_v"), col("z.eq").as("exact_v"), col("n"))
       .orderBy("event_type", "p"))
 
+  /** HASH-CHECKED approximate quantiles — the deterministic complement of
+    * a19's `approx_percentile` (whose KLL/GK sketch state is
+    * engine-private and merge-order-dependent): a fixed-B equi-width
+    * value histogram with within-bucket linear interpolation. Two bounded
+    * passes — per-group min/max/n (broadcast back), then a histogram
+    * whose shuffle is ≤ B=256 rows per group regardless of data size —
+    * and a ≤256-row window per group for the cumulative rank walk.
+    * Deterministic: bucket index, target rank ceil(q·n), and the
+    * interpolation are pure double arithmetic replayed operation-for-
+    * operation by the oracle (Spark's floor/ceil return LONG where
+    * DuckDB's return DOUBLE — both sides cast to double explicitly so
+    * the coerced values are identical exact integers). Error bound:
+    * |est − true| ≤ (mx−mn)/B per quantile, asserted in KmvErrorSpec.
+    */
+  private val a19b = QueryDef("a19b_histogram_quantiles",
+    Some("""WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+           |st AS (
+           |  SELECT event_type, min(value) AS mn, max(value) AS mx, count(*) AS n
+           |  FROM e GROUP BY event_type),
+           |hist AS (
+           |  SELECT e.event_type, st.mn, st.mx, st.n,
+           |    CASE WHEN st.mx > st.mn THEN
+           |      cast(least(floor((e.value - st.mn) / ((st.mx - st.mn) / 256.0)), 255.0) AS int)
+           |    ELSE 0 END AS idx,
+           |    count(*) AS cnt
+           |  FROM e JOIN st USING (event_type)
+           |  GROUP BY 1, 2, 3, 4, 5),
+           |cum AS (
+           |  SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY idx) AS cm
+           |  FROM hist),
+           |q AS (SELECT unnest([cast(0.5 AS double), cast(0.9 AS double),
+           |                     cast(0.99 AS double)]) AS p),
+           |sel AS (
+           |  SELECT c.event_type, q.p, c.mn, c.mx, c.idx, c.cnt, c.n,
+           |    cast(c.cm - c.cnt AS double) AS cb, cast(c.cm AS double) AS cmd,
+           |    cast(ceil(q.p * c.n) AS double) AS target
+           |  FROM cum c CROSS JOIN q)
+           |SELECT event_type, p,
+           |  CASE WHEN mx > mn THEN
+           |    mn + ((mx - mn) / 256.0) *
+           |      (cast(idx AS double) + (target - cb) / cast(cnt AS double))
+           |  ELSE mn END AS approx_v,
+           |  n
+           |FROM sel WHERE target > cb AND target <= cmd
+           |ORDER BY event_type, p""".stripMargin),
+    (s, d) => {
+      val e = ev(s, d).filter(col("value").isNotNull).select("event_type", "value")
+      val stats = e.groupBy("event_type").agg(
+        min("value").as("mn"), max("value").as("mx"), count(lit(1)).as("n"))
+      val wCol = (col("mx") - col("mn")) / lit(256.0)
+      val hist = e.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("mn"), col("mx"), col("n"),
+          when(col("mx") > col("mn"),
+            least(floor((col("value") - col("mn")) / wCol).cast("double"), lit(255.0)))
+            .otherwise(lit(0.0)).cast("int").as("idx"))
+        .groupBy("event_type", "mn", "mx", "n", "idx").agg(count(lit(1)).as("cnt"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("idx")
+      hist.withColumn("cm", sum("cnt").over(wCum))
+        .withColumn("cb", (col("cm") - col("cnt")).cast("double"))
+        .select(col("*"),
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+        .withColumn("target", ceil(col("p") * col("n")).cast("double"))
+        .filter(col("target") > col("cb") && col("target") <= col("cm").cast("double"))
+        .select(col("event_type"), col("p"),
+          when(col("mx") > col("mn"),
+            col("mn") + wCol *
+              (col("idx").cast("double") +
+                (col("target") - col("cb")) / col("cnt").cast("double")))
+            .otherwise(col("mn")).as("approx_v"),
+          col("n"))
+        .orderBy("event_type", "p")
+    })
+
   /** A (rebuild extra): heavy hitters via Misra-Gries sketch + exact
     * verification — the production two-pass shape for "which keys exceed
     * x% of traffic" at 100 TB: pass 1 reduces the stream to ≤k candidate
@@ -1534,6 +1608,62 @@ object Queries {
         count_distinct(col("user_id")).as("exact_users"))
       approx.join(broadcast(exact), "event_type")
         .select("event_type", "approx_users", "exact_users", "approx_events", "total")
+        .orderBy("event_type")
+    })
+
+  /** HASH-CHECKED approximate distinct — the KMV sketch
+    * ([[graft.functions.KmvMinHashes]]) over md5-derived 60-bit integers,
+    * the same cross-engine-hash substitution that graduated dd_simhash:
+    * a18's HLL registers are engine-private, but KMV's state (the k
+    * smallest distinct hashes) is a deterministic function of the value
+    * SET, so DuckDB rebuilds the identical sketch with
+    * `list_slice(list_sort(list(DISTINCT h)), 1, k)` and the estimate
+    * (k−1)·2⁶⁰/u₍ₖ₎ matches bit-for-bit. k=64 → rsd ≈ 1/√63 ≈ 13%
+    * (KmvErrorSpec asserts the realized error); the shuffle carries ≤ 64
+    * longs per (partition, event_type). Two separate aggregations — NOT
+    * two sketches in one agg — for the same Expand-rewrite reason a18
+    * documents.
+    */
+  private val a18b = QueryDef("a18b_kmv_distinct",
+    Some("""WITH hu AS (
+           |  SELECT DISTINCT event_type,
+           |    ('0x' || substr(md5(cast(user_id AS varchar)), 1, 15))::BIGINT AS h
+           |  FROM events WHERE user_id IS NOT NULL),
+           |he AS (
+           |  SELECT DISTINCT event_type,
+           |    ('0x' || substr(md5(cast(event_id AS varchar)), 1, 15))::BIGINT AS h
+           |  FROM events WHERE event_id IS NOT NULL),
+           |mu AS (SELECT event_type, list_slice(list_sort(list(h)), 1, 64) AS ms
+           |       FROM hu GROUP BY event_type),
+           |me AS (SELECT event_type, list_slice(list_sort(list(h)), 1, 64) AS ms
+           |       FROM he GROUP BY event_type)
+           |SELECT u.event_type,
+           |  CASE WHEN len(u.ms) < 64 THEN cast(len(u.ms) AS double)
+           |       ELSE cast(63 AS double) * cast(1152921504606846976 AS double)
+           |            / cast(u.ms[64] AS double) END AS est_users,
+           |  CASE WHEN len(e.ms) < 64 THEN cast(len(e.ms) AS double)
+           |       ELSE cast(63 AS double) * cast(1152921504606846976 AS double)
+           |            / cast(e.ms[64] AS double) END AS est_events
+           |FROM mu u JOIN me e USING (event_type)
+           |ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val e = ev(s, d)
+      // 60-bit uniform hash from the md5 hex prefix — standard on every
+      // engine, unlike xxhash64/HLL internals
+      def hv(c: Column): Column =
+        conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long")
+      def estim(ms: Column): Column =
+        when(size(ms) < 64, size(ms).cast("double"))
+          .otherwise(lit(63.0) * lit(1152921504606846976.0) /
+            element_at(ms, 64).cast("double"))
+      val mu = e.filter(col("user_id").isNotNull).groupBy("event_type")
+        .agg(graft.functions.TopKAgg.kmvMinHashes(hv(col("user_id")), 64).as("mu"))
+      val me = e.filter(col("event_id").isNotNull).groupBy("event_type")
+        .agg(graft.functions.TopKAgg.kmvMinHashes(hv(col("event_id")), 64).as("me"))
+      mu.join(broadcast(me), "event_type")
+        .select(col("event_type"),
+          estim(col("mu")).as("est_users"), estim(col("me")).as("est_events"))
         .orderBy("event_type")
     })
 
@@ -2416,7 +2546,7 @@ object Queries {
   // ---- registry ----------------------------------------------------------
   private[graft] val core: Seq[QueryDef] = Seq(
     s1, s2, s4, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, p1, p2, p6, p9, p10, pp, d1, d2, d3, d6, d7, d8, d10, d14,
-    a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24, a25,
+    a1, a4, a6, a7, a9, a13, a14, a15, a16, a17, a18, a18b, a19, a19b, a20, a21, a22, a23, a24, a25,
     j1, j2, j2ps, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     t2, t4, w1, w2, w3, w4, w5, w6, w7, su, si, se, g1, g2, g3,
     st1, st2, st3, st4, d16, j12, j13, a26, a27, a28, a29, g4)

@@ -185,9 +185,75 @@ class MisraGries(k: Int) extends Aggregator[Long, Array[(Long, Long)], Array[(Lo
   override def outputEncoder: Encoder[Array[(Long, Long)]] = ExpressionEncoder[Array[(Long, Long)]]()
 }
 
+/** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.,
+  * RANDOM'02; mergeable per Agarwal et al., PODS'12): the buffer is the
+  * ≤ k smallest DISTINCT hash values seen, ascending — constant-size,
+  * merge = set-union-then-trim, independent of partitioning/merge order
+  * (a deterministic FUNCTION of the input value set, unlike HLL register
+  * races... which are also deterministic, but engine-private).
+  *
+  * Why this exists next to `approx_count_distinct`: the HLL sketch's
+  * registers are Spark-internal, so a18's estimates can never be
+  * hash-compared cross-engine. KMV over a STANDARD hash (the carrier
+  * query feeds it md5-derived 60-bit integers) is replayable in ANSI SQL
+  * — `list_slice(list_sort(list(DISTINCT h)), 1, k)` is the same sketch —
+  * which turns "approximate distinct" from rows-only-checked into
+  * hash-oracle-checked: estimator REGRESSIONS break the gate loudly, and
+  * the error bound (rsd ≈ 1/√(k−1)) is still spec-asserted separately.
+  * Scale: the shuffle carries ≤ k longs per (partition, key); estimate =
+  * (k−1)/u₍ₖ₎ happens on k-row output, never on data.
+  */
+class KmvMinHashes(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+
+  /** Buffer: ascending sorted distinct hash values, ≤ k entries. */
+  override def zero: Array[Long] = Array.empty
+
+  private def insert(buf: Array[Long], v: Long): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(buf, v)
+    if (pos >= 0) buf // present — KMV keeps DISTINCT minima
+    else {
+      val ins = -pos - 1
+      if (buf.length < k) {
+        val out = new Array[Long](buf.length + 1)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = v
+        System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+        out
+      } else if (ins >= k) buf
+      else {
+        val out = new Array[Long](k)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = v
+        System.arraycopy(buf, ins, out, ins + 1, k - ins - 1) // drops buf(k-1)
+        out
+      }
+    }
+  }
+
+  override def reduce(buf: Array[Long], v: Long): Array[Long] = insert(buf, v)
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var acc = a
+    var i = 0
+    while (i < b.length) { acc = insert(acc, b(i)); i += 1 }
+    acc
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
 object TopKAgg {
   /** Column form: `topKValues(col("value"), 3)` inside `agg(...)`. */
   def topKValues(c: Column, k: Int): Column = udaf(new TopKDoubles(k)).apply(c)
+
+  /** Column form: ascending array of the ≤ k smallest distinct values of
+    * a long column — the KMV distinct sketch.
+    */
+  def kmvMinHashes(c: Column, k: Int): Column =
+    udaf(new KmvMinHashes(k), Encoders.scalaLong).apply(c)
 
   /** Column form: Misra-Gries candidate heavy hitters of a long column as
     * an array of `{_1 key, _2 estimate}` structs, estimate-descending.
