@@ -149,6 +149,32 @@ object StreamingAnalytics {
       .agg(graft.functions.TopKAgg.misraGries(col(keyCol), k).as("candidates"))
       .select(col("w.start").as("window_start"), col("candidates"))
 
+  /** Windowed approximate distinct counts via the KMV sketch
+    * ([[graft.functions.KmvMinHashes]]) — ≤ k longs of state per window
+    * at ANY key cardinality, exactly like the MG heavy-hitter stream
+    * above. Stronger parity property than MG though: the KMV buffer is a
+    * pure function of the window's value SET (order/merge invariant), so
+    * the streaming sketch — merged across micro-batches through the state
+    * store — must equal the batch sketch EXACTLY, estimate and all, not
+    * merely cover it. StreamingParitySpec asserts that equality across a
+    * mid-window batch split.
+    */
+  def kmvDistinctStream(events: DataFrame, tsCol: String, keyCol: String,
+                        k: Int, windowLen: String = "1 hour",
+                        watermark: String = "1 hour"): DataFrame = {
+    val sk = col("sketch")
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(graft.functions.TopKAgg.kmvMinHashes(
+        xxhash64(col(keyCol)).bitwiseAND(lit(Long.MaxValue)), k).as("sketch"))
+      .select(col("w.start").as("window_start"),
+        when(size(sk) < k, size(sk).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(9.223372036854776E18) /
+            element_at(sk, k).cast("double")).as("est_distinct"),
+        sk.as("sketch"))
+  }
+
   /** Custom-state sessionization via flatMapGroupsWithState — for session
     * semantics the built-in session_window can't express (here: sessions
     * also END when a terminal event type is seen, not only on gap

@@ -89,6 +89,35 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed.values.forall(_.size <= k))
   }
 
+  test("streaming KMV distinct sketch equals batch sketch exactly across splits") {
+    implicit val sq = spark.sqlContext
+    val k = 8
+    // window 1: 40 events over 15 distinct keys (> k → estimation regime);
+    // window 2: 5 distinct keys (< k → sketch IS the distinct set)
+    val data = (1 to 40).map(i => (t(0), (i % 15).toLong)) ++
+      (1 to 10).map(i => (Timestamp.valueOf("2024-01-01 11:05:00"), (i % 5).toLong))
+    val mem = MemoryStream[(Timestamp, Long)]
+    mem.addData(data.take(23)) // split mid-window: sketch buffers must
+    val sdf = StreamingAnalytics.kmvDistinctStream( // merge through state
+      mem.toDF().toDF("ts", "key"), "ts", "key", k)
+    val q = sdf.writeStream.format("memory").queryName("kmv_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    mem.addData(data.drop(23)); q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1), r.getSeq[Long](2))).toSet
+    val streamed = rows(spark.table("kmv_test"))
+    val batch = rows(StreamingAnalytics.kmvDistinctStream(
+      data.toDF("ts", "key"), "ts", "key", k))
+    // EXACT equality, sketch contents included — the KMV buffer is a pure
+    // function of each window's value set, so micro-batch splits and
+    // state-store merges must be invisible
+    assert(streamed == batch && streamed.size == 2)
+    // and the <k window's "estimate" is the exact distinct count
+    assert(streamed.exists { case (_, est, sk) => est == 5.0 && sk.length == 5 })
+  }
+
   test("streaming parse: LogParser over a line stream equals batch parse") {
     implicit val sq = spark.sqlContext
     val lines = Seq(
