@@ -1653,10 +1653,9 @@ object Queries {
       def hv(c: Column): Column =
         conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
           .cast("long")
+      // 2^60 = the 15-hex-nibble hash space above — see kmvEstimate's doc
       def estim(ms: Column): Column =
-        when(size(ms) < 64, size(ms).cast("double"))
-          .otherwise(lit(63.0) * lit(1152921504606846976.0) /
-            element_at(ms, 64).cast("double"))
+        graft.functions.TopKAgg.kmvEstimate(ms, 64, 1152921504606846976.0)
       val mu = e.filter(col("user_id").isNotNull).groupBy("event_type")
         .agg(graft.functions.TopKAgg.kmvMinHashes(hv(col("user_id")), 64).as("mu"))
       val me = e.filter(col("event_id").isNotNull).groupBy("event_type")

@@ -498,12 +498,19 @@ object Dedup {
     // explode), so a 50k-doc delta of long documents degrades even though
     // its row count looks harmless. 2M shingle rows ≈ low hundreds of MB
     // broadcast — a deliberate ceiling far under driver-threatening.
-    val stats = delta.agg(
-      count(lit(1)).as("rows"),
-      coalesce(sum(size(array_distinct(
-        TextFunctions.wordShingles(col(textCol), n)))), lit(0L)).as("sh")).head()
-    val small = stats.getLong(0) <= deltaBroadcastLimit &&
-      stats.getLong(1) <= shingleBroadcastLimit
+    // `deltaBroadcastLimit = Long.MaxValue` is the documented opt-out for
+    // per-trigger streaming callers whose micro-batches are already
+    // contract-bounded: the stats job (a full re-tokenization of an
+    // uncached delta, every trigger, forever) would cost more than the
+    // risk it retires there, and `small` is then true by definition.
+    val small = deltaBroadcastLimit == Long.MaxValue || {
+      val stats = delta.agg(
+        count(lit(1)).as("rows"),
+        coalesce(sum(size(array_distinct(
+          TextFunctions.wordShingles(col(textCol), n)))), lit(0L)).as("sh")).head()
+      stats.getLong(0) <= deltaBroadcastLimit &&
+        stats.getLong(1) <= shingleBroadcastLimit
+    }
     val aqe = delta.sparkSession.conf
       .get("spark.sql.adaptive.enabled", "true").equalsIgnoreCase("true")
     // Degraded-path guard for delta-derived join inputs: the count PROVED

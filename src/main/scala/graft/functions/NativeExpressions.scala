@@ -896,7 +896,15 @@ object NativeExpressions {
         var i = 0
         val n = dim
         while (i < n) { acc += vec.getFloat(i).toDouble * c(i).toDouble; i += 1 }
-        cos(j) = if (vn == 0 || cNorms(j) == 0) -2.0 else acc / (vn * cNorms(j))
+        // NaN (a NaN embedding value, or a subnormal norm product
+        // underflowing to 0 past the per-factor guards) maps to the same
+        // -2.0 "never nearest" sentinel as a zero norm: the unboxed
+        // selection loop below compares with >, where a NaN at the first
+        // untaken slot would otherwise WIN every comparison it appears on
+        // the right of (x > NaN is false) — the inverse of the boxed
+        // total-order sortBy this loop replaced
+        val cj = if (vn == 0 || cNorms(j) == 0) -2.0 else acc / (vn * cNorms(j))
+        cos(j) = if (java.lang.Double.isNaN(cj)) -2.0 else cj
         j += 1
       }
       // O(top·k) unboxed selection (ties by index): top is 1 (assign) or

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions.{element_at, lit, size, udaf, when}
 
 /** Exact top-k values per group as a custom `Aggregator` — the §2.9
   * extension point (the reference's workload needs no custom aggregate;
@@ -254,6 +254,19 @@ object TopKAgg {
     */
   def kmvMinHashes(c: Column, k: Int): Column =
     udaf(new KmvMinHashes(k), Encoders.scalaLong).apply(c)
+
+  /** KMV distinct estimate from a [[KmvMinHashes]] sketch: the exact set
+    * size below k, else (k−1)·spaceSize/h₍ₖ₎. `spaceSize` is the hash
+    * range as an exact power-of-two double — 2⁶⁰ for the md5-prefix
+    * derivation (a18b and its oracle), 2⁶³ for `xxhash64 & Long.MaxValue`
+    * (the streaming twin) — and MUST travel with the hash construction:
+    * the ONE definition here keeps the two carriers (and any future
+    * bias-correction tweak) from silently drifting apart.
+    */
+  def kmvEstimate(sketch: Column, k: Int, spaceSize: Double): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(spaceSize) /
+        element_at(sketch, k).cast("double"))
 
   /** Column form: Misra-Gries candidate heavy hitters of a long column as
     * an array of `{_1 key, _2 estimate}` structs, estimate-descending.

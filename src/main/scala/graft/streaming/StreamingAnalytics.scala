@@ -169,9 +169,9 @@ object StreamingAnalytics {
       .agg(graft.functions.TopKAgg.kmvMinHashes(
         xxhash64(col(keyCol)).bitwiseAND(lit(Long.MaxValue)), k).as("sketch"))
       .select(col("w.start").as("window_start"),
-        when(size(sk) < k, size(sk).cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(9.223372036854776E18) /
-            element_at(sk, k).cast("double")).as("est_distinct"),
+        // 2^63 = the masked-xxhash64 space above — see kmvEstimate's doc
+        graft.functions.TopKAgg.kmvEstimate(sk, k, 9.223372036854776E18)
+          .as("est_distinct"),
         sk.as("sketch"))
   }
 
@@ -310,8 +310,12 @@ object StreamingAnalytics {
                             (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // Long.MaxValue delta limit = skip the guard's stats job: the
+        // micro-batch IS the bounded-delta contract here, and the job
+        // would re-tokenize the uncached batch every trigger
         sink(graft.functions.Dedup.incrementalStatus(
-          base, batch, "doc_id", "text", n, threshold, maxDf))
+          base, batch, "doc_id", "text", n, threshold, maxDf,
+          deltaBroadcastLimit = Long.MaxValue))
     }.start()
 
   /** Streaming CDC apply: merge a change stream into a docstore collection
@@ -443,9 +447,14 @@ object StreamingAnalytics {
       // fresh is consumed by THREE actions (pair collect, upsert's key
       // collect, upsert's write) — persist it so cleanGates + the
       // store-sized incrementalStatus classification run once per trigger.
+      // Long.MaxValue delta limit: the micro-batch is contract-bounded and
+      // the guard's stats job would recompute cleanGates + exact dedup for
+      // the uncached `kept` once more per trigger (the pair-graph collect
+      // below has its own mechanical maxBatchPairs bound)
       fresh = kept.join(
         graft.functions.Dedup.incrementalStatus(store, kept, "doc_id", "text",
-            n, threshold, maxDf, cacheIndex = false)
+            n, threshold, maxDf, cacheIndex = false,
+            deltaBroadcastLimit = Long.MaxValue)
           .filter(col("status") === "new").select("doc_id"),
         "doc_id").persist()
       // Greedy sequential admission over the batch's near-dup pair graph:
@@ -453,7 +462,11 @@ object StreamingAnalytics {
       // ending below b is final, so a's admitted/dropped status is settled.
       val pairs = graft.functions.Dedup.ngramJaccardPairs(fresh, "doc_id", "text",
           n, threshold, maxDf, cacheIndex = false)
-        .select("doc_a", "doc_b").limit(maxBatchPairs + 1)
+        // min() guards the +1 against Int overflow: the require message
+        // tells operators to raise maxBatchPairs deliberately, and
+        // Int.MaxValue must mean "unbounded", not limit(-2147483648)
+        .select("doc_a", "doc_b")
+        .limit((math.min(maxBatchPairs.toLong, Int.MaxValue - 1L) + 1L).toInt)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       require(pairs.length <= maxBatchPairs,
         s"ingestBatch: within-batch near-dup pair graph exceeds maxBatchPairs=" +
