@@ -270,6 +270,27 @@ object PlanCheck {
       "exactly two events scans (sketch pass + verify pass)" ->
         (p => "Scan parquet".r.findAllIn(p).size == 2))
 
+    // KMV distinct: the sketch must partial-aggregate map-side (≤64 longs
+    // per (partition, key) through the shuffle, not per-row hashes), and
+    // each of the two aggregations reads ONLY its hashed column + the key.
+    check("a18b_kmv_distinct")(
+      "map-side partial KMV sketch" ->
+        (p => "partial_kmvminhashes".r.findFirstIn(p.toLowerCase).isDefined),
+      "user scan pruned to (user_id, event_type)" ->
+        (_.contains("ReadSchema: struct<user_id:bigint,event_type:string>")),
+      "event-id scan pruned to (event_id, event_type)" ->
+        (_.contains("ReadSchema: struct<event_id:bigint,event_type:string>")))
+
+    // Histogram quantiles: both passes prune to the two working columns,
+    // the ≤5-row stats side broadcasts into the histogram pass, and the
+    // rank walk is a real post-aggregate window (never a per-row one).
+    check("a19b_histogram_quantiles")(
+      "scans pruned to (event_type, value)" ->
+        (_.contains("ReadSchema: struct<event_type:string,value:double>")),
+      "per-group stats broadcast into the bucketing pass" ->
+        (p => p.contains("BroadcastHashJoin")),
+      "no sort-merge join anywhere" -> (p => !p.contains("SortMergeJoin")))
+
     // Z-order layout: both range predicates pushed, and the 2-D box must
     // actually PRUNE — kept shards strictly under half the total (a 1-D
     // sort layout keeps every shard for the second column's predicate).
