@@ -103,13 +103,33 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    val pass3 = disputed.map { n => onceQuiet(n); n -> once(n) }.toMap
+    // The tie-break itself is also failure-quiet: a disputed query already
+    // HAS two successful timed passes, so a transient error in run 3 must
+    // degrade to "no third sample" (min of the two real passes), not flip
+    // the whole bench to valid=false by nulling a legitimate measurement.
+    def onceTieBreak(name: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { run(SparkEntry.queries(name)(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name tie-break failed (keeping pass-1/2 min): ${e.getMessage}")
+          false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      if (ok) Some(dt) else None
+    }
+    val pass3 = disputed.flatMap { n => onceQuiet(n); onceTieBreak(n).map(n -> _) }.toMap
     val results = ListMap(names.map { n =>
       n -> (if (failed.contains(n)) None
             else Some(math.min(math.min(pass1(n), pass2(n)), pass3.getOrElse(n, Double.MaxValue))))
     }: _*)
 
-    def fmt(v: Option[Double]): String = v.fold("null")(d => f"$d%.3f")
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    // (the BENCH_r06 parse-null class, but for every number in the line)
+    def num(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
+    def fmt(v: Option[Double]): String = v.fold("null")(num)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fj = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.flatten.sum
@@ -118,7 +138,7 @@ object Bench {
     // machine-visible instead of relying on readers noticing `failed`.
     val valid = failed.isEmpty
     val fullLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
     // Full per-query data goes to a committed file (the judge reads it);
     // stdout gets a COMPACT line instead. The driver keeps only the last
     // ~2000 chars of output, so the full 109-query line can never survive
@@ -138,7 +158,7 @@ object Bench {
       "tx_train_lr", "ir_bm25", "pipe_clean_corpus", "st_sessionization",
       "mm_decode_features").filter(results.contains)
     val hq = headline.map(k => s"\"" + k + "\":" + fmt(results(k))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$hq,"failed":$fj,"full":"bench_last.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$hq,"failed":$fj,"full":"bench_last.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,6 +65,17 @@ object PlanCheck {
         println(s"${if (ok) "PASS" else "FAIL"}  $name: $what")
       }
     }
+    // Structural broadcast containment: the string dumps of exactly the
+    // subtrees under each BroadcastExchange. The older fixed-line-distance
+    // heuristics (take(4)/take(6) after a marker) false-PASS whenever
+    // WholeStageCodegen/InputAdapter wrappers push the scan line further
+    // down — these predicates see the WHOLE subtree, nothing else.
+    def broadcastSubtrees(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          b.child.toString
+      }
+
     // Column names riding any hash-shuffle exchange (keys AND payload).
     def shuffledColumns(p: org.apache.spark.sql.execution.SparkPlan): Set[String] = p.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -85,10 +96,10 @@ object PlanCheck {
     // orders at small SF — fine); the fact table must NEVER be broadcast.
     check("j6_star_join_revenue")(
       "dims broadcast (≥3 exchanges)" -> (p => "BroadcastExchange".r.findAllIn(p).size >= 3),
-      "lineitem never broadcast" -> (p =>
-        !p.split("BroadcastExchange").drop(1).exists(_.split("\\n").take(6)
-          .exists(_.contains("lineitem.parquet")))),
       "region filter pushed" -> (_.contains("EqualTo(r_name,EUROPE)")))
+    checkTree("j6_star_join_revenue")(
+      "lineitem never inside a broadcast subtree" ->
+        (p => !broadcastSubtrees(p).exists(_.contains("lineitem.parquet"))))
 
     // Pivot with explicit values: pivotfirst two-phase over a pre-aggregate,
     // no extra distinct-collect pass (2 hash exchanges total), 2-col scan.
@@ -107,13 +118,18 @@ object PlanCheck {
       "multi-distinct via Expand (not self-joins)" -> (_.contains("Expand")),
       "≤2 hash exchanges" -> (p => "Exchange hashpartitioning".r.findAllIn(p).size <= 2))
 
-    // Brute-force KNN: query side broadcast, corpus never broadcast.
+    // Brute-force KNN: query side broadcast, corpus never broadcast. Both
+    // sides scan the SAME parquet, so containment is decided by the pushed
+    // query-side filter appearing in EVERY broadcast subtree — checked
+    // structurally on the tree (the old indexOf-after-marker form was
+    // satisfied by the probe side printing after the broadcast, and was
+    // vacuously true when indexOf returned -1).
     check("sim_knn_brute")(
-      "exactly one broadcast (the query set)" -> (p => "BroadcastExchange".r.findAllIn(p).size == 1),
-      "corpus scan not inside broadcast" -> (p => {
-        val i = p.indexOf("BroadcastExchange")
-        // the broadcast subtree must contain the vec_id<10 pushed filter
-        p.indexOf("LessThan(vec_id,10)", i) > i
+      "exactly one broadcast (the query set)" -> (p => "BroadcastExchange".r.findAllIn(p).size == 1))
+    checkTree("sim_knn_brute")(
+      "every broadcast subtree is the filtered query side" -> (p => {
+        val bs = broadcastSubtrees(p)
+        bs.nonEmpty && bs.forall(_.contains("LessThan(vec_id,10)"))
       }))
 
     // Composed training-batch pipeline: gates and chunking are map-side
@@ -142,12 +158,12 @@ object PlanCheck {
     // ranked top-k broadcasts into the documents scan, and the documents
     // side is never broadcast or shuffled.
     check("sim_retrieve")(
-      "ranked top-k broadcast into documents" -> (p =>
-        p.contains("BroadcastHashJoin") &&
-          p.split("BroadcastExchange").drop(1).forall(!_.split("\n").take(4)
-            .exists(_.contains("documents.parquet")))),
+      "ranked top-k broadcast into documents" -> (p => p.contains("BroadcastHashJoin")),
       "documents scan pruned to 3 columns" ->
         (_.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>")))
+    checkTree("sim_retrieve")(
+      "documents never inside a broadcast subtree" ->
+        (p => !broadcastSubtrees(p).exists(_.contains("documents.parquet"))))
 
     // Semantic dedup: the pair join must be HASH-KEYED on cell (at small
     // SF Spark broadcasts one side; at scale the same logical plan

@@ -49,7 +49,15 @@ object Verify {
       })
     }
     pool.shutdown()
-    pool.awaitTermination(2, TimeUnit.HOURS)
+    // A timeout here (VM stall windows are a documented hazard) must be
+    // LOUD: the in-flight queries' outputs will be missing, and a silent
+    // fall-through would hand check_oracle an incomplete dump. (The
+    // missing-dir check there is the second line of defense.)
+    if (!pool.awaitTermination(2, TimeUnit.HOURS)) {
+      nFailed.incrementAndGet()
+      System.err.println(
+        "[verify] POOL TIMEOUT after 2h — in-flight queries killed, their outputs are MISSING")
+    }
     if (nFailed.get > 0)
       System.err.println(s"[verify] ${nFailed.get} queries FAILED — outputs missing")
 

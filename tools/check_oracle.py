@@ -78,11 +78,21 @@ def norm_cell(v):
     return str(v)
 
 
+def esc(s):
+    """Make the '|'-join unambiguous: document text cells can themselves
+    contain '|' or newlines, and without escaping two different tables can
+    serialize to one byte stream (cell-boundary shift). Deterministic on
+    both sides, so genuinely-equal tables still hash equal — this only
+    turns false-PASSes into FAILs.
+    """
+    return s.replace("\\", "\\\\").replace("|", "\\|").replace("\n", "\\n")
+
+
 def table_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     h = hashlib.sha256()
     for row in rows:
-        h.update(("|".join(norm_cell(row[i]) for i in order) + "\n").encode())
+        h.update(("|".join(esc(norm_cell(row[i])) for i in order) + "\n").encode())
     return h.hexdigest()
 
 
@@ -93,8 +103,10 @@ def main(outdir, sfdir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     n_pass = n_fail = n_noracle = 0
+    seen = set()
     for d in sorted(glob.glob(f"{outdir}/*/")):
         name = d.rstrip("/").split("/")[-1]
+        seen.add(name)
         files = glob.glob(f"{d}/*.parquet")
         if not files:
             print(f"{name}: NO SPARK OUTPUT")
@@ -112,11 +124,11 @@ def main(outdir, sfdir):
             n_fail += 1
             continue
         ocols = otbl.column_names
-        orows = [tuple(otbl.column(c)[i].as_py() for c in ocols)
-                 for i in range(otbl.num_rows)]
+        orows = list(zip(*(otbl.column(c).to_pylist() for c in ocols))) \
+            if otbl.num_rows else []
         scols = spark_tbl.column_names
-        srows = [tuple(spark_tbl.column(c)[i].as_py() for c in scols)
-                 for i in range(spark_tbl.num_rows)]
+        srows = list(zip(*(spark_tbl.column(c).to_pylist() for c in scols))) \
+            if spark_tbl.num_rows else []
         ok_rows = len(srows) == len(orows)
         ok_schema = sorted(scols) == sorted(ocols)
         stags, otags = schema_tags(spark_tbl), schema_tags(otbl)
@@ -150,6 +162,12 @@ def main(outdir, sfdir):
                         print(f"   row {i}: spark={ss}")
                         print(f"   row {i}: oracle={oo}")
                         shown += 1
+    # A query that died BEFORE its parquet write never creates its output
+    # dir and would otherwise vanish from the totals entirely (the round-1
+    # "silently dropped queries" class this tool exists to surface).
+    for name in sorted(set(oracle) - seen):
+        print(f"{name}: MISSING SPARK OUTPUT DIR (query failed before write?)")
+        n_fail += 1
     print(f"\nPASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noracle}")
     return 1 if n_fail else 0
 
