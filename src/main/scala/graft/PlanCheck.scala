@@ -737,6 +737,13 @@ object PlanCheck {
       "windows run over the value histogram, never corpus rows" -> histogramWindowsOnly)
     check("w5_percentiles")(
       "no percentile buffer aggregate" -> (p => !p.contains("percentile(")))
+    // a19's exact reference arm runs over the same bounded histogram
+    // (round-10 rewrite); only the approx_percentile sketch may remain.
+    checkTree("a19_approx_quantiles")(
+      "exact arm runs over the value histogram, never corpus rows" -> histogramWindowsOnly)
+    check("a19_approx_quantiles")(
+      "no exact percentile buffer aggregate" ->
+        (p => !p.replace("approx_percentile(", "").contains("percentile(")))
     checkTree("w7_ntile_deciles")(
       "windows run over the value histogram, never corpus rows" -> histogramWindowsOnly)
     check("w7_ntile_deciles")(

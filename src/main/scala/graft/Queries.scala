@@ -106,7 +106,7 @@ object Queries {
     */
   private val p9 = QueryDef("p9_from_json",
     Some("""SELECT cast(json_extract_string(props, '$.k') as int) AS k, count(*) AS cnt
-           |FROM events GROUP BY k ORDER BY k""".stripMargin),
+           |FROM events GROUP BY k ORDER BY k NULLS FIRST""".stripMargin),
     (s, d) => ev(s, d)
       .select(from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
@@ -365,8 +365,12 @@ object Queries {
            |FROM events""".stripMargin),
     (s, d) => {
       val path = s"/tmp/graft_s19_csv_${Integer.toHexString(d.hashCode)}"
+      // null value must still emit a 3-field line ("id,type,") — concat_ws
+      // DROPS nulls, and a 2-field line would be counted bad here but good
+      // by the oracle's corruption rule. Empty string parses back to null.
       ev(s, d).select(concat_ws(",", col("event_id"), col("event_type"),
-          when(col("event_id") % 37 === 0, lit("corrupted!")).otherwise(col("value").cast("string")))
+          when(col("event_id") % 37 === 0, lit("corrupted!"))
+            .otherwise(coalesce(col("value").cast("string"), lit(""))))
           .as("value"))
         .write.mode("overwrite").text(path)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -862,7 +866,7 @@ object Queries {
   /** A15: fixed-width bucket histogram. */
   private val a15 = QueryDef("a15_histogram",
     Some("""SELECT cast(floor(value / 20) as bigint) AS bucket, count(*) AS cnt
-           |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin),
+           |FROM events GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin),
     (s, d) => ev(s, d)
       .groupBy(floor(col("value") / 20).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -1203,17 +1207,43 @@ object Queries {
     * cannot sort (unhashable ndarray) — even the rows-only check errored.
     */
   private val a19 = QueryDef("a19_approx_quantiles", None,
-    (s, d) => ev(s, d).groupBy("event_type").agg(
-      expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("aq"),
-      expr("percentile(value, array(0.5, 0.9, 0.99))").as("eq"),
-      count(lit(1)).as("n"))
-      .select(col("event_type"),
-        posexplode(arrays_zip(col("aq"), col("eq"))).as(Seq("pos", "z")),
-        col("n"))
-      .select(col("event_type"),
-        element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("pos") + 1).as("p"),
-        col("z.aq").as("approx_v"), col("z.eq").as("exact_v"), col("n"))
-      .orderBy("event_type", "p"))
+    (s, d) => {
+      val approx = ev(s, d).groupBy("event_type").agg(
+        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("aq"))
+      // Exact reference values via the bounded per-(type, cent-value)
+      // histogram (the w5 shape) — NOT `percentile()`, which buffers the
+      // whole group's values in one task (the 100×-unsafe shape the w5/w7
+      // rewrite removed in round 8; this was the last surviving instance).
+      // Shuffle here is bounded by the value domain, not the row count,
+      // and the interpolation expression matches `percentile` bit-for-bit
+      // (see w5's scaladoc). n = count of non-null values — the count the
+      // quantiles are actually over.
+      val cum = valueHistogram(ev(s, d))
+      def vAt(idx: Column): Column = min(when(col("cum") >= idx + 1, col("value")))
+      def h(p: Double): Column = lit(p) * (col("n").cast("double") - 1.0)
+      val agged = cum.groupBy("event_type").agg(
+        max("n").as("n"),
+        vAt(floor(h(0.5))).as("lo50"), vAt(ceil(h(0.5))).as("hi50"),
+        vAt(floor(h(0.9))).as("lo90"), vAt(ceil(h(0.9))).as("hi90"),
+        vAt(floor(h(0.99))).as("lo99"), vAt(ceil(h(0.99))).as("hi99"))
+      def interp(p: Double, lo: Column, hi: Column): Column = {
+        val hh = lit(p) * (col("n").cast("double") - 1.0)
+        val dd = hh - floor(hh).cast("double")
+        lo * (lit(1.0) - dd) + hi * dd
+      }
+      val exact = agged.select(col("event_type"), col("n"),
+        array(interp(0.5, col("lo50"), col("hi50")),
+          interp(0.9, col("lo90"), col("hi90")),
+          interp(0.99, col("lo99"), col("hi99"))).as("eq"))
+      approx.join(broadcast(exact), Seq("event_type"))
+        .select(col("event_type"),
+          posexplode(arrays_zip(col("aq"), col("eq"))).as(Seq("pos", "z")),
+          col("n"))
+        .select(col("event_type"),
+          element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("pos") + 1).as("p"),
+          col("z.aq").as("approx_v"), col("z.eq").as("exact_v"), col("n"))
+        .orderBy("event_type", "p")
+    })
 
   /** HASH-CHECKED approximate quantiles — the deterministic complement of
     * a19's `approx_percentile` (whose KLL/GK sketch state is
@@ -1415,7 +1445,7 @@ object Queries {
            |SELECT bin, base_n, cur_n, base_share, cur_share,
            |       cast(ci as double) / 10000 AS psi_contrib,
            |       cast(cast(sum(ci) OVER () as bigint) as double) / 10000 AS psi_total
-           |FROM i ORDER BY bin""".stripMargin),
+           |FROM i ORDER BY bin NULLS FIRST""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val counts = ev(s, d)
@@ -1498,7 +1528,7 @@ object Queries {
     Some("""WITH c AS (
            |  SELECT event_id, user_id, cast(ts as timestamp) AS ts, value,
            |         cast(cast(value as decimal(18,2)) * 100 as bigint) AS vc
-           |  FROM events),
+           |  FROM events WHERE value IS NOT NULL),
            |w AS (
            |  SELECT event_id, user_id, ts, value, vc,
            |    count(*) OVER tw AS n,
@@ -1518,7 +1548,12 @@ object Queries {
       val tw = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-20, -1)
       val vc = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      // value IS NOT NULL on BOTH sides: a null-valued row would count into
+      // the frame's n (count(*)) while contributing nothing to s1/s2,
+      // inflating the variance term n·s2−s1² — the z statistic must be over
+      // observed values only (same convention as a16/a27/w5).
       val scored = ev(s, d)
+        .filter(col("value").isNotNull)
         .select(col("event_id"), col("user_id"), col("ts"), col("value"), vc.as("vc"))
         .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("vc"),
           count(lit(1)).over(tw).as("n"),
