@@ -28,19 +28,31 @@ object QueriesExt {
     s"""len(list_filter(string_split_regex(lower(text), '\\s+'),
        |      t -> t IN (${markers.map(m => s"'$m'").mkString(",")})))""".stripMargin
 
+  /** The three quality sub-expressions, single-sourced: [[qualitySql]]
+    * weights them into the gate score and the LR trainer's oracle
+    * ([[trainLrOracleSql]]) consumes them raw as features f1-f3 — one
+    * copy, so a weight/guard tweak can never silently diverge the
+    * trainer's features from the quality-score family. Declared before
+    * qualitySql because object vals initialize in order.
+    */
+  private val ntokSql = """len(string_split_regex(text, '\s+'))"""
+  private val lrF1Sql = s"least($ntokSql / cast(100.0 as double), cast(1.0 as double))"
+  private val lrF2Sql =
+    s"""(CASE WHEN $ntokSql > 0 THEN ${markerCountSql(TextFunctions.stopwords)}
+       |      / cast($ntokSql as double) ELSE cast(0.0 as double) END)""".stripMargin
+  private val lrF3Sql =
+    """(CASE WHEN length(text) > 0
+      |  THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * cast(1.0 as double) / length(text)
+      |  ELSE cast(0.0 as double) END)""".stripMargin
+
   /** The quality-score expression over a `text` column (weights mirror
     * [[TextFunctions.qualityScore]]; floor-based HALF_UP rounding).
     */
   private val qualitySql =
     s"""floor(least(cast(1.0 as double),
-       |    cast(0.5 as double) * (CASE WHEN len(string_split_regex(text, '\\s+')) > 0
-       |       THEN ${markerCountSql(TextFunctions.stopwords)}
-       |            / cast(len(string_split_regex(text, '\\s+')) as double)
-       |       ELSE cast(0.0 as double) END)
-       |    + cast(0.3 as double) * least(len(string_split_regex(text, '\\s+')) / cast(100.0 as double), cast(1.0 as double))
-       |    + cast(0.2 as double) * (CASE WHEN length(text) > 0
-       |       THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * cast(1.0 as double) / length(text)
-       |       ELSE cast(0.0 as double) END)) * 10000 + 0.5) / 10000""".stripMargin
+       |    cast(0.5 as double) * $lrF2Sql
+       |    + cast(0.3 as double) * $lrF1Sql
+       |    + cast(0.2 as double) * $lrF3Sql) * 10000 + 0.5) / 10000""".stripMargin
 
   /** Per-language marker scores as SELECT items (en_score..de_score). */
   private val langScoreSqlItems: String =
@@ -246,10 +258,15 @@ object QueriesExt {
       .orderBy("doc_id"))
 
   private val tx4 = QueryDef("tx_fingerprint",
+    // NULL-text guard: the Spark kernel null-propagates, but DuckDB's
+    // list_transform(NULL) collapses to NULL and list_prepend(7, NULL)
+    // yields [7] — the fold would emit the SEED as a real fingerprint
+    // (found by the round-10 degenerate-corpus gate).
     Some("""SELECT doc_id,
-           |  list_reduce(list_prepend(cast(7 as bigint),
-           |    list_transform(string_split(text, ''), x -> cast(ascii(x) as bigint))),
-           |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+           |  CASE WHEN text IS NULL THEN NULL ELSE
+           |    list_reduce(list_prepend(cast(7 as bigint),
+           |      list_transform(string_split(text, ''), x -> cast(ascii(x) as bigint))),
+           |      (a, b) -> (a * 31 + b) % 1000000007) END AS fingerprint
            |FROM documents ORDER BY doc_id""".stripMargin),
     (s, d) => docs(s, d).select(col("doc_id"),
       TextFunctions.fingerprint(col("text")).as("fingerprint"))
@@ -336,13 +353,22 @@ object QueriesExt {
            |WHERE sh.doc_id % 13 <> 0
            |GROUP BY 1 ORDER BY doc_id""".stripMargin),
     (s, d) => {
+      // ONE tokenization for both consumers: the shared repartition on the
+      // join key is an exchange both branches reuse (the bm25/PRF
+      // canonical-subtree pattern), so the corpus is scanned and shingled
+      // once — unshared, each branch re-evaluated the explode (two full
+      // tokenizations). The shuffle is not an extra cost at scale: the
+      // bench⋈probe join is shingle-keyed and data-sized on both sides
+      // there, so this exchange IS the join's own distribution, and the
+      // bench distinct rides it with no second exchange.
       val sh = docs(s, d).select(col("doc_id"),
         explode(array_distinct(TextFunctions.wordShingles(col("text"), 3))).as("shingle"))
+        .repartition(col("shingle"))
       val bench = sh.filter(pmod(col("doc_id"), lit(13)) === 0)
         .select("shingle").distinct()
       // No broadcast hint: a real benchmark suite is small, but THIS
       // bench side is 1/13 of the corpus — data-sized. `distinct()`
-      // already puts an aggregate exchange under it, so AQE sees the
+      // already puts an aggregate boundary under it, so AQE sees the
       // runtime size and broadcasts exactly when it actually fits
       // (it does at every test SF); forcing the hint would ship a
       // corpus-fraction to the driver at scale — the blind-broadcast
@@ -791,6 +817,16 @@ object QueriesExt {
     * runs in token order on both engines (ln is not IEEE
     * correctly-rounded, so summation order must match for the rounded
     * hash compare — same discipline as the tf-idf and k-means folds).
+    *
+    * The corpus IS tokenized twice (once under the vocab aggregate, once
+    * on the probe side) — deliberate: both passes are map-only over the
+    * columnar scan, and the alternatives cost more at scale. Caching or
+    * pre-shuffling the exploded (doc, pos, token) table to share it
+    * materializes MORE than the source corpus to save one cheap scan
+    * (contrast tx_decontaminate, whose probe JOIN is shingle-keyed and
+    * data-sized on both sides — there the shared repartition is the
+    * join's own exchange, so reuse is free; here the probe join is a
+    * broadcast map-side probe with no exchange to share).
     */
   private val tx18 = QueryDef("tx_surprisal",
     Some(s"""WITH tok AS (
@@ -842,19 +878,10 @@ object QueriesExt {
     */
   // ---- distributed supervised training (logistic regression) ------------
 
-  /** Feature fragments for the LR trainer — the same sub-expressions
-    * qualitySql composes (length term, stopword ratio, alpha ratio), kept
-    * verbatim so the Spark and DuckDB feature values are bit-identical.
-    */
-  private val ntokSql = """len(string_split_regex(text, '\s+'))"""
-  private val lrF1Sql = s"least($ntokSql / cast(100.0 as double), cast(1.0 as double))"
-  private val lrF2Sql =
-    s"""(CASE WHEN $ntokSql > 0 THEN ${markerCountSql(TextFunctions.stopwords)}
-       |      / cast($ntokSql as double) ELSE cast(0.0 as double) END)""".stripMargin
-  private val lrF3Sql =
-    """(CASE WHEN length(text) > 0
-      |  THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * cast(1.0 as double) / length(text)
-      |  ELSE cast(0.0 as double) END)""".stripMargin
+  // LR feature fragments lrF1Sql/lrF2Sql/lrF3Sql are declared next to
+  // qualitySql (file top), which composes the identical sub-expressions —
+  // single-sourced so the trainer's features and the quality gate can
+  // never drift apart.
 
   /** The oracle replays every gradient-descent iteration as unrolled CTEs
     * (the lloydCteSql pattern): iteration t computes per-row sigmoid
@@ -975,7 +1002,7 @@ object QueriesExt {
        |    list_concat(w, [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS feats
        |  FROM t),
        |h AS (
-       |  SELECT doc_id$carry, cast(len(feats) AS bigint) AS n_feat,
+       |  SELECT doc_id$carry, cast(coalesce(len(feats), 0) AS bigint) AS n_feat,
        |    cast(coalesce(list_sum(list_transform(feats, g ->
        |      ((list_reduce(list_prepend(cast(7 as bigint),
        |           list_transform(string_split(g, ''), c -> cast(ascii(c) as bigint))),
@@ -993,7 +1020,14 @@ object QueriesExt {
     (s, d) => {
       docs(s, d)
         .select(col("doc_id"), TextFunctions.classifierFeatures(col("text")).as("st"))
-        .select(col("doc_id"), col("st.n_feat").as("n_feat"), col("st.sum_w").as("sum_w"))
+        // NULL text ⇒ zero features on BOTH sides: the kernel null-
+        // propagates its struct, while the oracle's coalesce(list_sum, 0)
+        // yields sum_w=0 — without this coalesce a null-text doc diverges
+        // sum_w (NULL vs 0) and keep (NULL vs TRUE). The oracle's h CTE
+        // coalesces n_feat to 0 to match (latent until the driver ships a
+        // null-text doc; same convention as tx_entropy's n_chars).
+        .select(col("doc_id"), coalesce(col("st.n_feat"), lit(0L)).as("n_feat"),
+          coalesce(col("st.sum_w"), lit(0L)).as("sum_w"))
         .withColumn("score",
           when(col("n_feat") === 0, lit(0.0))
             .otherwise(graft.functions.Rounding.round4(
@@ -1030,8 +1064,13 @@ object QueriesExt {
            |       END AS auc
            |FROM a""".stripMargin),
     (s, d) => {
+      // coalesce mirrors the oracle's coalesce(list_sum, 0): a null-text
+      // doc scores s=0 on both engines instead of landing in a NULL score
+      // group only on the Spark side (which would shift every cumulative
+      // rank in the AUC histogram).
       val scored = docs(s, d).select(
-        TextFunctions.classifierFeatures(col("text")).getField("sum_w").as("s"),
+        coalesce(TextFunctions.classifierFeatures(col("text")).getField("sum_w"),
+          lit(0L)).as("s"),
         when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("pos"))
       graft.functions.Eval.aucExact(scored, col("s"), col("pos"))
     })
@@ -1063,8 +1102,11 @@ object QueriesExt {
            |  floor(cast(sum(s) as double) / count(*) * 10000 + 0.5) / 10000 AS mean_sum_w
            |FROM b GROUP BY 1 ORDER BY bin""".stripMargin),
     (s, d) => {
+      // same null-text ⇒ s=0 alignment as tx_classify/tx_eval_auc (the
+      // oracle's coalesce(list_sum, 0) puts the doc in a real bin).
       val scored = docs(s, d).select(
-        TextFunctions.classifierFeatures(col("text")).getField("sum_w").as("s"),
+        coalesce(TextFunctions.classifierFeatures(col("text")).getField("sum_w"),
+          lit(0L)).as("s"),
         when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("pos"))
       val bounds = scored.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
       scored.crossJoin(broadcast(bounds))
@@ -1401,6 +1443,21 @@ object QueriesExt {
     */
   private def dotSql(a: String, b: String) = foldDot(s"$a.embedding", s"$b.embedding")
 
+  /** [[graft.functions.Similarity]]'s safeCos replayed in SQL: NULL — not
+    * NaN, not an error — when either side has zero norm, so the ranking
+    * and threshold oracles drop exactly the rows their Spark twins drop
+    * (rankTopK filters null/NaN cos before ranking; NULL fails any
+    * `>= threshold`). Without the guard one zero-norm (failed-encoder)
+    * embedding makes the oracle's cos NaN, which DuckDB orders above
+    * every real value — the degenerate vector would take rank 1 for
+    * EVERY query on the oracle side only. annLshOracleSql has always
+    * carried this guard via its norms CTE; this is the same contract for
+    * the inline-cosine oracles.
+    */
+  private def cosGuardSql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) > 0
+       |      THEN ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END""".stripMargin
+
   private val sm1 = QueryDef("sim_norms",
     Some(s"""SELECT vec_id, label, sqrt(${dotSql("embeddings", "embeddings")}) AS l2_norm
             |FROM embeddings ORDER BY vec_id""".stripMargin),
@@ -1411,13 +1468,12 @@ object QueriesExt {
   private val sm2 = QueryDef("sim_knn_brute",
     Some(s"""WITH pairs AS (
             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-            |    ${dotSql("q", "c")} /
-            |      (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})) AS cos
+            |    ${cosGuardSql("q", "c")} AS cos
             |  FROM embeddings q, embeddings c
             |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
             |ranked AS (
             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-            |  FROM pairs)
+            |  FROM pairs WHERE cos IS NOT NULL AND NOT isnan(cos))
             |SELECT query_id, neighbor_id, cos, rank FROM ranked
             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     (s, d) => Similarity.bruteForceTopK(
@@ -1431,13 +1487,13 @@ object QueriesExt {
     * threshold comparison) bit-deterministic.
     */
   private val sm2rad = QueryDef("sim_radius",
-    Some(s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-            |  ${dotSql("q", "c")} /
-            |    (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})) AS cos
-            |FROM embeddings q, embeddings c
-            |WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
-            |  AND ${dotSql("q", "c")} /
-            |    (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})) >= 0.25
+    Some(s"""WITH pairs AS (
+            |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            |    ${cosGuardSql("q", "c")} AS cos
+            |  FROM embeddings q, embeddings c
+            |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+            |SELECT query_id, neighbor_id, cos FROM pairs
+            |WHERE cos >= 0.25
             |ORDER BY query_id, neighbor_id""".stripMargin),
     (s, d) => Similarity.radiusSearch(
       emb(s, d), emb(s, d).filter(col("vec_id") < 10), minCos = 0.25)
@@ -1453,13 +1509,12 @@ object QueriesExt {
   private val sm2r = QueryDef("sim_retrieve",
     Some(s"""WITH pairs AS (
             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-            |    ${dotSql("q", "c")} /
-            |      (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})) AS cos
+            |    ${cosGuardSql("q", "c")} AS cos
             |  FROM embeddings q, embeddings c
             |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
             |ranked AS (
             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-            |  FROM pairs)
+            |  FROM pairs WHERE cos IS NOT NULL AND NOT isnan(cos))
             |SELECT r.query_id, r.rank, r.neighbor_id, r.cos, d.source, d.lang
             |FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
             |WHERE r.rank <= 3 ORDER BY r.query_id, r.rank""".stripMargin),
@@ -1496,12 +1551,12 @@ object QueriesExt {
     }.mkString(",\n")
     s"""WITH pairs AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS cid, c.embedding AS emb,
-       |    ${dotSql("q", "c")} /
-       |      (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})) AS rel
+       |    ${cosGuardSql("q", "c")} AS rel
        |  FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
        |cand AS (
        |  SELECT qid, cid, emb, rel FROM
-       |    (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rnk FROM pairs)
+       |    (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rnk
+       |     FROM pairs WHERE rel IS NOT NULL AND NOT isnan(rel))
        |  WHERE rnk <= $m),
        |pairsim AS (
        |  SELECT a.qid, a.cid AS ca, b.cid AS cb,
@@ -1528,13 +1583,13 @@ object QueriesExt {
       .orderBy("query_id", "sel_rank"))
 
   private val sm3 = QueryDef("sim_near_dup",
-    Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-            |  ${dotSql("a", "b")} /
-            |    (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")})) AS cos
-            |FROM embeddings a JOIN embeddings b
-            |  ON a.label = b.label AND a.vec_id < b.vec_id
-            |WHERE ${dotSql("a", "b")} /
-            |    (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")})) >= 0.45
+    Some(s"""WITH pairs AS (
+            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |    ${cosGuardSql("a", "b")} AS cos
+            |  FROM embeddings a JOIN embeddings b
+            |    ON a.label = b.label AND a.vec_id < b.vec_id)
+            |SELECT id_a, id_b, cos FROM pairs
+            |WHERE cos >= 0.45
             |ORDER BY id_a, id_b""".stripMargin),
     (s, d) => Similarity.nearDupPairs(emb(s, d), "label", 0.45)
       .orderBy("id_a", "id_b"))
@@ -1629,8 +1684,17 @@ object QueriesExt {
        |  [cast($a[i] as double) * cast($b[i] as double)
        |   for i in range(1, len($a) + 1)]), (x, y) -> x + y)""".stripMargin
 
+  /** Guarded like [[cosGuardSql]]: NULL for a zero-norm side. In the
+    * assignment windows (`ORDER BY cos DESC, cidx`) DuckDB places NULLs
+    * last, so a zero-norm VECTOR ties all centroids and takes cidx 0 —
+    * exactly the NearestCentroids kernel's "-2.0 sentinel, ties by
+    * index" behavior — and a zero-norm CENTROID can never win an
+    * assignment (unguarded, its NaN cos would sort FIRST under DESC and
+    * steal every vector on the oracle side only).
+    */
   private def ivfCosSql(a: String, b: String): String =
-    s"${foldDot(a, b)} / (sqrt(${foldDot(a, a)}) * sqrt(${foldDot(b, b)}))"
+    s"""CASE WHEN sqrt(${foldDot(a, a)}) * sqrt(${foldDot(b, b)}) > 0
+       |      THEN ${foldDot(a, b)} / (sqrt(${foldDot(a, a)}) * sqrt(${foldDot(b, b)})) END""".stripMargin
 
   /** One CTE block per Lloyd iteration, mirroring
     * [[graft.functions.Similarity.ivfCentroids]] op-for-op: assignment by
@@ -1679,8 +1743,7 @@ object QueriesExt {
             |${lloydCteSql(2, "train")}
             |vc AS (
             |  SELECT e.vec_id, c.cidx,
-            |    ${foldDot("e.embedding", "c.ce")} /
-            |      (sqrt(${foldDot("e.embedding", "e.embedding")}) * sqrt(${foldDot("c.ce", "c.ce")})) AS cos
+            |    ${ivfCosSql("e.embedding", "c.ce")} AS cos
             |  FROM embeddings e CROSS JOIN c2 c),
             |assign AS (
             |  SELECT vec_id, cidx AS cell FROM
@@ -1693,8 +1756,7 @@ object QueriesExt {
             |  WHERE rn <= 4),
             |pairs AS (
             |  SELECT qc.query_id, a.vec_id AS neighbor_id,
-            |    ${foldDot("qe.embedding", "ne.embedding")} /
-            |      (sqrt(${foldDot("qe.embedding", "qe.embedding")}) * sqrt(${foldDot("ne.embedding", "ne.embedding")})) AS cos
+            |    ${ivfCosSql("qe.embedding", "ne.embedding")} AS cos
             |  FROM qcells qc
             |  JOIN assign a ON a.cell = qc.cell
             |  JOIN embeddings qe ON qe.vec_id = qc.query_id
@@ -1702,7 +1764,7 @@ object QueriesExt {
             |  WHERE a.vec_id <> qc.query_id),
             |ranked AS (
             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-            |  FROM pairs)
+            |  FROM pairs WHERE cos IS NOT NULL AND NOT isnan(cos))
             |SELECT query_id, neighbor_id, cos, rank FROM ranked
             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     (s, d) => Similarity.ivfTopK(
@@ -1725,8 +1787,7 @@ object QueriesExt {
             |${lloydCteSql(2, "train")}
             |vc AS (
             |  SELECT e.vec_id, c.cidx,
-            |    ${foldDot("e.embedding", "c.ce")} /
-            |      (sqrt(${foldDot("e.embedding", "e.embedding")}) * sqrt(${foldDot("c.ce", "c.ce")})) AS cos
+            |    ${ivfCosSql("e.embedding", "c.ce")} AS cos
             |  FROM embeddings e CROSS JOIN c2 c),
             |assign AS (
             |  SELECT vec_id, cidx AS cell, cos FROM
@@ -1766,8 +1827,7 @@ object QueriesExt {
             |${lloydCteSql(2, "train")}
             |vc AS (
             |  SELECT e.vec_id, c.cidx,
-            |    ${foldDot("e.embedding", "c.ce")} /
-            |      (sqrt(${foldDot("e.embedding", "e.embedding")}) * sqrt(${foldDot("c.ce", "c.ce")})) AS cos
+            |    ${ivfCosSql("e.embedding", "c.ce")} AS cos
             |  FROM embeddings e CROSS JOIN c2 c),
             |assign AS (
             |  SELECT vec_id, cidx AS cell FROM
@@ -1778,8 +1838,7 @@ object QueriesExt {
             |  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
             |  JOIN embeddings ea ON ea.vec_id = a.vec_id
             |  JOIN embeddings eb ON eb.vec_id = b.vec_id
-            |  WHERE ${foldDot("ea.embedding", "eb.embedding")} /
-            |    (sqrt(${foldDot("ea.embedding", "ea.embedding")}) * sqrt(${foldDot("eb.embedding", "eb.embedding")})) >= 0.45
+            |  WHERE ${ivfCosSql("ea.embedding", "eb.embedding")} >= 0.45
             |  GROUP BY a.vec_id)
             |SELECT a.vec_id, cast(a.cell as bigint) AS cell,
             |  (p.pruned_by IS NULL) AS keep, p.pruned_by
@@ -1834,15 +1893,17 @@ object QueriesExt {
               |  FROM e0 ${(1 until m).map(j => s"JOIN e$j USING (vec_id)").mkString(" ")}),
               |scored AS (
               |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
-              |    $adcNum /
-              |      (sqrt(${foldDot("q.embedding", "q.embedding")}) * sqrt($reconSq)) AS adc_cos
+              |    CASE WHEN sqrt(${foldDot("q.embedding", "q.embedding")}) * sqrt($reconSq) > 0
+              |         THEN $adcNum /
+              |      (sqrt(${foldDot("q.embedding", "q.embedding")}) * sqrt($reconSq)) END AS adc_cos
               |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q CROSS JOIN enc x
               |  WHERE x.vec_id <> q.vec_id),
               |short AS (
               |  SELECT * FROM (
               |    SELECT *, row_number() OVER (PARTITION BY query_id
               |                                 ORDER BY adc_cos DESC, neighbor_id) AS srank
-              |    FROM scored) WHERE srank <= ${8 * k}),
+              |    FROM scored WHERE adc_cos IS NOT NULL AND NOT isnan(adc_cos))
+              |  WHERE srank <= ${8 * k}),
               |rer AS (
               |  SELECT s.query_id, s.neighbor_id, s.adc_cos,
               |    ${ivfCosSql("qe.embedding", "ne.embedding")} AS cos
@@ -1852,7 +1913,7 @@ object QueriesExt {
               |ranked AS (
               |  SELECT *, row_number() OVER (PARTITION BY query_id
               |                               ORDER BY cos DESC, neighbor_id) AS rank
-              |  FROM rer)
+              |  FROM rer WHERE cos IS NOT NULL AND NOT isnan(cos))
               |SELECT query_id, neighbor_id, adc_cos, cos, rank FROM ranked
               |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin),
       (s, d) => Similarity.pqTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10),
@@ -2097,7 +2158,11 @@ object QueriesExt {
     (s, d) => {
       docs(s, d)
         .select(col("source"),
-          xxhash64(col("text")).as("th"),
+          // null text must hash to NULL: count_distinct skips NULLs the
+          // way the oracle's count(DISTINCT text) does — bare
+          // xxhash64(NULL) is a non-null seed constant that would count
+          // as one extra distinct "text" per source.
+          when(col("text").isNotNull, xxhash64(col("text"))).as("th"),
           TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_tok"),
           TextFunctions.qualityScore(col("text")).as("quality"),
           TextFunctions.langScores(col("text")).as("sc"))
@@ -2168,10 +2233,18 @@ object QueriesExt {
            |FROM d ORDER BY doc_id""".stripMargin),
     (s, d) => {
       val base = docs(s, d)
+      // ONE pair explode for both consumers (bigram model + probe): the
+      // shared repartition on the (a, b) join key is an exchange both
+      // branches reuse — without it each branch re-tokenizes and
+      // re-explodes the corpus. No extra shuffled bytes: the probe side
+      // of the bigram join must distribute on (a, b) anyway (the model is
+      // corpus-sized, never broadcast), and the bg aggregate rides the
+      // same exchange instead of its own partial-agg shuffle.
       val pairs = base.select(col("doc_id"),
         posexplode(NativeExpressions.adjacentPairs(TextFunctions.tokens(col("text"))))
           .as(Seq("pos", "pr")))
         .select(col("doc_id"), col("pos"), col("pr.a").as("a"), col("pr.b").as("b"))
+        .repartition(col("a"), col("b"))
       val inModel = pmod(col("doc_id"), lit(7)) =!= 0
       val ug = base.filter(inModel)
         .select(explode(TextFunctions.tokens(col("text"))).as("t"))
@@ -2368,12 +2441,12 @@ object QueriesExt {
          |        FROM ranked WHERE rn <= 10),
          |dpairs AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-         |    ${dotSql("q", "c")} /
-         |      (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})) AS cos
+         |    ${cosGuardSql("q", "c")} AS cos
          |  FROM embeddings q, embeddings c
          |  WHERE q.vec_id IN (1, 2, 3) AND c.vec_id <> q.vec_id),
          |dranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |                                         ORDER BY cos DESC, doc_id) AS rn FROM dpairs),
+         |                                         ORDER BY cos DESC, doc_id) AS rn
+         |            FROM dpairs WHERE cos IS NOT NULL AND NOT isnan(cos)),
          |dense AS (SELECT query_id, doc_id, cast(rn as bigint) AS dense_rank
          |          FROM dranked WHERE rn <= 10),
          |fused AS (
@@ -2497,13 +2570,12 @@ object QueriesExt {
     Some(s"""WITH pairs AS (
             |  SELECT q.vec_id AS query_id, q.label AS qlabel,
             |         c.vec_id AS neighbor_id, c.label AS nlabel,
-            |    ${dotSql("q", "c")} /
-            |      (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})) AS cos
+            |    ${cosGuardSql("q", "c")} AS cos
             |  FROM embeddings q, embeddings c
             |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
             |ranked AS (
             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-            |  FROM pairs),
+            |  FROM pairs WHERE cos IS NOT NULL AND NOT isnan(cos)),
             |top AS (SELECT query_id, qlabel, rank,
             |          CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END AS rel
             |        FROM ranked WHERE rank <= 10),

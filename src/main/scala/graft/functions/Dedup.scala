@@ -521,8 +521,13 @@ object Dedup {
     def bcD(df: DataFrame): DataFrame =
       if (small) broadcast(df) else if (aqe) df else df.hint("merge")
 
-    val bh = base.select(col(idCol).as("base_id"), xxhash64(col(textCol)).as("th"))
-    val dh0 = delta.select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("th"))
+    // null text hashes to NULL (not xxhash64's non-null seed constant), so
+    // the equi-join below never pairs two null-text docs — a null-text
+    // delta doc is 'new', matching SQL `base.text = delta.text` semantics
+    // (the near-dup arm already agrees: no shingles → no candidates).
+    def th(c: Column): Column = when(c.isNotNull, xxhash64(c))
+    val bh = base.select(col(idCol).as("base_id"), th(col(textCol)).as("th"))
+    val dh0 = delta.select(col(idCol).as("doc_id"), th(col(textCol)).as("th"))
     // the one delta projection with no natural stage boundary: give it the
     // join's own shuffle as a boundary (reused, not extra) so AQE sizes it
     val dh = if (small || !aqe) dh0 else dh0.repartition(col("th"))

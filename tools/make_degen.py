@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Build a degenerate-input test corpus from a driver sf dir.
+
+Copies <src_sf_dir> to <out_dir>, then plants the failure-mode inputs the
+engine's cross-engine oracles must survive (each is a class a real feed
+produces and the driver's clean synthetic data never exercises):
+
+  - events.value  -> NULL on one row with event_id % 37 != 0 (so the s19
+                     corruption rule classifies it "good" on both engines)
+  - events.props  -> one row's JSON loses its "k" key (null group keys)
+  - documents.text-> NULL for one document (null-text kernels/oracles)
+  - embeddings    -> one non-query (vec_id >= 10) vector zeroed
+                     (zero-norm cosine guards)
+
+Usage:   python3 tools/make_degen.py /root/testdata/sf0.001 /tmp/graft_degen
+Gate:    sbt "runMain graft.Verify /tmp/graft_degen /tmp/out_degen"
+         python3 tools/check_oracle.py /tmp/out_degen /tmp/graft_degen
+Expect:  PASS=<all-with-oracle> FAIL=0 — a FAIL here is a latent
+         cross-engine divergence that will surface the day the driver's
+         testdata generator ships the same degenerate value.
+
+Round-10 provenance: this gate found tx_fingerprint's NULL-text seed leak
+(DuckDB list_prepend(7, NULL) folds to the bare seed) after the inline
+review had already fixed five sibling divergences by inspection.
+"""
+import json
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    src, out = sys.argv[1], sys.argv[2]
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.copytree(src, out)
+
+    t = pq.read_table(f"{out}/events.parquet")
+    d = t.to_pydict()
+    n = len(d["event_id"])
+    vi = next(i for i in range(n) if d["event_id"][i] % 37 != 0)
+    d["value"][vi] = None
+    pi = next(i for i in range(n) if i != vi and d["props"][i])
+    props = json.loads(d["props"][pi])
+    props.pop("k", None)
+    d["props"][pi] = json.dumps(props)
+    pq.write_table(pa.table(d, schema=t.schema), f"{out}/events.parquet")
+    print(f"events: value=NULL at event_id {d['event_id'][vi]}; "
+          f"k-less props at row {pi}")
+
+    t = pq.read_table(f"{out}/documents.parquet")
+    d = t.to_pydict()
+    d["text"][3] = None
+    pq.write_table(pa.table(d, schema=t.schema), f"{out}/documents.parquet")
+    print(f"documents: text=NULL at doc_id {d['doc_id'][3]}")
+
+    t = pq.read_table(f"{out}/embeddings.parquet")
+    d = t.to_pydict()
+    zi = next(i for i in range(len(d["vec_id"])) if d["vec_id"][i] >= 10)
+    d["embedding"][zi] = [0.0] * len(d["embedding"][zi])
+    pq.write_table(pa.table(d, schema=t.schema), f"{out}/embeddings.parquet")
+    print(f"embeddings: zero-norm at vec_id {d['vec_id'][zi]}")
+
+
+if __name__ == "__main__":
+    main()
