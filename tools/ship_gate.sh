@@ -19,4 +19,20 @@ sbt -batch test
 echo "=== ship gate 2/2: graft.PlanCheck ($SF_DIR) ==="
 SPARK_GRAFT_SF_DIR="$SF_DIR" sbt -batch "runMain graft.PlanCheck"
 
+# Optional third stage (GRAFT_DEGEN=1): the degenerate-input gate — the
+# full Verify + DuckDB compare against a corpus with a null-valued
+# event, k-less props, null-text doc, and zero-norm embedding planted
+# (tools/make_degen.py). Catches cross-engine null/NaN divergences the
+# clean driver testdata never exercises. ~3 min extra; run it whenever
+# null/zero-norm handling changes, and once per round before shipping.
+if [[ "${GRAFT_DEGEN:-0}" == "1" ]]; then
+  echo "=== ship gate 3/3: degenerate-input gate ==="
+  python3 tools/make_degen.py /root/testdata/sf0.001 /tmp/graft_degen
+  rm -rf /tmp/graft_degen_out
+  sbt -batch "runMain graft.Verify /tmp/graft_degen /tmp/graft_degen_out"
+  python3 tools/check_oracle.py /tmp/graft_degen_out /tmp/graft_degen \
+    | tail -1 | grep -q " FAIL=0 " || { echo "DEGEN GATE RED"; exit 1; }
+  echo "DEGEN GATE GREEN"
+fi
+
 echo "SHIP GATE GREEN"
