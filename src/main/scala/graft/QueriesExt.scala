@@ -1450,12 +1450,18 @@ object QueriesExt {
     * `>= threshold`). Without the guard one zero-norm (failed-encoder)
     * embedding makes the oracle's cos NaN, which DuckDB orders above
     * every real value — the degenerate vector would take rank 1 for
-    * EVERY query on the oracle side only. annLshOracleSql has always
+    * EVERY query on the oracle side only. The NOT isnan arm covers NaN
+    * EMBEDDING VALUES (not just zero norms): DuckDB's `NaN > 0` is TRUE
+    * (NaN orders above every real), so the zero-norm condition alone
+    * passes a NaN norm product straight to the THEN branch — while
+    * Spark's `when(na*nb > 0, ...)` is false on NaN and yields the NULL
+    * the threshold/ranking filters expect. annLshOracleSql has always
     * carried this guard via its norms CTE; this is the same contract for
     * the inline-cosine oracles.
     */
   private def cosGuardSql(a: String, b: String): String =
     s"""CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) > 0
+       |       AND NOT isnan(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))
        |      THEN ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END""".stripMargin
 
   private val sm1 = QueryDef("sim_norms",
@@ -1694,6 +1700,7 @@ object QueriesExt {
     */
   private def ivfCosSql(a: String, b: String): String =
     s"""CASE WHEN sqrt(${foldDot(a, a)}) * sqrt(${foldDot(b, b)}) > 0
+       |       AND NOT isnan(sqrt(${foldDot(a, a)}) * sqrt(${foldDot(b, b)}))
        |      THEN ${foldDot(a, b)} / (sqrt(${foldDot(a, a)}) * sqrt(${foldDot(b, b)})) END""".stripMargin
 
   /** One CTE block per Lloyd iteration, mirroring
@@ -1894,6 +1901,7 @@ object QueriesExt {
               |scored AS (
               |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
               |    CASE WHEN sqrt(${foldDot("q.embedding", "q.embedding")}) * sqrt($reconSq) > 0
+              |          AND NOT isnan(sqrt(${foldDot("q.embedding", "q.embedding")}) * sqrt($reconSq))
               |         THEN $adcNum /
               |      (sqrt(${foldDot("q.embedding", "q.embedding")}) * sqrt($reconSq)) END AS adc_cos
               |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q CROSS JOIN enc x

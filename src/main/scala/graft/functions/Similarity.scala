@@ -31,20 +31,30 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Null for a zero-norm side — under ANSI (the Spark 4 default) the
-    * unguarded 0.0/0.0 is a query-killing DIVIDE_BY_ZERO, not NaN. */
+  /** Null for a zero-norm or NaN side — under ANSI (the Spark 4 default)
+    * the unguarded 0.0/0.0 is a query-killing DIVIDE_BY_ZERO, not NaN,
+    * and a NaN component would pass both `> 0` and any `>= threshold`
+    * (Spark orders NaN above every numeric — see [[safeCos]]). */
   def cosine(a: Column, b: Column): Column = {
     val nn = l2Norm(a) * l2Norm(b)
-    when(nn > 0, dot(a, b) / nn)
+    when(nn > 0 && !isnan(nn), dot(a, b) / nn)
   }
 
-  /** Cosine from precomputed norms, null for a zero-norm side. The guard is
-    * load-bearing under ANSI mode (the Spark 4 default): an unguarded
-    * 0.0/0.0 is not NaN there but a DIVIDE_BY_ZERO error that kills the
-    * whole query the moment one failed-encoder zero vector appears.
+  /** Cosine from precomputed norms, null for a zero-norm OR NaN side. The
+    * zero-norm arm is load-bearing under ANSI mode (the Spark 4 default):
+    * an unguarded 0.0/0.0 is not NaN there but a DIVIDE_BY_ZERO error
+    * that kills the whole query the moment one failed-encoder zero vector
+    * appears. The !isnan arm is load-bearing for NaN EMBEDDING VALUES:
+    * Spark SQL orders NaN above every numeric, so `NaN * x > 0` is TRUE
+    * and `NaN >= threshold` is TRUE — without the arm, one NaN component
+    * makes its vector "similar" to EVERYTHING and floods every
+    * threshold-filtered pair set (radius, near-dup, SemDeDup prune) while
+    * the ranking paths only survive via rankTopK's explicit isnan filter.
+    * (Found by the round-10 degenerate-corpus gate; the DuckDB oracles
+    * carry the same two-arm guard.)
     */
   private def safeCos(d: Column, na: Column, nb: Column): Column =
-    when(na * nb > 0, d / (na * nb))
+    when(na * nb > 0 && !isnan(na * nb), d / (na * nb))
 
   /** (query_id, neighbor_id, cos) for all candidate pairs, given frames that
     * carry precomputed norms. cos = dot/(norm_a·norm_b) is bit-identical to

@@ -217,6 +217,28 @@ class SimilaritySpec extends SparkSpec {
     assert(results.head == List(5.0, 4.0))
   }
 
+  test("degenerate inputs: a NaN component never passes a threshold filter") {
+    import spark.implicits._
+    // Spark orders NaN ABOVE every numeric, so `NaN * x > 0` and
+    // `NaN >= threshold` are both TRUE — an unguarded cosine makes one
+    // failed-encoder NaN vector "similar" to everything and floods every
+    // threshold-filtered pair set (the round-10 degenerate-corpus gate
+    // caught exactly this in sim_near_dup/sim_radius/sim_semantic_dedup).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), "a"), (1L, Array(0.9f, 0.1f), "a"),
+      (2L, Array(Float.NaN, 1.0f), "a"), (3L, Array(1.0f, 0.1f), "a"))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.nearDupPairs(vecs, "label", threshold = 0.45).collect()
+    assert(pairs.nonEmpty, "real near-dup pairs survive")
+    assert(pairs.forall(r => r.getLong(0) != 2L && r.getLong(1) != 2L),
+      s"the NaN vector must not appear in any pair: ${pairs.mkString(",")}")
+    assert(pairs.forall(r => !r.getDouble(2).isNaN))
+    val radius = Similarity.radiusSearch(vecs, vecs.filter(col("vec_id") === 0L),
+      minCos = 0.25).collect()
+    assert(radius.nonEmpty && radius.forall(_.getLong(1) != 2L),
+      "radius search must drop the NaN vector")
+  }
+
   test("l2Norm matches local math") {
     val row = vectors.filter($"vec_id" === 2L)
       .select(Similarity.l2Norm($"embedding")).head()

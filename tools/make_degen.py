@@ -8,9 +8,13 @@ produces and the driver's clean synthetic data never exercises):
   - events.value  -> NULL on one row with event_id % 37 != 0 (so the s19
                      corruption rule classifies it "good" on both engines)
   - events.props  -> one row's JSON loses its "k" key (null group keys)
-  - documents.text-> NULL for one document (null-text kernels/oracles)
+  - documents.text-> NULL for one document (null-text kernels/oracles),
+                     "" for another, "   " for a third (zero-token paths
+                     and the ANSI 0/0 division guards)
   - embeddings    -> one non-query (vec_id >= 10) vector zeroed
-                     (zero-norm cosine guards)
+                     (zero-norm cosine guards) and another given one NaN
+                     component (DuckDB's NaN>0 = TRUE would smuggle a NaN
+                     cos past a bare zero-norm guard; Spark yields NULL)
 
 Usage:   python3 tools/make_degen.py /root/testdata/sf0.001 /tmp/graft_degen
 Gate:    sbt "runMain graft.Verify /tmp/graft_degen /tmp/out_degen"
@@ -54,15 +58,21 @@ def main() -> None:
     t = pq.read_table(f"{out}/documents.parquet")
     d = t.to_pydict()
     d["text"][3] = None
+    d["text"][5] = ""
+    d["text"][7] = "   "
     pq.write_table(pa.table(d, schema=t.schema), f"{out}/documents.parquet")
-    print(f"documents: text=NULL at doc_id {d['doc_id'][3]}")
+    print(f"documents: text=NULL at doc_id {d['doc_id'][3]}, "
+          f"empty at {d['doc_id'][5]}, whitespace at {d['doc_id'][7]}")
 
     t = pq.read_table(f"{out}/embeddings.parquet")
     d = t.to_pydict()
-    zi = next(i for i in range(len(d["vec_id"])) if d["vec_id"][i] >= 10)
+    it = (i for i in range(len(d["vec_id"])) if d["vec_id"][i] >= 10)
+    zi, ni = next(it), next(it)
     d["embedding"][zi] = [0.0] * len(d["embedding"][zi])
+    d["embedding"][ni] = ([float("nan")] + list(d["embedding"][ni][1:]))
     pq.write_table(pa.table(d, schema=t.schema), f"{out}/embeddings.parquet")
-    print(f"embeddings: zero-norm at vec_id {d['vec_id'][zi]}")
+    print(f"embeddings: zero-norm at vec_id {d['vec_id'][zi]}, "
+          f"NaN component at vec_id {d['vec_id'][ni]}")
 
 
 if __name__ == "__main__":
