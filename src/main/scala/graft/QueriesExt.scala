@@ -634,7 +634,7 @@ object QueriesExt {
            |  CASE WHEN chars > 0
            |       THEN floor(weight * budget / chars * 10000 + 0.5) / 10000
            |  END AS rate
-           |FROM w, b ORDER BY lang""".stripMargin),
+           |FROM w, b ORDER BY lang NULLS FIRST""".stripMargin),
     (s, d) => {
       val weight = when(col("lang") === "en", 0.4)
         .when(col("lang") === "es", 0.2).when(col("lang") === "de", 0.2)
@@ -678,7 +678,7 @@ object QueriesExt {
            |    row_number() OVER (PARTITION BY source
            |                       ORDER BY ((doc_id % 1048576) * 982451653) % 1048576, doc_id) AS rn
            |  FROM documents)
-           |WHERE rn <= 20 ORDER BY source, rnk""".stripMargin),
+           |WHERE rn <= 20 ORDER BY source NULLS FIRST, rnk""".stripMargin),
     (s, d) => {
       val pri = pmod(pmod(col("doc_id"), lit(1048576L)) * 982451653L, lit(1048576L))
       docs(s, d)
@@ -2162,7 +2162,7 @@ object QueriesExt {
             |  cast(sum(CASE WHEN quality >= $QualityMin AND quality < 0.5 THEN 1 ELSE 0 END) as bigint) AS q_mid,
             |  cast(sum(CASE WHEN quality < $QualityMin THEN 1 ELSE 0 END) as bigint) AS q_low,
             |  cast(sum(CASE WHEN predicted = 'en' THEN 1 ELSE 0 END) as bigint) AS n_en
-            |FROM pred GROUP BY source ORDER BY source""".stripMargin),
+            |FROM pred GROUP BY source ORDER BY source NULLS FIRST""".stripMargin),
     (s, d) => {
       docs(s, d)
         .select(col("source"),

@@ -11,6 +11,9 @@ produces and the driver's clean synthetic data never exercises):
   - documents.text-> NULL for one document (null-text kernels/oracles),
                      "" for another, "   " for a third (zero-token paths
                      and the ANSI 0/0 division guards)
+  - documents.lang/source -> NULL on one doc each (null grouping keys —
+                     Spark sorts the NULL group first, DuckDB last, so
+                     every ORDER BY over them needs NULLS FIRST)
   - embeddings    -> one non-query (vec_id >= 10) vector zeroed
                      (zero-norm cosine guards) and another given one NaN
                      component (DuckDB's NaN>0 = TRUE would smuggle a NaN
@@ -60,9 +63,12 @@ def main() -> None:
     d["text"][3] = None
     d["text"][5] = ""
     d["text"][7] = "   "
+    d["lang"][9] = None
+    d["source"][11] = None
     pq.write_table(pa.table(d, schema=t.schema), f"{out}/documents.parquet")
     print(f"documents: text=NULL at doc_id {d['doc_id'][3]}, "
-          f"empty at {d['doc_id'][5]}, whitespace at {d['doc_id'][7]}")
+          f"empty at {d['doc_id'][5]}, whitespace at {d['doc_id'][7]}; "
+          f"lang=NULL at {d['doc_id'][9]}, source=NULL at {d['doc_id'][11]}")
 
     t = pq.read_table(f"{out}/embeddings.parquet")
     d = t.to_pydict()
