@@ -33,6 +33,19 @@ object Tables {
     *     underlying instant and matches DuckDB's naive-timestamp read.
     *   - TimestampType: already what we want; pass through.
     */
+  /** `events.value` CONTRACT: finite or NULL, never NaN. Every ingest
+    * path in this engine already satisfies it (the log parsers emit NULL
+    * for an unparseable metric, never NaN), and the driver's generator
+    * has never shipped NaN. The contract is deliberate, not an oversight:
+    * normalizing here (`when(!isnan(value), value)`) would put a computed
+    * projection over every events scan and forfeit parquet pushdown of
+    * value predicates (PlanCheck pins `PushedFilters: [IsNotNull(value),
+    * GreaterThan(value,150.0)]` on s1), while a NaN would ALSO error ~14
+    * DuckDB oracles at `cast(value as decimal)` — measured with the
+    * degenerate-corpus gate, round 10. A pipeline ingesting external
+    * doubles must normalize NaN at ITS writer, where the row is already
+    * being materialized anyway.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")

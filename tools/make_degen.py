@@ -27,8 +27,16 @@ Expect:  PASS=<all-with-oracle> FAIL=0 — a FAIL here is a latent
          testdata generator ships the same degenerate value.
 
 Round-10 provenance: this gate found tx_fingerprint's NULL-text seed leak
-(DuckDB list_prepend(7, NULL) folds to the bare seed) after the inline
-review had already fixed five sibling divergences by inspection.
+(DuckDB list_prepend(7, NULL) folds to the bare seed) and safeCos's NaN
+hole (Spark orders NaN above every numeric, so `NaN >= threshold` passed
+every threshold filter) after the inline review had already fixed five
+sibling divergences by inspection.
+
+Deliberately NOT planted: NaN in events.value. That column's contract is
+finite-or-NULL (see Tables.events' scaladoc): the engine's parse paths
+emit NULL for bad metrics, and a probe run measured the blast radius of
+violating it — 14 DuckDB oracles error outright at cast(NaN as decimal),
+so the plant would break the harness itself, not reveal engine bugs.
 """
 import json
 import shutil
