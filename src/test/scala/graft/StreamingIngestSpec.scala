@@ -116,6 +116,19 @@ class StreamingIngestSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 3L, 101L, 107L), s"change-stream-driven store: $got")
   }
 
+  test("null-text doc is gate-dropped, stream survives, split-invariance holds") {
+    // A change stream CAN carry a null-text document (tombstone-ish or
+    // producer bug). The clean gates drop it (null quality/predicted are
+    // falsy), nothing downstream sees it — and where the batch boundary
+    // falls around it must not matter.
+    val withNull = delta :+ (108L -> (null: String))
+    val whole = runSplit(Seq(withNull))
+    val split = runSplit(Seq(withNull.slice(0, 4), withNull.slice(4, 8)))
+    assert(whole.keySet == Set(1L, 2L, 3L, 101L, 107L),
+      s"null-text doc must not be admitted: ${whole.keySet}")
+    assert(split == whole, "split with a null-text doc diverged")
+  }
+
   test("malformed batch with two texts for one doc_id does not kill the stream") {
     // The contract is doc_id-unique deltas; a violating batch must
     // collapse deterministically (min content hash), not crash upsert's
