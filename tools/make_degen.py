@@ -8,6 +8,8 @@ produces and the driver's clean synthetic data never exercises):
   - events.value  -> NULL on one row with event_id % 37 != 0 (so the s19
                      corruption rule classifies it "good" on both engines)
   - events.props  -> one row's JSON loses its "k" key (null group keys)
+                     and another row's props is NULL outright (null JSON
+                     input to from_json/variant/regex extraction)
   - documents.text-> NULL for one document (null-text kernels/oracles),
                      "" for another, "   " for a third (zero-token paths
                      and the ANSI 0/0 division guards)
@@ -62,9 +64,11 @@ def main() -> None:
     props = json.loads(d["props"][pi])
     props.pop("k", None)
     d["props"][pi] = json.dumps(props)
+    ni = next(i for i in range(n) if i not in (vi, pi) and d["props"][i])
+    d["props"][ni] = None
     pq.write_table(pa.table(d, schema=t.schema), f"{out}/events.parquet")
     print(f"events: value=NULL at event_id {d['event_id'][vi]}; "
-          f"k-less props at row {pi}")
+          f"k-less props at row {pi}; props=NULL at row {ni}")
 
     t = pq.read_table(f"{out}/documents.parquet")
     d = t.to_pydict()
