@@ -409,13 +409,15 @@ object PlanCheck {
       "no nested-loop/cartesian execution" ->
         (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
 
-    // Backoff surprisal: the corpus-sized BIGRAM model attaches via a
-    // co-partitioned shuffle join keyed on the (a, b) pair — deliberately
-    // NOT broadcast (it scales with the corpus); the vocabulary-sized
-    // unigram table broadcasts twice (prev + cur attach).
+    // Backoff surprisal: the corpus-sized BIGRAM model count attaches as
+    // a window sum on the (a, b) pair exchange — deliberately NOT a
+    // broadcast (it scales with the corpus) and NOT a join (round-10:
+    // the bg-aggregate join-back evaluated the pair explode twice); the
+    // vocabulary-sized unigram table broadcasts twice (prev + cur).
     check("tx_backoff_surprisal")(
-      "bigram join shuffles on the pair key" ->
-        (p => "hashpartitioning\\(a#\\d+, b#\\d+".r.findFirstIn(p).isDefined),
+      "bigram window rides the pair-key exchange" ->
+        (p => "hashpartitioning\\(a#\\d+, b#\\d+".r.findFirstIn(p).isDefined &&
+          p.contains("Window")),
       "unigram attaches broadcast (≥2 broadcast joins)" ->
         (p => "BroadcastHashJoin".r.findAllIn(p).size >= 2),
       "no cartesian pair scan" -> (p => !p.contains("CartesianProduct")))
@@ -492,17 +494,52 @@ object PlanCheck {
       "regexp-count rewrite fired" -> (_.contains("graft_regexp_count")),
       "no materialized match array" -> (p => !p.contains("regexp_extract_all")))
 
-    // Decontamination: the benchmark-shingle join strategy is AQE's call
-    // from the runtime size of the distinct() stage (r9 — the forced
-    // broadcast was the blind-broadcast class when the benchmark proxy
-    // grows with the corpus). Small benchmark → broadcast (what every
-    // test SF picks); big → keyed shuffle. Never a nested loop.
+    // Decontamination (round-10 rewrite): bench membership is a
+    // per-shingle WINDOW flag over ONE exploded index — no self-join, no
+    // second tokenization (the prior two-branch join re-evaluated the
+    // explode per branch; a shared repartition couldn't merge them
+    // because Catalyst pushes each branch's filter below it).
     check("tx_decontaminate")(
-      "keyed equi-join (broadcast or shuffled both accepted)" ->
-        (p => p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
-          p.contains("ShuffledHashJoin")),
-      "no nested-loop shingle comparison" -> (p => !p.contains("NestedLoop") &&
-        !p.contains("CartesianProduct")))
+      "no join — bench membership via per-shingle window" ->
+        (p => !p.contains("Join") && !p.contains("CartesianProduct") &&
+          p.contains("Window")),
+      "window exchange rides the shingle key" ->
+        (p => "hashpartitioning\\(shingle#\\d+".r.findFirstIn(p).isDefined))
+    locally {
+      val noAqe = spark.newSession()
+      noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan =
+        try Some(SparkEntry.queries("tx_decontaminate")(noAqe, sfDir)
+          .queryExecution.executedPlan)
+        catch { case e: Throwable =>
+          System.err.println(s"[plancheck] tx_decontaminate (no-AQE) plan construction failed: ${e.getMessage}")
+          None
+        }
+      val scans = plan.map(p => "Scan parquet".r.findAllIn(p.toString).size).getOrElse(99)
+      val ok = scans == 1
+      if (!ok) failures += 1
+      println(s"${if (ok) "PASS" else "FAIL"}  tx_decontaminate: corpus shingled once ($scans scans)")
+    }
+    // tx_backoff_surprisal (round-10 rewrite): the bigram model count is
+    // a per-(a, b) window sum over ONE pair explode — the former bg
+    // aggregate + join-back evaluated the explode twice. The unigram
+    // branch is a second, deliberate scan (vocabulary-sized broadcast
+    // aggregate — cheaper than shuffling the exploded pairs again).
+    locally {
+      val noAqe = spark.newSession()
+      noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan =
+        try Some(SparkEntry.queries("tx_backoff_surprisal")(noAqe, sfDir)
+          .queryExecution.executedPlan)
+        catch { case e: Throwable =>
+          System.err.println(s"[plancheck] tx_backoff_surprisal (no-AQE) plan construction failed: ${e.getMessage}")
+          None
+        }
+      val scans = plan.map(p => "Scan parquet".r.findAllIn(p.toString).size).getOrElse(99)
+      val ok = scans <= 2
+      if (!ok) failures += 1
+      println(s"${if (ok) "PASS" else "FAIL"}  tx_backoff_surprisal: pair explode evaluated once ($scans scans)")
+    }
 
     // Sequence packing: the cumsum window must partition on (lang, shard) —
     // a lang-only (or global) window funnels a whole language through one

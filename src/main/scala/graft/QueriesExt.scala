@@ -353,29 +353,27 @@ object QueriesExt {
            |WHERE sh.doc_id % 13 <> 0
            |GROUP BY 1 ORDER BY doc_id""".stripMargin),
     (s, d) => {
-      // ONE tokenization for both consumers: the shared repartition on the
-      // join key is an exchange both branches reuse (the bm25/PRF
-      // canonical-subtree pattern), so the corpus is scanned and shingled
-      // once — unshared, each branch re-evaluated the explode (two full
-      // tokenizations). The shuffle is not an extra cost at scale: the
-      // bench⋈probe join is shingle-keyed and data-sized on both sides
-      // there, so this exchange IS the join's own distribution, and the
-      // bench distinct rides it with no second exchange.
+      import org.apache.spark.sql.expressions.Window
+      // NO self-join, ONE tokenization: bench membership is a per-shingle
+      // window flag over the single exploded index (the dd_substring_dup
+      // "df via window" shape). The former two-branch formulation
+      // re-evaluated the explode per branch — and a shared repartition
+      // can't fix that, because Catalyst pushes each branch's filter
+      // BELOW the repartition, splitting the exchange into two
+      // non-identical subtrees that never reuse (measured: 2 scans,
+      // 0 reused; the new AQE-off PlanCheck gate pins 1 scan, no join).
+      // Shuffle volume is identical to the join's probe side — one
+      // shingle-keyed exchange of the exploded index — and the bench
+      // side's second exchange disappears entirely.
       val sh = docs(s, d).select(col("doc_id"),
         explode(array_distinct(TextFunctions.wordShingles(col("text"), 3))).as("shingle"))
-        .repartition(col("shingle"))
-      val bench = sh.filter(pmod(col("doc_id"), lit(13)) === 0)
-        .select("shingle").distinct()
-      // No broadcast hint: a real benchmark suite is small, but THIS
-      // bench side is 1/13 of the corpus — data-sized. `distinct()`
-      // already puts an aggregate boundary under it, so AQE sees the
-      // runtime size and broadcasts exactly when it actually fits
-      // (it does at every test SF); forcing the hint would ship a
-      // corpus-fraction to the driver at scale — the blind-broadcast
-      // class the round-9 LSH audit removed.
-      sh.filter(pmod(col("doc_id"), lit(13)) =!= 0)
-        .join(bench, "shingle")
-        .groupBy("doc_id").agg(count_distinct(col("shingle")).as("n_hits"))
+      // per-doc shingles are DISTINCT (array_distinct above), so the
+      // per-doc hit count is a plain count over the flagged rows
+      sh.withColumn("has_bench",
+          max(when(pmod(col("doc_id"), lit(13)) === 0, 1).otherwise(0))
+            .over(Window.partitionBy("shingle")))
+        .filter(pmod(col("doc_id"), lit(13)) =!= 0 && col("has_bench") === 1)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
         .orderBy("doc_id")
     })
 
@@ -2241,26 +2239,30 @@ object QueriesExt {
            |FROM d ORDER BY doc_id""".stripMargin),
     (s, d) => {
       val base = docs(s, d)
-      // ONE pair explode for both consumers (bigram model + probe): the
-      // shared repartition on the (a, b) join key is an exchange both
-      // branches reuse — without it each branch re-tokenizes and
-      // re-explodes the corpus. No extra shuffled bytes: the probe side
-      // of the bigram join must distribute on (a, b) anyway (the model is
-      // corpus-sized, never broadcast), and the bg aggregate rides the
-      // same exchange instead of its own partial-agg shuffle.
+      // ONE pair explode, NO bigram self-join: the bigram model count
+      // attaches as a per-(a, b) window sum over the single exploded pair
+      // index (the dd_substring_dup "df via window" shape). The former
+      // formulation aggregated `pairs` into a bg table and joined it back
+      // — two evaluations of the explode (a shared repartition can't
+      // merge them: Catalyst pushes the in-model filter below the
+      // repartition, splitting the exchange). Shuffle volume is the same
+      // one (a, b)-keyed exchange of the pairs the join's probe side
+      // needed anyway; the bg aggregate's second exchange disappears.
       val pairs = base.select(col("doc_id"),
         posexplode(NativeExpressions.adjacentPairs(TextFunctions.tokens(col("text"))))
           .as(Seq("pos", "pr")))
         .select(col("doc_id"), col("pos"), col("pr.a").as("a"), col("pr.b").as("b"))
-        .repartition(col("a"), col("b"))
       val inModel = pmod(col("doc_id"), lit(7)) =!= 0
       val ug = base.filter(inModel)
         .select(explode(TextFunctions.tokens(col("text"))).as("t"))
         .groupBy("t").agg(count(lit(1)).as("cnt"))
-      val bg = pairs.filter(inModel).groupBy("a", "b").agg(count(lit(1)).as("cnt_ab"))
       val tot = ug.agg(sum("cnt").cast("double").as("total"))
+      val bgWin = org.apache.spark.sql.expressions.Window.partitionBy("a", "b")
       pairs
-        .join(bg, Seq("a", "b"), "left")
+        // LEFT-JOIN parity: cnt_ab is NULL (not 0) when no in-model doc
+        // carries the bigram, so the backoff CASE takes the same branch
+        .withColumn("cnt_ab0", sum(when(inModel, 1L)).over(bgWin))
+        .withColumn("cnt_ab", when(col("cnt_ab0") > 0, col("cnt_ab0")))
         .join(broadcast(ug.select(col("t").as("a"), col("cnt").as("cnt_prev"))), Seq("a"), "left")
         .join(broadcast(ug.select(col("t").as("b"), col("cnt").as("cnt_cur"))), Seq("b"), "left")
         .crossJoin(broadcast(tot))
