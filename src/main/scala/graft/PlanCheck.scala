@@ -186,6 +186,17 @@ object PlanCheck {
       "no shuffle carries an embedding column (keys OR payload)" ->
         (p => shuffledColumns(p).intersect(Set("embedding", "ne", "qe")).isEmpty))
 
+    // SQ8: same compressed-domain discipline as PQ — the dequantized
+    // array dies inside the encode scan's projection; every exchange
+    // carries only ids and scores.
+    check("sim_sq8")(
+      "shortlist re-rank via broadcast hash join" -> (_.contains("BroadcastHashJoin")),
+      "queries broadcast into the ADC scoring pass" ->
+        (_.contains("BroadcastNestedLoopJoin")))
+    checkTree("sim_sq8")(
+      "no shuffle carries an embedding or dequantized column" ->
+        (p => shuffledColumns(p).intersect(Set("embedding", "ne", "qe", "re")).isEmpty))
+
     // As-of join: one shuffle for the union’d sort-merge formulation.
     check("j8_asof_join")(
       "single hash exchange (by user)" ->
@@ -389,6 +400,23 @@ object PlanCheck {
       "map-side dedup on (source, th) before the first shuffle" ->
         (p => "HashAggregate\\(keys=\\[source#\\d+, th#\\d+L\\], functions=\\[partial_".r.findFirstIn(p).isDefined),
       "single documents scan" -> (p => "Scan parquet".r.findAllIn(p).size == 1))
+
+    // Incremental report: counters AND the KMV sketch ride ONE
+    // aggregation (the first cut split them into joined-back aggs, and
+    // Spark's missing join elimination re-scanned the corpus per
+    // consumer — caught by this gate's predecessor). So: exactly one
+    // corpus scan, both aggregation levels partial map-side, zero joins,
+    // and no exchange ever carries document text — only counters and
+    // ≤64-long sketches move.
+    check("pipe_incremental_report")(
+      "map-side partial aggregation" -> (_.contains("partial_count")),
+      "single documents scan" -> (p => "Scan parquet".r.findAllIn(p).size == 1),
+      "no joins anywhere (pure two-level aggregation)" -> (p => !p.contains("Join")),
+      "two hash exchanges (per-batch partials, then per-source merge)" ->
+        (p => "Exchange hashpartitioning".r.findAllIn(p).size == 2))
+    checkTree("pipe_incremental_report")(
+      "no exchange carries document text" ->
+        (p => !shuffledColumns(p).contains("text")))
 
     // Length-bucket accounting: one map-only classify, one partial-agg
     // shuffle to #buckets rows, single documents scan pruned to text.

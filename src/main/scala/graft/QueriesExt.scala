@@ -1928,6 +1928,64 @@ object QueriesExt {
         .orderBy("query_id", "rank"))
   }
 
+  /** Scalar int8 quantization ANN ([[graft.functions.Similarity.sq8TopK]])
+    * — per-dimension affine codes from corpus min/max (the faiss QT_8bit /
+    * Lucene int8_hnsw storage shape, 4× smaller than float32 with no
+    * training pass), dequantize-in-flight ADC shortlist, exact re-rank.
+    * Fully deterministic (min/max are exact aggregates; code floor/clamp
+    * and float32 reconstruction are IEEE-identical on both engines), so
+    * like sim_ivf/sim_pq the WHOLE pipeline — stats, quantizer, ADC
+    * ranking, re-rank — replays in ANSI SQL and hash-compares.
+    * NaN components are excluded from min/max on both sides (Spark sorts
+    * NaN above reals — one NaN would poison a dimension's scale) and null
+    * their vector's score, dropping degenerates exactly as rankTopK does.
+    */
+  private val sm9 = {
+    val k = 5; val sl = 8 * k
+    QueryDef("sim_sq8",
+      Some(s"""WITH dims AS (SELECT cast(i AS int) AS i FROM range(1, 65) t(i)),
+              |st AS (
+              |  SELECT i,
+              |    coalesce(cast(min(CASE WHEN NOT isnan(e.embedding[i]) THEN e.embedding[i] END) as double), 0.0) AS mn,
+              |    coalesce(cast(max(CASE WHEN NOT isnan(e.embedding[i]) THEN e.embedding[i] END) as double), 0.0) AS mx
+              |  FROM embeddings e CROSS JOIN dims GROUP BY i),
+              |stl AS (SELECT list(mn ORDER BY i) AS mns, list((mx - mn) / 255.0 ORDER BY i) AS scs FROM st),
+              |rec AS (
+              |  SELECT e.vec_id, [
+              |    CASE WHEN e.embedding[i] IS NOT NULL AND NOT isnan(e.embedding[i]) THEN
+              |      cast(s.mns[i] + (CASE WHEN s.scs[i] = 0.0 THEN 0.0 ELSE
+              |        least(255.0, greatest(0.0, floor((cast(e.embedding[i] as double) - s.mns[i]) / s.scs[i]))) END)
+              |        * s.scs[i] AS real)
+              |    END for i in range(1, len(e.embedding) + 1)] AS re
+              |  FROM embeddings e CROSS JOIN stl s),
+              |scored AS (
+              |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+              |    ${ivfCosSql("q.embedding", "x.re")} AS sq_cos
+              |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+              |  JOIN rec x ON x.vec_id <> q.vec_id),
+              |short AS (
+              |  SELECT * FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY query_id
+              |                                 ORDER BY sq_cos DESC, neighbor_id) AS srank
+              |    FROM scored WHERE sq_cos IS NOT NULL AND NOT isnan(sq_cos))
+              |  WHERE srank <= $sl),
+              |rer AS (
+              |  SELECT s.query_id, s.neighbor_id, s.sq_cos,
+              |    ${ivfCosSql("qe.embedding", "ne.embedding")} AS cos
+              |  FROM short s
+              |  JOIN embeddings qe ON qe.vec_id = s.query_id
+              |  JOIN embeddings ne ON ne.vec_id = s.neighbor_id),
+              |ranked AS (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id
+              |                               ORDER BY cos DESC, neighbor_id) AS rank
+              |  FROM rer WHERE cos IS NOT NULL AND NOT isnan(cos))
+              |SELECT query_id, neighbor_id, sq_cos, cos, rank FROM ranked
+              |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin),
+      (s, d) => Similarity.sq8TopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10),
+        k = k, dim = 64, shortlistFactor = 8)
+        .orderBy("query_id", "rank"))
+  }
+
   // ---- multimodal --------------------------------------------------------
 
   /** Binary-column features via expressions only (payload = UTF-8 bytes). */
@@ -2131,6 +2189,121 @@ object QueriesExt {
           floor((col("cum_tok") - col("chunk_tokens")) / PackBudget).cast("long"))
         .orderBy("doc_id", "chunk_idx")
     })
+
+  /** 60-bit uniform hash from the md5 hex prefix — the cross-engine hash
+    * convention of a18b (Queries.scala): standard on every engine, unlike
+    * xxhash64 or HLL internals, so KMV sketches built from it replay in
+    * ANSI SQL.
+    */
+  private def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Per-batch report partials — the bounded mergeable STATE of
+    * `pipe_incremental_report`: one row per (batch, source) carrying
+    * additive counters (docs, tokens, quality buckets, English share) and
+    * the KMV-64 sketch of text hashes for the distinct-text estimate.
+    * This is the 100 TB maintenance shape: each ingest batch computes its
+    * partials in ONE pass over ITS OWN documents and persists ≤
+    * (#sources) rows of constant-size state; the corpus-wide report is
+    * then [[mergeReport]] over all persisted partials — no historical
+    * re-scan, ever. Counters merge by addition; KMV merges by
+    * union-then-trim (associative and ORDER-FREE — a deterministic
+    * function of the value set, so merged == one-shot bit-for-bit,
+    * IncrementalReportSpec proves it against persisted parquet partials).
+    *
+    * Counters and the sketch ride in ONE aggregation (the null-skipping
+    * [[graft.functions.KmvMinHashesNullable]] needs no pre-filter) — the
+    * first cut split them into two aggregations joined back, and the plan
+    * dump showed why that's wrong at scale: Spark cannot join-eliminate
+    * the unreferenced side of either left join, so every consumer of the
+    * partials re-scanned the corpus. Single-agg: one scan, one narrow
+    * exchange, no joins.
+    */
+  private[graft] def reportPartials(base: DataFrame, batchId: Column): DataFrame =
+    base
+      .select(batchId.as("batch_id"), col("source"),
+        when(col("text").isNotNull, md5Hash60(col("text"))).as("th"),
+        TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_tok"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.langScores(col("text")).as("sc"))
+      .select(col("batch_id"), col("source"), col("th"), col("n_tok"), col("quality"),
+        TextFunctions.predictedFromScores(
+          col("sc").getItem(0), col("sc").getItem(1),
+          col("sc").getItem(2), col("sc").getItem(3)).as("predicted"))
+      .groupBy("batch_id", "source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("q_high"),
+        sum(when(col("quality") >= QualityMin && col("quality") < 0.5, 1L).otherwise(0L)).as("q_mid"),
+        sum(when(col("quality") < QualityMin, 1L).otherwise(0L)).as("q_low"),
+        sum(when(col("predicted") === "en", 1L).otherwise(0L)).as("n_en"),
+        graft.functions.TopKAgg.kmvMinHashesNullable(col("th"), 64).as("sketch"))
+
+  /** Merge persisted report partials into the corpus-wide report: additive
+    * counters sum; the per-source KMV sketches merge whole
+    * ([[graft.functions.KmvMergeSketches]] — the k smallest distinct of a
+    * union are each k-smallest within their batch, so union-then-trim
+    * over partial sketches IS the sketch of the whole corpus; the
+    * estimate cannot drift from a one-shot pass). One aggregation over
+    * (#batches × #sources) bounded rows; a source with zero non-null
+    * texts carries an EMPTY sketch, so its estimate is exactly 0.0.
+    */
+  private[graft] def mergeReport(partials: DataFrame): DataFrame =
+    partials.groupBy("source").agg(
+        sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("q_high").as("q_high"), sum("q_mid").as("q_mid"),
+        sum("q_low").as("q_low"), sum("n_en").as("n_en"),
+        graft.functions.TopKAgg.kmvMergeSketches(col("sketch"), 64).as("ms"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("q_high"), col("q_mid"), col("q_low"), col("n_en"),
+        // 2^60 travels with the md5Hash60 construction (see kmvEstimate)
+        graft.functions.TopKAgg.kmvEstimate(col("ms"), 64, 1152921504606846976.0)
+          .as("est_distinct_texts"))
+      .orderBy("source") // Spark asc = NULLS FIRST, oracle says so explicitly
+
+  /** Incrementally-maintained corpus report — [[pl2 pipe_corpus_report]]'s
+    * per-source data card, produced by the batch-partial + merge path
+    * ([[reportPartials]] keyed by `doc_id % 4` as the ingest batch,
+    * [[mergeReport]] over the 4 partial sets) instead of a corpus-wide
+    * re-aggregation. The exact-duplicate count is replaced by the KMV-64
+    * distinct-text ESTIMATE — the price of bounded mergeable state (exact
+    * distinct is not maintainable without corpus-sized state; the sketch
+    * is, and stays hash-oracle-checked because KMV over md5 hashes
+    * replays in SQL). The oracle computes the report in ONE pass — that
+    * it hash-matches the merged partials is the incremental-maintenance
+    * correctness claim, on real data, every round.
+    */
+  private val pl4 = QueryDef("pipe_incremental_report",
+    Some(s"""WITH feats AS (
+            |  SELECT source, text,
+            |    len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]')) AS n_tok,
+            |    $qualitySql AS quality,
+            |    $langScoreSqlItems
+            |  FROM documents),
+            |pred AS (SELECT *, $predictedSql AS predicted FROM feats),
+            |cnt AS (
+            |  SELECT source,
+            |    count(*) AS n_docs,
+            |    cast(sum(n_tok) as bigint) AS n_tokens,
+            |    cast(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) as bigint) AS q_high,
+            |    cast(sum(CASE WHEN quality >= $QualityMin AND quality < 0.5 THEN 1 ELSE 0 END) as bigint) AS q_mid,
+            |    cast(sum(CASE WHEN quality < $QualityMin THEN 1 ELSE 0 END) as bigint) AS q_low,
+            |    cast(sum(CASE WHEN predicted = 'en' THEN 1 ELSE 0 END) as bigint) AS n_en
+            |  FROM pred GROUP BY source),
+            |hs AS (
+            |  SELECT DISTINCT source,
+            |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+            |  FROM documents WHERE text IS NOT NULL),
+            |sk AS (SELECT source, list_slice(list_sort(list(h)), 1, 64) AS ms
+            |       FROM hs GROUP BY source)
+            |SELECT c.source, c.n_docs, c.n_tokens, c.q_high, c.q_mid, c.q_low, c.n_en,
+            |  CASE WHEN s.ms IS NULL THEN cast(0.0 AS double)
+            |       WHEN len(s.ms) < 64 THEN cast(len(s.ms) AS double)
+            |       ELSE cast(63 AS double) * cast(1152921504606846976 AS double)
+            |            / cast(s.ms[64] AS double) END AS est_distinct_texts
+            |FROM cnt c LEFT JOIN sk s ON c.source IS NOT DISTINCT FROM s.source
+            |ORDER BY c.source NULLS FIRST""".stripMargin),
+    (s, d) => mergeReport(reportPartials(docs(s, d), pmod(col("doc_id"), lit(4)))))
 
   /** Corpus curation report — the "data card" the reference's dashboard is
     * for logs, applied to the training corpus: per-source document and
@@ -2764,6 +2937,6 @@ object QueriesExt {
   val all: Seq[QueryDef] = Seq(
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21,
     dd1, dd2, dd3, dd4, dd5, dd6, dd7, dd8,
-    sm1, sm2, sm2r, sm2rad, sm2m, sm3, sm4, sm5, sm6, sm7, sm8,
-    mm1, mm2, mm3, pl1, pl2, pl3, ir1, ir2, ir3, ir4, ir5, tx22, tx23, tx24, tx25)
+    sm1, sm2, sm2r, sm2rad, sm2m, sm3, sm4, sm5, sm6, sm7, sm8, sm9,
+    mm1, mm2, mm3, pl1, pl2, pl3, pl4, ir1, ir2, ir3, ir4, ir5, tx22, tx23, tx24, tx25)
 }

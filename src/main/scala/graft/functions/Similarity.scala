@@ -542,6 +542,105 @@ object Similarity {
         col("r.neighbor_id").as("neighbor_id"), col("r.mmr_score").as("mmr_score"))
   }
 
+  /** Scalar int8 quantization ANN (SQ8) — the memory/IO complement of
+    * [[pqTopK]]: instead of a trained codebook, each DIMENSION gets an
+    * affine map onto 256 levels derived from its corpus min/max, so a
+    * 64-dim float32 vector stores as 64 bytes (4× compression) with no
+    * training pass at all. The production shape (faiss
+    * `ScalarQuantizer(QT_8bit)`, Lucene/Elasticsearch `int8_hnsw`) for
+    * corpora that re-quantize on ingest.
+    *
+    * Determinism & the oracle: min/max are EXACT aggregates (no float
+    * summation order), the code is `floor((x−mn)/sc)` clamped to [0,255]
+    * (IEEE ops, identical on both engines), and the reconstruction
+    * `mn + code·sc` is rounded to float32 on BOTH engines, after which
+    * the entire scoring path — codegen'd [[dot]], [[safeCos]], two-phase
+    * shortlist, exact re-rank — is byte-for-byte the [[pqTopK]] machinery,
+    * so the whole pipeline hash-compares against ANSI SQL that replays
+    * the quantizer from the same parquet bytes.
+    *
+    * Scale shape: the stats pass is ONE map-side partial aggregate
+    * carrying 2·dim doubles per partition (the 1-row result is a bounded
+    * driver artifact, same budget class as IVF centroids); encode is a
+    * map-only projection in the corpus scan — the float embedding column
+    * dies there, and the in-flight dequantized array dies in the same
+    * stage (only (query_id, neighbor_id, sq_cos) ever reaches an
+    * exchange); re-rank probes the embeddings scan with the broadcast
+    * shortlist. Embeddings are never shuffled or broadcast.
+    *
+    * NaN components are excluded from min/max (Spark orders NaN above
+    * every real — an unguarded max would poison the dimension's scale for
+    * the whole corpus) and null out their vector's code array, so
+    * degenerate vectors drop out of ranking exactly as in [[rankTopK]].
+    * OOB-safe `get()` mirrors DuckDB's null-for-out-of-range list index.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              shortlistFactor: Int = 8): DataFrame = {
+    def elem(i: Int): Column = get(col("embedding"), lit(i))
+    def finite(c: Column): Column = when(!isnan(c), c)
+    val statsAggs: Seq[Column] =
+      (0 until dim).map(i => coalesce(min(finite(elem(i))).cast("double"), lit(0.0)).as(s"mn$i")) ++
+        (0 until dim).map(i => coalesce(max(finite(elem(i))).cast("double"), lit(0.0)).as(s"mx$i"))
+    val r = corpus.agg(statsAggs.head, statsAggs.tail: _*).collect()(0)
+    val mins = Array.tabulate(dim)(i => r.getDouble(i))
+    val scales = Array.tabulate(dim)(i => (r.getDouble(dim + i) - mins(i)) / 255.0)
+    val minsLit = typedLit(mins.toSeq)
+    val scalesLit = typedLit(scales.toSeq)
+
+    // Dequantized float32 vector, computed in-flight from the int8 codes.
+    // The code itself ((x−mn)/sc floored and clamped) and the affine
+    // reconstruction are one fused per-element expression — materializing
+    // the byte array only to immediately re-expand it would add a pass
+    // without changing what's stored or shuffled (nothing: both live only
+    // inside this scan's projection). SimilaritySpec pins recall and the
+    // ADC-vs-exact error envelope the quantizer must stay inside.
+    val recon: Column = transform(col("embedding"), (x, i) => {
+      val mn = element_at(minsLit, i + 1)
+      val sc = element_at(scalesLit, i + 1)
+      val code = when(sc === 0.0, lit(0.0)).otherwise(
+        least(lit(255.0), greatest(lit(0.0), floor((x.cast("double") - mn) / sc))))
+      when(x.isNotNull && !isnan(x), (mn + code * sc).cast("float"))
+    })
+
+    val codes = corpus
+      .select(col("vec_id").as("neighbor_id"), recon.as("re"))
+      .withColumn("rnorm", l2Norm(col("re")))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", l2Norm(col("qe")))
+
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        safeCos(dot(col("qe"), col("re")), col("qn"), col("rnorm")).as("sq_cos"))
+
+    // Shortlist + exact re-rank: the pqTopK tail, scored by sq_cos.
+    val sl = shortlistFactor * k
+    val perPart = Window.partitionBy(col("query_id"), col("pid"))
+      .orderBy(desc("sq_cos"), col("neighbor_id"))
+    val global = Window.partitionBy("query_id").orderBy(desc("sq_cos"), col("neighbor_id"))
+    val shortlist = scored
+      .filter(col("sq_cos").isNotNull && !isnan(col("sq_cos")))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("prank", row_number().over(perPart))
+      .filter(col("prank") <= sl)
+      .drop("pid", "prank")
+      .withColumn("srank", row_number().over(global))
+      .filter(col("srank") <= sl)
+      .drop("srank")
+
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .withColumn("nn", l2Norm(col("ne")))
+    val rerank = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    c.join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("sq_cos"),
+        safeCos(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
+      .filter(col("cos").isNotNull && !isnan(col("cos"))) // as in rankTopK
+      .withColumn("rank", row_number().over(rerank))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sq_cos", "cos", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g.
     * label): pairs with cosine ≥ threshold, id_a < id_b. Norms are computed
     * once per vector (before the pair join), a pair costs one codegen'd

@@ -203,12 +203,9 @@ class MisraGries(k: Int) extends Aggregator[Long, Array[(Long, Long)], Array[(Lo
   * Scale: the shuffle carries ≤ k longs per (partition, key); estimate =
   * (k−1)/u₍ₖ₎ happens on k-row output, never on data.
   */
-class KmvMinHashes(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
-
-  /** Buffer: ascending sorted distinct hash values, ≤ k entries. */
-  override def zero: Array[Long] = Array.empty
-
-  private def insert(buf: Array[Long], v: Long): Array[Long] = {
+private[functions] object KmvOps {
+  /** Insert into an ascending sorted distinct buffer of ≤ k entries. */
+  def insert(buf: Array[Long], v: Long, k: Int): Array[Long] = {
     val pos = java.util.Arrays.binarySearch(buf, v)
     if (pos >= 0) buf // present — KMV keeps DISTINCT minima
     else {
@@ -230,17 +227,60 @@ class KmvMinHashes(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
     }
   }
 
-  override def reduce(buf: Array[Long], v: Long): Array[Long] = insert(buf, v)
-
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+  def merge(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
     var acc = a
     var i = 0
-    while (i < b.length) { acc = insert(acc, b(i)); i += 1 }
+    while (i < b.length) { acc = insert(acc, b(i), k); i += 1 }
     acc
   }
+}
+
+class KmvMinHashes(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+
+  /** Buffer: ascending sorted distinct hash values, ≤ k entries. */
+  override def zero: Array[Long] = Array.empty
+
+  override def reduce(buf: Array[Long], v: Long): Array[Long] = KmvOps.insert(buf, v, k)
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = KmvOps.merge(a, b, k)
 
   override def finish(buf: Array[Long]): Array[Long] = buf
 
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
+/** [[KmvMinHashes]] with a NULLABLE (boxed) input that null inputs simply
+  * skip — for aggregations that must carry the sketch NEXT TO ordinary
+  * counters in one pass (`pipe_incremental_report`): the primitive-input
+  * variant requires a pre-filter, which forces a second aggregation and a
+  * join-back that Spark cannot join-eliminate — at scale that's a whole
+  * extra corpus scan for nothing.
+  */
+class KmvMinHashesNullable(k: Int)
+    extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+  override def zero: Array[Long] = Array.empty
+  override def reduce(buf: Array[Long], v: java.lang.Long): Array[Long] =
+    if (v == null) buf else KmvOps.insert(buf, v.longValue, k)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = KmvOps.merge(a, b, k)
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
+/** Merge whole KMV SKETCHES (each an ascending ≤ k distinct array) into
+  * one — the aggregator behind report-partial maintenance: union-then-trim
+  * is associative and order-free, so re-aggregating persisted per-batch
+  * sketches yields bit-for-bit the sketch of the union corpus. A null
+  * input array (absent sketch) is skipped.
+  */
+class KmvMergeSketches(k: Int)
+    extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+  override def zero: Array[Long] = Array.empty
+  override def reduce(buf: Array[Long], v: Array[Long]): Array[Long] =
+    if (v == null) buf else KmvOps.merge(buf, v, k)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = KmvOps.merge(a, b, k)
+  override def finish(buf: Array[Long]): Array[Long] = buf
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
 }
@@ -254,6 +294,17 @@ object TopKAgg {
     */
   def kmvMinHashes(c: Column, k: Int): Column =
     udaf(new KmvMinHashes(k), Encoders.scalaLong).apply(c)
+
+  /** Null-skipping KMV sketch — safe to place beside ordinary counters in
+    * ONE aggregation (no pre-filter, no join-back; see
+    * [[KmvMinHashesNullable]]).
+    */
+  def kmvMinHashesNullable(c: Column, k: Int): Column =
+    udaf(new KmvMinHashesNullable(k), Encoders.LONG).apply(c)
+
+  /** Merge per-batch KMV sketches (arrays) into the union sketch. */
+  def kmvMergeSketches(c: Column, k: Int): Column =
+    udaf(new KmvMergeSketches(k), ExpressionEncoder[Array[Long]]()).apply(c)
 
   /** KMV distinct estimate from a [[KmvMinHashes]] sketch: the exact set
     * size below k, else (k−1)·spaceSize/h₍ₖ₎. `spaceSize` is the hash

@@ -151,6 +151,48 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8)
   }
 
+  test("sq8TopK: recall@5 vs brute force at sf0.01 and the ADC error envelope") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, queries, k = 5))
+    val out = Similarity.sq8TopK(emb, queries, k = 5, dim = 64, shortlistFactor = 8)
+    val sq = pairs(out)
+    val recall = (truth & sq).size.toDouble / truth.size
+    info(f"SQ8 recall@5 = $recall%.3f (${(truth & sq).size}/${truth.size})")
+    // 8-bit per-dim quantization reconstructs within half a step per
+    // component, so the approximate ranking is near-exact; floor leaves
+    // headroom for testdata regeneration
+    assert(recall >= 0.9)
+    // the error envelope: a broken quantizer (scale off by a factor,
+    // shifted codes, swapped min/max) pushes sq_cos far from the exact
+    // cosine; a correct one stays within a tight band on unit-scale data
+    val maxErr = out.select(max(abs($"sq_cos" - $"cos"))).collect()(0).getDouble(0)
+    info(f"SQ8 max |sq_cos - cos| over results = $maxErr%.5f")
+    assert(maxErr <= 0.05)
+  }
+
+  test("sq8TopK: exact ranks on the tiny fixture; degenerates never surface") {
+    // margins between the 8 fixture vectors dwarf the quantization step,
+    // so SQ8's final ranking must EQUAL brute force exactly
+    val out = Similarity.sq8TopK(vectors, vectors.filter($"vec_id" === 0L), k = 3, dim = 8)
+      .collect().map(r => (r.getLong(1), r.getInt(4)))
+    val exact = Similarity.bruteForceTopK(vectors, vectors.filter($"vec_id" === 0L), k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toSeq == exact.toSeq)
+
+    // zero-norm and NaN-component vectors: excluded from stats and ranking,
+    // and must not displace real neighbors (the rankTopK degenerate contract)
+    val degen = vectors.union(Seq(
+      (100L, Array.fill(8)(0.0f), 0),
+      (101L, Array.fill(8)(Float.NaN), 1)).toDF("vec_id", "embedding", "label"))
+    val dOut = Similarity.sq8TopK(degen, degen.filter($"vec_id" === 0L), k = 3, dim = 8)
+      .collect().map(r => (r.getLong(1), r.getInt(4)))
+    assert(dOut.toSeq == exact.toSeq)
+  }
+
   test("semanticDedup prunes within-cluster near-dups, keeps everything else") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val out = Similarity.semanticDedup(emb, nCentroids = 16, lloydIters = 2,
