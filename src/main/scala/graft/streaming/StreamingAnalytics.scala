@@ -175,6 +175,27 @@ object StreamingAnalytics {
         sk.as("sketch"))
   }
 
+  /** Running corpus report as STREAMING state — the streaming twin of
+    * `pipe_incremental_report`: ONE complete/update-mode aggregation keyed
+    * by source whose per-group state is exactly the batch partial
+    * ([[graft.QueriesExt.reportPartials]] — additive counters + the
+    * null-skipping KMV-64 text-hash sketch), so per-source state is
+    * bounded (counters + ≤64 longs) at any stream length and the sketch
+    * estimate rides the same md5-60-bit hash as the batch oracle. The KMV
+    * buffer is a pure function of the text-value SET, so the streamed
+    * report after ANY micro-batch split equals the batch one-shot
+    * EXACTLY — estimate included (StreamingParitySpec). One streaming
+    * aggregation only: the estimate is a post-select on the state, not a
+    * second agg (chained streaming aggregations are unsupported).
+    */
+  def incrementalReportStream(docs: DataFrame): DataFrame =
+    graft.QueriesExt.reportPartials(docs, lit(0L))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("q_high"),
+        col("q_mid"), col("q_low"), col("n_en"),
+        // 2^60 travels with reportPartials' md5Hash60 (see kmvEstimate)
+        graft.functions.TopKAgg.kmvEstimate(col("sketch"), 64, 1152921504606846976.0)
+          .as("est_distinct_texts"))
+
   /** Custom-state sessionization via flatMapGroupsWithState — for session
     * semantics the built-in session_window can't express (here: sessions
     * also END when a terminal event type is seen, not only on gap

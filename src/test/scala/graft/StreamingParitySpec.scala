@@ -118,6 +118,41 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed.exists { case (_, est, sk) => est == 5.0 && sk.length == 5 })
   }
 
+  test("incremental report stream: running report equals the batch one-shot") {
+    implicit val sq = spark.sqlContext
+    // dup texts across the split (KMV must dedup through the state store),
+    // a null text (skipped by the sketch, counted by n_docs), a null
+    // source (a real group), and an all-null-text source (est exactly 0.0)
+    val docsSeq = Seq(
+      ("the quick brown fox jumps", "web"),
+      ("the quick brown fox jumps", "web"),
+      ("completely different text here", "web"),
+      ("lorem ipsum dolor sit amet", "books"),
+      (null, "books"),
+      ("sourceless text body", null),
+      (null, "empty_src"))
+    val mem = MemoryStream[(String, String)]
+    mem.addData(docsSeq.take(3)) // split mid-source: web spans both batches
+    val sdf = StreamingAnalytics.incrementalReportStream(
+      mem.toDF().toDF("text", "source"))
+    val q = sdf.writeStream.format("memory").queryName("inc_report_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    mem.addData(docsSeq.drop(3)); q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val streamed = rows(spark.table("inc_report_stream"))
+    val batch = rows(QueriesExt.mergeReport(QueriesExt.reportPartials(
+      docsSeq.toDF("text", "source"), lit(0L))))
+    // EXACT equality — counters are additive, the KMV buffer is a pure
+    // function of the per-source text set; the micro-batch split and the
+    // state-store merges must be invisible, estimate included
+    assert(streamed == batch && streamed.size == 4)
+    // the all-null-text source reports 0 distinct texts, not null
+    assert(streamed.exists(r => r.head == "empty_src" && r.last == 0.0))
+  }
+
   test("streaming parse: LogParser over a line stream equals batch parse") {
     implicit val sq = spark.sqlContext
     val lines = Seq(
