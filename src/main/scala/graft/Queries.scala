@@ -1683,14 +1683,11 @@ object Queries {
            |ORDER BY event_type""".stripMargin),
     (s, d) => {
       val e = ev(s, d)
-      // 60-bit uniform hash from the md5 hex prefix — standard on every
-      // engine, unlike xxhash64/HLL internals
-      def hv(c: Column): Column =
-        conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long")
-      // 2^60 = the 15-hex-nibble hash space above — see kmvEstimate's doc
+      // the cross-engine 60-bit md5-prefix hash and its paired estimator —
+      // one definition each, in TopKAgg, beside the 2^60 space size
+      def hv(c: Column): Column = graft.functions.TopKAgg.md5Hash60(c)
       def estim(ms: Column): Column =
-        graft.functions.TopKAgg.kmvEstimate(ms, 64, 1152921504606846976.0)
+        graft.functions.TopKAgg.kmvEstimate60(ms, 64)
       val mu = e.filter(col("user_id").isNotNull).groupBy("event_type")
         .agg(graft.functions.TopKAgg.kmvMinHashes(hv(col("user_id")), 64).as("mu"))
       val me = e.filter(col("event_id").isNotNull).groupBy("event_type")

@@ -2190,13 +2190,10 @@ object QueriesExt {
         .orderBy("doc_id", "chunk_idx")
     })
 
-  /** 60-bit uniform hash from the md5 hex prefix — the cross-engine hash
-    * convention of a18b (Queries.scala): standard on every engine, unlike
-    * xxhash64 or HLL internals, so KMV sketches built from it replay in
-    * ANSI SQL.
+  /** The cross-engine 60-bit KMV hash — one definition, in
+    * [[graft.functions.TopKAgg.md5Hash60]], beside its space size.
     */
-  private def md5Hash60(c: Column): Column =
-    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+  private def md5Hash60(c: Column): Column = graft.functions.TopKAgg.md5Hash60(c)
 
   /** Per-batch report partials — the bounded mergeable STATE of
     * `pipe_incremental_report`: one row per (batch, source) carrying
@@ -2256,8 +2253,8 @@ object QueriesExt {
         graft.functions.TopKAgg.kmvMergeSketches(col("sketch"), 64).as("ms"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("q_high"), col("q_mid"), col("q_low"), col("n_en"),
-        // 2^60 travels with the md5Hash60 construction (see kmvEstimate)
-        graft.functions.TopKAgg.kmvEstimate(col("ms"), 64, 1152921504606846976.0)
+        // the md5Hash60 estimator — 2^60 rides along inside it
+        graft.functions.TopKAgg.kmvEstimate60(col("ms"), 64)
           .as("est_distinct_texts"))
       .orderBy("source") // Spark asc = NULLS FIRST, oracle says so explicitly
 

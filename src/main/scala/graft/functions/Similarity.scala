@@ -380,17 +380,32 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         safeCos(adcDot, col("qn"), col("rnorm")).as("adc_cos"))
 
-    // Shortlist by ADC with the same two-phase window bound as rankTopK.
-    val sl = shortlistFactor * k
+    // Shortlist by ADC with the same two-phase window bound as rankTopK,
+    // then exact re-rank — shared with sq8TopK.
+    shortlistRerank(scored, corpus, q, "adc_cos", k, shortlistFactor * k)
+  }
+
+  /** The approximate-score → exact-cosine tail shared by [[pqTopK]] and
+    * [[sq8TopK]]: two-phase windowed shortlist (per-partition pre-cut, then
+    * global cut — never a global sort of all scores), exact re-rank by
+    * broadcasting the tiny shortlist INTO the embeddings scan (map-side
+    * hash probe — embeddings are never shuffled). One definition so a
+    * guard/tie-break fix lands in both ANN paths at once.
+    *
+    * `scored` must carry (query_id, neighbor_id, `scoreCol`); `q` must
+    * carry (query_id, qe, qn).
+    */
+  private def shortlistRerank(scored: DataFrame, corpus: DataFrame, q: DataFrame,
+                              scoreCol: String, k: Int, sl: Int): DataFrame = {
     val perPart = Window.partitionBy(col("query_id"), col("pid"))
-      .orderBy(desc("adc_cos"), col("neighbor_id"))
-    val global = Window.partitionBy("query_id").orderBy(desc("adc_cos"), col("neighbor_id"))
+      .orderBy(desc(scoreCol), col("neighbor_id"))
+    val global = Window.partitionBy("query_id").orderBy(desc(scoreCol), col("neighbor_id"))
     val shortlist = scored
       // same guard as rankTopK (its comment is load-bearing): a NaN score
       // (NaN floats in a vector) sorts above every real under desc and
       // would occupy shortlist slots for EVERY query; null (zero norm)
       // is excluded for symmetry with the other top-k paths
-      .filter(col("adc_cos").isNotNull && !isnan(col("adc_cos")))
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol)))
       .withColumn("pid", spark_partition_id())
       .withColumn("prank", row_number().over(perPart))
       .filter(col("prank") <= sl)
@@ -399,19 +414,17 @@ object Similarity {
       .filter(col("srank") <= sl)
       .drop("srank")
 
-    // Exact re-rank: the tiny shortlist broadcasts INTO the embeddings
-    // scan (map-side hash probe — embeddings are never shuffled).
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
       .withColumn("nn", l2Norm(col("ne")))
     val rerank = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     c.join(broadcast(shortlist), "neighbor_id")
       .join(broadcast(q), "query_id")
-      .select(col("query_id"), col("neighbor_id"), col("adc_cos"),
+      .select(col("query_id"), col("neighbor_id"), col(scoreCol),
         safeCos(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
       .filter(col("cos").isNotNull && !isnan(col("cos"))) // as in rankTopK
       .withColumn("rank", row_number().over(rerank))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "adc_cos", "cos", "rank")
+      .select("query_id", "neighbor_id", scoreCol, "cos", "rank")
   }
 
   /** K-means clustering summary — the "what structure does this embedding
@@ -595,8 +608,11 @@ object Similarity {
     // inside this scan's projection). SimilaritySpec pins recall and the
     // ADC-vs-exact error envelope the quantizer must stay inside.
     val recon: Column = transform(col("embedding"), (x, i) => {
-      val mn = element_at(minsLit, i + 1)
-      val sc = element_at(scalesLit, i + 1)
+      // 0-indexed get(), not element_at(i+1): an embedding longer than
+      // `dim` must degrade to null components (as DuckDB's OOB list index
+      // does), not throw INVALID_ARRAY_INDEX under ANSI.
+      val mn = get(minsLit, i)
+      val sc = get(scalesLit, i)
       val code = when(sc === 0.0, lit(0.0)).otherwise(
         least(lit(255.0), greatest(lit(0.0), floor((x.cast("double") - mn) / sc))))
       when(x.isNotNull && !isnan(x), (mn + code * sc).cast("float"))
@@ -613,32 +629,8 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         safeCos(dot(col("qe"), col("re")), col("qn"), col("rnorm")).as("sq_cos"))
 
-    // Shortlist + exact re-rank: the pqTopK tail, scored by sq_cos.
-    val sl = shortlistFactor * k
-    val perPart = Window.partitionBy(col("query_id"), col("pid"))
-      .orderBy(desc("sq_cos"), col("neighbor_id"))
-    val global = Window.partitionBy("query_id").orderBy(desc("sq_cos"), col("neighbor_id"))
-    val shortlist = scored
-      .filter(col("sq_cos").isNotNull && !isnan(col("sq_cos")))
-      .withColumn("pid", spark_partition_id())
-      .withColumn("prank", row_number().over(perPart))
-      .filter(col("prank") <= sl)
-      .drop("pid", "prank")
-      .withColumn("srank", row_number().over(global))
-      .filter(col("srank") <= sl)
-      .drop("srank")
-
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-      .withColumn("nn", l2Norm(col("ne")))
-    val rerank = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
-    c.join(broadcast(shortlist), "neighbor_id")
-      .join(broadcast(q), "query_id")
-      .select(col("query_id"), col("neighbor_id"), col("sq_cos"),
-        safeCos(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
-      .filter(col("cos").isNotNull && !isnan(col("cos"))) // as in rankTopK
-      .withColumn("rank", row_number().over(rerank))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "sq_cos", "cos", "rank")
+    // Shortlist + exact re-rank: the shared pq/sq8 tail, scored by sq_cos.
+    shortlistRerank(scored, corpus, q, "sq_cos", k, shortlistFactor * k)
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g.

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.{element_at, lit, size, udaf, when}
+import org.apache.spark.sql.functions.{conv, element_at, lit, md5, size, substring, udaf, when}
 
 /** Exact top-k values per group as a custom `Aggregator` — the §2.9
   * extension point (the reference's workload needs no custom aggregate;
@@ -318,6 +318,27 @@ object TopKAgg {
     when(size(sketch) < k, size(sketch).cast("double"))
       .otherwise(lit((k - 1).toDouble) * lit(spaceSize) /
         element_at(sketch, k).cast("double"))
+
+  /** 60-bit uniform hash from the md5 hex prefix — the cross-engine KMV
+    * hash convention (a18b, the incremental report, their streaming
+    * twins): replayable in ANSI SQL on any engine, unlike xxhash64 or HLL
+    * internals. Defined HERE, beside its space size, so the hash width
+    * and the estimator's spaceSize cannot drift apart across carriers.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Hash space of [[md5Hash60]] — 2⁶⁰ (15 hex nibbles) as an exact
+    * power-of-two double. Oracle SQL strings repeat this literal by
+    * necessity; every Scala carrier must reference it from here.
+    */
+  val Md5Hash60Space: Double = 1152921504606846976.0
+
+  /** [[kmvEstimate]] specialized to sketches built from [[md5Hash60]]
+    * values — the ONLY estimator a md5Hash60 sketch may use.
+    */
+  def kmvEstimate60(sketch: Column, k: Int): Column =
+    kmvEstimate(sketch, k, Md5Hash60Space)
 
   /** Column form: Misra-Gries candidate heavy hitters of a long column as
     * an array of `{_1 key, _2 estimate}` structs, estimate-descending.

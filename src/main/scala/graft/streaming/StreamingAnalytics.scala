@@ -192,8 +192,8 @@ object StreamingAnalytics {
     graft.QueriesExt.reportPartials(docs, lit(0L))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("q_high"),
         col("q_mid"), col("q_low"), col("n_en"),
-        // 2^60 travels with reportPartials' md5Hash60 (see kmvEstimate)
-        graft.functions.TopKAgg.kmvEstimate(col("sketch"), 64, 1152921504606846976.0)
+        // the md5Hash60 estimator — 2^60 rides along inside it
+        graft.functions.TopKAgg.kmvEstimate60(col("sketch"), 64)
           .as("est_distinct_texts"))
 
   /** Custom-state sessionization via flatMapGroupsWithState — for session

@@ -177,10 +177,12 @@ class SimilaritySpec extends SparkSpec {
   test("sq8TopK: exact ranks on the tiny fixture; degenerates never surface") {
     // margins between the 8 fixture vectors dwarf the quantization step,
     // so SQ8's final ranking must EQUAL brute force exactly
+    // sort by rank before comparing: collect() after a window + filter has
+    // no row-order contract (ranks are unique within the single query)
     val out = Similarity.sq8TopK(vectors, vectors.filter($"vec_id" === 0L), k = 3, dim = 8)
-      .collect().map(r => (r.getLong(1), r.getInt(4)))
+      .collect().map(r => (r.getLong(1), r.getInt(4))).sortBy(_._2)
     val exact = Similarity.bruteForceTopK(vectors, vectors.filter($"vec_id" === 0L), k = 3)
-      .collect().map(r => (r.getLong(1), r.getInt(3)))
+      .collect().map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2)
     assert(out.toSeq == exact.toSeq)
 
     // zero-norm and NaN-component vectors: excluded from stats and ranking,
@@ -189,7 +191,7 @@ class SimilaritySpec extends SparkSpec {
       (100L, Array.fill(8)(0.0f), 0),
       (101L, Array.fill(8)(Float.NaN), 1)).toDF("vec_id", "embedding", "label"))
     val dOut = Similarity.sq8TopK(degen, degen.filter($"vec_id" === 0L), k = 3, dim = 8)
-      .collect().map(r => (r.getLong(1), r.getInt(4)))
+      .collect().map(r => (r.getLong(1), r.getInt(4))).sortBy(_._2)
     assert(dOut.toSeq == exact.toSeq)
   }
 
