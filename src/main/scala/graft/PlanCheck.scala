@@ -256,7 +256,11 @@ object PlanCheck {
         case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
       }.exists(b => unaggGenerate(b.child))
     }
-    Seq("dd_simhash", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_substring_dup")
+    // j9/j11 joined in round 10: their operators (rangeJoinCount,
+    // saltedJoin) join over an un-materialized explode too, and now carry
+    // the same stage-boundary guard as Dedup.bucketSelfJoin.
+    Seq("dd_simhash", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_substring_dup",
+        "j9_range_join", "j11_salted_skew_join")
       .foreach { q =>
         checkTree(q)(
           "no broadcast subtree contains an un-aggregated explode" ->

@@ -120,11 +120,13 @@ object Funnel {
     *     watermark horizon: each micro-batch folds in event-time order,
     *     and a cross-batch late event older than already-made progress
     *     cannot retract it;
-    *   - state expiry re-anchors: once the watermark passes a chain's
-    *     `last_step + window` (no event could extend it) the state is
-    *     dropped, so a LATER view starts a fresh chain — where batch,
-    *     which sees all time at once, stays anchored on the first view
-    *     forever;
+    *   - state expiry re-anchors: once a chain's `last_step + window` has
+    *     passed — by the watermark (EventTimeTimeout, fires when the user
+    *     goes idle a batch) or by a newer event's own time (inline check
+    *     in the fold, so an always-active user expires too and output
+    *     never depends on micro-batch slicing) — the state is dropped and
+    *     a LATER view starts a fresh chain, where batch, which sees all
+    *     time at once, stays anchored on the first view forever;
     *   - conversions are at-most-once per funnel window: a converted
     *     user's tombstone lives until the watermark passes
     *     `conversion + window`, after which the user may legitimately
@@ -172,9 +174,24 @@ object Funnel {
             rows.toSeq.filter(r => stepIdx.contains(r._3))
               .sortBy(r => (us(r._2), stepIdx(r._3)))
               .foreach { case (_, ts, typ) =>
+                val t = us(ts)
+                // Inline expiry — the SAME rule the EventTimeTimeout
+                // enforces between batches, applied against this event's
+                // time: a chain (or conversion tombstone) whose window has
+                // passed can never be extended, so drop it and let this
+                // event re-anchor. Without this, a continuously-active
+                // user never times out (the timeout only fires in a batch
+                // where the group has NO data, and line below keeps
+                // bumping it past the watermark), so a dead chain would
+                // block every later conversion and the output would depend
+                // on micro-batch slicing. Cost: a cross-batch late event
+                // that could still have extended the dropped chain is
+                // lost — the same boundary the timeout path already has,
+                // per the watermark-horizon contract above.
+                if (st.times.nonEmpty && t > st.times.last + windowMillis * 1000L)
+                  st = FunnelState(Nil, done = false)
                 val k = st.times.length
                 if (!st.done && typ == steps(k)) {
-                  val t = us(ts)
                   val qualifies = k == 0 ||
                     (t >= st.times.last && t <= st.times.last + windowMillis * 1000L)
                   if (qualifies) {
@@ -194,8 +211,12 @@ object Funnel {
               // extended, and a tombstone held that long makes conversions
               // at-most-once PER FUNNEL WINDOW (clearing it on the next
               // advance would let an immediate second chain re-convert).
+              // ceiling µs→ms: plain division truncates, expiring the
+              // state up to ~1ms BEFORE the exact last_step + window
+              // boundary and dropping a still-completable chain whose
+              // final step lands inside that sliver
               state.setTimeoutTimestamp(
-                math.max(st.times.last / 1000L + windowMillis, wm + 1))
+                math.max((st.times.last + windowMillis * 1000L + 999L) / 1000L, wm + 1))
             }
             out.iterator
           }

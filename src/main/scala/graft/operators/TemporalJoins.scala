@@ -21,6 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
+  /** Fail fast when an input frame already carries one of an operator's
+    * working/output column names: `withColumn` silently REPLACES an
+    * existing column, which the pipeline then drops — the caller's column
+    * would vanish from the output with no error. (SkewJoins generates a
+    * collision-free salt name; here the names are baked into expression
+    * strings, so a loud require is the honest contract.)
+    */
+  private def requireNoCollision(df: DataFrame, side: String, reserved: Seq[String]): Unit = {
+    val hit = df.columns.toSet.intersect(reserved.toSet)
+    require(hit.isEmpty,
+      s"TemporalJoins: $side input already has column(s) ${hit.mkString(", ")} — " +
+        s"reserved by the operator (rename them before the call)")
+  }
+
   /** For each left row, the most recent right row with rts <= lts, per key
     * (left as-of-backward join). Tie semantics: a right row at exactly
     * lts is visible; among right rows sharing rts the one with the
@@ -35,6 +49,7 @@ object TemporalJoins {
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTs: String, rightTs: String, rightOrd: String,
                rightPayload: Seq[String]): DataFrame = {
+    requireNoCollision(left, "left", Seq("__is_r", "__ts", "__ord", "__rrow", "__asof", "asof"))
     // Typed null literal built from the actual schema, not a DDL string —
     // string-concatenated DDL breaks on any column name that is not a
     // bare identifier (spaces, dots, colons), while the struct() call on
@@ -78,15 +93,31 @@ object TemporalJoins {
   def rangeJoinCount(probe: DataFrame, build: DataFrame, keyCol: String,
                      probeTs: String, buildTs: String, probeId: String,
                      windowMicros: Long): DataFrame = {
+    // zero would die later with a bare ANSI DIVIDE_BY_ZERO from the bin
+    // `div`; NEGATIVE is worse — the range predicate becomes a
+    // contradiction and every probe row silently counts 0
+    require(windowMicros > 0,
+      s"rangeJoinCount: windowMicros must be positive, got $windowMicros")
+    requireNoCollision(probe, "probe", Seq("__pus", "__bin", "__cnt", "window_count"))
     // bin off the aliased __pus (as the build side does off __bus) — an
     // expr() interpolating the raw probeTs name breaks on non-bare
     // identifiers and re-evaluates unix_micros for nothing
     val p = probe.withColumn("__pus", unix_micros(col(probeTs)))
       .withColumn("__bin", expr(s"__pus div ${windowMicros}L"))
-    val b = build.select(col(keyCol).as("__bkey"), unix_micros(col(buildTs)).as("__bus"))
+    val bRows = build.select(col(keyCol).as("__bkey"), unix_micros(col(buildTs)).as("__bus"))
       // a build row at bin h can only match probes in bins h and h+1
       .withColumn("__bin", explode(array(
         expr(s"__bus div ${windowMicros}L"), expr(s"__bus div ${windowMicros}L + 1L"))))
+    // Stage-bound the exploded side before the join: the planner's static
+    // estimate is the slim PRE-explode projection, so a build side sized
+    // just under the broadcast threshold would physically broadcast 2×
+    // that (the round-9 blind-broadcast class, as in Dedup.bucketSelfJoin).
+    // AQE on: the repartition boundary makes it size the RUNTIME rows —
+    // broadcast only when truly small, and the exchange is on the join
+    // keys so sort-merge reuses it. AQE off: pin sort-merge outright.
+    val aqe = build.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+      .equalsIgnoreCase("true")
+    val b = if (aqe) bRows.repartition(col("__bkey"), col("__bin")) else bRows.hint("merge")
 
     val matched = p
       .join(b, p(keyCol) === b("__bkey") && p("__bin") === b("__bin") &&

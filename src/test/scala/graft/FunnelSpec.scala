@@ -82,6 +82,28 @@ class FunnelSpec extends SparkSpec {
     assert(streaming.map(_._1) == Set(1L)) // exactly one conversion, once
   }
 
+  test("streaming: a dead chain expires INLINE — a fresh chain in the same batch converts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val sdf = Funnel.conversionStream(mem.toDS(), steps, 60L * 60 * 1000)
+    val q = sdf.writeStream.format("memory").queryName("funnel_reanchor")
+      .outputMode("append").start()
+    // batch 1 anchors a chain at 00:00 that will die (no click within 1h)
+    mem.addData(Seq((1L, ts(0), "view"))); q.processAllAvailable()
+    // batch 2 delivers a COMPLETE fresh chain hours later, while the dead
+    // chain still occupies state (the user was never idle a batch, so the
+    // EventTimeTimeout cannot have fired) — the inline expiry must
+    // re-anchor at the 03:00 view or the conversion is silently lost and
+    // the result depends on micro-batch slicing
+    mem.addData(Seq((1L, ts(3), "view"), (1L, ts(4), "click"), (1L, ts(5), "purchase")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_reanchor").as[(Long, Seq[java.sql.Timestamp])]
+      .collect().toSet
+    assert(got == Set((1L, Seq(ts(3), ts(4), ts(5)))))
+  }
+
   test("users who never did step 1 are absent; funnelCounts is monotone") {
     val rows = Seq(
       (1L, 0, "view"), (1L, 1, "click"), (1L, 2, "purchase"),

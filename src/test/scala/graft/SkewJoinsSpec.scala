@@ -20,6 +20,17 @@ class SkewJoinsSpec extends SparkSpec {
     assert(salted.size == 1000) // inner join drops nothing on matched keys
   }
 
+  test("exploded small side sits behind a stage boundary (blind-broadcast guard)") {
+    // the static planner costs the exploded side at its slim PRE-explode
+    // estimate and could broadcast buckets× the data; the repartition
+    // boundary makes AQE size the RUNTIME rows instead
+    val out = SkewJoins.saltedJoin(big, dim, "k", buckets = 8, xxhash64($"id"))
+    val boundaries = out.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+    }
+    assert(boundaries.nonEmpty)
+  }
+
   test("salt actually spreads a hot key over multiple buckets") {
     val salted = big.withColumn("_salt", pmod(xxhash64($"id"), lit(8L)).cast("int"))
     val hotBuckets = salted.filter($"k" === "hot")

@@ -67,4 +67,44 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(503L) == 0L)
     assert(out(504L) == 0L)
   }
+
+  test("rangeJoinCount rejects a non-positive window loudly") {
+    // zero would die later with a bare ANSI divide-by-zero; NEGATIVE would
+    // silently return all-zero counts (contradictory range predicate)
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.rangeJoinCount(lefts, rights, "user_id", "ts", "ts",
+        "event_id", windowMicros = -3600000000L)
+    }
+    assert(e.getMessage.contains("windowMicros"))
+    intercept[IllegalArgumentException] {
+      TemporalJoins.rangeJoinCount(lefts, rights, "user_id", "ts", "ts",
+        "event_id", windowMicros = 0L)
+    }
+  }
+
+  test("working-column collisions fail fast instead of silently dropping data") {
+    // withColumn REPLACES an existing column of the same name; the
+    // operator then drops it — the caller's column would vanish silently
+    val e1 = intercept[IllegalArgumentException] {
+      TemporalJoins.asOfJoin(lefts.withColumn("asof", $"value"), rights,
+        "user_id", "ts", "ts", "event_id", Seq("value"))
+    }
+    assert(e1.getMessage.contains("asof"))
+    val e2 = intercept[IllegalArgumentException] {
+      TemporalJoins.rangeJoinCount(lefts.withColumn("window_count", $"value"),
+        rights, "user_id", "ts", "ts", "event_id", windowMicros = 1000000L)
+    }
+    assert(e2.getMessage.contains("window_count"))
+  }
+
+  test("rangeJoinCount's exploded build side sits behind a stage boundary (blind-broadcast guard)") {
+    // the static planner costs the exploded side at its slim PRE-explode
+    // estimate; the repartition boundary makes AQE size the runtime rows
+    val out = TemporalJoins.rangeJoinCount(lefts, rights, "user_id", "ts",
+      "ts", "event_id", windowMicros = 600000000L)
+    val boundaries = out.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+    }
+    assert(boundaries.nonEmpty)
+  }
 }
