@@ -21,19 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
-  /** Fail fast when an input frame already carries one of an operator's
-    * working/output column names: `withColumn` silently REPLACES an
-    * existing column, which the pipeline then drops — the caller's column
-    * would vanish from the output with no error. (SkewJoins generates a
-    * collision-free salt name; here the names are baked into expression
-    * strings, so a loud require is the honest contract.)
+  /** Fail fast on working/output-column collisions — [[Guards]], shared
+    * with the streaming entry points that stage columns the same way.
     */
-  private def requireNoCollision(df: DataFrame, side: String, reserved: Seq[String]): Unit = {
-    val hit = df.columns.toSet.intersect(reserved.toSet)
-    require(hit.isEmpty,
-      s"TemporalJoins: $side input already has column(s) ${hit.mkString(", ")} — " +
-        s"reserved by the operator (rename them before the call)")
-  }
+  private def requireNoCollision(df: DataFrame, side: String, reserved: Seq[String]): Unit =
+    Guards.requireNoCollision(df, s"TemporalJoins: $side", reserved)
 
   /** For each left row, the most recent right row with rts <= lts, per key
     * (left as-of-backward join). Tie semantics: a right row at exactly

@@ -8,16 +8,23 @@ import graft.ingest.LogParser
   * streaming — its dashboard re-scans everything per refresh,
   * stats_dashboard.py:13-18; this module is the north-star replacement).
   *
-  * Every transform here takes a DataFrame and works identically on batch
+  * Every TRANSFORM here takes a DataFrame and works identically on batch
   * and streaming inputs — the parity tests exploit that by running the
   * same function over `spark.read` and `MemoryStream` inputs — with two
-  * STREAMING-ONLY exceptions: [[dedupStream]] and [[cleanCorpusStream]]
-  * build on `dropDuplicatesWithinWatermark`, which Spark rejects on
-  * batch DataFrames; their batch equivalents are
+  * exceptions: [[dedupStream]] and [[cleanCorpusStream]] build on
+  * `dropDuplicatesWithinWatermark`, which Spark rejects on batch
+  * DataFrames; their batch equivalents are
   * [[graft.functions.Dedup.exact]] (keep-min-id, deterministic) followed
   * by [[graft.QueriesExt.cleanGates]], i.e. the `pipe_clean_corpus`
-  * composition. Watermarks bound state so a 100 TB/day stream holds only
-  * (watermark window × key cardinality) state, not history.
+  * composition. The SINK-shaped entry points — [[upsertStream]],
+  * [[incrementalDedupStream]], [[streamingIngest]] — return a started
+  * `StreamingQuery` via `writeStream.foreachBatch` and so only accept
+  * streaming inputs; their batch equivalents are the shared per-batch
+  * bodies they delegate to ([[graft.sources.docstore.DocStoreMaintenance.upsert]],
+  * [[graft.functions.Dedup.incrementalStatus]], [[ingestBatch]]), which
+  * the parity specs run directly. Watermarks bound state so a 100 TB/day
+  * stream holds only (watermark window × key cardinality) state, not
+  * history.
   */
 object StreamingAnalytics {
 
@@ -96,6 +103,13 @@ object StreamingAnalytics {
       floor((base - cur) * log(base / cur) * 10000 + 0.5).cast("long")
     }
     val cis = (0 until 10).map(contribI)
+    // psi_total is co-selected with the explode, so it re-evaluates once
+    // per exploded bin row (~10× the 10-term log sum). Deliberate: the
+    // generate-collapse amplification class matters for per-DOCUMENT
+    // kernels; here the pre-explode input is the one-row-per-window
+    // aggregate output, so the waste is a constant ~100 log calls per
+    // window — restructuring around Catalyst's project collapse isn't
+    // worth the opacity.
     perWindow.select(col("w.start").as("window_start"),
         (cis.reduce(_ + _).cast("double") / 10000).as("psi_total"),
         explode(array((0 until 10).map(b =>
@@ -259,7 +273,11 @@ object StreamingAnalytics {
                 // the timeout is set-and-ignored by design.
                 val wm = try state.getCurrentWatermarkMs()
                   catch { case _: UnsupportedOperationException => Long.MinValue }
-                state.setTimeoutTimestamp(math.max(s.last / 1000L + gapMillis, wm + 1))
+                // ceiling µs→ms: flooring would let the timeout fire up to
+                // ~1ms BEFORE the exact last+gap boundary, splitting a
+                // session an on-time event would still have extended
+                state.setTimeoutTimestamp(
+                  math.max((s.last + gapMillis * 1000L + 999L) / 1000L, wm + 1))
               case None => state.remove()
             }
             out.iterator
@@ -277,12 +295,14 @@ object StreamingAnalytics {
     * unbounded-state `dropDuplicates` would hold every hash ever seen.
     */
   def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
-                  watermarkDelay: String = "1 hour"): DataFrame =
+                  watermarkDelay: String = "1 hour"): DataFrame = {
+    graft.operators.Guards.requireNoCollision(docs, "dedupStream: docs", Seq("_h"))
     docs
       .withColumn("_h", xxhash64(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("_h")
       .drop("_h")
+  }
 
   /** The full clean-corpus ingest as a STREAM: bounded-state exact dedup
     * ([[dedupStream]]) followed by the exact same stateless quality /
@@ -308,9 +328,18 @@ object StreamingAnalytics {
     * for a pre-bucketed static side; the stream plan is unchanged.)
     */
   def exactDupStream(docs: DataFrame, base: DataFrame,
-                     textCol: String = "text"): DataFrame = {
-    val bh = base.select(xxhash64(col(textCol)).as("_th"), col("doc_id").as("base_id"))
+                     textCol: String = "text", cacheBase: Boolean = true): DataFrame = {
+    graft.operators.Guards.requireNoCollision(docs, "exactDupStream: docs",
+      Seq("_th", "match_id", "status"))
+    val reduced = base.select(xxhash64(col(textCol)).as("_th"), col("doc_id").as("base_id"))
       .groupBy("_th").agg(min("base_id").as("match_id"))
+    // A stream-static join re-evaluates the STATIC subtree every trigger,
+    // so without this the base's hash + groupBy reduction would re-run per
+    // micro-batch forever. The base is immutable by contract, so the cache
+    // plan is trigger-invariant (one CacheManager entry, same rationale as
+    // incrementalStatus's cacheIndex); pass cacheBase=false to manage the
+    // base's lifecycle in the caller instead.
+    val bh = if (cacheBase) reduced.persist() else reduced
     docs.withColumn("_th", xxhash64(col(textCol)))
       .join(broadcast(bh), Seq("_th"), "left")
       .drop("_th")
@@ -352,7 +381,8 @@ object StreamingAnalytics {
     * foreachBatch recovery contract.
     */
   def upsertStream(changes: DataFrame, path: String, keyCol: String, seqCol: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.operators.Guards.requireNoCollision(changes, "upsertStream: changes", Seq("_rn"))
     changes.writeStream.outputMode("append").foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         // deterministic tie-break on equal seqCol: without it row_number
@@ -363,12 +393,19 @@ object StreamingAnalytics {
         val tieBreak = xxhash64(struct(batch.columns.map(col).toIndexedSeq: _*))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCol).orderBy(col(seqCol).desc, tieBreak)
-        val latest = batch.withColumn("_rn", row_number().over(w))
+        // Drop null-key change rows BEFORE the merge: a null key is
+        // unidentifiable (matches no document), and letting it through
+        // would trip upsert's null-key require — killing the query AND
+        // every checkpoint replay of the same batch, a permanent poison
+        // pill one malformed CDC record must not be able to plant.
+        val latest = batch.filter(col(keyCol).isNotNull)
+          .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
         graft.sources.docstore.DocStoreMaintenance.upsert(
           batch.sparkSession, path, keyCol, latest)
         ()
     }.start()
+  }
 
   /** The END-TO-END streaming ingest pipe — change-stream → clean gates →
     * incremental dedup → docstore upsert — composed from the stages that
@@ -456,6 +493,7 @@ object StreamingAnalytics {
       // require. Collapse to one row per doc_id, deterministically (min
       // content hash) — NOT last-writer-wins: a true revision stream
       // carries a sequence column and belongs in [[upsertStream]].
+      graft.operators.Guards.requireNoCollision(batch, "ingestBatch: batch", Seq("_rn"))
       val oneRow = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(xxhash64(col("text")))
       val unique = batch.withColumn("_rn", row_number().over(oneRow))
@@ -581,9 +619,11 @@ object StreamingAnalytics {
     * State per key is exactly the one OPEN run (type, start, last, count,
     * version) — the closed history is emitted, never retained — so state
     * is (active keys × one record) at any stream length. A state change
-    * closes the open run at the new row's ts (half-open chain, identical
-    * to the batch operator's valid_to = next valid_from) and emits it;
-    * the open run itself is what the batch query reports as is_current.
+    * closes the open run; its valid_to is the SUCCESSOR run's min ts
+    * (half-open chain, identical to the batch operator's valid_to = next
+    * valid_from), so emission defers until the successor's min is settled
+    * (see the fold comment); the open run itself is what the batch query
+    * reports as is_current.
     * Rows fold in event order within a batch; late cross-batch data is
     * the batch operator's job to reconcile, as with the other folds here.
     */
@@ -610,24 +650,36 @@ object StreamingAnalytics {
           // valid_from tracks the RUN MINIMUM ts, not the first-by-event_id
           // ts — the batch j12 (deliberately, round 9) uses min(ts) per run
           // because per-user ts monotone in event_id is not a guaranteed
-          // data property. Closed versions therefore match batch whenever
-          // the whole run was visible before the close; what can still
-          // diverge under non-monotone ts is valid_to (batch uses the NEXT
-          // run's eventual min, the stream can only know the next run's
-          // min SO FAR at close time) — a bounded-state consequence, same
-          // class as the expiry notes on the other folds here.
+          // data property. valid_to must therefore be the NEXT run's min
+          // too, so a closed run is NOT emitted at the closing row (that
+          // row's ts is merely the successor's min SO FAR): it parks in
+          // `pending` until its successor run is itself closed — the
+          // successor's min is then final — or the batch ends. Within one
+          // batch this makes closed versions EQUAL batch j12 under any ts
+          // order; what can still diverge is a pending run emitted at
+          // batch end whose successor's min drops in a LATER batch — a
+          // bounded-state consequence, same class as the expiry notes on
+          // the other folds here.
+          var pending: Option[Scd2State] = None
           rows.toSeq.sortBy(_._2).foreach { case (_, _, ts, typ) =>
             val tsUs = tsToUs(ts)
             cur match {
               case Some(s) if s.tpe == typ =>
                 cur = Some(s.withRow(tsUs))
               case Some(s) =>
-                out += Scd2Out(key, s.version, s.tpe,
-                  usToTs(s.startUs), usToTs(tsUs), s.n)
+                pending.foreach { p =>
+                  out += Scd2Out(key, p.version, p.tpe,
+                    usToTs(p.startUs), usToTs(s.startUs), p.n)
+                }
+                pending = Some(s)
                 cur = Some(Scd2State(typ, tsUs, 1L, s.version + 1))
               case None =>
                 cur = Some(Scd2State(typ, tsUs, 1L, 1L))
             }
+          }
+          pending.foreach { p =>
+            out += Scd2Out(key, p.version, p.tpe,
+              usToTs(p.startUs), usToTs(cur.get.startUs), p.n)
           }
           cur.foreach(state.update)
           out.iterator

@@ -101,6 +101,24 @@ class DocStoreUpsertSpec extends SparkSpec {
     assert(back.filter(col("id") === 50L).head().getAs[Double]("score") == 2.0)
   }
 
+  test("upsertStream survives a null-key change row (no checkpoint poison pill)") {
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir("cdcnull")
+    writeRange(dir, 0 until 3)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Option[Long], String, Double)]
+    val q = graft.streaming.StreamingAnalytics.upsertStream(
+      mem.toDF().toDF("seq", "id", "name", "score"), dir, keyCol = "id", seqCol = "seq")
+    // the null-key row is unidentifiable — it must be dropped, not allowed
+    // to trip upsert's null-key require (which would kill the query and
+    // every checkpoint replay of the same batch)
+    mem.addData(Seq((1L, Some(1L), "ok", 0.0), (2L, None, "poison", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.format("docstore").load(dir)
+    assert(back.count() == 3L)
+    assert(back.filter(col("id") === 1L).head().getAs[String]("name") == "ok")
+  }
+
   test("batch validation: duplicate or null keys are rejected, empty batch is a no-op") {
     val dir = tmpDir("valid")
     writeRange(dir, 0 until 3)

@@ -35,6 +35,24 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got.size == rows.map(_._3).distinct.size)
   }
 
+  test("working-column collisions fail fast instead of silently dropping caller data") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Long)]
+    // a pre-existing '_h' would be overwritten by the dedup hash and then
+    // dropped — the caller's column vanishing silently
+    val e = intercept[IllegalArgumentException] {
+      StreamingAnalytics.dedupStream(
+        mem.toDF().toDF("doc_id", "ts", "text", "_h"), "ts", "text")
+    }
+    assert(e.getMessage.contains("_h"))
+    val docs = Seq((1L, "a", "x")).toDF("doc_id", "text", "status")
+    val base = Seq((10L, "a")).toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingAnalytics.exactDupStream(docs, base)
+    }
+    assert(e2.getMessage.contains("status"))
+  }
+
   test("cleanCorpusStream ≡ batch gates over the deduped stream") {
     implicit val sq = spark.sqlContext
     // distinct-word-heavy so only the INTENDED gate trips each doc

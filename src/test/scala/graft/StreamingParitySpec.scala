@@ -269,6 +269,27 @@ class StreamingParitySpec extends SparkSpec {
     assert(w11.nonEmpty && w11.head.getDouble(4) > 0.0)
   }
 
+  test("streaming SCD2: valid_to is the successor run's MIN ts within a batch (non-monotone ts)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val sdf = StreamingAnalytics.scd2Stream(mem.toDS())
+    val q = sdf.writeStream.format("memory").queryName("scd2_nonmono")
+      .outputMode("append").start()
+    // successor run 'browse' has rows by event_id at ts 10:05 then 10:01 —
+    // batch j12 closes 'login' at the successor's MIN (10:01), so the
+    // stream must defer emission past the first successor row (which would
+    // report 10:05) until the successor's in-batch min is settled
+    mem.addData(Seq((1L, 1L, t(0), "login"),
+      (1L, 2L, t(5), "browse"), (1L, 3L, t(1), "browse")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("scd2_nonmono").collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getString(2) == "login" && r.getTimestamp(3) == t(0) &&
+      r.getTimestamp(4) == t(1) && r.getLong(5) == 1L)
+  }
+
   test("streaming SCD2: closed intervals over the real events table equal the batch j12 history") {
     implicit val sq = spark.sqlContext
     // the full sf0.001 events table, in event order, split across 3 micro-batches
