@@ -187,6 +187,44 @@ private[docstore] object DocStore {
     try out.write(allNullable(schema).toDDL.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Persist the collection schema for an APPEND commit: the stored schema
+    * becomes the UNION of every writer's fields (absent ⇄ null, the
+    * store's native semantics), so an append that selects a SUBSET of
+    * columns can never hide previously-written fields from later reads —
+    * or worse, from a compaction, which rewrites documents through the
+    * stored schema and would physically delete the hidden values. A
+    * RETYPED field fails loudly instead (old zone-map stats and documents
+    * of the other type would read back corrupted): retyping a collection
+    * requires an explicit overwrite, which replaces the schema via
+    * [[writeStoredSchema]]. Union-merging is also what lets two streaming
+    * queries with different column sets share one collection without the
+    * schema flip-flopping every epoch.
+    */
+  def mergeStoredSchema(dir: String, schema: StructType): Unit =
+    writeStoredSchema(dir, mergedSchemaFor(dir, schema))
+
+  /** The union-merged schema an append will persist — callable BEFORE any
+    * data is written so a retyped append fails before staging shards.
+    */
+  def mergedSchemaFor(dir: String, schema: StructType): StructType = {
+    val p = new Path(dir, SchemaFile)
+    if (!fs(p).exists(p)) allNullable(schema)
+    else {
+      val stored = readStoredSchema(dir)
+      val storedByName = stored.fields.map(f => f.name -> f).toMap
+      schema.fields.foreach { fld =>
+        storedByName.get(fld.name).foreach { s =>
+          if (s.dataType != fld.dataType) throw new IllegalArgumentException(
+            s"docstore append retypes field '${fld.name}' from ${s.dataType.simpleString} " +
+              s"to ${fld.dataType.simpleString}; retyping requires mode(\"overwrite\")")
+        }
+      }
+      val storedNames = stored.fieldNames.toSet
+      StructType(stored.fields ++
+        schema.fields.filterNot(f => storedNames.contains(f.name)).map(_.copy(nullable = true)))
+    }
+  }
+
   def validateSchema(schema: StructType): Unit = schema.fields.foreach { fld =>
     fld.dataType match {
       case StringType | IntegerType | LongType | DoubleType | BooleanType => ()
@@ -254,14 +292,34 @@ private[docstore] object DocStore {
     val f = fs(cd)
     if (reset && f.exists(cd)) f.delete(cd, true)
     if (!f.exists(cd)) f.mkdirs(cd)
-    val next = listVersions(dir).lastOption.getOrElse(0) + 1
-    val root = JsonNodeFactory.instance.objectNode()
-    val arr = root.putArray("shards")
-    listParts(dir).map(_.getName).foreach(arr.add)
-    val p = new Path(cd, f"v$next%06d.json")
-    val out = f.create(p, false)
-    try out.write(new ObjectMapper().writeValueAsString(root).getBytes("UTF-8"))
-    finally out.close()
+    // Version allocation races when two committers land in the same
+    // instant (two streaming queries sharing a collection — a supported
+    // setup — or a streaming epoch beside a batch append): list-then-
+    // create(overwrite=false) is not atomic, so the loser's create throws.
+    // The create IS the atomic claim; on collision re-list and take the
+    // next number instead of failing the whole commit. Bounded attempts:
+    // each loss means another committer PROGRESSED, so livelock would
+    // need 64 commits in the window of one — at that point something is
+    // pathologically wrong and loud beats silent.
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val next = listVersions(dir).lastOption.getOrElse(0) + 1
+      val root = JsonNodeFactory.instance.objectNode()
+      val arr = root.putArray("shards")
+      listParts(dir).map(_.getName).foreach(arr.add)
+      val p = new Path(cd, f"v$next%06d.json")
+      try {
+        val out = f.create(p, false)
+        try out.write(new ObjectMapper().writeValueAsString(root).getBytes("UTF-8"))
+        finally out.close()
+        done = true
+      } catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt >= 64) throw e
+      }
+    }
   }
 
   // ---- shard statistics (zone maps) ---------------------------------------
@@ -308,6 +366,13 @@ private[docstore] object DocStore {
     val BitsPerValue = 10
     val Hashes = 7
     val MaxBits: Int = 1 << 26 // 8 MB cap per (shard, field)
+
+    /** Value count at which [[build]] saturates to `m = MaxBits`: past it,
+      * buffering more hash pairs costs writer heap (8 B/value, unbounded
+      * on a huge shard) for ZERO sizing benefit — the writer freezes the
+      * max-size filter there and inserts the rest directly ([[insert]]).
+      */
+    val SaturationCount: Int = MaxBits / BitsPerValue
 
     /** Canonical (h1,h2) packed pair for a value, or None when the value's
       * type has no canonical byte form. The WRITER hashes values boxed per
@@ -375,6 +440,22 @@ private[docstore] object DocStore {
         j += 1
       }
       Bloom(Hashes, bits)
+    }
+
+    /** Mutating insert for the saturated-writer path — same double
+      * hashing and mask as [[build]], so membership is identical whether
+      * a pair was buffered or inserted directly.
+      */
+    def insert(b: Bloom, pair: Long): Unit = {
+      val h1 = pair >>> 32
+      val h2 = pair & 0xffffffffL
+      val mask = (b.m - 1).toLong
+      var i = 0
+      while (i < Hashes) {
+        val idx = ((h1 + i.toLong * h2) & mask).toInt
+        b.bits(idx >>> 6) |= (1L << (idx & 63))
+        i += 1
+      }
     }
 
     def toBase64(b: Bloom): String = {
@@ -1145,6 +1226,9 @@ private[docstore] class DocStoreStreamingWrite(path: String, schema: StructType,
     val dir = new Path(path)
     val f = DocStore.fs(dir)
     if (!f.exists(dir)) f.mkdirs(dir)
+    // fail a retyped append BEFORE any shard is staged (the commit-time
+    // merge would throw only after data landed)
+    DocStore.mergedSchemaFor(path, schema)
     new DocStoreStreamingWriterFactory(path, schema, queryTag, gzip, bloomFields)
   }
 
@@ -1160,12 +1244,26 @@ private[docstore] class DocStoreStreamingWrite(path: String, schema: StructType,
     // attempt's shards, so the pre-replay version referencing them reads
     // as missing-shard — loud, per the at-least-once caveat above.
     DocStore.writeManifest(path, reset = false)
-    DocStore.writeStoredSchema(path, schema)
+    // union-merge, never replace: the sink only appends, and two queries
+    // sharing one collection must not flip-flop the schema every epoch
+    DocStore.mergeStoredSchema(path, schema)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // Clean by the epoch+query name prefix, NOT by messages — a task that
+    // committed its rename just before the epoch failed may be missing
+    // from `messages` (the batch abort's own rationale) and would survive
+    // as live phantom data from a never-committed epoch. But KEEP any
+    // prefix-matching shard recorded in _stats.json: those belong to a
+    // PREVIOUS successful commit of this epoch (an at-least-once replay)
+    // that this failed attempt must not destroy; this attempt's strays
+    // are never in stats (stats merge only at commit).
     val f = DocStore.fs(new Path(path))
-    messages.collect { case DocStoreCommit(Some(file), _) => f.delete(new Path(file), false) }
+    val committed = DocStore.readStats(path).keySet
+    DocStore.listParts(path)
+      .filter(p => p.getName.startsWith(s"part-e$epochId-q$queryTag-") &&
+        !committed.contains(p.getName))
+      .foreach(p => f.delete(p, false))
   }
 }
 
@@ -1188,6 +1286,10 @@ private[docstore] class DocStoreBatchWrite(path: String, schema: StructType, tru
     val dir = new Path(path)
     val f = DocStore.fs(dir)
     if (!f.exists(dir)) f.mkdirs(dir)
+    // fail a retyped append BEFORE any shard is staged (the commit-time
+    // merge would throw only after data landed); overwrite replaces the
+    // schema, so any retype is legitimate there
+    if (!truncate) DocStore.mergedSchemaFor(path, schema)
     new DocStoreWriterFactory(path, schema, jobTag, gzip, bloomFields)
   }
 
@@ -1207,7 +1309,10 @@ private[docstore] class DocStoreBatchWrite(path: String, schema: StructType, tru
     // schema last so a concurrent reader never sees a schema without data.
     DocStore.writeStats(path, DocStoreCommitOps.mergedStats(path, messages))
     DocStore.writeManifest(path, reset = truncate)
-    DocStore.writeStoredSchema(path, schema)
+    // overwrite REPLACES the schema (the collection is new data); append
+    // union-merges it so a narrower append can't hide stored fields
+    if (truncate) DocStore.writeStoredSchema(path, schema)
+    else DocStore.mergeStoredSchema(path, schema)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1283,7 +1388,14 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
   private val bloomTracked: Array[Boolean] =
     schema.fields.map(f => bloomFields.contains(f.name))
 
+  // past SaturationCount values the filter is max-size no matter what, so
+  // the buffer freezes into the built filter and later pairs insert
+  // directly — bounding writer heap at ~8B×SaturationCount per field
+  // instead of 8B×rows
+  private val bloomSat: Array[DocStore.Bloom] = new Array(schema.length)
+
   private def bloomAdd(i: Int, pair: Long): Unit = {
+    if (bloomSat(i) != null) { DocStore.Bloom.insert(bloomSat(i), pair); return }
     var buf = bloomBufs(i)
     if (buf == null) { buf = new Array[Long](1024); bloomBufs(i) = buf }
     else if (bloomLens(i) == buf.length) {
@@ -1291,6 +1403,10 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
     }
     buf(bloomLens(i)) = pair
     bloomLens(i) += 1
+    if (bloomLens(i) >= DocStore.Bloom.SaturationCount) {
+      bloomSat(i) = DocStore.Bloom.build(bloomBufs(i), bloomLens(i))
+      bloomBufs(i) = null
+    }
   }
 
   private def ensureOpen(): Unit = if (out == null) {
@@ -1331,8 +1447,10 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
 
   private def shardStat: DocStore.ShardStat = DocStore.ShardStat(rows,
     schema.fields.zipWithIndex.map { case (fld, i) =>
-      val bloom = if (bloomTracked(i) && bloomLens(i) > 0)
-        Some(DocStore.Bloom.build(bloomBufs(i), bloomLens(i))) else None
+      val bloom = if (bloomSat(i) != null) Some(bloomSat(i))
+        else if (bloomTracked(i) && bloomLens(i) > 0)
+          Some(DocStore.Bloom.build(bloomBufs(i), bloomLens(i)))
+        else None
       fld.name -> DocStore.FieldStat(mins(i), maxs(i), nonNull(i), bloom)
     }.toMap)
 

@@ -138,8 +138,33 @@ object DocStoreMaintenance {
     * shards the successful attempts reported. Same maintenance-window
     * caveat as [[compact]] for concurrent readers.
     */
-  def deleteWhere(spark: SparkSession, path: String, filters: Seq[Filter]): Long =
-    rewriteWhere(spark, path, filters, sets = Map.empty, delete = true)
+  def deleteWhere(spark: SparkSession, path: String, filters: Seq[Filter]): Long = {
+    // Unconditional DELETE (SQL `DELETE FROM t` arrives as AlwaysTrue; an
+    // empty conjunction means the same): a metadata-level truncate.
+    // Without this branch shardMayMatch keeps every shard and the rewrite
+    // path gunzips + JSON-parses the ENTIRE collection just to write
+    // nothing back — O(total bytes) for what is O(shards) file deletes.
+    val unconditional = filters.isEmpty ||
+      filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (unconditional) truncateAll(spark, path)
+    else rewriteWhere(spark, path, filters, sets = Map.empty, delete = true)
+  }
+
+  /** Delete every document: count (stats-only when zone maps cover all
+    * shards — the connector's COUNT pushdown), drop the shard files, reset
+    * stats and the version log. No marker needed: the protocol protects
+    * SURVIVING documents mid-crash, and a truncate has none — a re-run
+    * completes the deletion.
+    */
+  private def truncateAll(spark: SparkSession, path: String): Long = {
+    val f = DocStore.fs(new Path(path))
+    recover(path)
+    val n = spark.read.format("docstore").load(path).count()
+    DocStore.listParts(path).foreach(p => f.delete(p, false))
+    DocStore.writeStats(path, Map.empty)
+    DocStore.writeManifest(path, reset = true)
+    n
+  }
 
   /** `update_many(filter, {$set: sets})`: set literal values on every
     * matching document; a null value unsets the field (absent reads back
@@ -276,31 +301,27 @@ object DocStoreMaintenance {
     f.mkdirs(staging)
     val (pathStr, stagingStr) = (path, staging.toString)
 
-    // Replaced/inserted are KEY-level (replace_one semantics): a key that
-    // matched ≥1 stored document counts replaced ONCE even if historic
-    // appends left several copies — all of them drop in the rewrite. The
-    // doc-level count would go negative on such duplicates
-    // (staged inserts − matched docs). The matched-key read is pruned by
-    // the same In pushdown as the rewrite, so it touches only `affected`.
-    val matchedKeys =
-      if (all.isEmpty) 0L
-      else spark.read.format("docstore").load(path)
-        .filter(org.apache.spark.sql.functions.col(keyField).isin(keys.toIndexedSeq: _*))
-        .select(keyField).distinct().count()
-
     val blooms = trackedBloomFields(stats)
-    // Old versions of incoming keys drop via the pruned per-shard rewrite.
+    // Old versions of incoming keys drop via the pruned per-shard rewrite,
+    // which also reports each shard's matched canonical keys — the rewrite
+    // pass evaluates the same compiled In filter per document anyway, so a
+    // separate counting read of the affected shards would double the I/O
+    // and JSON parse work of every upsert.
     val rewriteResults =
-      if (affected.isEmpty) Array.empty[(String, Option[(String, DocStore.ShardStat)], Long)]
+      if (affected.isEmpty) Array.empty[(String, Option[(String, DocStore.ShardStat)], Long, Seq[Any])]
       else {
         val slices = math.max(1, math.min(affected.length, spark.sparkContext.defaultParallelism))
         spark.sparkContext.parallelize(affected.toSeq.zipWithIndex, slices)
           .map { case (shard, idx) =>
             rewriteShard(pathStr, stagingStr, shard, schema, Seq(inFilter),
-              sets = Map.empty, delete = true, idx, blooms) }
+              sets = Map.empty, delete = true, idx, blooms, keyOf = Some(keyField)) }
           .collect()
       }
-    val replaced = matchedKeys
+    // Replaced/inserted are KEY-level (replace_one semantics): a key that
+    // matched ≥1 stored document counts replaced ONCE even if historic
+    // appends left several copies — all of them drop in the rewrite (the
+    // doc-level count would go negative on such duplicates).
+    val replaced = rewriteResults.iterator.flatMap(_._4).toSet.size.toLong
 
     // The batch stages as new shards through the connector's own writer.
     val keepGzip = all.nonEmpty && all.forall(_.endsWith(".gz"))
@@ -318,7 +339,7 @@ object DocStoreMaintenance {
           }
         }
       }.collect()
-    val inserted = keys.length.toLong - matchedKeys
+    val inserted = keys.length.toLong - replaced
 
     val changed = rewriteResults.filter(_._3 > 0L)
     val toReplace = changed.map(_._1).toSet
@@ -382,8 +403,9 @@ object DocStoreMaintenance {
   private def rewriteShard(dir: String, staging: String, shard: String,
                            schema: StructType, filters: Seq[Filter],
                            sets: Map[String, Any], delete: Boolean,
-                           idx: Int, bloomFields: Set[String])
-      : (String, Option[(String, DocStore.ShardStat)], Long) = {
+                           idx: Int, bloomFields: Set[String],
+                           keyOf: Option[String] = None)
+      : (String, Option[(String, DocStore.ShardStat)], Long, Seq[Any]) = {
     val src = new Path(dir, shard)
     val gz = shard.endsWith(".gz")
     val writer = new DocStoreWriter(staging, schema, partitionId = idx, taskId = 0L,
@@ -392,6 +414,12 @@ object DocStoreMaintenance {
     val fullIdx = schema.fields.map(fl => fl.name -> fl).toMap
     val matchesDoc = DocStoreFilters.compile(filters, fullIdx)
     var matched = 0L
+    // matched-key collection for upsert's replace count: bounded by the
+    // collected batch key set (only batch keys can match the In filter),
+    // so this rides the rewrite pass instead of a second full read+parse
+    // of every affected shard
+    val keyType = keyOf.map(k => schema.fields.find(_.name == k).get.dataType)
+    val matchedKeys = scala.collection.mutable.Set.empty[Any]
     // two-step assignment: the GZIP constructor reads the header eagerly
     // and can throw on a corrupt shard — `in` must already hold the raw
     // stream so the finally releases the fd
@@ -402,7 +430,13 @@ object DocStoreMaintenance {
         if (line.nonEmpty) {
           val doc = mapper.readTree(line).asInstanceOf[ObjectNode]
           val isMatch = matchesDoc(doc)
-          if (isMatch) matched += 1
+          if (isMatch) {
+            matched += 1
+            keyOf.foreach { k =>
+              val v = canonDocValue(doc.get(k), keyType.get)
+              if (v != null) matchedKeys += v
+            }
+          }
           if (!(delete && isMatch)) {
             if (isMatch && !delete) applySets(doc, sets, schema)
             writer.write(rowOf(doc, schema))
@@ -412,8 +446,28 @@ object DocStoreMaintenance {
     } finally in.close()
     writer.commit() match {
       case DocStoreCommit(Some(file), Some(stat)) =>
-        (shard, Some(new Path(file).getName -> stat), matched)
-      case _ => (shard, None, matched)
+        (shard, Some(new Path(file).getName -> stat), matched, matchedKeys.toSeq)
+      case _ => (shard, None, matched, matchedKeys.toSeq)
+    }
+  }
+
+  /** A document field value in the CANONICAL key form [[upsert]] uses for
+    * replace-by-key counting: integrals widen to Long, zero doubles
+    * normalize (-0.0 ≡ 0.0 — the store's equality), strings/booleans as
+    * is. Must stay aligned with upsert's canonKey.
+    */
+  private def canonDocValue(n: com.fasterxml.jackson.databind.JsonNode,
+                            dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    if (n == null || n.isNull) null
+    else dt match {
+      case StringType => n.asText()
+      case IntegerType | LongType => java.lang.Long.valueOf(n.asLong())
+      case DoubleType =>
+        val d = n.asDouble()
+        java.lang.Double.valueOf(if (d == 0.0) 0.0 else d)
+      case BooleanType => java.lang.Boolean.valueOf(n.asBoolean())
+      case _ => null
     }
   }
 

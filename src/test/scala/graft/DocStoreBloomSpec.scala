@@ -120,6 +120,22 @@ class DocStoreBloomSpec extends graft.SparkSpec {
     assert(spark.read.format("docstore").load(dir).filter(col("id") === 1234L).count() == 0)
   }
 
+  test("saturated-path insert() is membership-equivalent to buffering (same hashing, same mask)") {
+    // the writer freezes a max-size filter at SaturationCount and inserts
+    // the tail directly — a pair must be found regardless of which path
+    // added it, on any m (insert masks by the built filter's own m)
+    val buffered: Array[Long] = Array.tabulate(500)(i =>
+      DocStore.Bloom.hashPair(Long.box(i.toLong * 104729)).get)
+    val b = DocStore.Bloom.build(buffered, buffered.length)
+    val late = (500 until 1000).map(i => DocStore.Bloom.hashPair(Long.box(i.toLong * 104729)).get)
+    late.foreach(DocStore.Bloom.insert(b, _))
+    assert(buffered.forall(b.mightContain), "buffered values present")
+    assert(late.forall(b.mightContain), "directly-inserted values present")
+    // and the saturation threshold actually yields the capped size
+    assert(DocStore.Bloom.SaturationCount.toLong * DocStore.Bloom.BitsPerValue
+      <= DocStore.Bloom.MaxBits.toLong)
+  }
+
   test("bloom survives the stats JSON round-trip bit-exact") {
     val vals: Array[Long] = Array.tabulate(1000)(i =>
       DocStore.Bloom.hashPair(Long.box(i.toLong * 7919)).get)

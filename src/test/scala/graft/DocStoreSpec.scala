@@ -86,6 +86,44 @@ class DocStoreSpec extends SparkSpec {
     assert(spark.read.format("docstore").load(dir).count() == 1)
   }
 
+  test("append with a SUBSET of columns union-merges the schema (no field hidden)") {
+    val dir = tmpDir("schemamerge")
+    rows.write.format("docstore").mode("overwrite").save(dir) // id, name, score, flag
+    // a narrower append must not shrink the stored schema: 'name'/'score'/
+    // 'flag' stay readable (and survive a later compact, which rewrites
+    // through the stored schema)
+    spark.range(100, 102).select(col("id"))
+      .write.format("docstore").mode("append").save(dir)
+    val back = spark.read.format("docstore").load(dir)
+    assert(back.columns.toSet == Set("id", "name", "score", "flag"))
+    assert(back.filter(col("name").isNotNull).count() == 3)
+    // a WIDER append extends the schema; old docs read null for the new field
+    spark.range(200, 201).select(col("id"), lit(true).as("extra"))
+      .write.format("docstore").mode("append").save(dir)
+    val wide = spark.read.format("docstore").load(dir)
+    assert(wide.columns.toSet == Set("id", "name", "score", "flag", "extra"))
+    assert(wide.filter(col("extra")).count() == 1)
+  }
+
+  test("a RETYPED append fails fast, before any shard is staged") {
+    val dir = tmpDir("retype")
+    rows.write.format("docstore").mode("overwrite").save(dir) // id bigint
+    val before = spark.read.format("docstore").load(dir).count()
+    val e = intercept[Exception] {
+      Seq(("9", "x", 0.0)).toDF("id", "name", "score")
+        .write.format("docstore").mode("append").save(dir)
+    }
+    assert(e.getMessage != null && e.getMessage.contains("retypes field 'id'")
+      || Option(e.getCause).exists(_.getMessage.contains("retypes field 'id'")))
+    assert(spark.read.format("docstore").load(dir).count() == before,
+      "failed retype staged no data")
+    // overwrite legitimately replaces the schema, retype included
+    Seq(("9", "x", 0.0)).toDF("id", "name", "score")
+      .write.format("docstore").mode("overwrite").save(dir)
+    assert(spark.read.format("docstore").load(dir).schema("id").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
   test("writer shards become read partitions (parallel scan)") {
     val dir = tmpDir("shards")
     spark.range(100).select(col("id"), (col("id") % 7).as("bucket"))
