@@ -184,8 +184,6 @@ object Dedup {
     * at small scale but never driver-fatal.
     */
   private def bucketSelfJoin(idx: DataFrame, keyCol: String): DataFrame = {
-    val aqe = idx.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
-      .equalsIgnoreCase("true")
     // BOTH sides get the boundary: the probe side is the same slim
     // pre-explode estimate as the build side, and a planner/version change
     // could flip WHICH side it elects to broadcast — identical sub-plans
@@ -193,8 +191,7 @@ object Dedup {
     // second boundary costs one ReusedExchange node, not a second shuffle.
     // (PlanCheck additionally tree-gates the family: no BroadcastExchange
     // subtree may contain an un-aggregated Generate.)
-    def bound(df: DataFrame) =
-      if (aqe) df.repartition(col(keyCol)) else df.hint("merge")
+    def bound(df: DataFrame) = graft.operators.Guards.stageBound(df, col(keyCol))
     bound(idx).as("a").join(bound(idx).as("b"),
       col(s"a.$keyCol") === col(s"b.$keyCol") && col("a.doc") < col("b.doc"))
   }

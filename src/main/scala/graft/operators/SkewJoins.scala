@@ -51,16 +51,10 @@ object SkewJoins {
     // Stage-bound the exploded side: Catalyst's static size estimate is
     // the PRE-explode small side, so a side just under the broadcast
     // threshold would physically broadcast buckets× that — the measured
-    // round-9 blind-broadcast class (see Dedup.bucketSelfJoin). AQE on: a
-    // repartition on the join keys makes the planner size the RUNTIME
-    // rows (broadcast only when the exploded side truly is small; the
-    // exchange is reused if sort-merge is picked, and an explicit caller
-    // hint like j11's `merge` still wins). AQE off: the boundary cannot
-    // inform the static planner, so pin sort-merge outright.
-    val aqe = big.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
-      .equalsIgnoreCase("true")
-    val bounded = if (aqe) exploded.repartition(col(key), col(saltCol))
-                  else exploded.hint("merge")
-    salted.join(bounded, Seq(key, saltCol)).drop(saltCol)
+    // round-9 blind-broadcast class. One shared definition
+    // ([[Guards.stageBound]]); an explicit caller hint like j11's `merge`
+    // still wins over AQE's runtime choice.
+    salted.join(Guards.stageBound(exploded, col(key), col(saltCol)), Seq(key, saltCol))
+      .drop(saltCol)
   }
 }

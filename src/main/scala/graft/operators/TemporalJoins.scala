@@ -90,7 +90,11 @@ object TemporalJoins {
     // contradiction and every probe row silently counts 0
     require(windowMicros > 0,
       s"rangeJoinCount: windowMicros must be positive, got $windowMicros")
-    requireNoCollision(probe, "probe", Seq("__pus", "__bin", "__cnt", "window_count"))
+    // __bus/__bkey are staged on the BUILD side, but a probe frame
+    // carrying them would make the join predicate's unqualified
+    // col("__bus") ambiguous — reserve them on the probe too
+    requireNoCollision(probe, "probe",
+      Seq("__pus", "__bin", "__cnt", "window_count", "__bus", "__bkey"))
     // bin off the aliased __pus (as the build side does off __bus) — an
     // expr() interpolating the raw probeTs name breaks on non-bare
     // identifiers and re-evaluates unix_micros for nothing
@@ -103,13 +107,8 @@ object TemporalJoins {
     // Stage-bound the exploded side before the join: the planner's static
     // estimate is the slim PRE-explode projection, so a build side sized
     // just under the broadcast threshold would physically broadcast 2×
-    // that (the round-9 blind-broadcast class, as in Dedup.bucketSelfJoin).
-    // AQE on: the repartition boundary makes it size the RUNTIME rows —
-    // broadcast only when truly small, and the exchange is on the join
-    // keys so sort-merge reuses it. AQE off: pin sort-merge outright.
-    val aqe = build.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
-      .equalsIgnoreCase("true")
-    val b = if (aqe) bRows.repartition(col("__bkey"), col("__bin")) else bRows.hint("merge")
+    // that — the round-9 blind-broadcast class ([[Guards.stageBound]]).
+    val b = Guards.stageBound(bRows, col("__bkey"), col("__bin"))
 
     val matched = p
       .join(b, p(keyCol) === b("__bkey") && p("__bin") === b("__bin") &&

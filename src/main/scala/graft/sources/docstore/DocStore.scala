@@ -187,6 +187,21 @@ private[docstore] object DocStore {
     try out.write(allNullable(schema).toDDL.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Serializes every commit's METADATA phase (stats + version manifest +
+    * schema) within this JVM. Commits run on the Spark DRIVER, and the
+    * only supported concurrent-committer scenario — several queries
+    * writing one collection — shares that driver, so a JVM lock makes the
+    * read-modify-writes of `_stats.json`/`_schema.json` and the version
+    * allocation atomic where it matters: without it, two same-instant
+    * epoch commits could each read the prior stats/schema and the loser's
+    * write would DROP the winner's entries (a lost schema field is then
+    * physically destructive at the next compact). Concurrent commits from
+    * SEPARATE processes are out of contract, as for any file-format store
+    * without a lock service (see DocStoreMaintenance's
+    * single-maintenance-writer note).
+    */
+  private[docstore] val metadataLock = new Object
+
   /** Persist the collection schema for an APPEND commit: the stored schema
     * becomes the UNION of every writer's fields (absent ⇄ null, the
     * store's native semantics), so an append that selects a SUBSET of
@@ -211,9 +226,18 @@ private[docstore] object DocStore {
     if (!fs(p).exists(p)) allNullable(schema)
     else {
       val stored = readStoredSchema(dir)
-      val storedByName = stored.fields.map(f => f.name -> f).toMap
+      // match CASE-INSENSITIVELY: Spark resolves columns that way by
+      // default, but the store's JSON document keys are case-sensitive —
+      // so a case-variant of a stored field would either merge into an
+      // AMBIGUOUS_REFERENCE pair or write docs whose keys the stored
+      // schema can't read back. Reject both loudly.
+      val storedByLower = stored.fields.map(f => f.name.toLowerCase -> f).toMap
       schema.fields.foreach { fld =>
-        storedByName.get(fld.name).foreach { s =>
+        storedByLower.get(fld.name.toLowerCase).foreach { s =>
+          if (s.name != fld.name) throw new IllegalArgumentException(
+            s"docstore append writes field '${fld.name}', a case-variant of stored " +
+              s"field '${s.name}' — document keys are case-sensitive; rename the " +
+              "column to match exactly")
           if (s.dataType != fld.dataType) throw new IllegalArgumentException(
             s"docstore append retypes field '${fld.name}' from ${s.dataType.simpleString} " +
               s"to ${fld.dataType.simpleString}; retyping requires mode(\"overwrite\")")
@@ -294,13 +318,16 @@ private[docstore] object DocStore {
     if (!f.exists(cd)) f.mkdirs(cd)
     // Version allocation races when two committers land in the same
     // instant (two streaming queries sharing a collection — a supported
-    // setup — or a streaming epoch beside a batch append): list-then-
-    // create(overwrite=false) is not atomic, so the loser's create throws.
-    // The create IS the atomic claim; on collision re-list and take the
-    // next number instead of failing the whole commit. Bounded attempts:
-    // each loss means another committer PROGRESSED, so livelock would
-    // need 64 commits in the window of one — at that point something is
-    // pathologically wrong and loud beats silent.
+    // setup — or a streaming epoch beside a batch append). Same-JVM
+    // committers — the supported case — are serialized by metadataLock at
+    // the commit sites. The retry below is belt for CROSS-process
+    // committers on stores whose create(overwrite=false) is an atomic
+    // claim (HDFS O_EXCL; note RawLocalFileSystem's is exists-then-open,
+    // one reason cross-process commits are out of contract): on collision
+    // re-list and take the next number instead of failing the commit.
+    // Bounded attempts: each loss means another committer PROGRESSED, so
+    // livelock would need 64 commits in the window of one — at that point
+    // something is pathologically wrong and loud beats silent.
     var attempt = 0
     var done = false
     while (!done) {
@@ -1238,15 +1265,20 @@ private[docstore] class DocStoreStreamingWrite(path: String, schema: StructType,
     DocStore.listParts(path)
       .filter(p => p.getName.startsWith(s"part-e$epochId-q$queryTag-") && !committed.contains(p.getName))
       .foreach(p => f.delete(p, false))
-    // Merge AFTER the replay cleanup so stale same-epoch entries drop out.
-    DocStore.writeStats(path, DocStoreCommitOps.mergedStats(path, messages))
-    // Every epoch is a snapshot. A REPLAYED epoch replaces its earlier
-    // attempt's shards, so the pre-replay version referencing them reads
-    // as missing-shard — loud, per the at-least-once caveat above.
-    DocStore.writeManifest(path, reset = false)
-    // union-merge, never replace: the sink only appends, and two queries
-    // sharing one collection must not flip-flop the schema every epoch
-    DocStore.mergeStoredSchema(path, schema)
+    // Metadata phase under the JVM lock: two queries committing the same
+    // instant would otherwise lose each other's stats/schema entries
+    // (read-modify-write) — see DocStore.metadataLock.
+    DocStore.metadataLock.synchronized {
+      // Merge AFTER the replay cleanup so stale same-epoch entries drop out.
+      DocStore.writeStats(path, DocStoreCommitOps.mergedStats(path, messages))
+      // Every epoch is a snapshot. A REPLAYED epoch replaces its earlier
+      // attempt's shards, so the pre-replay version referencing them reads
+      // as missing-shard — loud, per the at-least-once caveat above.
+      DocStore.writeManifest(path, reset = false)
+      // union-merge, never replace: the sink only appends, and two queries
+      // sharing one collection must not flip-flop the schema every epoch
+      DocStore.mergeStoredSchema(path, schema)
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -1254,16 +1286,24 @@ private[docstore] class DocStoreStreamingWrite(path: String, schema: StructType,
     // committed its rename just before the epoch failed may be missing
     // from `messages` (the batch abort's own rationale) and would survive
     // as live phantom data from a never-committed epoch. But KEEP any
-    // prefix-matching shard recorded in _stats.json: those belong to a
-    // PREVIOUS successful commit of this epoch (an at-least-once replay)
-    // that this failed attempt must not destroy; this attempt's strays
-    // are never in stats (stats merge only at commit).
-    val f = DocStore.fs(new Path(path))
-    val committed = DocStore.readStats(path).keySet
-    DocStore.listParts(path)
-      .filter(p => p.getName.startsWith(s"part-e$epochId-q$queryTag-") &&
-        !committed.contains(p.getName))
-      .foreach(p => f.delete(p, false))
+    // prefix-matching shard recorded in _stats.json OR in the latest
+    // version manifest: those belong to a PREVIOUS successful commit of
+    // this epoch (an at-least-once replay) that this failed attempt must
+    // not destroy; this attempt's strays are in neither (both merge only
+    // at commit). The manifest check is belt on top of stats — version
+    // files are append-only, so a committed shard's manifest entry can
+    // never be lost the way a racing stats write could lose one.
+    DocStore.metadataLock.synchronized {
+      val f = DocStore.fs(new Path(path))
+      val inStats = DocStore.readStats(path).keySet
+      val inManifest = DocStore.listVersions(path).lastOption
+        .map(v => DocStore.readManifest(path, v).toSet).getOrElse(Set.empty[String])
+      val committed = inStats ++ inManifest
+      DocStore.listParts(path)
+        .filter(p => p.getName.startsWith(s"part-e$epochId-q$queryTag-") &&
+          !committed.contains(p.getName))
+        .foreach(p => f.delete(p, false))
+    }
   }
 }
 
@@ -1306,13 +1346,18 @@ private[docstore] class DocStoreBatchWrite(path: String, schema: StructType, tru
     // Zone maps: keep prior stats only for shards that still exist, add
     // this write's entries, publish stats, then the version manifest
     // (append = next snapshot; overwrite = history reset to v1), then
-    // schema last so a concurrent reader never sees a schema without data.
-    DocStore.writeStats(path, DocStoreCommitOps.mergedStats(path, messages))
-    DocStore.writeManifest(path, reset = truncate)
-    // overwrite REPLACES the schema (the collection is new data); append
-    // union-merges it so a narrower append can't hide stored fields
-    if (truncate) DocStore.writeStoredSchema(path, schema)
-    else DocStore.mergeStoredSchema(path, schema)
+    // schema last so a concurrent reader never sees a schema without
+    // data. Under the JVM metadata lock: a same-instant commit by another
+    // query would otherwise lose this one's stats/schema entries
+    // (read-modify-write) — see DocStore.metadataLock.
+    DocStore.metadataLock.synchronized {
+      DocStore.writeStats(path, DocStoreCommitOps.mergedStats(path, messages))
+      DocStore.writeManifest(path, reset = truncate)
+      // overwrite REPLACES the schema (the collection is new data); append
+      // union-merges it so a narrower append can't hide stored fields
+      if (truncate) DocStore.writeStoredSchema(path, schema)
+      else DocStore.mergeStoredSchema(path, schema)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -336,9 +336,12 @@ object StreamingAnalytics {
     // A stream-static join re-evaluates the STATIC subtree every trigger,
     // so without this the base's hash + groupBy reduction would re-run per
     // micro-batch forever. The base is immutable by contract, so the cache
-    // plan is trigger-invariant (one CacheManager entry, same rationale as
-    // incrementalStatus's cacheIndex); pass cacheBase=false to manage the
-    // base's lifecycle in the caller instead.
+    // plan is trigger-invariant (ONE CacheManager entry per distinct base
+    // plan, same rationale as incrementalStatus's cacheIndex). Lifecycle:
+    // the entry lives until the session ends — right for the intended
+    // shape (one long-running stream per base); an application that builds
+    // many short-lived streams over DIFFERENT bases should pass
+    // cacheBase=false and persist/unpersist the base itself.
     val bh = if (cacheBase) reduced.persist() else reduced
     docs.withColumn("_th", xxhash64(col(textCol)))
       .join(broadcast(bh), Seq("_th"), "left")

@@ -124,6 +124,22 @@ class DocStoreSpec extends SparkSpec {
       org.apache.spark.sql.types.StringType)
   }
 
+  test("a CASE-VARIANT append is rejected (document keys are case-sensitive)") {
+    val dir = tmpDir("casevar")
+    rows.write.format("docstore").mode("overwrite").save(dir)
+    // 'ID' would either union-merge into an ambiguous {id, ID} pair or
+    // write docs whose keys the stored schema can't read back — loud, not
+    // silent
+    val e = intercept[Exception] {
+      Seq((9L, "x")).toDF("ID", "name")
+        .write.format("docstore").mode("append").save(dir)
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("case-variant"))
+    assert(spark.read.format("docstore").load(dir).columns.toSet ==
+      Set("id", "name", "score", "flag"))
+  }
+
   test("writer shards become read partitions (parallel scan)") {
     val dir = tmpDir("shards")
     spark.range(100).select(col("id"), (col("id") % 7).as("bucket"))

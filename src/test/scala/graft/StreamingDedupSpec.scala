@@ -45,6 +45,13 @@ class StreamingDedupSpec extends SparkSpec {
         mem.toDF().toDF("doc_id", "ts", "text", "_h"), "ts", "text")
     }
     assert(e.getMessage.contains("_h"))
+    // CASE-variant too: withColumn resolves case-insensitively under
+    // Spark's default, so a caller's '_H' would be replaced just the same
+    val eCase = intercept[IllegalArgumentException] {
+      StreamingAnalytics.dedupStream(
+        mem.toDF().toDF("doc_id", "ts", "text", "_H"), "ts", "text")
+    }
+    assert(eCase.getMessage.contains("_H"))
     val docs = Seq((1L, "a", "x")).toDF("doc_id", "text", "status")
     val base = Seq((10L, "a")).toDF("doc_id", "text")
     val e2 = intercept[IllegalArgumentException] {
