@@ -12,6 +12,14 @@ import scala.collection.immutable.ListMap
   * cannot skew another's memory budget.
   */
 object Bench {
+  /** The timed action: a no-op sink, not `.count()` — a count lets
+    * Catalyst drop the final ORDER BY, so sort cost would go unmeasured.
+    * ONE definition shared with Probe, so their numbers stay comparable
+    * by construction.
+    */
+  private[graft] def run(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -26,10 +34,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Queries are executed through a no-op sink, not `.count()`: a count lets
-    // Catalyst drop the final ORDER BY, so sort cost would go unmeasured.
-    def run(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.mode("overwrite").format("noop").save()
+    // (run() is a member so Probe shares the identical action — see below)
 
     // Untimed JIT/codegen/parquet-footer warmup. Each step is individually
     // try-caught and no step depends on more than one table: in round 7 the

@@ -16,6 +16,10 @@ object Probe {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // Tables.events's NTZ branch is only an identity cast because the
+      // session timezone is UTC — without this, a non-UTC host shifts
+      // every ts and Probe's row sets/plans diverge from Bench's
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-local") // shuffle scratch on tmpfs: file create/mmap on this VM disk costs ms
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -45,14 +49,15 @@ object Probe {
     sampler.setDaemon(true)
     sampler.start()
 
-    // Same action as Bench (noop sink, so computed columns and final sorts
-    // are actually evaluated — a count() lets Catalyst prune them), so
-    // Probe and Bench numbers are comparable.
-    def run(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.mode("overwrite").format("noop").save()
+    // Bench's OWN noop-sink action — one shared definition, so the
+    // comparability of Probe and Bench numbers can't silently drift.
+    def run(df: org.apache.spark.sql.DataFrame): Unit = Bench.run(df)
 
-    // untimed warmup
-    run(SparkEntry.queries("a14_scalar_stats")(spark, sfDir))
+    // untimed warmup — guarded like Bench's warmups: a broken loader (the
+    // round-7 ts type flip class) must not abort the probe run before any
+    // requested query is measured
+    try run(SparkEntry.queries("a14_scalar_stats")(spark, sfDir))
+    catch { case e: Exception => println(s"PROBE warmup failed: ${e.getMessage}") }
 
     args.foreach { name =>
       samples.clear()
@@ -75,10 +80,12 @@ object Probe {
       sampling = false
       println(f"PROBE $name: $dt%.2f s")
       if (sys.env.contains("PROBE_FINAL_PLAN")) {
-        spark.listenerManager.unregister(listener)
-        // listener bus is async; the plan lands shortly after the action
+        // the listener bus is async — WAIT for the event before
+        // unregistering, or a listener removed ahead of dispatch leaves
+        // finalPlan permanently null
         var waited = 0
         while (finalPlan == null && waited < 50) { Thread.sleep(100); waited += 1 }
+        spark.listenerManager.unregister(listener)
         println(s"===== $name final plan =====\n$finalPlan")
       }
       if (dt > hotMin) {

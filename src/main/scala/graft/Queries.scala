@@ -2584,8 +2584,10 @@ object Queries {
 
   val all: Seq[QueryDef] = core ++ QueriesExt.all
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  // lazy vals, not defs: Bench/Probe look a query up once per pass, and a
+  // def would rebuild the whole 146-entry Map on every lookup
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

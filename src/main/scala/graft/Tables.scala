@@ -51,7 +51,13 @@ object Tables {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)")) // integral div: ns → µs
+        // integral div: ns → µs. `div` truncates toward ZERO — deliberately
+        // NOT floor division (TimeUs's convention): the governing contract
+        // here is ORACLE parity, and DuckDB's ns→µs cast measured
+        // -1500 ns → -1 µs (trunc), not -2 (floor). Testdata is post-epoch
+        // so the branch is dormant; if pre-epoch nanos ever ship, this and
+        // the oracle must stay trunc together.
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
