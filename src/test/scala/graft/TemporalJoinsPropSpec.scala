@@ -33,6 +33,40 @@ class TemporalJoinsPropSpec extends SparkSpec {
   private def sample[A](g: Gen[A], seed: Long): A =
     g.pureApply(Gen.Parameters.default, Seed(seed))
 
+  test("rangeJoinCount ≡ brute-force windowed count over 40 random instances") {
+    // tiny 7 µs window over a 30-value µs domain: every instance is dense
+    // with bin-boundary cases, and the NEGATIVE µs values (pre-epoch
+    // timestamps) exercise the `div` bin assignment's truncation-toward-
+    // zero for both probe and the 2-bin build explode
+    val W = 7L
+    val genInst: Gen[(List[(Int, Long)], List[(Int, Long)])] = for {
+      np <- Gen.choose(1, 15)
+      nb <- Gen.choose(0, 15)
+      probe <- Gen.listOfN(np, for {
+        k <- Gen.choose(0, 3); us <- Gen.choose(-10L, 19L)
+      } yield (k, us))
+      build <- Gen.listOfN(nb, for {
+        k <- Gen.choose(0, 3); us <- Gen.choose(-10L, 19L)
+      } yield (k, us))
+    } yield (probe, build)
+    for (seed <- 1L to 40L) {
+      val (probeRows, buildRows) = sample(genInst, seed)
+      val probe = probeRows.zipWithIndex.map { case ((k, us), i) =>
+        (k.toLong, TimeUs.toTs(us), i.toLong) }.toDF("key", "pts", "pid")
+      val build = buildRows.map { case (k, us) => (k.toLong, TimeUs.toTs(us)) }
+        .toDF("key", "bts")
+      val got = TemporalJoins
+        .rangeJoinCount(probe, build, "key", "pts", "bts", "pid", windowMicros = W)
+        .select("pid", "window_count").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      probeRows.zipWithIndex.foreach { case ((k, pus), i) =>
+        val expected = buildRows.count(b => b._1 == k && b._2 >= pus - W && b._2 < pus)
+        assert(got(i.toLong) == expected.toLong,
+          s"seed=$seed probe#$i key=$k pus=$pus: got ${got(i.toLong)}, want $expected")
+      }
+    }
+  }
+
   test("asOfJoin ≡ brute-force backward match over 40 random instances") {
     for (seed <- 1L to 40L) {
       val (leftRows, rightRows) = sample(genRows, seed)
