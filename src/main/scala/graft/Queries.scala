@@ -1235,7 +1235,19 @@ object Queries {
         array(interp(0.5, col("lo50"), col("hi50")),
           interp(0.9, col("lo90"), col("hi90")),
           interp(0.99, col("lo99"), col("hi99"))).as("eq"))
-      approx.join(broadcast(exact), Seq("event_type"))
+      // LEFT join + coalesced arrays: an event_type whose values are ALL
+      // NULL has no histogram row (valueHistogram filters value IS NOT
+      // NULL) and a NULL approx_percentile result — it must still emit its
+      // 3 (p, null, null) rows with n=0 rather than silently vanish
+      // (posexplode of a null zip yields no rows). `n` is the NON-NULL
+      // value count — the population the quantiles are actually over —
+      // not the group's row count.
+      val nullTriple = array(Seq.fill(3)(lit(null).cast("double")): _*)
+      approx.join(broadcast(exact), Seq("event_type"), "left")
+        .select(col("event_type"),
+          coalesce(col("aq"), nullTriple).as("aq"),
+          coalesce(col("eq"), nullTriple).as("eq"),
+          coalesce(col("n"), lit(0L)).as("n"))
         .select(col("event_type"),
           posexplode(arrays_zip(col("aq"), col("eq"))).as(Seq("pos", "z")),
           col("n"))

@@ -146,24 +146,52 @@ object DocStoreMaintenance {
     // nothing back — O(total bytes) for what is O(shards) file deletes.
     val unconditional = filters.isEmpty ||
       filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
-    if (unconditional) truncateAll(spark, path)
+    if (unconditional) truncateAll(path)
     else rewriteWhere(spark, path, filters, sets = Map.empty, delete = true)
   }
 
-  /** Delete every document: count (stats-only when zone maps cover all
-    * shards — the connector's COUNT pushdown), drop the shard files, reset
-    * stats and the version log. No marker needed: the protocol protects
-    * SURVIVING documents mid-crash, and a truncate has none — a re-run
-    * completes the deletion.
+  /** Delete every document: count, drop the shard files, reset stats and
+    * the version log. No marker needed: the protocol protects SURVIVING
+    * documents mid-crash, and a truncate has none — a re-run completes
+    * the deletion.
+    *
+    * The returned count comes from the recovered per-shard stats (exact —
+    * every commit writes them in lockstep with the data), restricted to
+    * shards STILL ON DISK, with a direct line count only for a stats-less
+    * shard. This keeps the count idempotent under crash-rerun: a shard a
+    * crashed earlier truncate already removed is neither counted (its
+    * rows were that run's deletions) nor scanned — the previous
+    * connector-read count either failed loudly on manifest entries
+    * pointing at deleted shards or, when the stats-only COUNT pushdown
+    * fired, returned a stale total including already-deleted rows. Each
+    * run reports exactly the documents IT removes; across a crash the
+    * per-run counts sum to the original total.
     */
-  private def truncateAll(spark: SparkSession, path: String): Long = {
+  private def truncateAll(path: String): Long = {
     val f = DocStore.fs(new Path(path))
     recover(path)
-    val n = spark.read.format("docstore").load(path).count()
-    DocStore.listParts(path).foreach(p => f.delete(p, false))
+    val stats = DocStore.readStats(path)
+    val live = DocStore.listParts(path)
+    val n = live.iterator.map { p =>
+      stats.get(p.getName).map(_.count).getOrElse(countShardDocs(path, p.getName))
+    }.sum
+    live.foreach(p => f.delete(p, false))
     DocStore.writeStats(path, Map.empty)
     DocStore.writeManifest(path, reset = true)
     n
+  }
+
+  /** Exact document count of one shard by direct line scan — the fallback
+    * for the (commit-protocol-violating, never produced by this writer)
+    * case of a shard file with no stats entry.
+    */
+  private def countShardDocs(dir: String, shard: String): Long = {
+    val src = new Path(dir, shard)
+    var in: java.io.InputStream = DocStore.fs(src).open(src)
+    try {
+      if (shard.endsWith(".gz")) in = new java.util.zip.GZIPInputStream(in)
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().count(_.nonEmpty).toLong
+    } finally in.close()
   }
 
   /** `update_many(filter, {$set: sets})`: set literal values on every

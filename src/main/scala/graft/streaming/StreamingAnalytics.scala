@@ -172,6 +172,11 @@ object StreamingAnalytics {
     * store — must equal the batch sketch EXACTLY, estimate and all, not
     * merely cover it. StreamingParitySpec asserts that equality across a
     * mid-window batch split.
+    *
+    * NULL keys are skipped (count(DISTINCT) semantics), matching every
+    * batch KMV carrier (a18b, reportPartials): the hash is null-guarded
+    * because Spark's `xxhash64(NULL)` returns the seed (42), which would
+    * otherwise count NULL as one phantom distinct value.
     */
   def kmvDistinctStream(events: DataFrame, tsCol: String, keyCol: String,
                         k: Int, windowLen: String = "1 hour",
@@ -180,8 +185,9 @@ object StreamingAnalytics {
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen).as("w"))
-      .agg(graft.functions.TopKAgg.kmvMinHashes(
-        xxhash64(col(keyCol)).bitwiseAND(lit(Long.MaxValue)), k).as("sketch"))
+      .agg(graft.functions.TopKAgg.kmvMinHashesNullable(
+        when(col(keyCol).isNotNull,
+          xxhash64(col(keyCol)).bitwiseAND(lit(Long.MaxValue))), k).as("sketch"))
       .select(col("w.start").as("window_start"),
         // 2^63 = the masked-xxhash64 space above — see kmvEstimate's doc
         graft.functions.TopKAgg.kmvEstimate(sk, k, 9.223372036854776E18)

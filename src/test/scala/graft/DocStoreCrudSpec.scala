@@ -40,6 +40,22 @@ class DocStoreCrudSpec extends SparkSpec {
     assert(DocStoreMaintenance.deleteWhere(spark, dir, Seq(GreaterThan("id", 100L))) == 0L)
   }
 
+  test("truncate count is idempotent across a crash-rerun: counts only shards still on disk") {
+    val dir = tmpDir("trunc")
+    writeRange(dir, 0 until 10, "lo")    // shard 1: 10 docs
+    writeRange(dir, 100 until 110, "hi") // shard 2: 10 docs
+    // simulate a truncate that crashed after deleting one shard but
+    // before resetting stats/manifest: the stats file still references
+    // both shards — a stats-pushdown count would report a stale 20
+    val victim = shardNames(dir).head
+    assert(new java.io.File(s"$dir/$victim").delete())
+    val n = DocStoreMaintenance.deleteWhere(spark, dir, Seq.empty) // unconditional
+    assert(n == 10L, s"re-run must count only the surviving shard's rows, got $n")
+    assert(spark.read.format("docstore").load(dir).count() == 0L)
+    // and truncating an already-empty store reports zero
+    assert(DocStoreMaintenance.deleteWhere(spark, dir, Seq.empty) == 0L)
+  }
+
   test("zone maps prune: a shard the filter cannot match keeps its exact bytes") {
     val dir = tmpDir("prune")
     writeRange(dir, 0 until 10, "lo")   // ids 0-9

@@ -92,11 +92,17 @@ class StreamingParitySpec extends SparkSpec {
   test("streaming KMV distinct sketch equals batch sketch exactly across splits") {
     implicit val sq = spark.sqlContext
     val k = 8
-    // window 1: 40 events over 15 distinct keys (> k → estimation regime);
+    // window 1: 40 events over 15 distinct keys (> k → estimation regime)
+    // plus 3 NULL keys (count(DISTINCT) semantics: skipped, not a phantom
+    // 16th key — xxhash64(NULL) would otherwise sketch the seed);
     // window 2: 5 distinct keys (< k → sketch IS the distinct set)
-    val data = (1 to 40).map(i => (t(0), (i % 15).toLong)) ++
-      (1 to 10).map(i => (Timestamp.valueOf("2024-01-01 11:05:00"), (i % 5).toLong))
-    val mem = MemoryStream[(Timestamp, Long)]
+    val data = (1 to 40).map(i => (t(0), Some((i % 15).toLong))) ++
+      (1 to 3).map(_ => (t(0), Option.empty[Long])) ++
+      (1 to 10).map(i => (Timestamp.valueOf("2024-01-01 11:05:00"), Some((i % 5).toLong))) ++
+      // null in the <k window: the exact-regime assertions below (est ==
+      // 5.0, 5-entry sketch) fail loudly if NULL sketches as a 6th key
+      Seq((Timestamp.valueOf("2024-01-01 11:05:00"), Option.empty[Long]))
+    val mem = MemoryStream[(Timestamp, Option[Long])]
     mem.addData(data.take(23)) // split mid-window: sketch buffers must
     val sdf = StreamingAnalytics.kmvDistinctStream( // merge through state
       mem.toDF().toDF("ts", "key"), "ts", "key", k)

@@ -93,6 +93,33 @@ class TrainingPrepSpec extends SparkSpec {
     }
   }
 
+  test("a19: an all-null-value event_type still emits its 3 rows (n=0, null quantiles)") {
+    import spark.implicits._
+    // the driver's degenerate corpus plants one null per column but never
+    // an ALL-null group — that case lives here: before the r11 left-join
+    // fix the group silently vanished (inner join with the IS NOT NULL
+    // histogram side, posexplode of a null zip emitting zero rows)
+    val dir = java.nio.file.Files.createTempDirectory("graft_a19_allnull").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq(
+      (1L, ts, 1L, "ok", Option(1.0), "{}"),
+      (2L, ts, 2L, "ok", Option(2.0), "{}"),
+      (3L, ts, 3L, "ghost", Option.empty[Double], "{}"),
+      (4L, ts, 4L, "ghost", Option.empty[Double], "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("a19_approx_quantiles")(spark, dir).collect()
+    val ghost = out.filter(_.getAs[String]("event_type") == "ghost")
+    assert(ghost.length == 3, s"all-null group must emit 3 quantile rows, got ${ghost.length}")
+    ghost.foreach { r =>
+      assert(r.getAs[Any]("approx_v") == null && r.getAs[Any]("exact_v") == null)
+      assert(r.getAs[Long]("n") == 0L) // n = NON-NULL value count, not row count
+    }
+    // and the populated group is unaffected: n counts its non-null values
+    assert(out.filter(_.getAs[String]("event_type") == "ok")
+      .forall(_.getAs[Long]("n") == 2L))
+  }
+
   test("a18_approx_distinct: HLL estimates within the rsd-implied bound of exact") {
     val rows = SparkEntry.queries("a18_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
