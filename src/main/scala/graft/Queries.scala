@@ -1199,15 +1199,24 @@ object Queries {
     * group's values; `approx_percentile` (Greenwald-Khanna) folds each
     * partition into a bounded sketch that merges map-side, so shuffle
     * volume is (groups × sketch), independent of row count. Exact values
-    * sit alongside for self-documenting error. No ANSI oracle (sketch
-    * internals are engine-specific) — driver records rows-only;
-    * TrainingPrepSpec asserts the rank-error bound vs exact. Output is one
+    * sit alongside for self-documenting error. Output is one
     * row per (event_type, percentile) with scalar doubles: the r6 shape
     * returned the percentile ARRAYS, which the driver's pandas comparer
     * cannot sort (unhashable ndarray) — even the rows-only check errored.
+    *
+    * HASH-CHECKED via a bounded-property oracle (r11): the raw GK values
+    * are engine-private and merge-order-dependent, so the REGISTERED
+    * output ([[a19]]) carries the exact quantiles plus `approx_ok` — an
+    * in-query assertion that each sketch value's RANK interval (from the
+    * value histogram: GK returns real data values, so every estimate has
+    * an exact histogram row) intersects the target rank within the GK
+    * guarantee ε + 2/n (ε = 1/accuracy = 1e-4; the same contract
+    * TrainingPrepSpec asserts on this raw frame). The oracle replays the
+    * exact side (quantile_cont — bit-identical interpolation, see w5) and
+    * pins the verdict TRUE, so a broken sketch is a driver-visible hash
+    * mismatch rather than a `no_oracle` null row.
     */
-  private val a19 = QueryDef("a19_approx_quantiles", None,
-    (s, d) => {
+  private[graft] def a19Raw(s: SparkSession, d: String): DataFrame = {
       val approx = ev(s, d).groupBy("event_type").agg(
         expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("aq"))
       // Exact reference values via the bounded per-(type, cent-value)
@@ -1254,6 +1263,44 @@ object Queries {
         .select(col("event_type"),
           element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("pos") + 1).as("p"),
           col("z.aq").as("approx_v"), col("z.eq").as("exact_v"), col("n"))
+        .orderBy("event_type", "p")
+  }
+
+  private val a19 = QueryDef("a19_approx_quantiles",
+    Some("""WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+           |g AS (SELECT event_type,
+           |        quantile_cont(value, 0.5) AS q50,
+           |        quantile_cont(value, 0.9) AS q90,
+           |        quantile_cont(value, 0.99) AS q99,
+           |        count(*) AS n
+           |      FROM e GROUP BY event_type),
+           |base AS (SELECT DISTINCT event_type FROM events),
+           |ps AS (SELECT cast(p AS double) AS p FROM (VALUES (0.5), (0.9), (0.99)) t(p))
+           |SELECT b.event_type, ps.p,
+           |       CASE ps.p WHEN 0.5 THEN g.q50 WHEN 0.9 THEN g.q90 ELSE g.q99 END AS exact_v,
+           |       coalesce(g.n, 0) AS n,
+           |       TRUE AS approx_ok
+           |FROM base b CROSS JOIN ps LEFT JOIN g ON b.event_type = g.event_type
+           |ORDER BY b.event_type, ps.p""".stripMargin),
+    (s, d) => {
+      val raw = a19Raw(s, d)
+      // rank adjudication: GK returns REAL data values, so each non-null
+      // estimate joins to exactly one histogram row; its rank interval is
+      // [(cum − cnt)/n, cum/n]. The histogram broadcasts: its size is the
+      // distinct (event_type, cent-value) domain (~49k rows at sf0.1,
+      // saturating as the value domain fills — not row-count-bound), and
+      // raw is 3×#groups rows, so the left join is broadcast-build-right.
+      val h = valueHistogram(ev(s, d)).select(col("event_type").as("het"),
+        col("value").as("hv"), col("cnt").as("hcnt"), col("cum").as("hcum"))
+      val tol = lit(1.0 / 10000) + lit(2.0) / col("n").cast("double")
+      val ok = when(col("n") === 0L, col("approx_v").isNull).otherwise(
+        ((col("hcum") - col("hcnt")).cast("double") / col("n") - col("p") <= tol) &&
+          (col("p") - col("hcum").cast("double") / col("n") <= tol))
+      raw
+        .join(broadcast(h),
+          col("event_type") === col("het") && col("approx_v") === col("hv"), "left")
+        .select(col("event_type"), col("p"), col("exact_v"), col("n"),
+          coalesce(ok, lit(false)).as("approx_ok"))
         .orderBy("event_type", "p")
     })
 
@@ -1628,12 +1675,20 @@ object Queries {
     * carries a constant-size HLL sketch per group that merges map-side,
     * so shuffle volume is (groups × sketch size) regardless of value
     * cardinality. Exact counts sit alongside for self-documenting error.
-    * No ANSI oracle (DuckDB's HLL is a different implementation ⇒
-    * different estimates) — driver records rows-only;
-    * TrainingPrepSpec asserts the rsd-derived error bound vs exact.
+    *
+    * HASH-CHECKED via a bounded-property oracle (r11): the raw HLL
+    * estimates are engine-private (DuckDB's HLL is a different
+    * implementation ⇒ different estimates, definitionally not
+    * hash-replayable), so the REGISTERED output carries the exact counts
+    * plus `users_ok`/`events_ok` — in-query assertions that each estimate
+    * sits within the 5σ rsd-derived bound of its exact sibling
+    * (|approx − exact| ≤ max(2, 0.05·exact) at rsd 0.01; a false here
+    * means the sketch is broken, not unlucky — the same contract
+    * TrainingPrepSpec asserts on the raw frame). The oracle replays the
+    * exact counts and pins the verdicts TRUE, so a broken sketch is a
+    * driver-visible hash mismatch rather than a `no_oracle` null row.
     */
-  private val a18 = QueryDef("a18_approx_distinct", None,
-    (s, d) => {
+  private[graft] def a18Raw(s: SparkSession, d: String): DataFrame = {
       // Two pitfalls engineered around, both measured at sf0.1:
       // (1) the sketches and the exact distinct MUST NOT share one agg — a
       // distinct aggregate in the same Aggregate triggers the Expand
@@ -1652,11 +1707,30 @@ object Queries {
         approx_count_distinct(col("event_id"), 0.01).as("approx_events"),
         count(lit(1)).as("total"))
       val exact = e.groupBy("event_type").agg(
-        count_distinct(col("user_id")).as("exact_users"))
+        count_distinct(col("user_id")).as("exact_users"),
+        count_distinct(col("event_id")).as("exact_events"))
       approx.join(broadcast(exact), "event_type")
-        .select("event_type", "approx_users", "exact_users", "approx_events", "total")
+        .select("event_type", "approx_users", "exact_users",
+          "approx_events", "exact_events", "total")
         .orderBy("event_type")
-    })
+  }
+
+  private def hllOk(approxC: String, exactC: String): Column =
+    (abs(col(approxC) - col(exactC)).cast("double") <=
+      greatest(lit(2.0), lit(0.05) * col(exactC).cast("double")))
+
+  private val a18 = QueryDef("a18_approx_distinct",
+    Some("""SELECT event_type,
+           |       count(DISTINCT user_id) AS exact_users,
+           |       count(DISTINCT event_id) AS exact_events,
+           |       count(*) AS total,
+           |       TRUE AS users_ok, TRUE AS events_ok
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => a18Raw(s, d).select(col("event_type"),
+      col("exact_users"), col("exact_events"), col("total"),
+      hllOk("approx_users", "exact_users").as("users_ok"),
+      hllOk("approx_events", "exact_events").as("events_ok"))
+      .orderBy("event_type"))
 
   /** HASH-CHECKED approximate distinct — the KMV sketch
     * ([[graft.functions.KmvMinHashes]]) over md5-derived 60-bit integers,

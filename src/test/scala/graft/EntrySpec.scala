@@ -17,10 +17,10 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without queries: ${o.diff(q)}")
     val noOracle = q.diff(o)
-    // only approximate-BY-DEFINITION sketches may lack oracles
-    // (dd_minhash_lsh / dd_simhash graduated round 9; sim_ann_lsh round 10
-    // via the full algorithm-replay oracle)
-    assert(noOracle == Set(
-      "a18_approx_distinct", "a19_approx_quantiles"), s"unexpected: $noOracle")
+    // EVERY query is oracle-checked since r11 (dd_minhash_lsh / dd_simhash
+    // graduated round 9; sim_ann_lsh round 10 via the algorithm-replay
+    // oracle; a18/a19 round 11 via bounded-property verdict outputs whose
+    // oracles replay the exact side and pin the in-bound flags TRUE)
+    assert(noOracle.isEmpty, s"queries without oracles: $noOracle")
   }
 }

@@ -71,8 +71,12 @@ class TrainingPrepSpec extends SparkSpec {
   }
 
   test("a19_approx_quantiles: GK sketch quantiles within rank-error bound of exact") {
-    val rows = SparkEntry.queries("a19_approx_quantiles")(spark, sf).collect()
+    val rows = Queries.a19Raw(spark, sf).collect()
     assert(rows.nonEmpty)
+    // the registered query adjudicates the same bound in-query; it must
+    // agree with the independent recomputation below
+    assert(SparkEntry.queries("a19_approx_quantiles")(spark, sf).collect()
+      .forall(_.getAs[Boolean]("approx_ok")))
     // The sketch guarantee is a RANK bound, not a value bound (exact
     // `percentile` interpolates; the sketch returns a real data value, and
     // adjacent order statistics in a sparse tail can be far apart in value
@@ -108,21 +112,32 @@ class TrainingPrepSpec extends SparkSpec {
       (4L, ts, 4L, "ghost", Option.empty[Double], "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$dir/events.parquet")
-    val out = SparkEntry.queries("a19_approx_quantiles")(spark, dir).collect()
-    val ghost = out.filter(_.getAs[String]("event_type") == "ghost")
-    assert(ghost.length == 3, s"all-null group must emit 3 quantile rows, got ${ghost.length}")
-    ghost.foreach { r =>
+    val raw = Queries.a19Raw(spark, dir).collect()
+    val ghostRaw = raw.filter(_.getAs[String]("event_type") == "ghost")
+    assert(ghostRaw.length == 3, s"all-null group must emit 3 quantile rows, got ${ghostRaw.length}")
+    ghostRaw.foreach { r =>
       assert(r.getAs[Any]("approx_v") == null && r.getAs[Any]("exact_v") == null)
       assert(r.getAs[Long]("n") == 0L) // n = NON-NULL value count, not row count
     }
+    // the registered (oracle-checked) output: same 3 rows, vacuously in-bound
+    val out = SparkEntry.queries("a19_approx_quantiles")(spark, dir).collect()
+    val ghost = out.filter(_.getAs[String]("event_type") == "ghost")
+    assert(ghost.length == 3)
+    ghost.foreach { r =>
+      assert(r.getAs[Any]("exact_v") == null && r.getAs[Long]("n") == 0L)
+      assert(r.getAs[Boolean]("approx_ok")) // vacuous: no values, null estimate
+    }
     // and the populated group is unaffected: n counts its non-null values
     assert(out.filter(_.getAs[String]("event_type") == "ok")
-      .forall(_.getAs[Long]("n") == 2L))
+      .forall(r => r.getAs[Long]("n") == 2L && r.getAs[Boolean]("approx_ok")))
   }
 
   test("a18_approx_distinct: HLL estimates within the rsd-implied bound of exact") {
-    val rows = SparkEntry.queries("a18_approx_distinct")(spark, sf).collect()
+    val rows = Queries.a18Raw(spark, sf).collect()
     assert(rows.nonEmpty)
+    // the registered query adjudicates the same bound in-query
+    assert(SparkEntry.queries("a18_approx_distinct")(spark, sf).collect()
+      .forall(r => r.getAs[Boolean]("users_ok") && r.getAs[Boolean]("events_ok")))
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
       val exact = r.getAs[Long]("exact_users").toDouble
