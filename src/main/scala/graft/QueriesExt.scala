@@ -1709,6 +1709,19 @@ object QueriesExt {
     * to REAL (both engines: IEEE round-to-nearest); emptied cells keep
     * their previous centroid via the LEFT JOIN coalesce.
     */
+  /** The Lloyd trainers' train-set CTE, mirroring the Spark side exactly:
+    * the caller's vec_id%2 sample, then [[graft.functions.Similarity
+    * .ivfCentroids]]/pqCodebooks' MECHANICAL cap — a scalar-subquery
+    * modulus m = ceil(n / MaxTrainRows) over the same count, 1-in-m by
+    * vec_id. At registered corpora m = 1 (no-op), but the oracle replays
+    * the cap formula so a capped train run at scale stays hash-checkable.
+    */
+  private def cappedTrainSql(cols: String = "*"): String =
+    s"""t0 AS (SELECT $cols FROM embeddings WHERE vec_id % 2 = 0),
+       |tp AS (SELECT greatest(1, cast(ceil(count(*) /
+       |  ${graft.functions.Similarity.MaxTrainRows}.0) AS bigint)) AS m FROM t0),
+       |train AS (SELECT t0.* FROM t0, tp WHERE t0.vec_id % tp.m = 0)""".stripMargin
+
   private def lloydCteSql(iters: Int, trainRel: String = "embeddings",
                           pre: String = ""): String = (0 until iters).map { i =>
     s"""${pre}a$i AS (
@@ -1741,7 +1754,7 @@ object QueriesExt {
     * ANSI SQL.
     */
   private val sm5 = QueryDef("sim_ivf",
-    Some(s"""WITH train AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+    Some(s"""WITH ${cappedTrainSql()},
             |c0 AS (
             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS ce
             |  FROM (SELECT vec_id, embedding FROM train ORDER BY vec_id LIMIT 16)),
@@ -1785,7 +1798,7 @@ object QueriesExt {
     * the ordered left fold (members in vec_id order) on both engines.
     */
   private val sm6 = QueryDef("sim_kmeans",
-    Some(s"""WITH train AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+    Some(s"""WITH ${cappedTrainSql()},
             |c0 AS (
             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS ce
             |  FROM (SELECT vec_id, embedding FROM train ORDER BY vec_id LIMIT 16)),
@@ -1820,7 +1833,7 @@ object QueriesExt {
     * replayable — floor(sqrt(bigint)) is integer-exact IEEE on both.
     */
   private val sm8 = QueryDef("sim_semantic_dedup",
-    Some(s"""WITH train AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+    Some(s"""WITH ${cappedTrainSql()},
             |kk AS (
             |  SELECT greatest(16, cast(floor(sqrt(count(*))) AS bigint)) AS k
             |  FROM embeddings),
@@ -1891,7 +1904,7 @@ object QueriesExt {
       .mkString("(", " + ", ")")
     val reconSq = (0 until m).map(j => foldDot(s"x.ce$j", s"x.ce$j")).mkString(" + ")
     QueryDef("sim_pq",
-      Some(s"""WITH train AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+      Some(s"""WITH ${cappedTrainSql("vec_id, embedding")},
               |${(0 until m).map(j => pqSubspaceCtes(j, sub, 16, 1)).mkString("\n")}
               |enc AS (
               |  SELECT e0.vec_id, ${(0 until m).map(j => s"c$j, ce$j").mkString(", ")}

@@ -192,12 +192,26 @@ object Similarity {
     * aggregate rows come back to the driver — bounded by the centroid
     * matrix size, like the seed collect. At 100 TB the ordered fold per
     * cell is the one non-scalable piece of THIS trainer (it materializes
-    * each cell's member list on one task); production would train on a
-    * sample (IVF centroids need only a representative sketch of the
-    * distribution) and this signature accepts that: pass a sampled corpus.
+    * each cell's member list on one task), so the train-set size is a
+    * MECHANICAL contract, not a scaladoc plea (r11): above `maxTrainRows`
+    * the trainer deterministically subsamples to the 1-in-m set
+    * `vec_id % m == 0`, m = ceil(n / maxTrainRows) — per-cell member
+    * lists are bounded by the cap regardless of what a caller passes, and
+    * IVF centroids need only a representative sketch of the distribution.
+    * The modulus filter replays trivially in the Lloyd oracle CTEs (a
+    * scalar-subquery `m` over the same count), so a capped train run
+    * stays hash-checkable; at the registered corpora m = 1 and the filter
+    * is a no-op.
     */
-  def ivfCentroids(corpus: DataFrame, nCentroids: Int, lloydIters: Int): Array[Array[Float]] = {
-    var cents: Array[Array[Float]] = corpus.orderBy("vec_id")
+  val MaxTrainRows: Long = 1L << 18 // 262144 ≈ tens of MB of member lists per cell worst-case
+
+  def ivfCentroids(corpus: DataFrame, nCentroids: Int, lloydIters: Int,
+                   maxTrainRows: Long = MaxTrainRows): Array[Array[Float]] = {
+    val nRows = corpus.count()
+    val mMod = math.max(1L, math.ceil(nRows.toDouble / maxTrainRows).toLong)
+    val train =
+      if (mMod == 1L) corpus else corpus.filter(pmod(col("vec_id"), lit(mMod)) === 0)
+    var cents: Array[Array[Float]] = train.orderBy("vec_id")
       .select("embedding").limit(nCentroids)
       .collect().map(_.getSeq[Float](0).toArray)
     for (_ <- 0 until lloydIters) {
@@ -212,7 +226,7 @@ object Similarity {
       // ~50 s of a 53 s x10 run.
       val zeroVec = transform(element_at(col("xs"), 1).getField("embedding"),
         _ => lit(0.0))
-      val means = corpus.select(col("vec_id"),
+      val means = train.select(col("vec_id"),
           element_at(NativeExpressions.nearestCentroids(col("embedding"), cents, 1), 1).as("cell"),
           col("embedding"))
         .groupBy(col("cell"))
@@ -310,9 +324,16 @@ object Similarity {
     * replays per-subspace chains unchanged.
     */
   def pqCodebooks(corpus: DataFrame, dim: Int, m: Int, codesPerSub: Int,
-                  lloydIters: Int): Array[Array[Array[Float]]] = {
+                  lloydIters: Int,
+                  maxTrainRows: Long = MaxTrainRows): Array[Array[Array[Float]]] = {
     val sub = dim / m
-    val seed = corpus.orderBy("vec_id").select("embedding").limit(codesPerSub)
+    // same mechanical train-set cap as [[ivfCentroids]] — the per-(j,
+    // cell, dd) member lists here are the identical risk class
+    val nRows = corpus.count()
+    val mMod = math.max(1L, math.ceil(nRows.toDouble / maxTrainRows).toLong)
+    val train =
+      if (mMod == 1L) corpus else corpus.filter(pmod(col("vec_id"), lit(mMod)) === 0)
+    val seed = train.orderBy("vec_id").select("embedding").limit(codesPerSub)
       .collect().map(_.getSeq[Float](0).toArray)
     var books: Array[Array[Array[Float]]] =
       Array.tabulate(m)(j => seed.map(_.slice(j * sub, (j + 1) * sub)))
@@ -320,7 +341,7 @@ object Similarity {
       val cellCols = (0 until m).map(j => element_at(
         NativeExpressions.nearestCentroids(
           slice(col("embedding"), j * sub + 1, sub), books(j), 1), 1).as(s"c$j"))
-      val means = corpus
+      val means = train
         .select(col("vec_id") +: col("embedding") +: cellCols: _*)
         .select((col("vec_id") +: (0 until m).map(j => col(s"c$j"))) :+
           posexplode(col("embedding")).as(Seq("d", "x")): _*)

@@ -289,4 +289,24 @@ class SimilaritySpec extends SparkSpec {
     val local = math.sqrt(vec(2).map(x => x.toDouble * x.toDouble).sum)
     assert(math.abs(row.getDouble(0) - local) < 1e-12)
   }
+
+  test("ivfCentroids/pqCodebooks: mechanical train-set cap = deterministic 1-in-m sample") {
+    // 200 pseudo-random 8-dim vectors, cap 50 -> m = ceil(200/50) = 4: the
+    // trainer must behave EXACTLY as if handed the explicit vec_id % 4 == 0
+    // subset (which fits under its own cap), and the cap must actually
+    // bite (centroids differ from uncapped full-corpus training).
+    val corpus = (0 until 200).map(i => (i.toLong, vec(i + 1000))).toDF("vec_id", "embedding")
+    val explicitSub = corpus.filter(col("vec_id") % 4 === 0)
+
+    val capped = Similarity.ivfCentroids(corpus, 4, 2, maxTrainRows = 50)
+    val explicitRun = Similarity.ivfCentroids(explicitSub, 4, 2)
+    assert(capped.map(_.toSeq).toSeq == explicitRun.map(_.toSeq).toSeq)
+    val uncapped = Similarity.ivfCentroids(corpus, 4, 2)
+    assert(capped.map(_.toSeq).toSeq != uncapped.map(_.toSeq).toSeq,
+      "cap must change the train set on an oversized corpus")
+
+    val cappedPq = Similarity.pqCodebooks(corpus, 8, 2, 4, 1, maxTrainRows = 50)
+    val explicitPq = Similarity.pqCodebooks(explicitSub, 8, 2, 4, 1)
+    assert(cappedPq.map(_.map(_.toSeq).toSeq).toSeq == explicitPq.map(_.map(_.toSeq).toSeq).toSeq)
+  }
 }
