@@ -466,12 +466,21 @@ object StreamingAnalytics {
     */
   def streamingIngest(docs: DataFrame, storePath: String,
                       n: Int = 5, threshold: Double = 0.5, maxDf: Long = 100,
-                      maxBatchPairs: Int = 2000000)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream.outputMode("append").foreachBatch {
+                      maxBatchPairs: Int = 2000000,
+                      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // checkpointDir enables kill/restart recovery: offsets commit AFTER
+    // the foreachBatch body, so a crash between the docstore upsert and
+    // the offset commit REPLAYS that micro-batch on restart — the replay
+    // re-classifies its docs as exact dups of the copies the failed
+    // attempt upserted and admits nothing new (the exactly-once shape
+    // StreamingIngestSpec's restart case demonstrates, not just argues).
+    val w = docs.writeStream.outputMode("append")
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         ingestBatch(batch.toDF(), storePath, n, threshold, maxDf, maxBatchPairs)
     }.start()
+  }
 
   /** One micro-batch of [[streamingIngest]] — also the BATCH reference
     * implementation (a single batch containing the whole delta is the

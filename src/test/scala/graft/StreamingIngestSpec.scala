@@ -163,6 +163,52 @@ class StreamingIngestSpec extends SparkSpec {
     assert(got == Set(1L, 101L, 107L), s"post-guard admission: $got")
   }
 
+  test("checkpoint restart WITH a forced batch replay converges to the uninterrupted store") {
+    // The exactly-once claim, demonstrated rather than argued: kill the
+    // ingest stream mid-corpus, delete the last checkpoint COMMIT marker
+    // (simulating the crash window between the docstore upsert and the
+    // offset commit — the window where a micro-batch both landed in the
+    // sink AND will be replayed on restart), restart from the checkpoint,
+    // feed the rest, and require the final store byte-equal to the
+    // uninterrupted run's.
+    val expected = runSplit(Seq(delta)) // uninterrupted reference
+
+    val src = Files.createTempDirectory("graft_ingest_rsrc").toString
+    val dir = Files.createTempDirectory("graft_ingest_rtgt").toString
+    val ckpt = Files.createTempDirectory("graft_ingest_rckpt").toString
+    Seq((1L, baseA), (2L, baseB), (3L, baseC)).toDF("doc_id", "text")
+      .coalesce(1).write.format("docstore").mode("append").save(dir)
+    delta.slice(0, 3).toDF("doc_id", "text").coalesce(1)
+      .write.format("docstore").mode("overwrite").save(src)
+
+    def start() = StreamingAnalytics.streamingIngest(
+      spark.readStream.format("docstore").schema("doc_id BIGINT, text STRING").load(src),
+      dir, n = 5, threshold = 0.5, maxDf = 100, checkpointDir = Some(ckpt))
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // batch 0 fully committed
+    // simulate the crash: the sink write happened (store already holds
+    // 101), but the engine never recorded the batch as committed
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty, "expected at least one committed batch")
+    assert(commits.last.delete(), "failed to remove the last commit marker")
+    // and its ChecksumFs sibling — a stale .crc makes the replayed
+    // batch's commit rename throw FileAlreadyExists
+    val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+
+    delta.slice(3, 7).toDF("doc_id", "text").coalesce(1)
+      .write.format("docstore").mode("append").save(src)
+    val q2 = start() // restart: replays batch 0 first, then the new data
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.format("docstore").load(dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected, s"restarted store diverged: ${got.keySet} vs ${expected.keySet}")
+  }
+
   private def xxhash64Lt(a: String, b: String): Boolean = {
     import org.apache.spark.sql.functions.{lit, xxhash64}
     val r = Seq(1).toDF("x")
