@@ -246,26 +246,69 @@ object PlanCheck {
     // aggregate stop is deliberate: the df-capped hot-shingle sets
     // (explode → groupBy → filter df>maxDf → broadcast anti-join) are
     // bounded by construction and legitimate.
-    def blindExplodeBroadcast(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
-      def unaggGenerate(n: org.apache.spark.sql.execution.SparkPlan): Boolean = n match {
-        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
-        case _: org.apache.spark.sql.execution.GenerateExec => true
-        case other => other.children.exists(unaggGenerate)
-      }
-      p.collect {
-        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
-      }.exists(b => unaggGenerate(b.child))
+    def containsAgg(n: org.apache.spark.sql.execution.SparkPlan): Boolean = n match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case other => other.children.exists(containsAgg)
     }
-    // j9/j11 joined in round 10: their operators (rangeJoinCount,
-    // saltedJoin) join over an un-materialized explode too, and now carry
-    // the same stage-boundary guard as Dedup.bucketSelfJoin.
-    Seq("dd_simhash", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_substring_dup",
-        "j9_range_join", "j11_salted_skew_join")
+    def unaggGenerate(n: org.apache.spark.sql.execution.SparkPlan): Boolean = n match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+      // a Generate whose INPUT is an aggregate output (candidate arrays,
+      // top-k lists, min/max-derived sequences) explodes group-bounded
+      // state, not corpus rows — the registry-wide r11 sweep found
+      // a21/a29/ir_prf in this shape. Only an explode fed by raw
+      // scan/join data is the statistics-blind class.
+      case g: org.apache.spark.sql.execution.GenerateExec => !containsAgg(g.child)
+      case other => other.children.exists(unaggGenerate)
+    }
+    // string dumps of exactly the broadcast subtrees holding an
+    // un-aggregated explode — for pinning an allowlisted query's broadcast
+    // to the side its boundedness argument names
+    def blindExplodeSubtrees(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+            if unaggGenerate(b.child) => b.child.toString
+      }
+    def blindExplodeBroadcast(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      blindExplodeSubtrees(p).nonEmpty
+    // REGISTRY-WIDE (r11): the gate ran over the six queries whose
+    // operators had already exhibited the defect (dd_* family r9, j9/j11
+    // r10) — but joins over exploded chunks/tokens exist in tx_chunk,
+    // tx_decontaminate, the ir_* family and whatever a future round adds,
+    // and the class is statistics-blind: it appears wherever the planner
+    // first meets an un-materialized explode. So EVERY registered query's
+    // executed plan is scanned; a query that legitimately needs a
+    // broadcast over an un-aggregated Generate must earn an allowlist
+    // entry with its boundedness argument written here:
+    //  - dd_incremental: the broadcast IS the delta's exploded shingle set
+    //    minus hot shingles — the bounded-delta contract, MECHANICAL since
+    //    r10 (above deltaBroadcastLimit every delta broadcast degrades to
+    //    keyed sort-merge, Dedup.scala); the gate would flag the very
+    //    broadcast the contract deliberately permits.
+    //  - sim_ivf: the broadcast is the QUERY side's nProbe-cell explode
+    //    (#queries × nProbe rows) — the deliberate query-side-only
+    //    broadcast hint; the corpus side is assigned map-only and never
+    //    broadcast (string gate below pins exactly one BroadcastExchange
+    //    carrying qe).
+    val blindExplodeAllow = Set("dd_incremental", "sim_ivf")
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(blindExplodeAllow)
       .foreach { q =>
         checkTree(q)(
           "no broadcast subtree contains an un-aggregated explode" ->
             (p => !blindExplodeBroadcast(p)))
       }
+    // the allowlist is itself guarded: each entry's explode-broadcasts
+    // must be EXACTLY the side its boundedness argument names
+    checkTree("dd_incremental")(
+      "explode broadcasts only the contract-bounded delta side" -> (p => {
+        val bs = blindExplodeSubtrees(p)
+        bs.nonEmpty && bs.forall(_.contains("pmod(doc_id"))
+      }))
+    checkTree("sim_ivf")(
+      "explode broadcasts only the nProbe-cell query side" -> (p => {
+        val bs = blindExplodeSubtrees(p)
+        bs.nonEmpty && bs.forall(_.contains("LessThan(vec_id,10)"))
+      }))
 
     // Language-id: ONE tokenization kernel evaluation per row (the
     // interpreted-HOF form evaluated 12 regex splits per row; a Catalyst

@@ -158,8 +158,17 @@ object Similarity {
       .select(col("query_id"), col("t"),
         explode(array(masks.map(m => col("bk").bitwiseXOR(lit(m.toLong))): _*)).as("bk"))
 
-    val cands = probed
-      .join(banded(corpus, "neighbor_id"), Seq("t", "bk"))
+    // Stage-bound BOTH bucket sides (Guards.stageBound — the round-9
+    // blind-broadcast class): each is an un-materialized explode whose
+    // static estimate is the slim pre-explode projection, and the corpus
+    // side is DATA-SIZED (n × tables rows) — the r11 registry-wide plan
+    // gate caught the planner electing to broadcast it. With the
+    // boundary, AQE sizes the runtime rows (broadcast only if truly
+    // small); AQE-off pins sort-merge.
+    def bound(df: DataFrame) =
+      graft.operators.Guards.stageBound(df, col("t"), col("bk"))
+    val cands = bound(probed)
+      .join(bound(banded(corpus, "neighbor_id")), Seq("t", "bk"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct() // narrow: two longs per row
