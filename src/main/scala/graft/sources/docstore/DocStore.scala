@@ -169,7 +169,14 @@ private[docstore] object DocStore {
   def allNullable(schema: StructType): StructType =
     StructType(schema.fields.map(_.copy(nullable = true)))
 
-  def readStoredSchema(dir: String): StructType = {
+  // The metadata helpers below (schema / stats / version manifests) each
+  // take [[metadataLock]] INTERNALLY (reentrant, so locked call sites
+  // nest freely): the overwrite-in-place writes are not atomic at the
+  // file level, and a same-JVM lock-free reader racing a locked writer
+  // read back a TORN _schema.json (empty-DDL ParseException, caught by
+  // DocStoreConcurrencySpec's racing writers) before r11.
+
+  def readStoredSchema(dir: String): StructType = metadataLock.synchronized {
     val p = new Path(dir, SchemaFile)
     val f = fs(p)
     if (!f.exists(p))
@@ -180,7 +187,7 @@ private[docstore] object DocStore {
     allNullable(StructType.fromDDL(ddl)) // older collections may store NOT NULL
   }
 
-  def writeStoredSchema(dir: String, schema: StructType): Unit = {
+  def writeStoredSchema(dir: String, schema: StructType): Unit = metadataLock.synchronized {
     val p = new Path(dir, SchemaFile)
     val f = fs(p)
     val out = f.create(p, true)
@@ -285,7 +292,7 @@ private[docstore] object DocStore {
     * and a missing-shard read fails loudly rather than returning a
     * half-snapshot.
     */
-  def listVersions(dir: String): Seq[Int] = {
+  def listVersions(dir: String): Seq[Int] = metadataLock.synchronized {
     val d = new Path(dir, CommitsDir)
     val f = fs(d)
     if (!f.exists(d)) Seq.empty
@@ -295,7 +302,7 @@ private[docstore] object DocStore {
       .sorted.toSeq
   }
 
-  def readManifest(dir: String, version: Int): Seq[String] = {
+  def readManifest(dir: String, version: Int): Seq[String] = metadataLock.synchronized {
     val p = new Path(new Path(dir, CommitsDir), f"v$version%06d.json")
     val f = fs(p)
     if (!f.exists(p))
@@ -311,7 +318,7 @@ private[docstore] object DocStore {
     * set. Called from every commit AFTER data+stats land (metadata-last
     * discipline). `reset` wipes the log first (overwrite/maintenance).
     */
-  def writeManifest(dir: String, reset: Boolean): Unit = {
+  def writeManifest(dir: String, reset: Boolean): Unit = metadataLock.synchronized {
     val cd = new Path(dir, CommitsDir)
     val f = fs(cd)
     if (reset && f.exists(cd)) f.delete(cd, true)
@@ -559,7 +566,7 @@ private[docstore] object DocStore {
     }
   }
 
-  def readStats(dir: String): Map[String, ShardStat] = {
+  def readStats(dir: String): Map[String, ShardStat] = metadataLock.synchronized {
     val p = new Path(dir, StatsFile)
     val f = fs(p)
     if (!f.exists(p)) return Map.empty
@@ -590,7 +597,7 @@ private[docstore] object DocStore {
     out.result()
   }
 
-  def writeStats(dir: String, stats: Map[String, ShardStat]): Unit = {
+  def writeStats(dir: String, stats: Map[String, ShardStat]): Unit = metadataLock.synchronized {
     val root = JsonNodeFactory.instance.objectNode()
     def put(o: ObjectNode, k: String, x: Any): Unit = x match {
       case null => o.putNull(k)
@@ -696,7 +703,13 @@ private[docstore] class DocStoreTable(path: String, schema: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val version = Option(options.get("version")).map(_.toInt)
-    new DocStoreScanBuilder(path, schema, version)
+    // internal (maintenance) option: pin the scan to EXACTLY these shard
+    // files — how compact/cluster read the committed set captured under
+    // the metadata lock, so an in-flight concurrent writer's shard is
+    // neither rewritten nor deleted by the swap
+    val pinned = Option(options.get("shards"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    new DocStoreScanBuilder(path, schema, version, pinned)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     DocStore.validateSchema(info.schema())
@@ -727,7 +740,8 @@ private[docstore] class DocStoreTable(path: String, schema: StructType)
 // ---------------------------------------------------------------------------
 
 private[docstore] class DocStoreScanBuilder(path: String, schema: StructType,
-                                            version: Option[Int] = None)
+                                            version: Option[Int] = None,
+                                            pinnedShards: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
 
@@ -766,7 +780,7 @@ private[docstore] class DocStoreScanBuilder(path: String, schema: StructType,
   private def canAnswerFromStats(agg: Aggregation): Boolean = {
     // a snapshot read answers from its manifest's shards, not the live
     // set the stats snapshot covers — decline and take the scan path
-    if (version.isDefined) return false
+    if (version.isDefined || pinnedShards.isDefined) return false
     if (pushed.nonEmpty || limit >= 0 || agg.groupByExpressions().nonEmpty) return false
     val referenced = Seq.newBuilder[String]
     val supportedFuncs = agg.aggregateExpressions().forall {
@@ -815,7 +829,8 @@ private[docstore] class DocStoreScanBuilder(path: String, schema: StructType,
 
   override def build(): Scan = aggPushed match {
     case Some(agg) => new DocStoreAggScan(path, schema, agg, aggSnapshot)
-    case None => new DocStoreScan(path, schema, required, pushed, limit, version)
+    case None =>
+      new DocStoreScan(path, schema, required, pushed, limit, version, pinnedShards)
   }
 }
 
@@ -881,7 +896,8 @@ private[docstore] case class DocStoreAggPartition(values: Array[Any]) extends In
 
 private[docstore] class DocStoreScan(path: String, full: StructType,
                                      required: StructType, pushed: Array[Filter],
-                                     limit: Int, version: Option[Int] = None)
+                                     limit: Int, version: Option[Int] = None,
+                                     pinnedShards: Option[Set[String]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -897,6 +913,13 @@ private[docstore] class DocStoreScan(path: String, full: StructType,
     */
   private lazy val planned: (Array[Path], Int) = {
     val all: Array[Path] = version match {
+      case None if pinnedShards.isDefined =>
+        val pin = pinnedShards.get
+        val live = DocStore.listParts(path).filter(p => pin.contains(p.getName))
+        val missing = pin.diff(live.map(_.getName).toSet)
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"docstore $path pinned shard(s) no longer present: ${missing.toSeq.sorted.mkString(", ")}")
+        live
       case None => DocStore.listParts(path)
       case Some(v) =>
         val manifest = DocStore.readManifest(path, v)
@@ -944,6 +967,10 @@ private[docstore] class DocStoreScan(path: String, full: StructType,
       throw new UnsupportedOperationException(
         s"docstore $path: option(\"version\", $v) pins a batch snapshot and " +
           "cannot drive a streaming read — remove the option to stream the live collection")
+    }
+    pinnedShards.foreach { _ =>
+      throw new UnsupportedOperationException(
+        s"docstore $path: option(\"shards\", ...) pins a batch shard set and cannot drive a streaming read")
     }
     new DocStoreMicroBatchStream(path, full, required, pushed)
   }

@@ -100,13 +100,30 @@ object DocStoreMaintenance {
     // gzip too (a mixed collection normalizes to plain).
     val stagingId = UUID.randomUUID().toString
     val staging = new Path(dir, s".compact-$stagingId")
-    val oldShards = DocStore.listParts(path).map(_.getName)
+    // Capture the rewrite's input as the COMMITTED shard set, atomically
+    // under the metadata lock (stats land in lockstep with every commit):
+    // a concurrent writer's task-committed-but-job-uncommitted shard file
+    // is already visible to a raw listing, and rewriting it would either
+    // resurrect data from a job that later aborts or strip a column whose
+    // schema merge is still pending. The staged read is PINNED to exactly
+    // these files (option("shards", ...)), so shards committed after the
+    // capture survive the swap untouched, entries intact (the swap's
+    // merge-aware metadata phase). Fallback: a legacy collection with NO
+    // stats file at all (the documented stats-rebuild use of compact)
+    // rewrites everything it lists — that path requires the writer-free
+    // maintenance window the compact scaladoc already prescribes.
+    val (oldShards, stats) = DocStore.metadataLock.synchronized {
+      val st = DocStore.readStats(path, DocStore.readStoredSchema(path))
+      val listed = DocStore.listParts(path).map(_.getName)
+      (if (st.isEmpty) listed else listed.filter(st.contains), st)
+    }
     val keepGzip = oldShards.nonEmpty && oldShards.forall(_.endsWith(".gz"))
     // carry per-field bloom tracking through the rewrite: the prior stats
     // say which fields were bloom-indexed, and dropping that here would
     // silently degrade point-lookup pruning to zone maps forever after
-    val blooms = trackedBloomFields(DocStore.readStats(path, DocStore.readStoredSchema(path)))
-    val writer0 = transform(spark.read.format("docstore").load(path))
+    val blooms = trackedBloomFields(stats)
+    val writer0 = transform(spark.read.format("docstore")
+        .option("shards", oldShards.mkString(",")).load(path))
       .write.format("docstore").mode("overwrite")
       .option("compression", if (keepGzip) "gzip" else "none")
     (if (blooms.nonEmpty) writer0.option("bloom.fields", blooms.toSeq.sorted.mkString(","))
@@ -582,16 +599,26 @@ object DocStoreMaintenance {
           if (!f.rename(p, new Path(dir, p.getName)))
             throw new java.io.IOException(s"compact: failed to move shard ${p.getName}")
         }
-      Seq(DocStore.StatsFile, DocStore.SchemaFile).foreach { m =>
-        val src = new Path(staging, m)
-        if (f.exists(src)) {
-          val dst = new Path(dir, m)
-          f.delete(dst, false)
-          if (!f.rename(src, dst))
-            throw new java.io.IOException(s"compact: failed to move $m")
-        }
+      // Metadata phase — MERGE-AWARE and under the JVM metadata lock
+      // (r11): a commit that landed while the rewrite was staging has live
+      // shards whose stats/schema entries the staged copies don't know
+      // about. The pre-r11 wholesale file replace dropped them —
+      // DocStoreConcurrencySpec's racing appenders measurably lost stats
+      // (shards silently unpruned) and schema fields (physically
+      // destructive at the next compact) to a concurrent maintenance op.
+      // Stats entries are per-immutable-shard-file, so union + filter-to-
+      // live is exact whichever side wins a name (names never collide);
+      // idempotent under recover() roll-forward re-runs.
+      DocStore.metadataLock.synchronized {
+        val stagedStats = DocStore.readStats(staging.toString)
+        val live = DocStore.listParts(path).map(_.getName).toSet
+        val merged = (DocStore.readStats(path) ++ stagedStats)
+          .filter { case (shard, _) => live.contains(shard) }
+        DocStore.writeStats(path, merged)
+        if (f.exists(new Path(staging, DocStore.SchemaFile)))
+          DocStore.mergeStoredSchema(path, DocStore.readStoredSchema(staging.toString))
+        f.delete(staging, true)
       }
-      f.delete(staging, true)
     }
     // Maintenance rewrites physical history: reset the snapshot log to a
     // fresh v1 over the post-swap live set (runs on recover() roll-forward
