@@ -142,8 +142,39 @@ object Bench {
     // meaningless for round-over-round comparison. The flag makes that
     // machine-visible instead of relying on readers noticing `failed`.
     val valid = failed.isEmpty
+    // Round-over-round drift triage, in-band (r11): the README's
+    // uniform-shift test — per-query ratios against the PREVIOUS
+    // bench_last.json (the committed prior record), restricted to queries
+    // above a 0.3 s noise floor — used to be a manual python step every
+    // round. A median ratio far from 1.0 led by untouched queries is
+    // machine drift (this VM measured ±20% within a round); only a >1.5×
+    // outlier whose code actually changed is a regression. Emitted before
+    // the file is overwritten; "drift":null on the first run.
+    val drift: String = try {
+      val prevFile = java.nio.file.Paths.get("bench_last.json")
+      if (!java.nio.file.Files.exists(prevFile)) "null"
+      else {
+        val pq = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(prevFile)).get("queries")
+        val ratios = results.toSeq.flatMap { case (k, vOpt) =>
+          for {
+            v <- vOpt
+            pn <- Option(pq.get(k)) if !pn.isNull && pn.asDouble() > 0.3
+          } yield (k, v / pn.asDouble())
+        }.sortBy(_._2)
+        if (ratios.isEmpty) "null"
+        else {
+          val med = ratios(ratios.size / 2)._2
+          val out = ratios.filter(_._2 > 1.5).sortBy(-_._2)
+            .map { case (k, r) => "\"" + k + "\":" + num(r) }.mkString("{", ",", "}")
+          s"""{"median_ratio":${num(med)},"n_compared":${ratios.size},"gt1_5x":$out}"""
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] drift triage failed: ${e.getMessage}"); "null"
+    }
     val fullLine =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$qs,"failed":$fj,"drift":$drift,"sf":"$sfDir"}"""
     // Full per-query data goes to a committed file (the judge reads it);
     // stdout gets a COMPACT line instead. The driver keeps only the last
     // ~2000 chars of output, so the full 109-query line can never survive
@@ -163,7 +194,7 @@ object Bench {
       "tx_train_lr", "ir_bm25", "pipe_clean_corpus", "st_sessionization",
       "mm_decode_features").filter(results.contains)
     val hq = headline.map(k => s"\"" + k + "\":" + fmt(results(k))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$hq,"failed":$fj,"full":"bench_last.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$hq,"failed":$fj,"drift":$drift,"full":"bench_last.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

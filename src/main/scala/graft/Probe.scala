@@ -53,6 +53,25 @@ object Probe {
     // comparability of Probe and Bench numbers can't silently drift.
     def run(df: org.apache.spark.sql.DataFrame): Unit = Bench.run(df)
 
+    // Per-query shuffle/spill accounting (r11): SCALE.md adjudications of
+    // the form "the decade-ratio drift is spill, not a superlinear term"
+    // need MEASURED spilled bytes, not inference. Stage-completion metrics
+    // accumulate across the query's jobs and print beside its time.
+    val spillMem = new java.util.concurrent.atomic.AtomicLong()
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong()
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+
     // untimed warmup — guarded like Bench's warmups: a broken loader (the
     // round-7 ts type flip class) must not abort the probe run before any
     // requested query is measured
@@ -61,6 +80,7 @@ object Probe {
 
     args.foreach { name =>
       samples.clear()
+      spillMem.set(0); spillDisk.set(0); shuffleWrite.set(0)
       sampling = true
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -78,7 +98,11 @@ object Probe {
       run(df)
       val dt = (System.nanoTime() - t0) / 1e9
       sampling = false
-      println(f"PROBE $name: $dt%.2f s")
+      // listener bus is async; give stage-completion events a beat to land
+      Thread.sleep(300)
+      def gb(b: Long): String = f"${b / 1e9}%.2f GB"
+      println(f"PROBE $name: $dt%.2f s  [shuffleWrite ${gb(shuffleWrite.get)}, " +
+        s"spill mem ${gb(spillMem.get)} / disk ${gb(spillDisk.get)}]")
       if (sys.env.contains("PROBE_FINAL_PLAN")) {
         // the listener bus is async — WAIT for the event before
         // unregistering, or a listener removed ahead of dispatch leaves
