@@ -154,14 +154,25 @@ object Bench {
       val prevFile = java.nio.file.Paths.get("bench_last.json")
       if (!java.nio.file.Files.exists(prevFile)) "null"
       else {
-        val pq = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(java.nio.file.Files.readString(prevFile)).get("queries")
-        val ratios = results.toSeq.flatMap { case (k, vOpt) =>
-          for {
-            v <- vOpt
-            pn <- Option(pq.get(k)) if !pn.isNull && pn.asDouble() > 0.3
-          } yield (k, v / pn.asDouble())
-        }.sortBy(_._2)
+        val prev = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(prevFile))
+        // Cross-scale guard: SCALE.md's workflow points Bench at x10/x100
+        // dirs, and a ratio against a different-SF record is garbage in
+        // both directions (every query flagged, then the reverse run
+        // reports a phantom speed-up). Only same-sf records compare.
+        val prevSf = Option(prev.get("sf")).map(_.asText()).getOrElse("")
+        val pq = prev.get("queries")
+        val ratios =
+          if (prevSf != sfDir) Seq.empty
+          else results.toSeq.flatMap { case (k, vOpt) =>
+            for {
+              v <- vOpt
+              pn <- Option(pq.get(k))
+              // noise floor on EITHER side: a 0.2 s query regressing to
+              // 3 s is exactly what the triage exists to flag
+              if !pn.isNull && (pn.asDouble() > 0.3 || v > 0.3)
+            } yield (k, v / pn.asDouble())
+          }.sortBy(_._2)
         if (ratios.isEmpty) "null"
         else {
           val med = ratios(ratios.size / 2)._2

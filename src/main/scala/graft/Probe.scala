@@ -60,6 +60,7 @@ object Probe {
     val spillMem = new java.util.concurrent.atomic.AtomicLong()
     val spillDisk = new java.util.concurrent.atomic.AtomicLong()
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
+    val lastStageEventNs = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -69,8 +70,19 @@ object Probe {
           spillDisk.addAndGet(m.diskBytesSpilled)
           shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
+        lastStageEventNs.set(System.nanoTime())
       }
     })
+    // The listener bus is async: wait for stage-event QUIESCENCE (no new
+    // completion for 1 s, capped at 10 s) rather than a fixed nap — a
+    // fixed beat under-counts the final stages' spill on a stalled VM,
+    // and these numbers are cited as MEASURED in SCALE.md.
+    def awaitStageQuiescence(): Unit = {
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline &&
+             System.nanoTime() - lastStageEventNs.get() < 1000L * 1000 * 1000)
+        Thread.sleep(100)
+    }
 
     // untimed warmup — guarded like Bench's warmups: a broken loader (the
     // round-7 ts type flip class) must not abort the probe run before any
@@ -98,8 +110,7 @@ object Probe {
       run(df)
       val dt = (System.nanoTime() - t0) / 1e9
       sampling = false
-      // listener bus is async; give stage-completion events a beat to land
-      Thread.sleep(300)
+      awaitStageQuiescence()
       def gb(b: Long): String = f"${b / 1e9}%.2f GB"
       println(f"PROBE $name: $dt%.2f s  [shuffleWrite ${gb(shuffleWrite.get)}, " +
         s"spill mem ${gb(spillMem.get)} / disk ${gb(spillDisk.get)}]")

@@ -132,7 +132,8 @@ object Queries {
            |  CASE event_type WHEN 'error' THEN cast(1024 + event_id % 5000 AS int) ELSE NULL END AS port,
            |  CASE event_type WHEN 'error' THEN 'ssh2' ELSE NULL END AS protocol_version,
            |  CASE event_type WHEN 'click' THEN 'connection_closed'
-           |       WHEN 'view' THEN 'received_disconnect' ELSE NULL END AS disconnect_reason,
+           |       WHEN 'error' THEN NULL WHEN 'signup' THEN NULL WHEN 'purchase' THEN NULL
+           |       ELSE 'received_disconnect' END AS disconnect_reason,
            |  CASE event_type WHEN 'purchase' THEN 'unix' ELSE NULL END AS method,
            |  make_timestamp(2024, 1, cast(event_id % 27 AS int) + 1, 3,
            |                 cast(event_id % 60 AS int), cast(user_id % 60 AS double)) AS datetime
@@ -232,7 +233,7 @@ object Queries {
     */
   private val s2 = QueryDef("s2_csv_roundtrip",
     Some("""SELECT event_type, count(*) AS cnt, cast(sum(user_id) as bigint) AS sum_users
-           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+           |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin),
     (s, d) => {
       val path = s"/tmp/graft_s2_csv_${Integer.toHexString(d.hashCode)}"
       ev(s, d).select("event_id", "event_type", "user_id")
@@ -252,7 +253,7 @@ object Queries {
   private val s4 = QueryDef("s4_parquet_roundtrip",
     Some("""SELECT event_type, count(*) AS cnt,
            |       cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
-           |FROM events WHERE value > 100 GROUP BY event_type ORDER BY event_type""".stripMargin),
+           |FROM events WHERE value > 100 GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin),
     (s, d) => {
       val path = s"/tmp/graft_s4_parquet_${Integer.toHexString(d.hashCode)}"
       ev(s, d).select("event_id", "event_type", "value")
@@ -271,7 +272,7 @@ object Queries {
     */
   private val s9 = QueryDef("s9_jsonl_roundtrip",
     Some("""SELECT event_type, count(*) AS cnt, cast(sum(user_id) as bigint) AS sum_users
-           |FROM events WHERE user_id % 3 = 0 GROUP BY event_type ORDER BY event_type""".stripMargin),
+           |FROM events WHERE user_id % 3 = 0 GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin),
     (s, d) => {
       val path = s"/tmp/graft_s9_jsonl_${Integer.toHexString(d.hashCode)}"
       ev(s, d).select("event_id", "event_type", "user_id")
@@ -290,7 +291,7 @@ object Queries {
   private val s10 = QueryDef("s10_orc_roundtrip",
     Some("""SELECT event_type, count(*) AS cnt,
            |       cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
-           |FROM events WHERE value <= 100 GROUP BY event_type ORDER BY event_type""".stripMargin),
+           |FROM events WHERE value <= 100 GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin),
     (s, d) => {
       val path = s"/tmp/graft_s10_orc_${Integer.toHexString(d.hashCode)}"
       ev(s, d).select("event_id", "event_type", "value")
@@ -315,7 +316,7 @@ object Queries {
   private val s17 = QueryDef("s17_avro_roundtrip",
     Some("""SELECT event_type, count(*) AS cnt,
            |       cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
-           |FROM events WHERE value > 50 GROUP BY event_type ORDER BY event_type""".stripMargin),
+           |FROM events WHERE value > 50 GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin),
     (s, d) => {
       val path = s"/tmp/graft_s17_avro_${Integer.toHexString(d.hashCode)}"
       ev(s, d).select("event_id", "event_type", "value")
@@ -334,7 +335,7 @@ object Queries {
     */
   private val s18 = QueryDef("s18_xml_roundtrip",
     Some("""SELECT event_type, count(*) AS cnt, cast(sum(user_id) as bigint) AS sum_users
-           |FROM events WHERE user_id % 3 = 0 GROUP BY event_type ORDER BY event_type""".stripMargin),
+           |FROM events WHERE user_id % 3 = 0 GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin),
     (s, d) => {
       val path = s"/tmp/graft_s18_xml_${Integer.toHexString(d.hashCode)}"
       ev(s, d).select("event_id", "event_type", "user_id")
@@ -365,10 +366,12 @@ object Queries {
            |FROM events""".stripMargin),
     (s, d) => {
       val path = s"/tmp/graft_s19_csv_${Integer.toHexString(d.hashCode)}"
-      // null value must still emit a 3-field line ("id,type,") — concat_ws
-      // DROPS nulls, and a 2-field line would be counted bad here but good
-      // by the oracle's corruption rule. Empty string parses back to null.
-      ev(s, d).select(concat_ws(",", col("event_id"), col("event_type"),
+      // null value AND null event_type must still emit a 3-field line
+      // ("id,,v") — concat_ws DROPS nulls, and a 2-field line shifts the
+      // remaining fields left (the value lands in event_type and the row
+      // silently loses it from sum_good). Empty string parses back to null.
+      ev(s, d).select(concat_ws(",", col("event_id"),
+          coalesce(col("event_type"), lit("")),
           when(col("event_id") % 37 === 0, lit("corrupted!"))
             .otherwise(coalesce(col("value").cast("string"), lit(""))))
           .as("value"))
@@ -424,7 +427,7 @@ object Queries {
   private val s11 = QueryDef("s11_docstore_roundtrip",
     Some("""SELECT event_type, count(*) AS cnt, cast(sum(user_id) as bigint) AS sum_users
            |FROM events WHERE event_type IN ('click','view') AND user_id > 100
-           |GROUP BY event_type ORDER BY event_type""".stripMargin),
+           |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin),
     (s, d) => {
       val path = s"/tmp/graft_s11_docstore_${Integer.toHexString(d.hashCode)}"
       ev(s, d).select("event_id", "event_type", "user_id")
@@ -517,7 +520,7 @@ object Queries {
            |           AND NOT EXISTS (SELECT 1 FROM ins i WHERE i.event_id = b.event_id))
            |SELECT event_type, count(*) AS cnt, cast(sum(user_id) as bigint) AS sum_users,
            |       cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
-           |FROM finl GROUP BY event_type ORDER BY event_type""".stripMargin),
+           |FROM finl GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin),
     (s, d) => {
       val path = s"/tmp/graft_s15_upsert_${Integer.toHexString(d.hashCode)}"
       val e = ev(s, d).select("event_id", "event_type", "user_id", "value")
@@ -558,7 +561,7 @@ object Queries {
            |FROM events
            |WHERE user_id NOT IN (3, 20, 37, 54, 71, 88, 105, 122, 139)
            |  AND NOT (user_id >= 60 AND user_id < 70)
-           |GROUP BY event_type ORDER BY event_type""".stripMargin),
+           |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.sources.{GreaterThanOrEqual, In, LessThan}
       val path = s"/tmp/graft_s16_gdpr_${Integer.toHexString(d.hashCode)}"
@@ -756,7 +759,7 @@ object Queries {
   /** A6: two-key group-by size. */
   private val a6 = QueryDef("a6_two_key_counts",
     Some("""SELECT cast(ts as date) AS date, event_type, count(*) AS cnt
-           |FROM events GROUP BY 1, 2 ORDER BY date, event_type""".stripMargin),
+           |FROM events GROUP BY 1, 2 ORDER BY date, event_type NULLS FIRST""".stripMargin),
     (s, d) => ev(s, d)
       .groupBy(to_date(col("ts")).as("date"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
@@ -772,7 +775,8 @@ object Queries {
            |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
            |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
            |  count(*) FILTER (WHERE event_type = 'view') AS view,
-           |  count(*) AS total_events
+           |  count(*) FILTER (WHERE event_type IN ('click','error','purchase','signup','view'))
+           |    AS total_events
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
     (s, d) => {
       val types = EventTypes
@@ -851,16 +855,23 @@ object Queries {
     * ordered string_agg.
     */
   private val a17 = QueryDef("a17_map_column",
+    // NULL event_type is EXCLUDED from the map on both engines: a map
+    // cannot carry a null key (Spark's map_from_entries throws
+    // NULL_MAP_KEY outright — the degen gate's r11 find), and DuckDB's
+    // string_agg skips the null-keyed entry natively. A user whose every
+    // event has a null type still emits its row with the empty map "{}"
+    // (collect_list skips null whens / coalesce('') on the oracle side).
     Some("""WITH c AS (SELECT user_id, event_type, count(*) AS cnt
            |           FROM events GROUP BY 1, 2)
            |SELECT user_id,
-           |       '{' || string_agg('"' || event_type || '":' || cnt, ',' ORDER BY event_type) || '}' AS type_counts
+           |       '{' || coalesce(string_agg('"' || event_type || '":' || cnt, ',' ORDER BY event_type), '') || '}' AS type_counts
            |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin),
     (s, d) => ev(s, d)
       .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
       .groupBy("user_id")
       .agg(to_json(map_from_entries(
-        sort_array(collect_list(struct(col("event_type"), col("cnt")))))).as("type_counts"))
+        sort_array(collect_list(when(col("event_type").isNotNull,
+          struct(col("event_type"), col("cnt"))))))).as("type_counts"))
       .orderBy("user_id"))
 
   /** A15: fixed-width bucket histogram. */
@@ -1252,7 +1263,11 @@ object Queries {
       // value count — the population the quantiles are actually over —
       // not the group's row count.
       val nullTriple = array(Seq.fill(3)(lit(null).cast("double")): _*)
-      approx.join(broadcast(exact), Seq("event_type"), "left")
+      // NULL-SAFE key: a NULL event_type group exists on BOTH sides when
+      // such rows carry non-null values — equi-join semantics would leave
+      // its exact arm unmatched (n=0 beside real quantiles)
+      approx.join(broadcast(exact.withColumnRenamed("event_type", "et")),
+          col("event_type") <=> col("et"), "left").drop("et")
         .select(col("event_type"),
           coalesce(col("aq"), nullTriple).as("aq"),
           coalesce(col("eq"), nullTriple).as("eq"),
@@ -1280,8 +1295,9 @@ object Queries {
            |       CASE ps.p WHEN 0.5 THEN g.q50 WHEN 0.9 THEN g.q90 ELSE g.q99 END AS exact_v,
            |       coalesce(g.n, 0) AS n,
            |       TRUE AS approx_ok
-           |FROM base b CROSS JOIN ps LEFT JOIN g ON b.event_type = g.event_type
-           |ORDER BY b.event_type, ps.p""".stripMargin),
+           |FROM base b CROSS JOIN ps
+           |LEFT JOIN g ON b.event_type IS NOT DISTINCT FROM g.event_type
+           |ORDER BY b.event_type NULLS FIRST, ps.p""".stripMargin),
     (s, d) => {
       val raw = a19Raw(s, d)
       // rank adjudication: GK returns REAL data values, so each non-null
@@ -1298,7 +1314,7 @@ object Queries {
           (col("p") - col("hcum").cast("double") / col("n") <= tol))
       raw
         .join(broadcast(h),
-          col("event_type") === col("het") && col("approx_v") === col("hv"), "left")
+          col("event_type") <=> col("het") && col("approx_v") === col("hv"), "left")
         .select(col("event_type"), col("p"), col("exact_v"), col("n"),
           coalesce(ok, lit(false)).as("approx_ok"))
         .orderBy("event_type", "p")
@@ -1552,7 +1568,7 @@ object Queries {
            |  floor(cast(cnt as double) /
            |        cast(cast(sum(cnt) OVER (PARTITION BY prev_type) as bigint) as double)
            |        * 10000 + 0.5) / 10000 AS p
-           |FROM c ORDER BY prev_type, next_type""".stripMargin),
+           |FROM c ORDER BY prev_type NULLS FIRST, next_type NULLS FIRST""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -1709,7 +1725,12 @@ object Queries {
       val exact = e.groupBy("event_type").agg(
         count_distinct(col("user_id")).as("exact_users"),
         count_distinct(col("event_id")).as("exact_events"))
-      approx.join(broadcast(exact), "event_type")
+      // NULL-SAFE join key (r11): both sides' groupBy emit a NULL
+      // event_type group (as does the oracle's GROUP BY) — a plain
+      // equi-join would silently drop it, a row-count mismatch the day
+      // the driver's testdata ships a null event_type.
+      approx.join(broadcast(exact.withColumnRenamed("event_type", "et")),
+          col("event_type") <=> col("et"))
         .select("event_type", "approx_users", "exact_users",
           "approx_events", "exact_events", "total")
         .orderBy("event_type")
@@ -1725,7 +1746,7 @@ object Queries {
            |       count(DISTINCT event_id) AS exact_events,
            |       count(*) AS total,
            |       TRUE AS users_ok, TRUE AS events_ok
-           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+           |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin),
     (s, d) => a18Raw(s, d).select(col("event_type"),
       col("exact_users"), col("exact_events"), col("total"),
       hllOk("approx_users", "exact_users").as("users_ok"),
@@ -1809,7 +1830,7 @@ object Queries {
            |SELECT event_type, user_id, cnt,
            |       row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rn,
            |       rank() OVER (PARTITION BY event_type ORDER BY cnt DESC) AS rnk
-           |FROM counts QUALIFY rn <= 5 ORDER BY event_type, rn""".stripMargin),
+           |FROM counts QUALIFY rn <= 5 ORDER BY event_type NULLS FIRST, rn""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val counts = ev(s, d).groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
@@ -1888,7 +1909,7 @@ object Queries {
            |       quantile_cont(value, 0.5) AS p50,
            |       quantile_cont(value, 0.75) AS p75
            |FROM events WHERE value IS NOT NULL
-           |GROUP BY event_type ORDER BY event_type""".stripMargin),
+           |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin),
     (s, d) => {
       val cum = valueHistogram(ev(s, d))
       // rank indices are 0-based: value at index i = min value with cum ≥ i+1
@@ -2178,8 +2199,13 @@ object Queries {
     * (an Expand node — no shuffle, no join).
     */
   private val d16 = QueryDef("d16_unpivot",
-    Some("""SELECT user_id, event_type, count(*) AS cnt FROM events
-           |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin),
+    // the pivot runs over the EXPLICIT type list, so a row whose type is
+    // outside it (a NULL, or a type the driver adds later) has no wide
+    // column and cannot survive the melt — the oracle filters to the same
+    // list rather than pretending GROUP BY semantics
+    Some(s"""SELECT user_id, event_type, count(*) AS cnt FROM events
+            |WHERE event_type IN (${EventTypes.map(t => s"'$t'").mkString(",")})
+            |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin),
     (s, d) => {
       val types = EventTypes
       val wide = ev(s, d).groupBy("user_id")
@@ -2205,7 +2231,8 @@ object Queries {
   private val j12 = QueryDef("j12_scd2_history",
     Some("""WITH o AS (
            |  SELECT user_id, event_id, cast(ts as timestamp) AS ts, event_type,
-           |         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           |         CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1
+           |                OR lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
            |                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
            |  FROM events
            |), r AS (
@@ -2234,7 +2261,14 @@ object Queries {
       val base = ev(s, d).select("user_id", "event_id", "ts", "event_type")
         .withColumn("rn", row_number().over(byId))
         .withColumn("n_user", count(lit(1)).over(byUser))
-        .withColumn("chg", when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+        // NULL-SAFE run detection: `prev =!= cur` is NULL (falsy) when
+        // either side is a null event_type, silently merging a null-typed
+        // run into its neighbor — while a lag() null also marks the first
+        // row. Split the two meanings: rn=1 always starts a run; after
+        // that the null-safe inequality decides (null-to-null = same run,
+        // matching the oracle's IS DISTINCT FROM).
+        .withColumn("chg",
+          when(col("rn") === 1 || !(prev <=> col("event_type")), 1L).otherwise(0L))
         .withColumn("version_run", sum(col("chg")).over(byId))
         .withColumn("run_min_ts",
           min(col("ts")).over(Window.partitionBy("user_id", "version_run")))
@@ -2334,7 +2368,7 @@ object Queries {
            |            THEN (nd*sxyd - sxd*syd) /
            |                 (sqrt(nd*sxxd - sxd*sxd) * sqrt(nd*syyd - syd*syd))
            |       END AS corr_value_hour
-           |FROM f ORDER BY event_type""".stripMargin),
+           |FROM f ORDER BY event_type NULLS FIRST""".stripMargin),
     (s, d) => {
       val sums = ev(s, d)
         .select(col("event_type"), col("value").cast("decimal(18,2)").as("x"),
@@ -2415,7 +2449,7 @@ object Queries {
            |  FROM events WHERE value IS NOT NULL)
            |SELECT event_type, cast(decile as int) AS decile, count(*) AS cnt,
            |       min(value) AS lo, max(value) AS hi
-           |FROM t GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin),
+           |FROM t GROUP BY 1, 2 ORDER BY event_type NULLS FIRST, decile""".stripMargin),
     (s, d) => {
       val dec = valueHistogram(ev(s, d))
         .withColumn("decile", explode(array((1 to 10).map(lit): _*)))

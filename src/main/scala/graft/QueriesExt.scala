@@ -1712,15 +1712,18 @@ object QueriesExt {
   /** The Lloyd trainers' train-set CTE, mirroring the Spark side exactly:
     * the caller's vec_id%2 sample, then [[graft.functions.Similarity
     * .ivfCentroids]]/pqCodebooks' MECHANICAL cap — a scalar-subquery
-    * modulus m = ceil(n / MaxTrainRows) over the same count, 1-in-m by
-    * vec_id. At registered corpora m = 1 (no-op), but the oracle replays
-    * the cap formula so a capped train run at scale stays hash-checkable.
+    * m = ceil(n / MaxTrainRows) over the same count, 1-in-m keyed on the
+    * 60-bit md5 hash of vec_id (the a18b cross-engine derivation; a bare
+    * vec_id modulus would compose badly with the callers' own vec_id%2
+    * pre-sample). At registered corpora m = 1 (no-op), but the oracle
+    * replays the cap formula so a capped train run stays hash-checkable.
     */
   private def cappedTrainSql(cols: String = "*"): String =
     s"""t0 AS (SELECT $cols FROM embeddings WHERE vec_id % 2 = 0),
        |tp AS (SELECT greatest(1, cast(ceil(count(*) /
        |  ${graft.functions.Similarity.MaxTrainRows}.0) AS bigint)) AS m FROM t0),
-       |train AS (SELECT t0.* FROM t0, tp WHERE t0.vec_id % tp.m = 0)""".stripMargin
+       |train AS (SELECT t0.* FROM t0, tp
+       |  WHERE ('0x' || substr(md5(cast(t0.vec_id AS varchar)), 1, 15))::BIGINT % tp.m = 0)""".stripMargin
 
   private def lloydCteSql(iters: Int, trainRel: String = "embeddings",
                           pre: String = ""): String = (0 until iters).map { i =>

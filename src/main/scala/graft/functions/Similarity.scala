@@ -203,23 +203,38 @@ object Similarity {
     * cell is the one non-scalable piece of THIS trainer (it materializes
     * each cell's member list on one task), so the train-set size is a
     * MECHANICAL contract, not a scaladoc plea (r11): above `maxTrainRows`
-    * the trainer deterministically subsamples to the 1-in-m set
-    * `vec_id % m == 0`, m = ceil(n / maxTrainRows) — per-cell member
-    * lists are bounded by the cap regardless of what a caller passes, and
-    * IVF centroids need only a representative sketch of the distribution.
-    * The modulus filter replays trivially in the Lloyd oracle CTEs (a
-    * scalar-subquery `m` over the same count), so a capped train run
-    * stays hash-checkable; at the registered corpora m = 1 and the filter
-    * is a no-op.
+    * the trainer deterministically subsamples via [[cappedTrain]] — the
+    * 1-in-m set keyed on the cross-engine md5 hash of vec_id, m =
+    * ceil(n / maxTrainRows) — so per-cell member lists stay bounded by
+    * the cap for ANY caller, and IVF centroids need only a representative
+    * sketch of the distribution. The hash filter replays in the Lloyd
+    * oracle CTEs (a scalar-subquery `m` over the same count + the same
+    * md5 derivation a18b's oracle proves cross-engine), so a capped train
+    * run stays hash-checkable; at the registered corpora m = 1 and the
+    * filter is a no-op.
     */
   val MaxTrainRows: Long = 1L << 18 // 262144 ≈ tens of MB of member lists per cell worst-case
 
+  /** Deterministic 1-in-m train sample above `maxTrainRows`, shared by
+    * both Lloyd trainers. Keyed on md5Hash60(vec_id) — the repo's
+    * ANSI-replayable hash — NOT a bare `vec_id % m`: every registered
+    * caller already pre-samples with its own `vec_id % 2`, and a
+    * modulus-on-modulus compose keeps 2/m of the rows whenever m is even
+    * (2× the cap), while an adversarial id stride (all ids multiples of
+    * m) keeps EVERYTHING. Hashing decorrelates the sample from any id
+    * pattern, so the expected train size is n/m ≤ cap for every caller.
+    */
+  private def cappedTrain(corpus: DataFrame, maxTrainRows: Long): DataFrame = {
+    val n = corpus.count()
+    val m = math.max(1L, math.ceil(n.toDouble / maxTrainRows).toLong)
+    if (m == 1L) corpus
+    else corpus.filter(
+      pmod(graft.functions.TopKAgg.md5Hash60(col("vec_id")), lit(m)) === 0)
+  }
+
   def ivfCentroids(corpus: DataFrame, nCentroids: Int, lloydIters: Int,
                    maxTrainRows: Long = MaxTrainRows): Array[Array[Float]] = {
-    val nRows = corpus.count()
-    val mMod = math.max(1L, math.ceil(nRows.toDouble / maxTrainRows).toLong)
-    val train =
-      if (mMod == 1L) corpus else corpus.filter(pmod(col("vec_id"), lit(mMod)) === 0)
+    val train = cappedTrain(corpus, maxTrainRows)
     var cents: Array[Array[Float]] = train.orderBy("vec_id")
       .select("embedding").limit(nCentroids)
       .collect().map(_.getSeq[Float](0).toArray)
@@ -338,10 +353,7 @@ object Similarity {
     val sub = dim / m
     // same mechanical train-set cap as [[ivfCentroids]] — the per-(j,
     // cell, dd) member lists here are the identical risk class
-    val nRows = corpus.count()
-    val mMod = math.max(1L, math.ceil(nRows.toDouble / maxTrainRows).toLong)
-    val train =
-      if (mMod == 1L) corpus else corpus.filter(pmod(col("vec_id"), lit(mMod)) === 0)
+    val train = cappedTrain(corpus, maxTrainRows)
     val seed = train.orderBy("vec_id").select("embedding").limit(codesPerSub)
       .collect().map(_.getSeq[Float](0).toArray)
     var books: Array[Array[Array[Float]]] =

@@ -292,11 +292,17 @@ class SimilaritySpec extends SparkSpec {
 
   test("ivfCentroids/pqCodebooks: mechanical train-set cap = deterministic 1-in-m sample") {
     // 200 pseudo-random 8-dim vectors, cap 50 -> m = ceil(200/50) = 4: the
-    // trainer must behave EXACTLY as if handed the explicit vec_id % 4 == 0
-    // subset (which fits under its own cap), and the cap must actually
-    // bite (centroids differ from uncapped full-corpus training).
+    // trainer must behave EXACTLY as if handed the explicit
+    // md5Hash60(vec_id) % 4 == 0 subset (which fits under its own cap —
+    // the hash keys the sample so it can't compose badly with a caller's
+    // own vec_id-modulus pre-filter), and the cap must actually bite
+    // (centroids differ from uncapped full-corpus training).
     val corpus = (0 until 200).map(i => (i.toLong, vec(i + 1000))).toDF("vec_id", "embedding")
-    val explicitSub = corpus.filter(col("vec_id") % 4 === 0)
+    val explicitSub = corpus.filter(
+      pmod(graft.functions.TopKAgg.md5Hash60(col("vec_id")), lit(4)) === 0)
+    // the hash sample of 200 ids lands near 50 — verify it's under the cap
+    // so the explicit run's own cap is a no-op (m=1)
+    assert(explicitSub.count() <= 50L)
 
     val capped = Similarity.ivfCentroids(corpus, 4, 2, maxTrainRows = 50)
     val explicitRun = Similarity.ivfCentroids(explicitSub, 4, 2)

@@ -10,6 +10,11 @@ produces and the driver's clean synthetic data never exercises):
   - events.props  -> one row's JSON loses its "k" key (null group keys)
                      and another row's props is NULL outright (null JSON
                      input to from_json/variant/regex extraction)
+  - events.event_type -> NULL on one row that KEEPS its value (r11): a
+                     null grouping key with real data must survive every
+                     groupBy/join — equi-joins on the group key silently
+                     drop it (the a18 class) and ORDER BY needs NULLS
+                     FIRST pinned
   - documents.text-> NULL for one document (null-text kernels/oracles),
                      "" for another, "   " for a third (zero-token paths
                      and the ANSI 0/0 division guards)
@@ -33,6 +38,15 @@ Round-10 provenance: this gate found tx_fingerprint's NULL-text seed leak
 hole (Spark orders NaN above every numeric, so `NaN >= threshold` passed
 every threshold filter) after the inline review had already fixed five
 sibling divergences by inspection.
+
+Round-11 provenance: planting ONE null event_type row flushed 18 latent
+divergences in a single run — an outright engine crash (a17's
+map_from_entries NULL_MAP_KEY), four semantic splits (a7's count(*) vs
+row-sum totals, d16's pivot-list vs GROUP BY rows, j12's null-unsafe run
+detection merging a null-typed run into its neighbor, s19's concat_ws
+silently dropping the null field and shifting the CSV row), one template
+mismatch (p_parse's ELSE branch), and twelve Spark-NULLS-FIRST vs
+DuckDB-NULLS-LAST orderings.
 
 Deliberately NOT planted: NaN in events.value. That column's contract is
 finite-or-NULL (see Tables.events' scaladoc): the engine's parse paths
@@ -66,9 +80,16 @@ def main() -> None:
     d["props"][pi] = json.dumps(props)
     ni = next(i for i in range(n) if i not in (vi, pi) and d["props"][i])
     d["props"][ni] = None
+    # a NULL grouping key carrying REAL values: the group must survive
+    # every groupBy/join (null-safe keys) with its values aggregated —
+    # the r11 review found a18's inner equi-join silently dropping it
+    ei = next(i for i in range(n)
+              if i not in (vi, pi, ni) and d["value"][i] is not None)
+    d["event_type"][ei] = None
     pq.write_table(pa.table(d, schema=t.schema), f"{out}/events.parquet")
     print(f"events: value=NULL at event_id {d['event_id'][vi]}; "
-          f"k-less props at row {pi}; props=NULL at row {ni}")
+          f"k-less props at row {pi}; props=NULL at row {ni}; "
+          f"event_type=NULL at row {ei} (value {d['value'][ei]})")
 
     t = pq.read_table(f"{out}/documents.parquet")
     d = t.to_pydict()
