@@ -137,7 +137,9 @@ object Queries {
            |  CASE event_type WHEN 'purchase' THEN 'unix' ELSE NULL END AS method,
            |  make_timestamp(2024, 1, cast(event_id % 27 AS int) + 1, 3,
            |                 cast(event_id % 60 AS int), cast(user_id % 60 AS double)) AS datetime
-           |FROM events ORDER BY event_id""".stripMargin)
+           |FROM events
+           |WHERE user_id IS NOT NULL
+           |ORDER BY event_id""".stripMargin)
 
   /** Synthesized SSH lines from `events` → full LogParser output (the
     * shared front half of p_parse_ssh_roundtrip and pipe_ssh_docstore).
@@ -559,8 +561,9 @@ object Queries {
            |  cast(sum(user_id) as bigint) AS sum_users,
            |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
            |FROM events
-           |WHERE user_id NOT IN (3, 20, 37, 54, 71, 88, 105, 122, 139)
-           |  AND NOT (user_id >= 60 AND user_id < 70)
+           |WHERE user_id IS NULL OR (
+           |  user_id NOT IN (3, 20, 37, 54, 71, 88, 105, 122, 139)
+           |  AND NOT (user_id >= 60 AND user_id < 70))
            |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.sources.{GreaterThanOrEqual, In, LessThan}
@@ -777,7 +780,7 @@ object Queries {
            |  count(*) FILTER (WHERE event_type = 'view') AS view,
            |  count(*) FILTER (WHERE event_type IN ('click','error','purchase','signup','view'))
            |    AS total_events
-           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+           |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin),
     (s, d) => {
       val types = EventTypes
       ev(s, d).groupBy("user_id")
@@ -798,7 +801,7 @@ object Queries {
             |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
             |  cast(min(ts) as timestamp) AS first_seen,
             |  cast(max(ts) as timestamp) AS last_seen
-            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+            |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin),
     (s, d) => ev(s, d).groupBy("user_id").agg(
       countDistinct(kCol).as("distinct_ks"),
       array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
@@ -809,7 +812,7 @@ object Queries {
   /** A13: filtered group-count. */
   private val a13 = QueryDef("a13_filtered_group_count",
     Some("""SELECT user_id, count(*) AS error_cnt FROM events
-           |WHERE event_type = 'error' GROUP BY user_id ORDER BY user_id""".stripMargin),
+           |WHERE event_type = 'error' GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin),
     (s, d) => ev(s, d).filter(col("event_type") === "error")
       .groupBy("user_id").agg(count(lit(1)).as("error_cnt"))
       .orderBy("user_id"))
@@ -839,7 +842,7 @@ object Queries {
            |SELECT user_id,
            |       array_to_string(list(cast(cast(value as decimal(18,2)) as varchar)
            |                            ORDER BY value DESC), ',') AS top_values
-           |FROM ranked WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin),
+           |FROM ranked WHERE rn <= 3 GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin),
     (s, d) => ev(s, d).filter(col("value").isNotNull).groupBy("user_id")
       .agg(array_join(
         transform(graft.functions.TopKAgg.topKValues(col("value"), 3),
@@ -865,7 +868,7 @@ object Queries {
            |           FROM events GROUP BY 1, 2)
            |SELECT user_id,
            |       '{' || coalesce(string_agg('"' || event_type || '":' || cnt, ',' ORDER BY event_type), '') || '}' AS type_counts
-           |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin),
+           |FROM c GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin),
     (s, d) => ev(s, d)
       .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
       .groupBy("user_id")
@@ -898,7 +901,7 @@ object Queries {
             |SELECT b.user_id AS user_id, b.total AS total,
             |       coalesce(s.error_ks, '') AS error_ks
             |FROM base b LEFT JOIN susp s ON b.user_id = s.user_id
-            |ORDER BY user_id""".stripMargin),
+            |ORDER BY user_id NULLS FIRST""".stripMargin),
     (s, d) => {
       val base = ev(s, d).groupBy("user_id").agg(count(lit(1)).as("total"))
       val susp = ev(s, d).filter(col("event_type") === "error")
@@ -1183,7 +1186,7 @@ object Queries {
             |  attacker := cast(floor(att * cast(100.0 as double) / (att + bot + legit) * 10 + 0.5) / 10 as decimal(18,1)),
             |  bot := cast(floor(bot * cast(100.0 as double) / (att + bot + legit) * 10 + 0.5) / 10 as decimal(18,1)),
             |  authorized := cast(floor(legit * cast(100.0 as double) / (att + bot + legit) * 10 + 0.5) / 10 as decimal(18,1)))) AS profile
-            |FROM legitd ORDER BY user_id""".stripMargin),
+            |FROM legitd ORDER BY user_id NULLS FIRST""".stripMargin),
     (s, d) => entitySummary(ev(s, d))
       .select(col("user_id"),
         to_json(struct(
@@ -1195,7 +1198,7 @@ object Queries {
   /** J3: parameterized point lookup — the filter pushes into the scan. */
   private val j3 = QueryDef("j3_point_lookup",
     Some("""SELECT user_id, count(*) AS total, cast(min(ts) as timestamp) AS first_seen
-           |FROM events WHERE user_id = 7 GROUP BY user_id ORDER BY user_id""".stripMargin),
+           |FROM events WHERE user_id = 7 GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin),
     (s, d) => ev(s, d).filter(col("user_id") === 7)
       .groupBy("user_id")
       .agg(count(lit(1)).as("total"), min(col("ts")).as("first_seen"))
@@ -1460,7 +1463,8 @@ object Queries {
            |  SELECT fc.cohort_week,
            |         cast(datediff('day', fc.cohort_week, uw.wk) / 7 as bigint) AS week_offset,
            |         count(*) AS n_users
-           |  FROM uw JOIN fc USING (user_id) GROUP BY 1, 2)
+           |  FROM uw JOIN fc ON uw.user_id IS NOT DISTINCT FROM fc.user_id
+           |  GROUP BY 1, 2)
            |SELECT cohort_week, week_offset, n_users,
            |  floor(cast(n_users as double) /
            |        max(CASE WHEN week_offset = 0 THEN n_users END)
@@ -1961,7 +1965,7 @@ object Queries {
            |  cast(sum(coalesce(c.cnt, 0)) OVER (PARTITION BY g.user_id ORDER BY g.h
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_cnt
            |FROM grid g LEFT JOIN c ON c.user_id = g.user_id AND c.h = g.h
-           |ORDER BY g.user_id, hour""".stripMargin),
+           |ORDER BY g.user_id NULLS FIRST, hour""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = ev(s, d).select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
@@ -2000,7 +2004,7 @@ object Queries {
   private val su = QueryDef("set_union",
     Some("""SELECT user_id FROM events WHERE event_type = 'click'
            |UNION SELECT user_id FROM events WHERE event_type = 'purchase'
-           |ORDER BY user_id""".stripMargin),
+           |ORDER BY user_id NULLS FIRST""".stripMargin),
     (s, d) => {
       val a = ev(s, d).filter(col("event_type") === "click").select("user_id")
       val b = ev(s, d).filter(col("event_type") === "purchase").select("user_id")
@@ -2010,7 +2014,7 @@ object Queries {
   private val si = QueryDef("set_intersect",
     Some("""SELECT user_id FROM events WHERE event_type = 'click'
            |INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'
-           |ORDER BY user_id""".stripMargin),
+           |ORDER BY user_id NULLS FIRST""".stripMargin),
     (s, d) => {
       val a = ev(s, d).filter(col("event_type") === "click").select("user_id")
       val b = ev(s, d).filter(col("event_type") === "purchase").select("user_id")
@@ -2020,7 +2024,7 @@ object Queries {
   private val se = QueryDef("set_except",
     Some("""SELECT user_id FROM events WHERE event_type = 'click'
            |EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase'
-           |ORDER BY user_id""".stripMargin),
+           |ORDER BY user_id NULLS FIRST""".stripMargin),
     (s, d) => {
       val a = ev(s, d).filter(col("event_type") === "click").select("user_id")
       val b = ev(s, d).filter(col("event_type") === "purchase").select("user_id")
@@ -2145,7 +2149,7 @@ object Queries {
             |SELECT user_id, session_id, count(*) AS n_events,
             |       cast(min(ts) as timestamp) AS session_start
             |FROM sessions GROUP BY user_id, session_id
-            |ORDER BY user_id, session_id""".stripMargin),
+            |ORDER BY user_id NULLS FIRST, session_id""".stripMargin),
     (s, d) => sessionized(ev(s, d))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
@@ -2205,7 +2209,7 @@ object Queries {
     // list rather than pretending GROUP BY semantics
     Some(s"""SELECT user_id, event_type, count(*) AS cnt FROM events
             |WHERE event_type IN (${EventTypes.map(t => s"'$t'").mkString(",")})
-            |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin),
+            |GROUP BY 1, 2 ORDER BY user_id NULLS FIRST, event_type""".stripMargin),
     (s, d) => {
       val types = EventTypes
       val wide = ev(s, d).groupBy("user_id")
@@ -2245,7 +2249,7 @@ object Queries {
            |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_n) AS valid_to,
            |       n_events,
            |       (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_n) IS NULL) AS is_current
-           |FROM g ORDER BY user_id, version_n""".stripMargin),
+           |FROM g ORDER BY user_id NULLS FIRST, version_n""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val byId = Window.partitionBy("user_id").orderBy("event_id")

@@ -385,12 +385,18 @@ object QueriesExt {
     * is taken on the stage's input, mirrored exactly in the oracle.
     */
   private val tx8 = QueryDef("tx_redact",
+    // user_id pieces render through coalesce(..., 'null'): Spark's
+    // format_string is Java's Formatter, which prints a null %d argument
+    // as the literal "null" — a bare || would instead null the whole line
+    // for an unattributed event (degen-gate r11 find)
     Some("""WITH raw AS (
            |  SELECT event_id,
-           |    'Failed password for u' || user_id || ' from 10.0.' || (user_id % 200) ||
+           |    'Failed password for u' || coalesce(cast(user_id AS varchar), 'null') ||
+           |    ' from 10.0.' || coalesce(cast(user_id % 200 AS varchar), 'null') ||
            |    '.' || (event_id % 250) || ' port ' || (1024 + event_id % 5000) ||
-           |    ' ssh2 contact=u' || user_id || '@mail.example.com relay=192.168.' ||
-           |    (event_id % 200) || '.' || (user_id % 250) AS line
+           |    ' ssh2 contact=u' || coalesce(cast(user_id AS varchar), 'null') ||
+           |    '@mail.example.com relay=192.168.' ||
+           |    (event_id % 200) || '.' || coalesce(cast(user_id % 250 AS varchar), 'null') AS line
            |  FROM events),
            |red AS (
            |  SELECT event_id,

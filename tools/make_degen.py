@@ -86,6 +86,13 @@ def main() -> None:
     ei = next(i for i in range(n)
               if i not in (vi, pi, ni) and d["value"][i] is not None)
     d["event_type"][ei] = None
+    # ... and the same lens on the OTHER grouping key: one unattributed
+    # event (null user_id, real type/value) — the logged-out-user row a
+    # real feed produces
+    ui = next(i for i in range(n)
+              if i not in (vi, pi, ni, ei) and d["value"][i] is not None
+              and d["event_type"][i] is not None)
+    d["user_id"][ui] = None
     pq.write_table(pa.table(d, schema=t.schema), f"{out}/events.parquet")
     print(f"events: value=NULL at event_id {d['event_id'][vi]}; "
           f"k-less props at row {pi}; props=NULL at row {ni}; "
