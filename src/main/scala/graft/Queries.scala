@@ -625,7 +625,7 @@ object Queries {
     Some("""SELECT cast(ts as date) AS date, count(*) AS cnt,
            |       cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
            |FROM events WHERE event_type = 'error'
-           |GROUP BY date ORDER BY date""".stripMargin),
+           |GROUP BY date ORDER BY date NULLS FIRST""".stripMargin),
     (s, d) => {
       val tag = Integer.toHexString(d.hashCode)
       val path = s"/dev/shm/graft_part_ev_$tag"
@@ -690,12 +690,17 @@ object Queries {
     Some("""SELECT cast(strptime('2024 ' || strftime(cast(ts as timestamp), '%b') || ' ' ||
            |         day(cast(ts as timestamp)) || ' ' || strftime(cast(ts as timestamp), '%H:%M:%S'),
            |         '%Y %b %-d %H:%M:%S') AS date) AS date, count(*) AS cnt
-           |FROM events GROUP BY date ORDER BY date""".stripMargin),
+           |FROM events GROUP BY date ORDER BY date NULLS FIRST""".stripMargin),
     (s, d) => ev(s, d)
-      .select(to_timestamp(
+      // null-ts guard: a null timestamp has no string parts — concat_ws
+      // SKIPS nulls, so the unguarded synthesis fed the bare "2024" to
+      // to_timestamp, an ANSI CANNOT_PARSE_TIMESTAMP crash (degen r11).
+      // The row instead lands in the null date group, like the oracle's
+      // strptime(NULL) null propagation.
+      .select(when(col("ts").isNotNull, to_timestamp(
         concat_ws(" ", lit("2024"), date_format(col("ts"), "MMM"),
           dayofmonth(col("ts")).cast("string"), date_format(col("ts"), "HH:mm:ss")),
-        "yyyy MMM d HH:mm:ss").as("dt"))
+        "yyyy MMM d HH:mm:ss")).as("dt"))
       .groupBy(to_date(col("dt")).as("date")).agg(count(lit(1)).as("cnt"))
       .orderBy("date"))
 
@@ -713,7 +718,7 @@ object Queries {
     Some("""SELECT hour(cast(ts as timestamp)) AS hour,
            |       lpad(cast(hour(cast(ts as timestamp)) as varchar), 2, '0') AS hour_label,
            |       count(*) AS cnt
-           |FROM events GROUP BY 1, 2 ORDER BY hour""".stripMargin),
+           |FROM events GROUP BY 1, 2 ORDER BY hour NULLS FIRST""".stripMargin),
     (s, d) => ev(s, d)
       .groupBy(hour(col("ts")).as("hour"))
       .agg(count(lit(1)).as("cnt"))
@@ -723,7 +728,7 @@ object Queries {
   /** D10/A5: daily counts with 'MMM dd' display format. */
   private val d10 = QueryDef("d10_date_format",
     Some("""SELECT cast(ts as date) AS date, strftime(cast(ts as date), '%b %d') AS date_label,
-           |       count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY date""".stripMargin),
+           |       count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY date NULLS FIRST""".stripMargin),
     (s, d) => ev(s, d)
       .groupBy(to_date(col("ts")).as("date"))
       .agg(count(lit(1)).as("cnt"))
@@ -762,7 +767,7 @@ object Queries {
   /** A6: two-key group-by size. */
   private val a6 = QueryDef("a6_two_key_counts",
     Some("""SELECT cast(ts as date) AS date, event_type, count(*) AS cnt
-           |FROM events GROUP BY 1, 2 ORDER BY date, event_type NULLS FIRST""".stripMargin),
+           |FROM events GROUP BY 1, 2 ORDER BY date NULLS FIRST, event_type NULLS FIRST""".stripMargin),
     (s, d) => ev(s, d)
       .groupBy(to_date(col("ts")).as("date"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
@@ -1457,7 +1462,7 @@ object Queries {
   private val a22 = QueryDef("a22_cohort_retention",
     Some("""WITH uw AS (
            |  SELECT DISTINCT user_id, cast(date_trunc('week', ts) as date) AS wk
-           |  FROM events),
+           |  FROM events WHERE ts IS NOT NULL),
            |fc AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1),
            |cells AS (
            |  SELECT fc.cohort_week,
@@ -1564,7 +1569,7 @@ object Queries {
     Some("""WITH seq AS (
            |  SELECT user_id, event_type,
            |         lag(event_type) OVER (PARTITION BY user_id
-           |                               ORDER BY cast(ts as timestamp), event_id) AS prev_type
+           |                               ORDER BY cast(ts as timestamp) NULLS FIRST, event_id) AS prev_type
            |  FROM events),
            |c AS (SELECT prev_type, event_type AS next_type, count(*) AS cnt
            |      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
@@ -2090,7 +2095,8 @@ object Queries {
   private val st1 = QueryDef("st_tumbling_window",
     Some("""SELECT date_trunc('hour', cast(ts as timestamp)) AS window_start,
            |       event_type, count(*) AS cnt
-           |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+           |FROM events WHERE ts IS NOT NULL
+           |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
     (s, d) => ev(s, d)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
@@ -2101,7 +2107,7 @@ object Queries {
   private val st2 = QueryDef("st_sliding_window",
     Some("""SELECT window_start, count(*) AS cnt FROM (
            |  SELECT date_trunc('hour', cast(ts as timestamp)) - to_hours(o.o) AS window_start
-           |  FROM events, (VALUES (0), (1)) o(o))
+           |  FROM events, (VALUES (0), (1)) o(o) WHERE ts IS NOT NULL)
            |GROUP BY window_start ORDER BY window_start""".stripMargin),
     (s, d) => ev(s, d)
       .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))

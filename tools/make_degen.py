@@ -93,6 +93,14 @@ def main() -> None:
               if i not in (vi, pi, ni, ei) and d["value"][i] is not None
               and d["event_type"][i] is not None)
     d["user_id"][ui] = None
+    # ... and a NULL event time (corrupt clock, real everything else):
+    # time windows must DROP it (Spark's window() semantics, WHERE ts IS
+    # NOT NULL in the oracles), date/hour groupings emit the null group,
+    # and every window ORDER BY over ts needs its null position pinned
+    ti = next(i for i in range(n)
+              if i not in (vi, pi, ni, ei, ui) and d["value"][i] is not None
+              and d["event_type"][i] is not None)
+    d["ts"][ti] = None
     pq.write_table(pa.table(d, schema=t.schema), f"{out}/events.parquet")
     print(f"events: value=NULL at event_id {d['event_id'][vi]}; "
           f"k-less props at row {pi}; props=NULL at row {ni}; "
