@@ -39,16 +39,27 @@ hole (Spark orders NaN above every numeric, so `NaN >= threshold` passed
 every threshold filter) after the inline review had already fixed five
 sibling divergences by inspection.
 
-Round-11 provenance: planting ONE null event_type row flushed 18 latent
-divergences in a single run — an outright engine crash (a17's
-map_from_entries NULL_MAP_KEY), four semantic splits (a7's count(*) vs
-row-sum totals, d16's pivot-list vs GROUP BY rows, j12's null-unsafe run
-detection merging a null-typed run into its neighbor, s19's concat_ws
-silently dropping the null field and shifting the CSV row), one template
-mismatch (p_parse's ELSE branch), and twelve Spark-NULLS-FIRST vs
-DuckDB-NULLS-LAST orderings.
+Round-11 provenance: the three null-key plants flushed 42 latent
+divergences across three runs. event_type (18): an outright engine crash
+(a17's map_from_entries NULL_MAP_KEY), a7's count(*) vs row-sum totals,
+d16's pivot-list vs GROUP BY rows, j12's null-unsafe run detection,
+s19's concat_ws silently dropping the null field and shifting the CSV
+row, p_parse's ELSE branch, twelve orderings. user_id (15): a22's
+USING-join dropping Spark's null pseudo-user from the cohort
+denominator, p_parse's unparseable 'null'-rendered timestamp, tx_redact's
+Java-Formatter-vs-|| null rendering, s16's find-filter vs NOT IN null
+semantics, eleven orderings. ts (9): d2's ANSI CANNOT_PARSE_TIMESTAMP
+crash on the part-skipped concat, time windows dropping vs emitting the
+null window, a22's undated-event cohorting, a24's lag-window null
+position reshuffling a whole transition sequence, four orderings.
 
-Deliberately NOT planted: NaN in events.value. That column's contract is
+Deliberately NOT planted: null documents.doc_id / embeddings.vec_id —
+those are keyed-entity ids whose contracts are LOUD, not aligned: the
+docstore upsert requires non-null keys (a null key is an unidentifiable
+document), dedup canonicalization returns min(doc_id) per content group,
+and the ANN oracles replay vec_id arithmetic; a feed without ids must be
+assigned them at ingest, which is the pipeline's job, not the engine's
+null semantics. Also NOT planted: NaN in events.value. That column's contract is
 finite-or-NULL (see Tables.events' scaladoc): the engine's parse paths
 emit NULL for bad metrics, and a probe run measured the blast radius of
 violating it — 14 DuckDB oracles error outright at cast(NaN as decimal),
