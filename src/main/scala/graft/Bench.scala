@@ -169,8 +169,11 @@ object Bench {
               v <- vOpt
               pn <- Option(pq.get(k))
               // noise floor on EITHER side: a 0.2 s query regressing to
-              // 3 s is exactly what the triage exists to flag
-              if !pn.isNull && (pn.asDouble() > 0.3 || v > 0.3)
+              // 3 s is exactly what the triage exists to flag. pn > 0
+              // keeps the denominator safe — a prior timing serialized as
+              // 0.000 would otherwise render a literal Infinity into the
+              // JSON record.
+              if !pn.isNull && pn.asDouble() > 0.0 && (pn.asDouble() > 0.3 || v > 0.3)
             } yield (k, v / pn.asDouble())
           }.sortBy(_._2)
         if (ratios.isEmpty) "null"

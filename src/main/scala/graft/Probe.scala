@@ -93,6 +93,10 @@ object Probe {
     args.foreach { name =>
       samples.clear()
       spillMem.set(0); spillDisk.set(0); shuffleWrite.set(0)
+      // refresh the quiescence clock per query: a stale timestamp from
+      // the previous query would let awaitStageQuiescence return before
+      // a backed-up listener bus delivered ANY of this query's events
+      lastStageEventNs.set(System.nanoTime())
       sampling = true
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -987,14 +987,20 @@ object Queries {
     * shuffle+sort, no range probe.
     */
   private val j8 = QueryDef("j8_asof_join",
+    // null-ts alignment mirrors the operator (TemporalJoins.asOfJoin): a
+    // null-ts CLICK is "as of" nothing and is filtered from the right
+    // side; a null-ts PURCHASE sorts FIRST (Spark window asc) with no
+    // preceding click, so its asof columns are NULL — the window order is
+    // pinned NULLS FIRST to reproduce that.
     Some("""WITH u AS (
            |  SELECT user_id, cast(ts as timestamp) AS ts, event_id, value,
            |         (event_type = 'click') AS is_c
-           |  FROM events WHERE event_type IN ('click','purchase')),
+           |  FROM events WHERE event_type IN ('click','purchase')
+           |    AND NOT (event_type = 'click' AND ts IS NULL)),
            |marked AS (
            |  SELECT *, last_value(CASE WHEN is_c THEN struct_pack(cts := ts, ceid := event_id, cval := value) END IGNORE NULLS)
            |    OVER (PARTITION BY user_id
-           |          ORDER BY ts, is_c DESC,
+           |          ORDER BY ts NULLS FIRST, is_c DESC,
            |                   CASE WHEN is_c THEN event_id ELSE 9223372036854775807 END
            |          ROWS UNBOUNDED PRECEDING) AS lastc
            |  FROM u)
@@ -1619,7 +1625,7 @@ object Queries {
            |    cast(sum(vc) OVER tw as bigint) AS s1,
            |    cast(sum(vc * vc) OVER tw as bigint) AS s2
            |  FROM c
-           |  WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+           |  WINDOW tw AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
            |                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
            |SELECT event_id, user_id, ts, value, n,
            |  cast(vc * n - s1 as double) / sqrt(cast(n * s2 - s1 * s1 as double)) AS z
@@ -2585,13 +2591,13 @@ object Queries {
            |  UNION ALL
            |  SELECT user_id, cast(ts as timestamp), TRUE, event_id,
            |         NULL, event_id, cast(ts as timestamp)
-           |  FROM events WHERE event_type = 'click'
+           |  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
            |), w AS (
            |  SELECT *,
            |    last_value(CASE WHEN is_r THEN click_id END IGNORE NULLS) OVER win AS a_click,
            |    last_value(CASE WHEN is_r THEN cts END IGNORE NULLS) OVER win AS a_cts
            |  FROM u
-           |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_r DESC, event_id
+           |  WINDOW win AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, is_r DESC, event_id
            |                 ROWS UNBOUNDED PRECEDING)
            |), p AS (
            |  SELECT CASE WHEN a_click IS NOT NULL

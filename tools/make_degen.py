@@ -104,18 +104,31 @@ def main() -> None:
               if i not in (vi, pi, ni, ei) and d["value"][i] is not None
               and d["event_type"][i] is not None)
     d["user_id"][ui] = None
-    # ... and a NULL event time (corrupt clock, real everything else):
-    # time windows must DROP it (Spark's window() semantics, WHERE ts IS
-    # NOT NULL in the oracles), date/hour groupings emit the null group,
-    # and every window ORDER BY over ts needs its null position pinned
-    ti = next(i for i in range(n)
-              if i not in (vi, pi, ni, ei, ui) and d["value"][i] is not None
-              and d["event_type"][i] is not None)
-    d["ts"][ti] = None
+    # ... and NULL event times (corrupt clock, real everything else):
+    # time windows must DROP them (Spark's window() semantics, WHERE ts
+    # IS NOT NULL in the oracles), date/hour groupings emit the null
+    # group, and every window ORDER BY over ts needs its null position
+    # pinned. Planted on a PURCHASE and a CLICK specifically so the
+    # temporal-join family (j8/j9/a20/a28 gate on exactly those types)
+    # exercises BOTH as-of sides — a type-blind plant can land on a 'view'
+    # row that none of those queries ever reads, certifying alignment the
+    # gate never tested (r11 review find).
+    taken = {vi, pi, ni, ei, ui}
+    tis = []
+    for want in ("purchase", "click"):
+        ti = next(i for i in range(n)
+                  if i not in taken and d["value"][i] is not None
+                  and d["event_type"][i] == want)
+        d["ts"][ti] = None
+        taken.add(ti)
+        tis.append(ti)
     pq.write_table(pa.table(d, schema=t.schema), f"{out}/events.parquet")
     print(f"events: value=NULL at event_id {d['event_id'][vi]}; "
           f"k-less props at row {pi}; props=NULL at row {ni}; "
-          f"event_type=NULL at row {ei} (value {d['value'][ei]})")
+          f"event_type=NULL at row {ei} (value {d['value'][ei]}); "
+          f"user_id=NULL at row {ui} (event_id {d['event_id'][ui]}); "
+          f"ts=NULL at rows {tis} (purchase event_id {d['event_id'][tis[0]]}, "
+          f"click event_id {d['event_id'][tis[1]]})")
 
     t = pq.read_table(f"{out}/documents.parquet")
     d = t.to_pydict()
