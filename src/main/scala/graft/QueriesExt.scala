@@ -1469,7 +1469,12 @@ object QueriesExt {
        |      THEN ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END""".stripMargin
 
   private val sm1 = QueryDef("sim_norms",
-    Some(s"""SELECT vec_id, label, sqrt(${dotSql("embeddings", "embeddings")}) AS l2_norm
+    // CASE guard: an absent (NULL) embedding propagates a NULL norm like
+    // Spark's l2Norm — DuckDB's len(NULL)-ranged list comprehension would
+    // instead fold the empty list to 0.0 (degen r11)
+    Some(s"""SELECT vec_id, label,
+            |  CASE WHEN embedding IS NULL THEN NULL
+            |       ELSE sqrt(${dotSql("embeddings", "embeddings")}) END AS l2_norm
             |FROM embeddings ORDER BY vec_id""".stripMargin),
     (s, d) => emb(s, d).select(col("vec_id"), col("label"),
       Similarity.l2Norm(col("embedding")).as("l2_norm"))
@@ -1725,7 +1730,9 @@ object QueriesExt {
     * replays the cap formula so a capped train run stays hash-checkable.
     */
   private def cappedTrainSql(cols: String = "*"): String =
-    s"""t0 AS (SELECT $cols FROM embeddings WHERE vec_id % 2 = 0),
+    s"""vecs AS (SELECT * FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+       |t0 AS (SELECT $cols FROM vecs WHERE vec_id % 2 = 0),
        |tp AS (SELECT greatest(1, cast(ceil(count(*) /
        |  ${graft.functions.Similarity.MaxTrainRows}.0) AS bigint)) AS m FROM t0),
        |train AS (SELECT t0.* FROM t0, tp
@@ -1771,7 +1778,7 @@ object QueriesExt {
             |vc AS (
             |  SELECT e.vec_id, c.cidx,
             |    ${ivfCosSql("e.embedding", "c.ce")} AS cos
-            |  FROM embeddings e CROSS JOIN c2 c),
+            |  FROM vecs e CROSS JOIN c2 c),
             |assign AS (
             |  SELECT vec_id, cidx AS cell FROM
             |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cidx) AS rn FROM vc)
@@ -1815,7 +1822,7 @@ object QueriesExt {
             |vc AS (
             |  SELECT e.vec_id, c.cidx,
             |    ${ivfCosSql("e.embedding", "c.ce")} AS cos
-            |  FROM embeddings e CROSS JOIN c2 c),
+            |  FROM vecs e CROSS JOIN c2 c),
             |assign AS (
             |  SELECT vec_id, cidx AS cell, cos FROM
             |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cidx) AS rn FROM vc)
@@ -1845,7 +1852,7 @@ object QueriesExt {
     Some(s"""WITH ${cappedTrainSql()},
             |kk AS (
             |  SELECT greatest(16, cast(floor(sqrt(count(*))) AS bigint)) AS k
-            |  FROM embeddings),
+            |  FROM vecs),
             |c0 AS (
             |  SELECT cidx, ce FROM (
             |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS ce
@@ -1855,7 +1862,7 @@ object QueriesExt {
             |vc AS (
             |  SELECT e.vec_id, c.cidx,
             |    ${ivfCosSql("e.embedding", "c.ce")} AS cos
-            |  FROM embeddings e CROSS JOIN c2 c),
+            |  FROM vecs e CROSS JOIN c2 c),
             |assign AS (
             |  SELECT vec_id, cidx AS cell FROM
             |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cidx) AS rn FROM vc)
@@ -1893,7 +1900,7 @@ object QueriesExt {
        |    SELECT v.vec_id, c.cidx, c.ce,
        |      row_number() OVER (PARTITION BY v.vec_id
        |                         ORDER BY ${ivfCosSql("v.embedding", "c.ce")} DESC, c.cidx) AS rn
-       |    FROM (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings) v
+       |    FROM (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM vecs) v
        |    CROSS JOIN p${j}c$iters c) WHERE rn = 1),""".stripMargin
   }
 
@@ -1924,7 +1931,7 @@ object QueriesExt {
               |          AND NOT isnan(sqrt(${foldDot("q.embedding", "q.embedding")}) * sqrt($reconSq))
               |         THEN $adcNum /
               |      (sqrt(${foldDot("q.embedding", "q.embedding")}) * sqrt($reconSq)) END AS adc_cos
-              |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q CROSS JOIN enc x
+              |  FROM (SELECT * FROM vecs WHERE vec_id < 10) q CROSS JOIN enc x
               |  WHERE x.vec_id <> q.vec_id),
               |short AS (
               |  SELECT * FROM (

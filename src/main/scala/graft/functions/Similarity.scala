@@ -224,6 +224,16 @@ object Similarity {
     * m) keeps EVERYTHING. Hashing decorrelates the sample from any id
     * pattern, so the expected train size is n/m ≤ cap for every caller.
     */
+  /** Vectors with a NULL or empty embedding are ABSENT — the rows a
+    * failed embedding job ships. The Lloyd pipelines exclude them from
+    * training, assignment, clustering, and querying (they carry no
+    * geometry to assign); before r11 a null embedding landing in the
+    * seed window crashed the trainer's driver-side collect with an NPE.
+    * Mirrored in the oracles' `vecs` CTE.
+    */
+  private def presentVecs(df: DataFrame): DataFrame =
+    df.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+
   private def cappedTrain(corpus: DataFrame, maxTrainRows: Long): DataFrame = {
     val n = corpus.count()
     val m = math.max(1L, math.ceil(n.toDouble / maxTrainRows).toLong)
@@ -293,16 +303,18 @@ object Similarity {
     // the one corpus-proportional stage (measured 6.3x at a 10x scale-up
     // when training on everything). Sampling is the production default at
     // scale; every vector is still ASSIGNED to a cell.
+    val corpus0 = presentVecs(corpus)
+    val queries0 = presentVecs(queries)
     val trainSet =
-      if (trainModulus > 1) corpus.filter(pmod(col("vec_id"), lit(trainModulus)) === 0)
-      else corpus
+      if (trainModulus > 1) corpus0.filter(pmod(col("vec_id"), lit(trainModulus)) === 0)
+      else corpus0
     val cents = ivfCentroids(trainSet, nCentroids, lloydIters)
 
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val c = corpus0.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
       .withColumn("cell",
         element_at(NativeExpressions.nearestCentroids(col("ne"), cents, 1), 1))
       .withColumn("nn", l2Norm(col("ne")))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val q = queries0.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .withColumn("qn", l2Norm(col("qe")))
       .select(col("query_id"), col("qe"), col("qn"),
         explode(NativeExpressions.nearestCentroids(col("qe"), cents, nProbe)).as("cell"))
@@ -389,9 +401,11 @@ object Similarity {
              trainModulus: Int = 1, shortlistFactor: Int = 2): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
     val sub = dim / m
+    val corpus0 = presentVecs(corpus)
+    val queries0 = presentVecs(queries)
     val trainSet =
-      if (trainModulus > 1) corpus.filter(pmod(col("vec_id"), lit(trainModulus)) === 0)
-      else corpus
+      if (trainModulus > 1) corpus0.filter(pmod(col("vec_id"), lit(trainModulus)) === 0)
+      else corpus0
     // m bounded driver-side artifacts (codesPerSub × sub floats each),
     // same budget class as the IVF centroid collect.
     val codebooks: Array[Array[Array[Float]]] =
@@ -402,7 +416,7 @@ object Similarity {
       codebooks.map(_.map(_.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
 
     // Encode: one map-only pass; embedding column does not survive it.
-    val codes = corpus.select(
+    val codes = corpus0.select(
       col("vec_id").as("neighbor_id") +:
         (0 until m).map(j => element_at(
           NativeExpressions.nearestCentroids(
@@ -410,7 +424,7 @@ object Similarity {
       .withColumn("rnorm", sqrt((0 until m).map(j =>
         element_at(typedLit(sqn(j).toSeq), col(s"c$j") + 1)).reduce(_ + _)))
 
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val q = queries0.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .withColumn("qn", l2Norm(col("qe")))
 
     // ADC: left-assoc Σ_j of per-subspace codegen'd dot products.
@@ -424,7 +438,7 @@ object Similarity {
 
     // Shortlist by ADC with the same two-phase window bound as rankTopK,
     // then exact re-rank — shared with sq8TopK.
-    shortlistRerank(scored, corpus, q, "adc_cos", k, shortlistFactor * k)
+    shortlistRerank(scored, corpus0, q, "adc_cos", k, shortlistFactor * k)
   }
 
   /** The approximate-score → exact-cosine tail shared by [[pqTopK]] and
@@ -486,13 +500,14 @@ object Similarity {
     */
   def kmeansClusterStats(corpus: DataFrame, nCentroids: Int, lloydIters: Int,
                          trainModulus: Int = 1): DataFrame = {
+    val corpus0 = presentVecs(corpus)
     val trainSet =
-      if (trainModulus > 1) corpus.filter(pmod(col("vec_id"), lit(trainModulus)) === 0)
-      else corpus
+      if (trainModulus > 1) corpus0.filter(pmod(col("vec_id"), lit(trainModulus)) === 0)
+      else corpus0
     val cents = ivfCentroids(trainSet, nCentroids, lloydIters)
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
 
-    corpus.select(col("vec_id"), col("embedding"),
+    corpus0.select(col("vec_id"), col("embedding"),
         element_at(NativeExpressions.nearestCentroids(col("embedding"), cents, 1), 1).as("cell"))
       .withColumn("ce", element_at(centsLit, col("cell") + 1))
       // safeCos, not a bare division: one zero-norm member would kill the
@@ -525,11 +540,12 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, nCentroids: Int, lloydIters: Int,
                     trainModulus: Int, threshold: Double): DataFrame = {
+    val corpus0 = presentVecs(corpus)
     val trainSet =
-      if (trainModulus > 1) corpus.filter(pmod(col("vec_id"), lit(trainModulus)) === 0)
-      else corpus
+      if (trainModulus > 1) corpus0.filter(pmod(col("vec_id"), lit(trainModulus)) === 0)
+      else corpus0
     val cents = ivfCentroids(trainSet, nCentroids, lloydIters)
-    val v = corpus.select(col("vec_id"), col("embedding"),
+    val v = corpus0.select(col("vec_id"), col("embedding"),
         element_at(NativeExpressions.nearestCentroids(col("embedding"), cents, 1), 1).as("cell"))
       .withColumn("nrm", l2Norm(col("embedding")))
     val pruned = v.as("a").join(v.as("b"),
@@ -562,9 +578,12 @@ object Similarity {
     */
   def semanticDedupAuto(corpus: DataFrame, lloydIters: Int, trainModulus: Int,
                         threshold: Double, minCentroids: Int = 16): DataFrame = {
-    val n = corpus.count()
+    // count PRESENT vectors — the population actually clustered — so the
+    // auto-k derivation matches the oracle's count over its vecs CTE
+    val c0 = presentVecs(corpus)
+    val n = c0.count()
     val k = math.max(minCentroids, math.floor(math.sqrt(n.toDouble)).toInt)
-    semanticDedup(corpus, k, lloydIters, trainModulus, threshold)
+    semanticDedup(c0, k, lloydIters, trainModulus, threshold)
   }
 
   /** MMR-diversified top-k (Carbonell & Goldstein, SIGIR'98): rank an

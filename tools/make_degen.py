@@ -145,12 +145,19 @@ def main() -> None:
     t = pq.read_table(f"{out}/embeddings.parquet")
     d = t.to_pydict()
     it = (i for i in range(len(d["vec_id"])) if d["vec_id"][i] >= 10)
-    zi, ni = next(it), next(it)
+    zi, ni, li, mi = next(it), next(it), next(it), next(it)
     d["embedding"][zi] = [0.0] * len(d["embedding"][zi])
     d["embedding"][ni] = ([float("nan")] + list(d["embedding"][ni][1:]))
+    # ABSENT vectors — the rows a failed embedding job ships: a NULL
+    # array and an empty one. The Lloyd pipelines exclude both (r11:
+    # a null in the seed window crashed the trainer's driver collect);
+    # norms/cosine paths propagate NULL
+    d["embedding"][li] = None
+    d["embedding"][mi] = []
     pq.write_table(pa.table(d, schema=t.schema), f"{out}/embeddings.parquet")
     print(f"embeddings: zero-norm at vec_id {d['vec_id'][zi]}, "
-          f"NaN component at vec_id {d['vec_id'][ni]}")
+          f"NaN component at vec_id {d['vec_id'][ni]}, "
+          f"NULL at vec_id {d['vec_id'][li]}, empty at vec_id {d['vec_id'][mi]}")
 
 
 if __name__ == "__main__":
