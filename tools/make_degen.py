@@ -39,8 +39,12 @@ hole (Spark orders NaN above every numeric, so `NaN >= threshold` passed
 every threshold filter) after the inline review had already fixed five
 sibling divergences by inspection.
 
-Round-11 provenance: the three null-key plants flushed 42 latent
-divergences across three runs. event_type (18): an outright engine crash
+Round-11 provenance: the degenerate plants flushed 53 latent divergences
+and 5 outright crashes across five sweeps. Null/empty embeddings (6): all
+four Lloyd pipelines NPE'd in the trainer's driver-side seed collect, and
+sim_norms' norm-of-NULL diverged. Typed null-ts plants (2): j8's as-of
+window null position and a25's frame window, invisible to a type-blind
+plant. The three null-key plants (45) across the first three runs: event_type (18): an outright engine crash
 (a17's map_from_entries NULL_MAP_KEY), a7's count(*) vs row-sum totals,
 d16's pivot-list vs GROUP BY rows, j12's null-unsafe run detection,
 s19's concat_ws silently dropping the null field and shifting the CSV
