@@ -33,6 +33,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The "No Partition Defined for Window" warning is demoted to ERROR
+    // for THIS logger only: every empty-partition window in the registry
+    // sits above a provably bounded subtree (PlanCheck's registry-wide
+    // WindowExec gate, allowlisted with written arguments), and the
+    // repeated warning floods the driver's captured stdout tail — the
+    // BENCH_r{9,10,11} `parsed:null` class. Everywhere else the warning
+    // still means what it says.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // (run() is a member so Probe shares the identical action — see below)
 
@@ -142,53 +152,92 @@ object Bench {
     // meaningless for round-over-round comparison. The flag makes that
     // machine-visible instead of relying on readers noticing `failed`.
     val valid = failed.isEmpty
-    // Round-over-round drift triage, in-band (r11): the README's
-    // uniform-shift test — per-query ratios against the PREVIOUS
-    // bench_last.json (the committed prior record), restricted to queries
-    // above a 0.3 s noise floor — used to be a manual python step every
-    // round. A median ratio far from 1.0 led by untouched queries is
-    // machine drift (this VM measured ±20% within a round); only a >1.5×
-    // outlier whose code actually changed is a regression. Emitted before
-    // the file is overwritten; "drift":null on the first run.
+    // Round-over-round drift triage, in-band (r11, rebased r12): the
+    // README's uniform-shift test — per-query ratios against the
+    // COMMITTED PRIOR DRIVER CAPTURE, restricted to queries above a
+    // 0.3 s noise floor — used to be a manual python step every round.
+    // A median ratio far from 1.0 led by untouched queries is machine
+    // drift (this VM measured ±20% within a round); only a >1.5× outlier
+    // whose code actually changed is a regression. r11 compared against
+    // the last IN-ROUND bench_last.json, so the judge's actual
+    // comparison (driver capture vs driver capture) stayed manual; the
+    // baseline now resolves through BenchBaseline (env override →
+    // repo-root BENCH_BASELINE.json, the committed snapshot of the prior
+    // round's capture → working-tree fallback) and NAMES its source in
+    // the record.
+    val baseline = try BenchBaseline.parsed() catch { case e: Throwable =>
+      System.err.println(s"[bench] baseline resolution failed: ${e.getMessage}"); None
+    }
     val drift: String = try {
-      val prevFile = java.nio.file.Paths.get("bench_last.json")
-      if (!java.nio.file.Files.exists(prevFile)) "null"
-      else {
-        val prev = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(java.nio.file.Files.readString(prevFile))
-        // Cross-scale guard: SCALE.md's workflow points Bench at x10/x100
-        // dirs, and a ratio against a different-SF record is garbage in
-        // both directions (every query flagged, then the reverse run
-        // reports a phantom speed-up). Only same-sf records compare.
-        val prevSf = Option(prev.get("sf")).map(_.asText()).getOrElse("")
-        val pq = prev.get("queries")
-        val ratios =
-          if (prevSf != sfDir) Seq.empty
-          else results.toSeq.flatMap { case (k, vOpt) =>
-            for {
-              v <- vOpt
-              pn <- Option(pq.get(k))
-              // noise floor on EITHER side: a 0.2 s query regressing to
-              // 3 s is exactly what the triage exists to flag. pn > 0
-              // keeps the denominator safe — a prior timing serialized as
-              // 0.000 would otherwise render a literal Infinity into the
-              // JSON record.
-              if !pn.isNull && pn.asDouble() > 0.0 && (pn.asDouble() > 0.3 || v > 0.3)
-            } yield (k, v / pn.asDouble())
-          }.sortBy(_._2)
-        if (ratios.isEmpty) "null"
-        else {
-          val med = ratios(ratios.size / 2)._2
-          val out = ratios.filter(_._2 > 1.5).sortBy(-_._2)
-            .map { case (k, r) => "\"" + k + "\":" + num(r) }.mkString("{", ",", "}")
-          s"""{"median_ratio":${num(med)},"n_compared":${ratios.size},"gt1_5x":$out}"""
-        }
+      baseline match {
+        case None => "null"
+        case Some((label, prev)) =>
+          // Cross-scale guard: SCALE.md's workflow points Bench at
+          // x10/x100 dirs, and a ratio against a different-SF record is
+          // garbage in both directions (every query flagged, then the
+          // reverse run reports a phantom speed-up). Only same-sf
+          // records compare.
+          val prevSf = Option(prev.get("sf")).map(_.asText()).getOrElse("")
+          val pq = prev.get("queries")
+          val ratios =
+            if (prevSf != sfDir || pq == null) Seq.empty
+            else results.toSeq.flatMap { case (k, vOpt) =>
+              for {
+                v <- vOpt
+                pn <- Option(pq.get(k))
+                // noise floor on EITHER side: a 0.2 s query regressing to
+                // 3 s is exactly what the triage exists to flag. pn > 0
+                // keeps the denominator safe — a prior timing serialized
+                // as 0.000 would otherwise render a literal Infinity into
+                // the JSON record.
+                if !pn.isNull && pn.asDouble() > 0.0 && (pn.asDouble() > 0.3 || v > 0.3)
+              } yield (k, v / pn.asDouble())
+            }.sortBy(_._2)
+          if (ratios.isEmpty) "null"
+          else {
+            // true median: even-sized lists average the two middle ratios
+            // (the upper-middle element alone biased the statistic high)
+            val med =
+              if (ratios.size % 2 == 1) ratios(ratios.size / 2)._2
+              else (ratios(ratios.size / 2 - 1)._2 + ratios(ratios.size / 2)._2) / 2.0
+            val out = ratios.filter(_._2 > 1.5).sortBy(-_._2)
+              .map { case (k, r) => "\"" + k + "\":" + num(r) }.mkString("{", ",", "}")
+            s"""{"baseline":"$label","median_ratio":${num(med)},"n_compared":${ratios.size},"gt1_5x":$out}"""
+          }
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] drift triage failed: ${e.getMessage}"); "null"
     }
+    // Physical-plan fingerprints beside the timings (r12 verdict task 1):
+    // deterministic no-AQE shape counts per query, diffed against the
+    // committed baseline's `plans` block the same way the timings are.
+    // Computed AFTER the timed passes (builders that run real jobs —
+    // Lloyd collects, roundtrip writes — re-run here, costing wall time
+    // but never touching the measurements).
+    val fps: Map[String, String] =
+      try PlanFingerprint.all(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] fingerprint pass failed: ${e.getMessage}")
+        Map.empty
+      }
+    val plansJson = fps.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val planDrift: String = (for {
+      (label, prev) <- baseline
+      if Option(prev.get("sf")).exists(_.asText() == sfDir)
+      basePlans <- Option(prev.get("plans"))
+    } yield {
+      val changed = fps.toSeq.sortBy(_._1).flatMap { case (q, fp) =>
+        Option(basePlans.get(q)).map(_.asText()) match {
+          case Some(p) if p != fp && !PlanFingerprint.expectedDeltas.get(q).exists(_._1 == fp) =>
+            Some("\"" + q + "\":\"" + p + "->" + fp + "\"")
+          case _ => None
+        }
+      }.mkString("{", ",", "}")
+      s"""{"baseline":"$label","changed":$changed}"""
+    }).getOrElse("null")
     val fullLine =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$qs,"failed":$fj,"drift":$drift,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$qs,"failed":$fj,"drift":$drift,"plan_drift":$planDrift,"plans":$plansJson,"sf":"$sfDir"}"""
     // Full per-query data goes to a committed file (the judge reads it);
     // stdout gets a COMPACT line instead. The driver keeps only the last
     // ~2000 chars of output, so the full 109-query line can never survive
@@ -208,7 +257,7 @@ object Bench {
       "tx_train_lr", "ir_bm25", "pipe_clean_corpus", "st_sessionization",
       "mm_decode_features").filter(results.contains)
     val hq = headline.map(k => s"\"" + k + "\":" + fmt(results(k))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$hq,"failed":$fj,"drift":$drift,"full":"bench_last.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$hq,"failed":$fj,"drift":$drift,"plan_drift":$planDrift,"full":"bench_last.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

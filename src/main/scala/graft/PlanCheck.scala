@@ -324,22 +324,136 @@ object PlanCheck {
             (p => !blindExplodeBroadcast(p)))
       }
     // the allowlist is itself guarded: each entry's explode-broadcasts
-    // must be EXACTLY the side its boundedness argument names
+    // must be EXACTLY the side its boundedness argument names. The pins
+    // are STRUCTURAL (collect the broadcast subtree's plan nodes and
+    // inspect their expression trees) — the r11 form matched raw
+    // plan-dump fragments ("pmod(doc_id", "LessThan(vec_id,10)"), which
+    // a Spark upgrade's rendering change (attribute-qualified predicates,
+    // new literal formats) would break even with the plans still correct.
+    def blindExplodePlans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+            if unaggGenerate(b.child) => b.child
+      }
+    // any node in the subtree carries an expression matching `pred`
+    // (FilterExec conditions AND scan pushed dataFilters both surface
+    // through QueryPlan.expressions)
+    def subtreeHasExpr(n: org.apache.spark.sql.execution.SparkPlan)(
+        pred: PartialFunction[org.apache.spark.sql.catalyst.expressions.Expression, Boolean]): Boolean =
+      n.collect { case x => x.expressions }.flatten
+        .exists(_.exists(e => pred.lift(e).getOrElse(false)))
     checkTree("dd_incremental")(
       "explode broadcasts only the contract-bounded delta side" -> (p => {
-        val bs = blindExplodeSubtrees(p)
-        bs.nonEmpty && bs.forall(_.contains("pmod(doc_id"))
+        val bs = blindExplodePlans(p)
+        bs.nonEmpty && bs.forall(subtreeHasExpr(_) {
+          // the delta IS the pmod(doc_id, …) slice of the corpus
+          case m: org.apache.spark.sql.catalyst.expressions.Pmod =>
+            m.references.exists(_.name == "doc_id")
+        })
       }))
     checkTree("sim_ivf")(
       "explode broadcasts only the nProbe-cell query side" -> (p => {
-        val bs = blindExplodeSubtrees(p)
-        bs.nonEmpty && bs.forall(_.contains("LessThan(vec_id,10)"))
+        val bs = blindExplodePlans(p)
+        bs.nonEmpty && bs.forall(subtreeHasExpr(_) {
+          // the query side is the vec_id < 10 slice, pushed to its scan
+          case org.apache.spark.sql.catalyst.expressions.LessThan(
+              a, org.apache.spark.sql.catalyst.expressions.Literal(v, _)) =>
+            a.references.exists(_.name == "vec_id") && String.valueOf(v) == "10"
+        })
       }))
     checkTree("ir_prf_expansion")(
       "explode broadcasts only the per-query bottom-k pairs" -> (p => {
-        val bs = blindExplodeSubtrees(p)
-        bs.nonEmpty && bs.forall(_.contains("bottomkpairs"))
+        val bs = blindExplodePlans(p)
+        // the exploded side is the bounded-buffer bottom-k aggregate.
+        // The aggregate node itself may sit under a ReusedExchangeExec
+        // (a leaf referencing another exchange's files — collect cannot
+        // descend), so the pin accepts EITHER the AggregateExpression
+        // (a ScalaAggregator wrapping the BottomKPairs Aggregator) or an
+        // output ATTRIBUTE carrying the aggregate's semantic name —
+        // attribute names are Catalyst metadata, not dump rendering.
+        bs.nonEmpty && bs.forall(st =>
+          subtreeHasExpr(st) {
+            case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+              (ae.aggregateFunction match {
+                case sa: org.apache.spark.sql.execution.aggregate.ScalaAggregator[_, _, _] =>
+                  sa.agg.getClass.getSimpleName.toLowerCase.contains("bottomk")
+                case f => f.getClass.getSimpleName.toLowerCase.contains("bottomk")
+              })
+          } || st.collect { case x => x.output }.flatten
+            .exists(_.name.toLowerCase.contains("bottomkpairs")))
       }))
+
+    // REGISTRY-WIDE empty-partition WindowExec gate (r12): "WindowExec:
+    // No Partition Defined" elsewhere means a single-task sort of the
+    // data — the one plan shape that cannot scale. Every registered
+    // query's executed plan is swept: an empty-partitionSpec window is
+    // legal ONLY above a provably bounded subtree. The structural proof
+    // accepted mechanically is a GLOBAL aggregate below the window
+    // (reached through row-preserving wrappers — same discipline as the
+    // Generate gate's boundedByGlobalAgg, extended with WindowExec
+    // pass-through: a window above an already-bounded window stays
+    // bounded). A KEYED aggregate does NOT qualify mechanically (its
+    // cardinality is the key domain's) — a query whose global window
+    // rides a keyed aggregate must earn an allowlist entry arguing the
+    // key domain is bounded, and the entry is pinned below to exactly
+    // that aggregate shape. This is what makes the logged warning
+    // ignorable WITH CAUSE (and lets Bench demote that one logger —
+    // the BENCH_r{9,10,11} parsed:null stdout-flood class).
+    def windowBounded(n: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+      import org.apache.spark.sql.execution._
+      n match {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          a.groupingExpressions.isEmpty
+        case _: ProjectExec | _: FilterExec | _: SortExec |
+             _: WholeStageCodegenExec | _: InputAdapter |
+             _: org.apache.spark.sql.execution.window.WindowExec |
+             _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          n.children.exists(windowBounded)
+        case _ => false
+      }
+    }
+    def unboundedGlobalWindows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty && !windowBounded(w.child) => w.child
+      }
+    // Allowlist — global windows over KEYED aggregates whose key domain
+    // is bounded by construction:
+    //  - a23_psi_drift: the window totals run over the ≤10-row PSI bin
+    //    histogram (bin ids are a fixed literal binning of `value`); the
+    //    corpus was crushed to bin counts by the partial aggregate the
+    //    a23 gate above pins to one exchange.
+    //  - tx_eval_auc: the ROC walk runs over the distinct-score
+    //    histogram keyed by the integer classifier score `s` (the
+    //    no-corpus-sort AUC design its scaladoc documents — the corpus
+    //    is crushed to per-score (np, ns) counts before any window).
+    //  - a18b_kmv_distinct: the rank window runs over the ≤64 minimum
+    //    hashes a single KMV sketch row explodes to (k is the sketch
+    //    parameter, not data-sized).
+    val globalWindowAllow = Map(
+      "a23_psi_drift" -> "bin",
+      "tx_eval_auc" -> "s",
+      "a18b_kmv_distinct" -> "h")
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(globalWindowAllow.contains)
+      .foreach { q =>
+        checkTree(q)(
+          "no empty-partition window over an unbounded subtree" ->
+            (p => unboundedGlobalWindows(p).isEmpty))
+      }
+    // each allowlisted query's global windows must ride EXACTLY the
+    // bounded histogram its argument names: every unbounded-by-global-agg
+    // window input must carry the named bounded key column, proving the
+    // window sits above that keyed aggregate and not somewhere new
+    globalWindowAllow.foreach { case (q, keyCol) =>
+      checkTree(q)(
+        s"global windows ride only the bounded '$keyCol' histogram" -> (p => {
+          val ws = unboundedGlobalWindows(p)
+          ws.isEmpty || ws.forall(_.output.map(_.name).contains(keyCol))
+        }))
+    }
 
     // Language-id: ONE tokenization kernel evaluation per row (the
     // interpreted-HOF form evaluated 12 regex splits per row; a Catalyst

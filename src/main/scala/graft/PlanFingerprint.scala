@@ -1,0 +1,151 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Compact physical-plan fingerprints for drift detection (r12 verdict
+  * task 1): PlanCheck asserts INVARIANTS, but a silent plan flip that
+  * stays inside them — a broadcast quietly demoting to sort-merge, an
+  * extra exchange appearing — is invisible until it costs seconds at
+  * scale. The fingerprint counts the plan's load-bearing node classes so
+  * such a flip diffs loudly against the committed prior round's record.
+  *
+  * Determinism: fingerprints are taken from a NO-AQE session's
+  * `executedPlan` (the [[PlanCheck]] tree-gate discipline — with AQE on
+  * the executed plan is an AdaptiveSparkPlanExec shell whose inner nodes
+  * are runtime-dependent), so for a fixed code version, Spark version and
+  * data directory the string is a pure function of the plan. That is what
+  * makes it diffable across rounds: my in-round runs and the driver's
+  * round-end capture record identical fingerprints.
+  */
+object PlanFingerprint {
+  import org.apache.spark.sql.execution._
+  import org.apache.spark.sql.execution.exchange._
+  import org.apache.spark.sql.execution.joins._
+
+  /** Ordered key set — zeros omitted from the rendered string, so a
+    * category APPEARING is itself a diff. Keys: sc=source scans,
+    * im=in-memory scans, hx=hash exchanges, rx=range exchanges,
+    * bx=broadcast exchanges, rex=reused exchanges, bhj/smj/shj/bnl/cpj=
+    * join strategies, agg=aggregates, win=windows, srt=sorts,
+    * gen=generates, exp=expands, top=TakeOrderedAndProject, uni=unions.
+    */
+  def of(plan: SparkPlan): String = {
+    val c = scala.collection.mutable.LinkedHashMap(
+      "sc" -> 0, "im" -> 0, "hx" -> 0, "rx" -> 0, "bx" -> 0, "rex" -> 0,
+      "bhj" -> 0, "smj" -> 0, "shj" -> 0, "bnl" -> 0, "cpj" -> 0,
+      "agg" -> 0, "win" -> 0, "srt" -> 0, "gen" -> 0, "exp" -> 0,
+      "top" -> 0, "uni" -> 0)
+    def bump(k: String): Unit = c(k) += 1
+    // collectWithSubqueries: scalar/IN subquery plans (the mixture bound,
+    // corpus-stats counts) are part of the executed shape and must drift
+    // the fingerprint like any main-tree node.
+    plan.collectWithSubqueries {
+      case _: FileSourceScanExec | _: RowDataSourceScanExec => bump("sc")
+      case s if s.getClass.getSimpleName == "BatchScanExec" => bump("sc")
+      case _: columnar.InMemoryTableScanExec => bump("im")
+      case e: ShuffleExchangeExec =>
+        if (e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+          bump("hx")
+        else bump("rx")
+      case _: BroadcastExchangeExec => bump("bx")
+      case _: ReusedExchangeExec => bump("rex")
+      case _: BroadcastHashJoinExec => bump("bhj")
+      case _: SortMergeJoinExec => bump("smj")
+      case _: ShuffledHashJoinExec => bump("shj")
+      case _: BroadcastNestedLoopJoinExec => bump("bnl")
+      case _: CartesianProductExec => bump("cpj")
+      case _: aggregate.BaseAggregateExec => bump("agg")
+      case _: window.WindowExec => bump("win")
+      case _: SortExec => bump("srt")
+      case _: GenerateExec => bump("gen")
+      case _: ExpandExec => bump("exp")
+      case _: TakeOrderedAndProjectExec => bump("top")
+      case _: UnionExec => bump("uni")
+    }
+    val s = c.collect { case (k, v) if v > 0 => s"$k$v" }.mkString(".")
+    if (s.isEmpty) "empty" else s
+  }
+
+  /** Fingerprint every registered query against `sfDir` through a no-AQE
+    * child of `spark`. A query whose plan construction fails maps to
+    * "error" (visible in the diff, never silently dropped).
+    */
+  def all(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      name -> (try of(SparkEntry.queries(name)(noAqe, sfDir).queryExecution.executedPlan)
+      catch { case e: Throwable =>
+        System.err.println(s"[fingerprint] $name plan construction failed: ${e.getMessage}")
+        "error"
+      })
+    }.toMap
+  }
+
+  /** Plan flips that are EXPECTED this round: a query whose fingerprint
+    * legitimately changed (operator rewrite, new gate) earns an entry
+    * mapping it to its new value plus the written reason — the diff then
+    * reports "documented delta" instead of failing. Entries are
+    * per-round scaffolding: once the new fingerprint is committed in the
+    * baseline record, the entry is deleted.
+    */
+  val expectedDeltas: Map[String, (String, String)] = Map.empty
+}
+
+/** Resolves the round-over-round drift BASELINE — the committed PRIOR
+  * driver capture — for both Bench's timing drift and PlanDrift's
+  * fingerprint diff (r12 verdict task 2: the r11 `drift` field compared
+  * against the last in-round `bench_last.json`, so exactly the
+  * comparison the judge makes, driver-capture vs driver-capture, stayed
+  * manual).
+  *
+  * Resolution order, every step named in the output so a missing
+  * baseline is loud, never a silent "drift":null:
+  *  1. `SPARK_GRAFT_DRIFT_BASELINE` (explicit round-tooling override);
+  *  2. `BENCH_BASELINE.json` at the REPO ROOT (found by walking up from
+  *     the working directory to the first `.git` ancestor — a Bench run
+  *     launched from elsewhere still finds it): the committed snapshot of
+  *     the previous round's driver capture, refreshed each round start
+  *     (`cp bench_last.json BENCH_BASELINE.json` from the round commit);
+  *  3. the working-tree `bench_last.json` (first round / fresh clone —
+  *     in-round comparison is better than none, and the source name
+  *     says which one the reader got).
+  */
+object BenchBaseline {
+  private def repoRoot(): java.nio.file.Path = {
+    var d = java.nio.file.Paths.get("").toAbsolutePath
+    var root = d
+    while (d != null) {
+      if (java.nio.file.Files.isDirectory(d.resolve(".git"))) { root = d; d = null }
+      else d = d.getParent
+    }
+    root
+  }
+
+  /** (source label, raw json text) — None logs why. */
+  def resolve(): Option[(String, String)] = {
+    def readFile(p: java.nio.file.Path, label: String): Option[(String, String)] =
+      if (java.nio.file.Files.exists(p)) Some((label, java.nio.file.Files.readString(p)))
+      else None
+    sys.env.get("SPARK_GRAFT_DRIFT_BASELINE") match {
+      case Some(p) =>
+        val r = readFile(java.nio.file.Paths.get(p), p)
+        if (r.isEmpty) System.err.println(s"[baseline] SPARK_GRAFT_DRIFT_BASELINE=$p does not exist")
+        r
+      case None =>
+        val root = repoRoot()
+        readFile(root.resolve("BENCH_BASELINE.json"), "BENCH_BASELINE.json")
+          .orElse(readFile(root.resolve("bench_last.json"), "bench_last.json (working tree — no committed baseline found)"))
+          .orElse { System.err.println(s"[baseline] no BENCH_BASELINE.json or bench_last.json under $root"); None }
+    }
+  }
+
+  def parsed(): Option[(String, com.fasterxml.jackson.databind.JsonNode)] =
+    resolve().flatMap { case (label, text) =>
+      try Some((label, new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)))
+      catch { case e: Throwable =>
+        System.err.println(s"[baseline] $label unparseable: ${e.getMessage}"); None
+      }
+    }
+}

@@ -61,9 +61,23 @@ object Probe {
     val spillDisk = new java.util.concurrent.atomic.AtomicLong()
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
     val lastStageEventNs = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    // The probed queries run under a dedicated job group, and only stages
+    // belonging to that group's jobs update the counters or the quiescence
+    // clock — any concurrent Spark activity in the session (a background
+    // bench, a stray cached materialization) would otherwise pad each
+    // query's quiescence wait toward the 10 s cap AND leak its shuffle /
+    // spill bytes into numbers SCALE.md cites as measured.
+    val probeGroup = "graft-probe"
+    val probeStages = ConcurrentHashMap.newKeySet[Int]()
+    val spillListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            probeGroup == js.properties.getProperty("spark.jobGroup.id"))
+          js.stageIds.foreach(probeStages.add(_))
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        if (!probeStages.contains(sc.stageInfo.stageId)) return
         val m = sc.stageInfo.taskMetrics
         if (m != null) {
           spillMem.addAndGet(m.memoryBytesSpilled)
@@ -72,7 +86,9 @@ object Probe {
         }
         lastStageEventNs.set(System.nanoTime())
       }
-    })
+    }
+    spark.sparkContext.addSparkListener(spillListener)
+    spark.sparkContext.setJobGroup(probeGroup, "graft perf probe")
     // The listener bus is async: wait for stage-event QUIESCENCE (no new
     // completion for 1 s, capped at 10 s) rather than a fixed nap — a
     // fixed beat under-counts the final stages' spill on a stalled VM,
@@ -135,6 +151,10 @@ object Probe {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
+    // listener-bus hygiene: the probe loop is over, so its accounting
+    // must stop observing the (shared) context before anything else runs
+    spark.sparkContext.removeSparkListener(spillListener)
+    spark.sparkContext.clearJobGroup()
     spark.stop()
   }
 }

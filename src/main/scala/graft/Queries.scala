@@ -1685,9 +1685,14 @@ object Queries {
            |      JOIN c ON e.user_id = c.user_id
            |      WHERE e.event_type = 'purchase' AND cast(e.ts as timestamp) >= c.t2
            |        AND cast(e.ts as timestamp) <= c.t2 + INTERVAL 24 HOURS GROUP BY e.user_id)
-           |SELECT cast(1 as bigint) AS stage, 'view' AS step, count(*) AS users FROM v
-           |UNION ALL SELECT 2, 'click', count(*) FROM c
-           |UNION ALL SELECT 3, 'purchase', count(*) FROM p
+           |-- count(t1), not count(*): a user whose step-1 events ALL
+           |-- carry NULL ts forms a group with t1 NULL — it never reached
+           |-- the step at a usable time and the engine's count(t1) funnel
+           |-- excludes it (the r12 all-null-ts degen plant). Stages 2-3
+           |-- match for free (a NULL anchor fails their join predicate).
+           |SELECT cast(1 as bigint) AS stage, 'view' AS step, count(t1) AS users FROM v
+           |UNION ALL SELECT 2, 'click', count(t2) FROM c
+           |UNION ALL SELECT 3, 'purchase', count(t3) FROM p
            |ORDER BY stage""".stripMargin),
     (s, d) => graft.operators.Funnel.funnelCounts(
       ev(s, d), "user_id", "ts", "event_type",

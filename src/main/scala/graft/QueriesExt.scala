@@ -704,13 +704,31 @@ object QueriesExt {
     * adversarial equal-symbol-run fixtures before adoption (and by
     * BpeSpec's Spark-vs-reference property test).
     */
+  /** Merge-round count for the BPE carriers. 32 (r12, up from the
+    * toy-scale 6): post-r12 training runs driver-side on the bounded
+    * vocabulary artifact, so the round count costs O(vocab) string work
+    * per round and ZERO Spark jobs — the loop is corpus-size-independent
+    * and a production 10^4-10^5 merge vocabulary is the same shape. The
+    * oracle replays all 32 rounds as loop-generated gaps-and-islands
+    * CTEs.
+    */
+  private val BpeRounds = 32
+
+  /** The t/m CTEs are referenced MORE THAN ONCE per round (t$$r feeds
+    * both the pair counts and the position explode; m$$r feeds the merge
+    * application and the final report). DuckDB inlines plain CTEs, so at
+    * 32 rounds the un-annotated chain re-derives t$$r exponentially many
+    * times (measured: fd exhaustion re-opening documents.parquet before
+    * any result) — AS MATERIALIZED pins each round's state to one
+    * evaluation, the semantics the Spark trainer has by construction.
+    */
   private def bpeStageSql(r: Int): String =
     s"""p$r AS (
        |  SELECT u.a AS a, u.b AS b, sum(c) AS cnt FROM (
        |    SELECT c, unnest([{'a': toks[i], 'b': toks[i+1]} for i in range(1, len(toks))]) AS u
        |    FROM t$r WHERE len(toks) >= 2)
        |  GROUP BY u.a, u.b),
-       |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |m$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
        |pos$r AS (
        |  -- LEFT JOIN ON true, not CROSS JOIN: when no merge is learnable
        |  -- (m$r empty) every mark is NULL and t${r + 1} = t$r, matching the
@@ -731,17 +749,19 @@ object QueriesExt {
        |  SELECT word, c, i, sym, strt, ma, mb,
        |    coalesce(lag(strt) OVER (PARTITION BY word ORDER BY i), false) AS consumed
        |  FROM w2_$r),
-       |t${r + 1} AS (
+       |t${r + 1} AS MATERIALIZED (
        |  SELECT word, c, list(CASE WHEN strt THEN ma || mb ELSE sym END ORDER BY i) AS toks
        |  FROM w3_$r WHERE NOT consumed GROUP BY word, c)""".stripMargin
 
   /** BPE merge training — the tokenizer-vocabulary step of the pipeline:
-    * 6 greedy merge rounds over the corpus' word-frequency table (see
-    * [[graft.functions.Bpe]] for the scale design: one corpus-sized
-    * aggregation, then vocabulary-sized distributed rounds with only the
-    * winning pair collected per round). The oracle replays the ENTIRE
-    * training — every round's pair statistics and merge application — in
-    * windowed ANSI SQL and hash-compares the learned merge list.
+    * [[BpeRounds]] greedy merge rounds over the corpus' word-frequency
+    * table (see [[graft.functions.Bpe]] for the scale design: one
+    * corpus-sized aggregation, then a bounded vocabulary artifact whose
+    * merge rounds run driver-side). The oracle replays the ENTIRE
+    * training — the top-V vocabulary cap (`wfc`, a no-op until the
+    * corpus' distinct words exceed 2^20), every round's pair statistics
+    * and merge application — in windowed ANSI SQL and hash-compares the
+    * learned merge list.
     */
   private val tx16 = QueryDef("tx_bpe_merges",
     Some(s"""WITH wf AS (
@@ -749,14 +769,15 @@ object QueriesExt {
             |    SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
             |  WHERE regexp_full_match(word, '[A-Za-z]+')
             |  GROUP BY word),
-            |t0 AS (SELECT word, c, [word[i] for i in range(1, len(word)+1)] AS toks FROM wf),
-            |${(0 until 6).map(bpeStageSql).mkString(",\n")}
+            |wfc AS (SELECT word, c FROM wf ORDER BY c DESC, word LIMIT 1048576),
+            |t0 AS MATERIALIZED (SELECT word, c, [word[i] for i in range(1, len(word)+1)] AS toks FROM wfc),
+            |${(0 until BpeRounds).map(bpeStageSql).mkString(",\n")}
             |SELECT * FROM (
-            |${(0 until 6).map(r => s"SELECT cast(${r + 1} as bigint) AS merge_rank, a AS left_sym, b AS right_sym, cast(cnt as bigint) AS pair_count FROM m$r").mkString("\n UNION ALL ")}
+            |${(0 until BpeRounds).map(r => s"SELECT cast(${r + 1} as bigint) AS merge_rank, a AS left_sym, b AS right_sym, cast(cnt as bigint) AS pair_count FROM m$r").mkString("\n UNION ALL ")}
             |) ORDER BY merge_rank""".stripMargin),
     (s, d) => {
       val merges = graft.functions.Bpe.trainMerges(
-        graft.functions.Bpe.wordFrequencies(docs(s, d), "text"), 6)
+        graft.functions.Bpe.wordFrequencies(docs(s, d), "text"), BpeRounds)
       s.createDataFrame(merges).select(
           col("mergeRank").as("merge_rank"), col("leftSym").as("left_sym"),
           col("rightSym").as("right_sym"), col("pairCount").as("pair_count"))
@@ -771,7 +792,14 @@ object QueriesExt {
     * ride as expression constants (see [[graft.functions.Bpe.encodeTokens]]
     * for the broadcast-dictionary shape a production-size vocab needs).
     * The oracle re-trains via the same replayed rounds, then encodes by
-    * joining each document's words to the final t6 tokenization state.
+    * joining each document's words to the final tokenization state.
+    *
+    * The oracle's join-the-final-state encode only covers words the
+    * TRAINER saw — matching the engine side, which (r12) encodes through
+    * the same final state as a broadcast dictionary (hash lookup per
+    * word beats a merges-deep kernel chain), with the chained-kernel
+    * path kept for small merge lists and verified equal on
+    * in-vocabulary words by BpeSpec.
     */
   private val tx17 = QueryDef("tx_bpe_encode",
     Some(s"""WITH wf AS (
@@ -779,26 +807,37 @@ object QueriesExt {
             |    SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
             |  WHERE regexp_full_match(word, '[A-Za-z]+')
             |  GROUP BY word),
-            |t0 AS (SELECT word, c, [word[i] for i in range(1, len(word)+1)] AS toks FROM wf),
-            |${(0 until 6).map(bpeStageSql).mkString(",\n")},
+            |wfc AS (SELECT word, c FROM wf ORDER BY c DESC, word LIMIT 1048576),
+            |t0 AS MATERIALIZED (SELECT word, c, [word[i] for i in range(1, len(word)+1)] AS toks FROM wfc),
+            |${(0 until BpeRounds).map(bpeStageSql).mkString(",\n")},
             |dw AS (
             |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word FROM documents),
             |enc AS (
             |  SELECT d.doc_id, count(*) AS n_alpha_words,
             |         cast(sum(len(t.toks)) as bigint) AS n_subwords
-            |  FROM dw d JOIN t6 t ON t.word = d.word
+            |  FROM dw d JOIN t$BpeRounds t ON t.word = d.word
             |  GROUP BY d.doc_id)
             |SELECT doc_id, n_alpha_words, n_subwords,
             |  floor(n_subwords * 1.0 / n_alpha_words * 10000 + 0.5) / 10000 AS subwords_per_word
             |FROM enc ORDER BY doc_id""".stripMargin),
     (s, d) => {
-      val merges = graft.functions.Bpe.trainMerges(
-        graft.functions.Bpe.wordFrequencies(docs(s, d), "text"), 6)
+      // Broadcast-dictionary encode (r12): the trainer's final
+      // `word → tokens` state maps each word to its subword count by ONE
+      // broadcast hash lookup — at 32 merges (let alone a production
+      // 10^4) this beats re-deriving every word through a merges-deep
+      // kernel chain. encodeTokens remains the bounded-merge-list path
+      // (BpeSpec pins the two equal on in-vocabulary words). Inner join
+      // ≡ the oracle's t32 join: non-alpha words are pre-filtered, and
+      // under cap truncation both sides drop the same OOV tail.
+      val (_, vocab) = graft.functions.Bpe.trainMergesWithVocab(
+        graft.functions.Bpe.wordFrequencies(docs(s, d), "text"), BpeRounds)
+      val dict = broadcast(
+        s.createDataFrame(vocab.map { case (w, t) => (w, t.length.toLong) })
+          .toDF("word", "ns"))
       docs(s, d)
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
         .filter(col("word").rlike("^[A-Za-z]+$"))
-        .select(col("doc_id"),
-          size(graft.functions.Bpe.encodeTokens(col("word"), merges)).cast("long").as("ns"))
+        .join(dict, "word")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_alpha_words"), sum("ns").as("n_subwords"))
         .select(col("doc_id"), col("n_alpha_words"), col("n_subwords"),

@@ -13,26 +13,46 @@ import org.apache.spark.sql.functions._
   *     touches the corpus; it is an ordinary partial-agg shuffle whose
   *     output is vocabulary-sized (natural-language vocabularies are
   *     ~10^6-10^8 distinct words at web scale — thousands of times smaller
-  *     than the corpus, and it is persisted so no round re-scans text).
-  *   2. Each merge round runs DISTRIBUTED on that table: pair counts are
-  *     an explode + partial-agg over bounded-length token arrays
-  *     (weighted by word count — pair statistics are exact corpus
-  *     statistics), and only the single winning (pair, count) row comes
-  *     back to the driver (same bounded-collect contract as
-  *     [[Similarity.ivfCentroids]]).
-  *   3. Merge application is the codegen-friendly map-only
-  *     [[NativeExpressions.BpeMergeApply]] kernel with the round's pair as
-  *     an expression constant — no join, nothing shuffles.
-  * Per-round state is persisted and the superseded round unpersisted (the
-  * [[graft.operators.Graphs]] iteration pattern), so round r never
-  * re-derives rounds 1..r-1.
+  *     than the corpus).
+  *   2. The word-frequency table is collected as a BOUNDED MODEL ARTIFACT
+  *     (the centroid/codebook contract of [[Similarity]]): the top
+  *     [[MaxVocabWords]] words by (count desc, word) — a deterministic,
+  *     mechanical cap replayed in the oracle, a no-op until the corpus'
+  *     distinct-word count actually exceeds it, at which point training
+  *     proceeds on the head of the frequency distribution exactly as
+  *     production tokenizer trainers do (tail hapaxes contribute pair
+  *     counts ≈ 0 and never win a merge anyway).
+  *   3. ALL merge rounds then run driver-side on that artifact — exact
+  *     greedy BPE over (tokens, count) rows, O(vocab · merges) string
+  *     work. This is the r12 rewrite: the previous shape ran each round
+  *     as a distributed pair-count job and collected one winner per
+  *     round, which at a production merge count (10^4-10^5) means that
+  *     many SEQUENTIAL driver-coordinated jobs — the scheduling alone
+  *     dwarfs the vocabulary-sized compute. Real BPE trainers
+  *     (SentencePiece, HF tokenizers) train in memory on word counts for
+  *     the same reason; the corpus-sized work stays in stage 1.
+  *   4. Merge application on documents is the codegen-friendly map-only
+  *     [[NativeExpressions.BpeMergeApply]] kernel with each pair as an
+  *     expression constant — no join, nothing shuffles.
   *
   * Determinism: counts are exact integers; the winning pair is
   * max-by-(count, then lexicographically-smallest pair) — reproducible on
-  * any partitioning, and re-derivable in ANSI SQL (see the tx_bpe_merges
+  * any partitioning (and, post-r12, independent of partitioning by
+  * construction), and re-derivable in ANSI SQL (see the tx_bpe_merges
   * oracle, which replays every round with windowed gaps-and-islands SQL).
+  * Words are ASCII-alphabetic (the [[wordFrequencies]] filter), so JVM
+  * String ordering ≡ UTF8 binary ordering and the driver tie-break
+  * matches both engines' ORDER BY.
   */
 object Bpe {
+
+  /** Cap on the collected vocabulary artifact: ~1M words × tens of bytes
+    * ≈ tens of MB on the driver — the same budget class as an IVF
+    * centroid matrix. Above it, training runs on the frequency head
+    * (top-V by count, word-lexicographic tie-break), replayed verbatim
+    * in the oracle's `wfc` CTE.
+    */
+  val MaxVocabWords: Int = 1 << 20
 
   /** The corpus→vocabulary aggregation: ASCII-alphabetic whitespace tokens
     * and their exact corpus frequencies. (ASCII-only keeps per-character
@@ -48,39 +68,88 @@ object Bpe {
 
   /** `k` greedy merge rounds over a (word, c) frequency table. Returns the
     * learned merge list (rank, left, right, pair count at selection time).
+    *
+    * One bounded collect (the [[MaxVocabWords]] artifact), then exact
+    * greedy rounds driver-side: per round, weighted adjacent-pair counts
+    * over every word's token array, winner by (count desc, a, b),
+    * greedy-left application (after a merge at position i, scanning
+    * resumes at i+2 — the semantics [[NativeExpressions.BpeMergeApply]]
+    * and the oracle's gaps-and-islands CTEs implement). Training stops
+    * early when no pair remains (every word fused to one token).
     */
-  def trainMerges(wordFreq: DataFrame, k: Int): Seq[Merge] = {
-    // initial symbols: one per character. array_remove drops the trailing
-    // "" that Spark's limit=-1 split-on-empty emits (words are non-empty
-    // alphabetic, so no interior empties exist).
-    var cur = wordFreq
-      .select(col("c"), array_remove(split(col("word"), ""), "").as("toks"))
-      .persist()
-    var prev: DataFrame = null
+  def trainMerges(wordFreq: DataFrame, k: Int,
+                  maxVocabWords: Int = MaxVocabWords): Seq[Merge] =
+    trainMergesWithVocab(wordFreq, k, maxVocabWords)._1
+
+  /** [[trainMerges]] plus the trainer's FINAL tokenization state
+    * (`word → subword tokens` after all merges) — the artifact a
+    * production-size vocabulary encodes through: one broadcast hash
+    * lookup per word instead of a merges-deep kernel chain (see
+    * [[encodeTokens]]). Comes free from the driver-side rounds; bounded
+    * by the same [[MaxVocabWords]] cap.
+    */
+  def trainMergesWithVocab(wordFreq: DataFrame, k: Int,
+                           maxVocabWords: Int = MaxVocabWords): (Seq[Merge], Seq[(String, Seq[String])]) = {
+    val rows = wordFreq.orderBy(desc("c"), col("word")).limit(maxVocabWords)
+      .select(col("word"), col("c").cast("long")).collect()
+    val toks: Array[Array[String]] = new Array(rows.length)
+    val cnts: Array[Long] = new Array(rows.length)
+    var wi = 0
+    while (wi < rows.length) {
+      toks(wi) = rows(wi).getString(0).map(_.toString).toArray
+      cnts(wi) = rows(wi).getLong(1)
+      wi += 1
+    }
     val merges = Seq.newBuilder[Merge]
     var r = 1
     var exhausted = false
     while (r <= k && !exhausted) {
-      val top = cur.filter(size(col("toks")) >= 2)
-        .select(col("c"), explode(NativeExpressions.adjacentPairs(col("toks"))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum("c").as("cnt"))
-        .orderBy(desc("cnt"), col("a"), col("b"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      wi = 0
+      while (wi < toks.length) {
+        val t = toks(wi)
+        var i = 0
+        while (i < t.length - 1) {
+          val key = (t(i), t(i + 1))
+          pairCounts.update(key, pairCounts.getOrElse(key, 0L) + cnts(wi))
+          i += 1
+        }
+        wi += 1
+      }
+      if (pairCounts.isEmpty) exhausted = true
       else {
-        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val ((a, b), cnt) = pairCounts.minBy { case ((pa, pb), c) => (-c, pa, pb) }
         merges += Merge(r.toLong, a, b, cnt)
-        if (prev != null) prev.unpersist() // cur's cache is materialized; release round r-1
-        prev = cur
-        cur = cur.withColumn("toks", NativeExpressions.bpeMergeApply(col("toks"), a, b))
-          .persist()
+        wi = 0
+        while (wi < toks.length) {
+          toks(wi) = applyMergeGreedyLeft(toks(wi), a, b)
+          wi += 1
+        }
       }
       r += 1
     }
-    if (prev != null) prev.unpersist()
-    cur.unpersist()
-    merges.result()
+    val vocab = Seq.newBuilder[(String, Seq[String])]
+    wi = 0
+    while (wi < rows.length) {
+      vocab += ((rows(wi).getString(0), toks(wi).toSeq))
+      wi += 1
+    }
+    (merges.result(), vocab.result())
+  }
+
+  /** Greedy-left single-pair application: scan left to right, fuse every
+    * non-overlapping (a, b) adjacency, resume AFTER the fused token (so
+    * "aaa" under (a,a) yields ["aa","a"], never ["a","aa"]).
+    */
+  private def applyMergeGreedyLeft(t: Array[String], a: String, b: String): Array[String] = {
+    if (t.length < 2) return t
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < t.length) {
+      if (i < t.length - 1 && t(i) == a && t(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += t(i); i += 1 }
+    }
+    out.result()
   }
 
   /** Encode a word column into its BPE tokenization under a learned merge

@@ -235,11 +235,20 @@ object Similarity {
     df.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
 
   private def cappedTrain(corpus: DataFrame, maxTrainRows: Long): DataFrame = {
-    val n = corpus.count()
-    val m = math.max(1L, math.ceil(n.toDouble / maxTrainRows).toLong)
-    if (m == 1L) corpus
-    else corpus.filter(
-      pmod(graft.functions.TopKAgg.md5Hash60(col("vec_id")), lit(m)) === 0)
+    // Cheap upper-bound probe before the exact count: CollectLimit reads
+    // partitions incrementally, so when the corpus is under the cap (every
+    // registered caller — all four trainer pipelines pay this per run) the
+    // probe touches roughly one partition instead of scanning the full
+    // train set just to learn the cap is a no-op. Only a corpus that
+    // actually exceeds the cap pays the exact count that sizes m.
+    val over = corpus.limit((maxTrainRows + 1).toInt).count() > maxTrainRows
+    if (!over) corpus
+    else {
+      val n = corpus.count()
+      val m = math.max(1L, math.ceil(n.toDouble / maxTrainRows).toLong)
+      corpus.filter(
+        pmod(graft.functions.TopKAgg.md5Hash60(col("vec_id")), lit(m)) === 0)
+    }
   }
 
   def ivfCentroids(corpus: DataFrame, nCentroids: Int, lloydIters: Int,

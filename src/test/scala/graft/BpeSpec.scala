@@ -120,6 +120,21 @@ class BpeSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("trainMergesWithVocab: final state equals the kernel-chain encode per word") {
+    // the r12 broadcast-dictionary encode path (tx_bpe_encode) bills each
+    // word by the trainer's final tokenization — must equal re-deriving
+    // the word through the chained BpeMergeApply kernels
+    val words = Seq("lower", "lowest", "banana", "aaa", "stationery", "widest")
+    val corpus = words.flatMap(w => Seq.fill(2)(w))
+    val wf = corpus.toDF("word").groupBy("word").agg(count(lit(1)).as("c"))
+    val (merges, vocab) = Bpe.trainMergesWithVocab(wf, 5)
+    val enc = words.toDF("word")
+      .select(col("word"), Bpe.encodeTokens(col("word"), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(vocab.map(_._1).sorted == words.sorted)
+    vocab.foreach { case (w, t) => assert(t.toList == enc(w), s"word $w") }
+  }
+
   test("trainMerges matches the sequential reference on the real corpus") {
     val words = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(explode(split(col("text"), "\\s+")).as("w"))

@@ -25,6 +25,13 @@ produces and the driver's clean synthetic data never exercises):
                      (zero-norm cosine guards) and another given one NaN
                      component (DuckDB's NaN>0 = TRUE would smuggle a NaN
                      cos past a bare zero-norm guard; Spark yields NULL)
+  - events 'ghost' type (r12) -> three rows retyped to a NEW event_type
+                     whose value is ALL NULL: the empty-aggregate group
+                     (sum/avg/percentile over zero non-null inputs) in
+                     every per-type carrier
+  - events all-null-ts user (r12) -> one multi-row user's ts nulled on
+                     EVERY row: per-user temporal carriers face a user
+                     with zero usable timestamps
 
 Usage:   python3 tools/make_degen.py /root/testdata/sf0.001 /tmp/graft_degen
 Gate:    sbt "runMain graft.Verify /tmp/graft_degen /tmp/out_degen"
@@ -126,13 +133,41 @@ def main() -> None:
         d["ts"][ti] = None
         taken.add(ti)
         tis.append(ti)
+    # r12: an event_type whose values are ALL null — the empty-aggregate
+    # group (sum/avg/min/percentile over ZERO non-null inputs) that every
+    # per-type carrier must render identically on both engines (the r10
+    # a19 advisory class, until now covered only by a unit test). A NEW
+    # type name, so no existing type's aggregates shift under the other
+    # plants; three rows, so the group is big enough to hit partial
+    # aggregation, not just a single-row buffer.
+    gis = [i for i in range(n) if i not in taken][:3]
+    for i in gis:
+        d["event_type"][i] = "ghost"
+        d["value"][i] = None
+        taken.add(i)
+    # r12: a user whose ts is ALL null — per-user temporal carriers
+    # (sessionization, funnel, as-of, retention, lag/EWMA windows) face a
+    # user contributing rows but ZERO usable timestamps, driver-side.
+    # Smallest multi-row user none of whose rows carry another plant.
+    rows_by_user = {}
+    for i in range(n):
+        u = d["user_id"][i]
+        if u is not None:
+            rows_by_user.setdefault(u, []).append(i)
+    tsu = min(u for u, rows in rows_by_user.items()
+              if len(rows) >= 2 and not any(r in taken for r in rows))
+    for i in rows_by_user[tsu]:
+        d["ts"][i] = None
+        taken.add(i)
     pq.write_table(pa.table(d, schema=t.schema), f"{out}/events.parquet")
     print(f"events: value=NULL at event_id {d['event_id'][vi]}; "
           f"k-less props at row {pi}; props=NULL at row {ni}; "
           f"event_type=NULL at row {ei} (value {d['value'][ei]}); "
           f"user_id=NULL at row {ui} (event_id {d['event_id'][ui]}); "
           f"ts=NULL at rows {tis} (purchase event_id {d['event_id'][tis[0]]}, "
-          f"click event_id {d['event_id'][tis[1]]})")
+          f"click event_id {d['event_id'][tis[1]]}); "
+          f"all-null-value type 'ghost' at rows {gis}; "
+          f"all-null-ts user {tsu} ({len(rows_by_user[tsu])} rows)")
 
     t = pq.read_table(f"{out}/documents.parquet")
     d = t.to_pydict()

@@ -16,8 +16,19 @@ mkdir -p /dev/shm/spark-local
 echo "=== ship gate 1/2: sbt test ==="
 sbt -batch test
 
-echo "=== ship gate 2/2: graft.PlanCheck ($SF_DIR) ==="
+echo "=== ship gate 2/3: graft.PlanCheck ($SF_DIR) ==="
 SPARK_GRAFT_SF_DIR="$SF_DIR" sbt -batch "runMain graft.PlanCheck"
+
+# Plan-shape drift gate (r12): every query's physical fingerprint diffed
+# against the committed prior round's record (BENCH_BASELINE.json —
+# refresh at round start with `git show HEAD:bench_last.json >
+# BENCH_BASELINE.json` once the driver's capture is committed). A silent
+# plan flip INSIDE PlanCheck's invariants — broadcast→sort-merge, a new
+# exchange — fails here like a bench regression would. Plans at sf0.1:
+# fingerprints are size-statistics dependent, and sf0.1 is where the
+# baseline records them.
+echo "=== ship gate 3/3: graft.PlanDrift (plan fingerprints vs committed baseline) ==="
+sbt -batch "runMain graft.PlanDrift"
 
 # Optional third stage (GRAFT_DEGEN=1): the degenerate-input gate — the
 # full Verify + DuckDB compare against a corpus with a null-valued
@@ -26,7 +37,7 @@ SPARK_GRAFT_SF_DIR="$SF_DIR" sbt -batch "runMain graft.PlanCheck"
 # clean driver testdata never exercises. ~3 min extra; run it whenever
 # null/zero-norm handling changes, and once per round before shipping.
 if [[ "${GRAFT_DEGEN:-0}" == "1" ]]; then
-  echo "=== ship gate 3/3: degenerate-input gate ==="
+  echo "=== ship gate degen: degenerate-input gate ==="
   python3 tools/make_degen.py /root/testdata/sf0.001 /tmp/graft_degen
   rm -rf /tmp/graft_degen_out
   sbt -batch "runMain graft.Verify /tmp/graft_degen /tmp/graft_degen_out"
