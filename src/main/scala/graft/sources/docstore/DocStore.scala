@@ -182,9 +182,27 @@ private[docstore] object DocStore {
     if (!f.exists(p))
       throw new IllegalArgumentException(
         s"docstore collection at $dir has no $SchemaFile; write first or pass .schema(...)")
-    val in = f.open(p)
-    val ddl = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    allNullable(StructType.fromDDL(ddl)) // older collections may store NOT NULL
+    val ddl =
+      try {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      } catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"docstore $SchemaFile at $dir is corrupt or torn — unreadable " +
+            s"(${e.getMessage}). Restore the file, or rewrite it via an explicit " +
+            "overwrite with the intended schema in a writer-free window.", e)
+      }
+    // torn/corrupt schema DDL: fail with the file and a recipe, not a
+    // bare parser error — and never infer a schema (a guessed schema
+    // reads documents of the true schema back corrupted)
+    try allNullable(StructType.fromDDL(ddl)) // older collections may store NOT NULL
+    catch { case e: Exception =>
+      throw new IllegalStateException(
+        s"docstore $SchemaFile at $dir is corrupt or torn — cannot parse " +
+          s"'${ddl.take(80)}' as a DDL schema (${e.getMessage}). Restore the " +
+          "file, or rewrite it via an explicit overwrite with the intended " +
+          "schema in a writer-free window.", e)
+    }
   }
 
   def writeStoredSchema(dir: String, schema: StructType): Unit = metadataLock.synchronized {
@@ -308,9 +326,32 @@ private[docstore] object DocStore {
     if (!f.exists(p))
       throw new IllegalArgumentException(
         s"docstore $dir has no version $version (available: ${listVersions(dir).mkString(", ")})")
-    val in = f.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val arr = new ObjectMapper().readTree(txt).get("shards")
+    val txt =
+      try {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      } catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          f"docstore version manifest v$version%06d at $dir is corrupt or torn — " +
+            s"unreadable (${e.getMessage}). Pick an intact version from " +
+            s"${listVersions(dir).mkString(", ")} or repair the manifest by hand.", e)
+      }
+    // a torn version manifest names itself: a silent empty shard list
+    // would present a valid-looking EMPTY collection at that version —
+    // time-travel reads returning zero rows instead of an error
+    val arr =
+      try {
+        val node = new ObjectMapper().readTree(txt)
+        val shards = if (node == null) null else node.get("shards")
+        if (shards == null || !shards.isArray)
+          throw new IllegalStateException("no 'shards' array")
+        shards
+      } catch { case e: Exception =>
+        throw new IllegalStateException(
+          f"docstore version manifest v$version%06d at $dir is corrupt or torn " +
+            s"(${e.getMessage}). Pick an intact version from " +
+            s"${listVersions(dir).mkString(", ")} or repair the manifest by hand.", e)
+      }
     (0 until arr.size()).map(arr.get(_).asText())
   }
 
@@ -570,9 +611,50 @@ private[docstore] object DocStore {
     val p = new Path(dir, StatsFile)
     val f = fs(p)
     if (!f.exists(p)) return Map.empty
-    val in = f.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val root = new ObjectMapper().readTree(txt)
+    // the read itself can fail on corruption BEFORE any parsing — e.g.
+    // a filesystem-level checksum mismatch (Hadoop's LocalFileSystem crc
+    // sidecars) on a file scribbled by partial storage failure — and
+    // must carry the same artifact-named diagnosis as a parse failure
+    val txt =
+      try {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      } catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"docstore $StatsFile at $dir is corrupt or torn — unreadable " +
+            s"(${e.getMessage}). Refusing to guess: a corrupt stats ledger must " +
+            "surface before pruning trusts it or maintenance mistakes the " +
+            "collection for a legacy stats-less one. Restore the file from the " +
+            "last commit, or delete it and run compact in a writer-free window " +
+            "to rebuild.", e)
+      }
+    // A torn or corrupt stats file fails LOUDLY with its path and a
+    // recovery recipe — never a corrupt-as-empty fallback. A MISSING
+    // stats file is the documented legacy path (scan everything, prune
+    // nothing), but CORRUPT is different in kind: compact uses stats as
+    // the committed-shard ledger (a corrupt file read back as empty
+    // would send it down the legacy rewrite-everything path against a
+    // possibly-live writer), and pruning decisions must never run on a
+    // half-parsed ledger. At 100 TB partial metadata corruption is a
+    // when, not an if (DocStorePropSpec's fault-injection cases pin
+    // this contract).
+    val root =
+      try new ObjectMapper().readTree(txt)
+      catch { case e: Exception =>
+        throw new IllegalStateException(
+          s"docstore $StatsFile at $dir is corrupt or torn (${e.getMessage}). " +
+            "Refusing to guess: a corrupt stats ledger must surface before " +
+            "pruning trusts it or maintenance mistakes the collection for a " +
+            "legacy stats-less one. Restore the file from the last commit, or — " +
+            "in a writer-free window — delete it and run compact to rebuild " +
+            "from the surviving shards.", e)
+      }
+    if (root == null || !root.isObject)
+      throw new IllegalStateException(
+        s"docstore $StatsFile at $dir is corrupt: expected a JSON object of " +
+          s"per-shard stats, found ${if (root == null) "empty content" else root.getNodeType}. " +
+          "Restore from the last commit, or delete it and run compact in a " +
+          "writer-free window to rebuild.")
     def v(n: JsonNode): Any =
       if (n == null || n.isNull) null
       else if (n.isTextual) n.asText()
@@ -580,7 +662,10 @@ private[docstore] object DocStore {
       else if (n.isIntegralNumber) n.asLong()
       else n.asDouble()
     val out = Map.newBuilder[String, ShardStat]
-    root.fieldNames().asScala.foreach { shard =>
+    // same loud-failure contract for STRUCTURALLY broken entries (a
+    // well-formed-JSON file whose shard entry lost `count`, or a bloom
+    // whose base64 was mangled): name the shard entry, never guess
+    try root.fieldNames().asScala.foreach { shard =>
       val s = root.get(shard)
       val fields = Map.newBuilder[String, FieldStat]
       val fn = s.get("fields")
@@ -592,7 +677,17 @@ private[docstore] object DocStore {
         fields += fld -> FieldStat(v(e.get("min")), v(e.get("max")),
           e.get("nonNull").asLong(), bloom)
       }
-      out += shard -> ShardStat(s.get("count").asLong(), fields.result())
+      val cnt = s.get("count")
+      if (cnt == null || !cnt.isIntegralNumber)
+        throw new IllegalStateException(s"shard entry '$shard' has no integral 'count'")
+      out += shard -> ShardStat(cnt.asLong(), fields.result())
+    } catch {
+      case e: IllegalStateException if e.getMessage.startsWith("docstore") => throw e
+      case e: Exception =>
+        throw new IllegalStateException(
+          s"docstore $StatsFile at $dir is structurally corrupt (${e.getMessage}). " +
+            "Restore from the last commit, or delete it and run compact in a " +
+            "writer-free window to rebuild.", e)
     }
     out.result()
   }
@@ -1082,12 +1177,37 @@ private[docstore] class DocStoreReader(file: String, full: StructType,
   private var current: InternalRow = _
   private var emitted = 0L
 
+  // Torn-shard containment: a truncated gzip member throws EOF/Zip
+  // exceptions from the line ITERATOR mid-stream, and a torn plain shard
+  // leaves a half-written final JSON line — both must surface as one
+  // loud error naming the shard and the diagnosis, not as a bare codec
+  // stack trace from some task (and never as silently fewer rows).
+  private def torn(cause: Exception): Nothing =
+    throw new IllegalStateException(
+      s"docstore shard $file is corrupt or torn (${cause.getClass.getSimpleName}: " +
+        s"${cause.getMessage}) after $emitted matched document(s) — a partial " +
+        "write or storage corruption. Restore the shard, or compact the " +
+        "collection from a backup in a writer-free window.", cause)
+
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
-    while (lines.hasNext) {
-      val line = lines.next()
+    // FileNotFound passes through untouched: the lazy initializer already
+    // raises it with the vanished-shard diagnosis (or tolerates it for
+    // the streaming source) — wrapping it as "torn" would misdiagnose
+    while (try lines.hasNext
+           catch {
+             case e: java.io.FileNotFoundException => throw e
+             case e: java.io.IOException => torn(e)
+           }) {
+      val line = try lines.next()
+                 catch {
+                   case e: java.io.FileNotFoundException => throw e
+                   case e: java.io.IOException => torn(e)
+                 }
       if (line.nonEmpty) {
-        val doc = mapper.readTree(line)
+        val doc = try mapper.readTree(line)
+                  catch { case e: com.fasterxml.jackson.core.JacksonException => torn(e) }
+        if (doc == null) torn(new java.io.IOException("empty JSON document line"))
         if (matches(doc)) {
           val vals = new Array[Any](required.length)
           var i = 0

@@ -122,6 +122,15 @@ object DocStoreMaintenance {
     // say which fields were bloom-indexed, and dropping that here would
     // silently degrade point-lookup pruning to zone maps forever after
     val blooms = trackedBloomFields(stats)
+    // The pin rides a comma-delimited option string with no escaping —
+    // safe for the current UUID-derived shard names, but a silent format
+    // assumption: a future naming scheme containing ',' would mis-split
+    // the pin set and compact a DIFFERENT file list than was captured
+    // under the lock. Fail loudly at the option-building site instead.
+    oldShards.find(_.contains(",")).foreach { s =>
+      throw new IllegalStateException(
+        s"compact: shard name '$s' contains ',' — the shards pin option is comma-delimited and cannot encode it")
+    }
     val writer0 = transform(spark.read.format("docstore")
         .option("shards", oldShards.mkString(",")).load(path))
       .write.format("docstore").mode("overwrite")
