@@ -51,19 +51,25 @@ object StreamScale {
 
     // one parquet file per chunk, modification times staggered so the
     // file source's default oldest-first ordering replays the exact
-    // chunk sequence the twin loop uses
-    (0 until nBatches).foreach { b =>
+    // chunk sequence the twin loop uses. Chunks are STAGED and fed to
+    // the source dir in two halves around a stop/restart (below).
+    val staged = (0 until nBatches).map { b =>
       val chunkDir = work.resolve(s"chunk$b")
       docs.filter(pmod(col("doc_id"), lit(nBatches)) === b)
         .coalesce(1).write.parquet(chunkDir.toString)
       val part = java.nio.file.Files.list(chunkDir).iterator()
       val f = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
         .find(_.getFileName.toString.endsWith(".parquet")).get
-      val dst = streamIn.resolve(f"chunk-$b%03d.parquet")
+      val dst = work.resolve(f"chunk-$b%03d.parquet")
       java.nio.file.Files.move(f, dst)
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
+      dst
     }
+    def feed(from: Int, until: Int): Unit =
+      (from until math.min(until, nBatches)).foreach { b =>
+        java.nio.file.Files.move(staged(b), streamIn.resolve(staged(b).getFileName))
+      }
 
     def seedStore(): String = {
       val dir = java.nio.file.Files.createTempDirectory("graft_stream_store").toString
@@ -73,17 +79,30 @@ object StreamScale {
       dir
     }
 
-    // ---- streaming run ----
+    // ---- streaming run, with a MID-STREAM CHECKPOINT RESTART ----
+    // The exactly-once restart proof (StreamingIngestSpec) runs on a
+    // small fixture; here the stream is stopped cold after the first
+    // half of the corpus and a NEW query resumes from the checkpoint —
+    // the recovery path at 50k-doc scale. Parity with the
+    // restart-free batch twin below then proves the restart admitted
+    // and lost nothing.
     val storeA = seedStore()
     val ckpt = work.resolve("ckpt").toString
-    val stream = spark.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 1).parquet(streamIn.toString)
+    def startIngest() = graft.streaming.StreamingAnalytics.streamingIngest(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamIn.toString),
+      storeA, checkpointDir = Some(ckpt))
     val t0 = System.nanoTime()
-    val q = graft.streaming.StreamingAnalytics.streamingIngest(
-      stream, storeA, checkpointDir = Some(ckpt))
+    feed(0, nBatches / 2)
+    val q1 = startIngest()
+    q1.processAllAvailable()
+    val progress1 = q1.recentProgress.toSeq.filter(_.numInputRows > 0)
+    q1.stop()
+    feed(nBatches / 2, nBatches)
+    val q = startIngest()
     q.processAllAvailable()
     val streamSec = (System.nanoTime() - t0) / 1e9
-    val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val progress = progress1 ++ q.recentProgress.toSeq.filter(_.numInputRows > 0)
     q.stop()
 
     // ---- batch twin: same chunks, same order, the shared ingestBatch ----
@@ -117,6 +136,7 @@ object StreamScale {
       Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L) / 1000.0)
     def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ", ", "]")
     println(f"STREAMSCALE docs=${docs.count()} batches=$nBatches " +
+      f"restartAfter=${nBatches / 2} " +
       f"stream=${streamSec}%.1f s (triggers ${fmt(triggerSecs)}) " +
       f"twin=${twinSecs.sum}%.1f s (batches ${fmt(twinSecs)}) " +
       f"admitted=$nA parity=${if (onlyA == 0 && onlyB == 0) "OK" else s"DIVERGED($onlyA/$onlyB)"} " +
