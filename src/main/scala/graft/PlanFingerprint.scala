@@ -75,11 +75,18 @@ object PlanFingerprint {
     val noAqe = spark.newSession()
     noAqe.conf.set("spark.sql.adaptive.enabled", "false")
     SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      name -> (try of(SparkEntry.queries(name)(noAqe, sfDir).queryExecution.executedPlan)
+      val fp = try of(SparkEntry.queries(name)(noAqe, sfDir).queryExecution.executedPlan)
       catch { case e: Throwable =>
         System.err.println(s"[fingerprint] $name plan construction failed: ${e.getMessage}")
         "error"
-      })
+      }
+      // same per-query cache discipline as Bench's timed loop: builders
+      // that persist bounded artifacts (pagerank's edge cache, the
+      // connected-components localCheckpoint snapshots) must not
+      // accumulate blocks across a 146-query planning sweep
+      noAqe.catalog.clearCache()
+      noAqe.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> fp
     }.toMap
   }
 

@@ -46,4 +46,13 @@ if [[ "${GRAFT_DEGEN:-0}" == "1" ]]; then
   echo "DEGEN GATE GREEN"
 fi
 
+# Optional fourth stage (GRAFT_SCALE=1): the one-command x10 re-cert —
+# full Bench against the 10x corpus (built if absent), decade ratio
+# gated against the committed sf0.1 baseline, bench_last.json protected.
+# ~15 min; run once per round after correctness is green.
+if [[ "${GRAFT_SCALE:-0}" == "1" ]]; then
+  echo "=== ship gate scale: x10 re-certification ==="
+  bash tools/scale_gate.sh
+fi
+
 echo "SHIP GATE GREEN"
