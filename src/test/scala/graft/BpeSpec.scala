@@ -120,6 +120,23 @@ class BpeSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("vocab cap: training runs on the top-V frequency head, ties word-lexicographic") {
+    // the MaxVocabWords degrade path fires only above 2^20 distinct
+    // words in production — exercise the mechanical contract at cap=2:
+    // train set = top-2 by (count desc, word), i.e. "lower" (10) plus
+    // "lowest" — which wins its 8-8 count tie against "widest" ONLY via
+    // the word-lexicographic tie-break the oracle's `wfc` CTE replays —
+    // equal to the reference trained on exactly that head
+    val corpus = Seq.fill(10)("lower") ++ Seq.fill(8)("lowest") ++
+      Seq.fill(8)("widest") ++ Seq.fill(2)("rare") ++ Seq("hapax")
+    val wf = corpus.toDF("word").groupBy("word").agg(count(lit(1)).as("c"))
+    val got = Bpe.trainMerges(wf, 4, maxVocabWords = 2)
+      .map(m => (m.mergeRank, m.leftSym, m.rightSym, m.pairCount))
+    val head = Seq.fill(10)("lower") ++ Seq.fill(8)("lowest")
+    assert(got == refTrain(head, 4))
+    assert(got.nonEmpty)
+  }
+
   test("trainMergesWithVocab: final state equals the kernel-chain encode per word") {
     // the r12 broadcast-dictionary encode path (tx_bpe_encode) bills each
     // word by the trainer's final tokenization — must equal re-deriving
