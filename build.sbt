@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output normally routes through the sbt logger, which
+// prefixes every stdout line with "[info] " — corrupting the ONE
+// machine-read artifact this build emits (Bench's single JSON line on
+// stdout: a parser that json.loads the captured line gets the prefix
+// too, the BENCH_r{9..11} parsed:null class). StdoutOutput passes the
+// child's streams through raw.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -29,6 +36,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}", // local[32] headroom (host has 128 GiB)
 )
 
-// Shipping gate: correctness specs + physical-plan assertions. PlanCheck
-// exits non-zero on FAIL, so `sbt gate` is red if either layer regresses.
-addCommandAlias("gate", ";test ;runMain graft.PlanCheck")
+// Shipping gate: correctness specs + physical-plan assertions + plan-shape
+// drift vs the committed baseline. Each stage exits non-zero on FAIL, so
+// `sbt gate` is red if any layer regresses.
+addCommandAlias("gate", ";test ;runMain graft.PlanCheck ;runMain graft.PlanDrift")
