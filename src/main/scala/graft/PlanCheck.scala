@@ -82,6 +82,24 @@ object PlanCheck {
         case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
           b.child.toString
       }
+    // Plan-node form of the same collection, for STRUCTURAL pins: the
+    // subtree under each BroadcastExchange as a SparkPlan, so predicates
+    // inspect Catalyst expression trees instead of dump strings (which a
+    // Spark upgrade's rendering change would break with the plans still
+    // correct).
+    def broadcastSubtreePlans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          b.child
+      }
+    // any node in the subtree carries an expression matching `pred`
+    // (FilterExec conditions AND scan pushed dataFilters both surface
+    // through QueryPlan.expressions)
+    def subtreeHasExpr(n: org.apache.spark.sql.execution.SparkPlan)(
+        pred: PartialFunction[org.apache.spark.sql.catalyst.expressions.Expression, Boolean]): Boolean =
+      n.collect { case x => x.expressions }.flatten
+        .exists(_.exists(e => pred.lift(e).getOrElse(false)))
 
     // Column names riding any hash-shuffle exchange (keys AND payload).
     def shuffledColumns(p: org.apache.spark.sql.execution.SparkPlan): Set[String] = p.collect {
@@ -135,8 +153,15 @@ object PlanCheck {
       "exactly one broadcast (the query set)" -> (p => "BroadcastExchange".r.findAllIn(p).size == 1))
     checkTree("sim_knn_brute")(
       "every broadcast subtree is the filtered query side" -> (p => {
-        val bs = broadcastSubtrees(p)
-        bs.nonEmpty && bs.forall(_.contains("LessThan(vec_id,10)"))
+        val bs = broadcastSubtreePlans(p)
+        // structural: the query side is the vec_id < 10 slice, pushed to
+        // its scan — same expression-tree pin as the sim_ivf allowlist
+        // guard (the last plan-dump substring pin, converted r13).
+        bs.nonEmpty && bs.forall(subtreeHasExpr(_) {
+          case org.apache.spark.sql.catalyst.expressions.LessThan(
+              a, org.apache.spark.sql.catalyst.expressions.Literal(v, _)) =>
+            a.references.exists(_.name == "vec_id") && String.valueOf(v) == "10"
+        })
       }))
 
     // Composed training-batch pipeline: gates and chunking are map-side
@@ -336,13 +361,6 @@ object PlanCheck {
         case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
             if unaggGenerate(b.child) => b.child
       }
-    // any node in the subtree carries an expression matching `pred`
-    // (FilterExec conditions AND scan pushed dataFilters both surface
-    // through QueryPlan.expressions)
-    def subtreeHasExpr(n: org.apache.spark.sql.execution.SparkPlan)(
-        pred: PartialFunction[org.apache.spark.sql.catalyst.expressions.Expression, Boolean]): Boolean =
-      n.collect { case x => x.expressions }.flatten
-        .exists(_.exists(e => pred.lift(e).getOrElse(false)))
     checkTree("dd_incremental")(
       "explode broadcasts only the contract-bounded delta side" -> (p => {
         val bs = blindExplodePlans(p)

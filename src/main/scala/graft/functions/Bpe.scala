@@ -46,11 +46,18 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Cap on the collected vocabulary artifact: ~1M words × tens of bytes
-    * ≈ tens of MB on the driver — the same budget class as an IVF
-    * centroid matrix. Above it, training runs on the frequency head
-    * (top-V by count, word-lexicographic tie-break), replayed verbatim
-    * in the oracle's `wfc` CTE.
+  /** Cap on the collected vocabulary artifact. Driver budget at the cap:
+    * ~1M words × ~10 chars = ~10M token slots. Single-char tokens are
+    * INTERNED (words are ASCII-alphabetic, so 52 shared strings cover
+    * every initial token) and each round's merged token is allocated
+    * once and shared, so the slots are references into a small shared
+    * pool — peak transient footprint is the per-word reference arrays
+    * plus the collected Rows, ~100–200 MB, a bounded one-off artifact in
+    * a 100+ GB driver class (NOT "tens of MB": the per-round pair
+    * HashMap is small — one entry per DISTINCT adjacent pair — but the
+    * reference arrays are not). Above the cap, training runs on the
+    * frequency head (top-V by count, word-lexicographic tie-break),
+    * replayed verbatim in the oracle's `wfc` CTE.
     */
   val MaxVocabWords: Int = 1 << 20
 
@@ -94,9 +101,17 @@ object Bpe {
       .select(col("word"), col("c").cast("long")).collect()
     val toks: Array[Array[String]] = new Array(rows.length)
     val cnts: Array[Long] = new Array(rows.length)
+    // Intern single-char tokens: words are ASCII-alphabetic, so every
+    // initial token is one of 52 shared strings — without this, the cap
+    // allocates ~10M one-char String objects (hundreds of MB transient).
+    val charPool: Array[String] = Array.tabulate(128)(c => c.toChar.toString)
     var wi = 0
     while (wi < rows.length) {
-      toks(wi) = rows(wi).getString(0).map(_.toString).toArray
+      val w = rows(wi).getString(0)
+      val arr = new Array[String](w.length)
+      var ci = 0
+      while (ci < w.length) { arr(ci) = charPool(w.charAt(ci).toInt); ci += 1 }
+      toks(wi) = arr
       cnts(wi) = rows(wi).getLong(1)
       wi += 1
     }
@@ -120,9 +135,10 @@ object Bpe {
       else {
         val ((a, b), cnt) = pairCounts.minBy { case ((pa, pb), c) => (-c, pa, pb) }
         merges += Merge(r.toLong, a, b, cnt)
+        val ab = a + b // allocate the merged token ONCE, shared by every fusion
         wi = 0
         while (wi < toks.length) {
-          toks(wi) = applyMergeGreedyLeft(toks(wi), a, b)
+          toks(wi) = applyMergeGreedyLeft(toks(wi), a, b, ab)
           wi += 1
         }
       }
@@ -141,12 +157,13 @@ object Bpe {
     * non-overlapping (a, b) adjacency, resume AFTER the fused token (so
     * "aaa" under (a,a) yields ["aa","a"], never ["a","aa"]).
     */
-  private def applyMergeGreedyLeft(t: Array[String], a: String, b: String): Array[String] = {
+  private def applyMergeGreedyLeft(t: Array[String], a: String, b: String,
+                                   ab: String): Array[String] = {
     if (t.length < 2) return t
     val out = Array.newBuilder[String]
     var i = 0
     while (i < t.length) {
-      if (i < t.length - 1 && t(i) == a && t(i + 1) == b) { out += (a + b); i += 2 }
+      if (i < t.length - 1 && t(i) == a && t(i + 1) == b) { out += ab; i += 2 }
       else { out += t(i); i += 1 }
     }
     out.result()

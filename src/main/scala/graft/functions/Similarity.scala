@@ -241,7 +241,12 @@ object Similarity {
     // probe touches roughly one partition instead of scanning the full
     // train set just to learn the cap is a no-op. Only a corpus that
     // actually exceeds the cap pays the exact count that sizes m.
-    val over = corpus.limit((maxTrainRows + 1).toInt).count() > maxTrainRows
+    // clamp: maxTrainRows is a caller-supplied Long, and (cap+1).toInt
+    // silently overflows negative for cap >= Int.MaxValue (limit() would
+    // throw AnalysisException at runtime). At Int.MaxValue the probe
+    // can't distinguish over/under, so fall through to the exact count.
+    val probeN = math.min(maxTrainRows + 1, Int.MaxValue.toLong).toInt
+    val over = corpus.limit(probeN).count() > maxTrainRows
     if (!over) corpus
     else {
       val n = corpus.count()
