@@ -37,18 +37,41 @@ object PlanDrift {
         .mkString("{", ",", "}") + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[plandrift] dump failed: ${e.getMessage}") }
     val base = BenchBaseline.parsed()
-    val basePlans = base.flatMap { case (label, node) =>
+    // A baseline at the WRONG sf (an x10 capture committed by mistake)
+    // or one whose own fingerprint pass failed ("plans":null — Bench's
+    // r13 failure marker) is a misconfiguration, not a first-baseline:
+    // exiting 0 there left ship-gate stage 3 permanently green on
+    // garbage. Both now exit non-zero; GRAFT_PLANDRIFT_LENIENT=1 is the
+    // explicit documented opt-out (e.g. gating a fresh clone whose
+    // baseline predates this round). Exit 0 without a diff remains ONLY
+    // for the true first-baseline path: no baseline at all, or a
+    // same-sf record that has never carried a plans block.
+    val lenient = sys.env.get("GRAFT_PLANDRIFT_LENIENT").contains("1")
+    var misconfig = false
+    def misconfigured(msg: String): Unit = {
+      println(msg)
+      if (lenient) {
+        misconfig = true // records-only: NEVER gate against a wrong-scale/failed record
+        println("PLANDRIFT LENIENT: proceeding records-only (GRAFT_PLANDRIFT_LENIENT=1)")
+      } else { spark.stop(); sys.exit(1) }
+    }
+    base.foreach { case (label, node) =>
       val sf = Option(node.get("sf")).map(_.asText()).getOrElse("")
-      if (sf != sfDir) {
-        println(s"PLANDRIFT SKIP: baseline $label records sf '$sf', gate planned '$sfDir' — no comparable record")
-        None
-      } else Option(node.get("plans")).map(p => (label, p))
+      if (sf != sfDir)
+        misconfigured(s"PLANDRIFT MISCONFIGURED: baseline $label records sf '$sf', gate planned " +
+          s"'$sfDir' — no comparable record (wrong-scale capture committed as baseline?)")
+      else if (Option(node.get("plans")).exists(_.isNull))
+        misconfigured(s"PLANDRIFT BASELINE ERROR: baseline $label carries plans:null — its own " +
+          "fingerprint pass FAILED when it was recorded; investigate that failure, don't gate on it")
+    }
+    val basePlans = if (misconfig) None else base.flatMap { case (label, node) =>
+      Option(node.get("plans")).filterNot(_.isNull).map(p => (label, p))
     }
 
     basePlans match {
       case None =>
         base match {
-          case Some((label, _)) if base.exists(b => Option(b._2.get("sf")).exists(_.asText() == sfDir)) =>
+          case Some((label, _)) =>
             println(s"PLANDRIFT RECORDING: baseline $label has no plans block yet — " +
               "fingerprints will gate once a record with plans is committed")
           case _ => ()

@@ -83,11 +83,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     epoch commit rewrites `_stats.json` for all shards and appends a
   *     full-shard-list manifest, and source offsets carry the seen-shard
   *     name set — O(shards) work per trigger, O(shards²) cumulative.
-  *     Periodic `compact` resets all three (fewer shards, fresh stats,
-  *     manifest reset); a production stream at high trigger rates would
-  *     move to incremental stats sidecars + manifest deltas +
-  *     high-water-mark offsets, none of which change the read or commit
-  *     contracts above.
+  *     Periodic `compact` shrinks the live set (fewer shards, fresh
+  *     stats) and periodic [[DocStoreMaintenance.vacuum]] bounds the
+  *     manifest log and reclaims retired bytes to the retention horizon;
+  *     a production stream at high trigger rates would move to
+  *     incremental stats sidecars + manifest deltas + high-water-mark
+  *     offsets, none of which change the read or commit contracts above.
   *
   * Scale design: all I/O goes through the Hadoop FileSystem API, so the
   * same code runs against HDFS/S3 paths on a cluster. Reads plan one
@@ -294,6 +295,44 @@ private[docstore] object DocStore {
       .sortBy(_.getName)
   }
 
+  // ---- retired shards (superseded-but-retained physical history) ----------
+
+  /** Shards superseded by a maintenance rewrite live here until
+    * [[DocStoreMaintenance.vacuum]] reclaims them: out of the live listing
+    * (so scans and stats never see them) but still resolvable by snapshot
+    * reads of the versions that reference them.
+    */
+  val RetiredDir = "_retired"
+
+  /** Move a superseded live shard into `_retired/`. Idempotent for the
+    * recovery roll-forward: a shard already retired (source gone) is a
+    * no-op, and if the retired name already exists — possible only when a
+    * late at-least-once epoch replay re-created a name an earlier
+    * maintenance pass already retired — the first-retired copy wins and
+    * the source is dropped (snapshot reads of replayed epochs are
+    * documented loud/approximate under the at-least-once caveat).
+    */
+  def retireShard(dir: String, name: String): Unit = {
+    val src = new Path(dir, name)
+    val f = fs(src)
+    if (f.exists(src)) {
+      val rd = new Path(dir, RetiredDir)
+      if (!f.exists(rd)) f.mkdirs(rd)
+      val dst = new Path(rd, name)
+      if (f.exists(dst)) f.delete(src, false)
+      else if (!f.rename(src, dst))
+        throw new java.io.IOException(s"docstore: failed to retire shard $name in $dir")
+    }
+  }
+
+  /** The retired shard files (empty when nothing was ever retired). */
+  def listRetired(dir: String): Array[Path] = {
+    val rd = new Path(dir, RetiredDir)
+    val f = fs(rd)
+    if (!f.exists(rd)) Array.empty
+    else f.listStatus(rd).map(_.getPath).sortBy(_.getName)
+  }
+
   // ---- commit manifests (snapshot reads / time travel) --------------------
 
   val CommitsDir = "_commits"
@@ -304,11 +343,19 @@ private[docstore] object DocStore {
     * produced — the reproducible-corpus primitive ("train on snapshot v3")
     * a training pipeline audits against. Append-only workloads (the
     * store's native insert_many / streaming-epoch mode) keep every
-    * snapshot readable; OVERWRITE and the maintenance rewrites
-    * (compact/cluster/delete/update) rewrite physical history and RESET
-    * the log to v1 — like a table format's VACUUM, the trade is explicit
-    * and a missing-shard read fails loudly rather than returning a
-    * half-snapshot.
+    * snapshot readable. Since r13 the maintenance rewrites
+    * (compact/cluster/delete/update/upsert) PRESERVE history too: the
+    * shards they supersede move to `_retired/` (invisible to the live
+    * listing, still resolvable by snapshot reads) and the log gains a new
+    * version instead of resetting — the table-format model where logical
+    * deletes are metadata and physical reclamation is an explicit
+    * [[DocStoreMaintenance.vacuum]] with a retention horizon. Only an
+    * explicit OVERWRITE still rewrites physical history and resets the
+    * log to v1: the store keeps ONE schema, and an overwrite may retype
+    * it, so reading pre-overwrite documents through the new schema would
+    * be corruption — the reset makes that impossible by construction.
+    * A read of a vacuumed (or overwrite-reset) version fails loudly
+    * rather than returning a half-snapshot.
     */
   def listVersions(dir: String): Seq[Int] = metadataLock.synchronized {
     val d = new Path(dir, CommitsDir)
@@ -1002,8 +1049,9 @@ private[docstore] class DocStoreScan(path: String, full: StructType,
     * min/max/non-null stats — parquet row-group skipping, at shard
     * granularity. Shards without stats are always kept. A snapshot read
     * (`option("version", n)`) plans the MANIFEST's shard set instead of
-    * the live listing — and fails loudly if any snapshot shard has been
-    * physically removed (overwrite/maintenance reset), never returning a
+    * the live listing — resolving maintenance-superseded shards out of
+    * `_retired/` — and fails loudly if any snapshot shard has been
+    * physically removed (overwrite reset or vacuum), never returning a
     * partial snapshot.
     */
   private lazy val planned: (Array[Path], Int) = {
@@ -1018,12 +1066,17 @@ private[docstore] class DocStoreScan(path: String, full: StructType,
       case None => DocStore.listParts(path)
       case Some(v) =>
         val manifest = DocStore.readManifest(path, v)
+        // resolve live first, then `_retired/` — a maintenance rewrite
+        // moves superseded shards there so the versions referencing them
+        // stay readable until an explicit vacuum reclaims the bytes
         val live = DocStore.listParts(path).map(p => p.getName -> p).toMap
-        val missing = manifest.filterNot(live.contains)
+        val retired = DocStore.listRetired(path).map(p => p.getName -> p).toMap
+        val missing = manifest.filterNot(s => live.contains(s) || retired.contains(s))
         if (missing.nonEmpty) throw new IllegalStateException(
           s"docstore $path version $v is no longer readable: " +
-            s"shard(s) ${missing.mkString(", ")} were removed by a later overwrite/maintenance")
-        manifest.map(live(_)).toArray
+            s"shard(s) ${missing.mkString(", ")} were removed by a later overwrite " +
+            "(physical history reset) or reclaimed by vacuum")
+        manifest.map(s => live.getOrElse(s, retired(s))).toArray
     }
     if (pushed.isEmpty) (all, all.length)
     else {
@@ -1489,6 +1542,12 @@ private[docstore] class DocStoreBatchWrite(path: String, schema: StructType, tru
       val f = DocStore.fs(new Path(path))
       DocStore.listParts(path).filterNot(_.getName.startsWith(s"part-q$jobTag-"))
         .foreach(p => f.delete(p, false))
+      // overwrite is the one PHYSICAL history reset (it may retype the
+      // schema, and old documents read through a new schema would be
+      // corruption): the manifest log resets to v1 below, so retired
+      // shards — referenced only by the discarded log — go with it
+      val rd = new Path(new Path(path), DocStore.RetiredDir)
+      if (f.exists(rd)) f.delete(rd, true)
     }
     // Zone maps: keep prior stats only for shards that still exist, add
     // this write's entries, publish stats, then the version manifest

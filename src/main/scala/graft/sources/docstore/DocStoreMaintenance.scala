@@ -26,17 +26,21 @@ import org.apache.spark.sql.types._
   * readers — shard listing only matches top-level `part-*.jsonl`). Phase 2
   * (swap), made atomic-in-effect by a COMMIT MARKER: create
   * `_compact_commit` recording the staging id and the old shard list, then
-  * delete old shards, move staged files in, remove staging and marker.
+  * RETIRE old shards (move to `_retired/`, where prior version manifests
+  * still resolve them — physical deletion is [[vacuum]]'s job), move
+  * staged files in, remove staging and marker.
   * Recovery on the next compact() call:
   *   - marker present  → the previous run was PAST the commit point: roll
-  *     it FORWARD (finish deleting the listed old shards, move any staged
+  *     it FORWARD (finish retiring the listed old shards, move any staged
   *     files still in its staging dir, clear the marker) before starting;
   *   - marker absent   → any staging dirs predate a commit point; the live
   *     collection is complete, so staging is inert garbage — delete it.
-  * At no point is the only copy of a document deleted: old shards are only
-  * removed after the full compacted copy exists AND the marker durably
-  * names them. Not atomic for CONCURRENT readers — run in a maintenance
-  * window like any store's offline compaction.
+  * At no point is the only copy of a document unreachable: old shards are
+  * only retired after the full compacted copy exists AND the marker
+  * durably names them, and retired bytes survive until an explicit
+  * vacuum whose retention horizon no longer references them. Not atomic
+  * for CONCURRENT readers — run in a maintenance window like any store's
+  * offline compaction.
   *
   * `compact` also serves as a distributed STATS REBUILD — a collection
   * whose shards predate zone maps (no `_stats.json` entries) gains full
@@ -176,10 +180,11 @@ object DocStoreMaintenance {
     else rewriteWhere(spark, path, filters, sets = Map.empty, delete = true)
   }
 
-  /** Delete every document: count, drop the shard files, reset stats and
-    * the version log. No marker needed: the protocol protects SURVIVING
-    * documents mid-crash, and a truncate has none — a re-run completes
-    * the deletion.
+  /** Delete every document: count, retire the shard files, reset stats,
+    * and append an empty next version (history stays readable until
+    * vacuum, like every other maintenance rewrite). No marker needed: the
+    * protocol protects SURVIVING documents mid-crash, and a truncate has
+    * none — a re-run completes the deletion.
     *
     * The returned count comes from the recovered per-shard stats (exact —
     * every commit writes them in lockstep with the data), restricted to
@@ -194,16 +199,15 @@ object DocStoreMaintenance {
     * per-run counts sum to the original total.
     */
   private def truncateAll(path: String): Long = {
-    val f = DocStore.fs(new Path(path))
     recover(path)
     val stats = DocStore.readStats(path)
     val live = DocStore.listParts(path)
     val n = live.iterator.map { p =>
       stats.get(p.getName).map(_.count).getOrElse(countShardDocs(path, p.getName))
     }.sum
-    live.foreach(p => f.delete(p, false))
+    live.foreach(p => DocStore.retireShard(path, p.getName))
     DocStore.writeStats(path, Map.empty)
-    DocStore.writeManifest(path, reset = true)
+    DocStore.writeManifest(path, reset = false)
     n
   }
 
@@ -403,6 +407,86 @@ object DocStoreMaintenance {
     } finally aligned.unpersist(blocking = false)
   }
 
+  /** What [[vacuum]] reclaimed: the version numbers whose manifests were
+    * dropped, the count of retired shard files deleted, and their bytes.
+    */
+  final case class VacuumResult(droppedVersions: Seq[Int], deletedShards: Int, freedBytes: Long)
+
+  /** Version retention / physical reclamation — the explicit GC of the
+    * retain-on-rewrite model. Keeps the newest `retainVersions` version
+    * manifests; drops every older manifest; then deletes each `_retired/`
+    * shard referenced by NO retained version (live shards are never
+    * touched — they are, by construction, all referenced by the newest
+    * manifest). Without this, a 100 TB collection under continuous
+    * upsert/compact accumulates unbounded dead bytes and an O(commits)
+    * manifest log (each manifest a full shard list, so O(shards²)
+    * cumulative metadata under streaming ingest).
+    *
+    * Crash-safety is DELETION-ORDER discipline, no marker needed:
+    * manifests drop BEFORE any shard byte is deleted, so at every crash
+    * point each remaining manifest still resolves all of its shards — a
+    * mid-vacuum crash leaves only over-retention (some unreferenced
+    * retired files), and a re-run completes the reclamation. A reader of
+    * a RETAINED version is never broken: its manifest survives, so every
+    * shard it references is kept. Reading a version BELOW the horizon
+    * concurrently with the vacuum that drops it is out of contract (same
+    * maintenance-window rule as compact) and fails loudly, never
+    * half-reads.
+    *
+    * Refuses while another maintenance op is in flight: a commit marker
+    * means a swap is mid-flight or crashed (roll it forward via any
+    * maintenance action first — they all recover() on entry), and a
+    * RECENT staging dir means a phase-1 prepare is actively writing
+    * (vacuum under the single-maintenance-writer contract must not run
+    * beside it). Staging dirs older than the in-flight window are inert
+    * pre-commit garbage and don't block (the next maintenance op's
+    * recover() sweeps them).
+    */
+  def vacuum(path: String, retainVersions: Int): VacuumResult = {
+    require(retainVersions >= 1, "vacuum: retainVersions must be >= 1")
+    val dir = new Path(path)
+    val f = DocStore.fs(dir)
+    if (f.exists(new Path(dir, Marker)))
+      throw new IllegalStateException(
+        s"docstore vacuum: a maintenance commit marker is present at $path — a swap is in " +
+          "flight or crashed past its commit point; run any maintenance action (e.g. compact) " +
+          "to roll it forward, then vacuum")
+    val inFlightWindowMs = 15L * 60 * 1000
+    val now = System.currentTimeMillis()
+    f.listStatus(dir).filter(_.getPath.getName.startsWith(".compact-")).foreach { s =>
+      if (now - s.getModificationTime <= inFlightWindowMs)
+        throw new IllegalStateException(
+          s"docstore vacuum: staging dir ${s.getPath.getName} at $path was modified " +
+            "within the in-flight window — a maintenance op appears to be in phase 1; " +
+            "vacuum shares the single-maintenance-writer contract, retry after it commits")
+    }
+    DocStore.metadataLock.synchronized {
+      val versions = DocStore.listVersions(path)
+      val retained = versions.takeRight(retainVersions)
+      val dropped = versions.dropRight(retainVersions)
+      // metadata first: once a manifest is gone, nothing can plan a read
+      // of that version, so deleting its now-unreferenced bytes below is
+      // safe at every crash point in between
+      dropped.foreach { v =>
+        f.delete(new Path(new Path(dir, DocStore.CommitsDir), f"v$v%06d.json"), false)
+      }
+      val referenced: Set[String] =
+        retained.flatMap(v => DocStore.readManifest(path, v)).toSet ++
+          DocStore.listParts(path).map(_.getName)
+      var freed = 0L
+      var n = 0
+      val rd = new Path(dir, DocStore.RetiredDir)
+      if (f.exists(rd)) {
+        f.listStatus(rd).filterNot(s => referenced.contains(s.getPath.getName)).foreach { s =>
+          freed += s.getLen
+          n += 1
+          f.delete(s.getPath, false)
+        }
+      }
+      VacuumResult(dropped, n, freed)
+    }
+  }
+
   private def validateSets(schema: StructType, sets: Map[String, Any]): Unit =
     sets.foreach { case (name, v) =>
       val fld = schema.fields.find(_.name == name).getOrElse(
@@ -599,8 +683,14 @@ object DocStoreMaintenance {
     val dir = new Path(path)
     val f = DocStore.fs(dir)
     val staging = new Path(dir, s".compact-$stagingId")
+    // Superseded shards RETIRE (move to `_retired/`) instead of deleting
+    // (r13): the version manifests referencing them stay readable — the
+    // table-format model where a rewrite is a logical supersede and
+    // physical reclamation is an explicit [[vacuum]] with a retention
+    // horizon. Retire-then-move keeps the old no-lost-copy guarantee:
+    // at no point is the only copy of a document unreachable.
     DocStore.listParts(path).filter(p => oldShards.contains(p.getName))
-      .foreach(p => f.delete(p, false))
+      .foreach(p => DocStore.retireShard(path, p.getName))
     if (f.exists(staging)) {
       DocStore.listParts(staging.toString)
         .filter(p => onlyFiles.forall(_.contains(p.getName)))
@@ -629,9 +719,10 @@ object DocStoreMaintenance {
         f.delete(staging, true)
       }
     }
-    // Maintenance rewrites physical history: reset the snapshot log to a
-    // fresh v1 over the post-swap live set (runs on recover() roll-forward
-    // too, so a crash between swap and manifest cannot leave a stale log).
-    DocStore.writeManifest(path, reset = true)
+    // Maintenance preserves logical history (r13): the post-swap live set
+    // becomes the NEXT version, prior versions keep reading through
+    // `_retired/` (runs on recover() roll-forward too, so a crash between
+    // swap and manifest cannot leave a stale log).
+    DocStore.writeManifest(path, reset = false)
   }
 }

@@ -181,6 +181,147 @@ class DocStorePropSpec extends SparkSpec {
     assert(spark.read.format("docstore").load(dir).count() === 200L)
   }
 
+  // ---- version retention + vacuum (r13) -----------------------------------
+  // Maintenance rewrites retire superseded shards to `_retired/` and
+  // append a new version; vacuum(retainVersions) drops manifests past the
+  // horizon FIRST, then deletes retired shards no retained version
+  // references — so every crash point leaves only over-retention.
+
+  import graft.sources.docstore.DocStoreMaintenance
+
+  private def versionNums(dir: String): Seq[Int] = {
+    val p = java.nio.file.Paths.get(dir, "_commits")
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq.map(_.getFileName.toString)
+        .filter(_.matches("v\\d+\\.json"))
+        .map(_.stripPrefix("v").stripSuffix(".json").toInt).sorted
+      finally s.close()
+    }
+  }
+
+  private def retiredFiles(dir: String): Seq[java.nio.file.Path] = {
+    val p = java.nio.file.Paths.get(dir, "_retired")
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq.filterNot(_.getFileName.toString.startsWith("."))
+      finally s.close()
+    }
+  }
+
+  private def readVersionIds(dir: String, v: Int): Seq[Long] =
+    spark.read.format("docstore").option("version", v).load(dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  /** v1: overwrite ids 1-100 (2 shards); v2: append 101-120 (1 shard);
+    * v3: deleteWhere(id>110) — retires+replaces the append shard;
+    * v4: compact to 1 — retires everything pre-compact.
+    */
+  private def retentionStore(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_docstore_vacuum").toString
+    (1L to 100L).map(i => (i, s"doc$i")).toDF("id", "s")
+      .coalesce(2).write.format("docstore").mode("overwrite").save(dir)
+    (101L to 120L).map(i => (i, s"doc$i")).toDF("id", "s")
+      .coalesce(1).write.format("docstore").mode("append").save(dir)
+    DocStoreMaintenance.deleteWhere(spark, dir,
+      Seq(org.apache.spark.sql.sources.GreaterThan("id", 110L)))
+    DocStoreMaintenance.compact(spark, dir, 1)
+    dir
+  }
+
+  test("retention: maintenance retires superseded shards and every version stays exactly readable") {
+    val dir = retentionStore()
+    assert(versionNums(dir) === Seq(1, 2, 3, 4), "maintenance must append versions, not reset")
+    assert(retiredFiles(dir).nonEmpty, "superseded shards must move to _retired, not vanish")
+    assert(readVersionIds(dir, 1) === (1L to 100L))
+    assert(readVersionIds(dir, 2) === (1L to 120L))
+    assert(readVersionIds(dir, 3) === (1L to 110L))
+    assert(readVersionIds(dir, 4) === (1L to 110L))
+    assert(spark.read.format("docstore").load(dir).count() === 110L)
+  }
+
+  test("vacuum: retained versions survive a concurrent reader; dropped versions and their bytes are GONE") {
+    val dir = retentionStore()
+    // concurrent reader of a RETAINED version (v3) across the vacuum —
+    // vacuum deletes only what no retained manifest references, so the
+    // reader must never break and never see a partial snapshot
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val reader = new Thread(() => (1 to 12).foreach { _ =>
+      try counts.add(spark.read.format("docstore").option("version", 3).load(dir).count())
+      catch { case t: Throwable => errors.add(t) }
+    })
+    reader.start()
+    val res = DocStoreMaintenance.vacuum(dir, retainVersions = 2) // keep v3, v4
+    reader.join()
+    assert(errors.isEmpty, s"retained-version reader broke: ${errors.asScala.headOption}")
+    assert(counts.asScala.forall(_ == 110L), "retained-version reader saw a partial snapshot")
+    assert(res.droppedVersions === Seq(1, 2))
+    assert(res.freedBytes > 0L, "vacuum must actually reclaim bytes")
+    assert(versionNums(dir) === Seq(3, 4))
+    val e = intercept[Exception](readVersionIds(dir, 1))
+    assert(chainMsg(e).contains("no version 1"), chainMsg(e))
+    // retained versions still exact after reclamation
+    assert(readVersionIds(dir, 3) === (1L to 110L))
+    assert(readVersionIds(dir, 4) === (1L to 110L))
+    // vacuum to the latest version only: _retired empties completely
+    // (the newest manifest references only live shards by construction)
+    val res2 = DocStoreMaintenance.vacuum(dir, retainVersions = 1)
+    assert(res2.droppedVersions === Seq(3))
+    assert(retiredFiles(dir).isEmpty, "retain=1 must reclaim every retired byte")
+    assert(spark.read.format("docstore").load(dir).count() === 110L)
+    // idempotent completion: nothing left to do
+    val res3 = DocStoreMaintenance.vacuum(dir, retainVersions = 1)
+    assert(res3.droppedVersions.isEmpty && res3.deletedShards === 0)
+  }
+
+  test("vacuum: crash mid-vacuum (manifests dropped, bytes not yet deleted) leaves a readable store; re-run completes") {
+    val dir = retentionStore()
+    val before = retiredFiles(dir).size
+    assert(before > 0)
+    // simulate the crash window: vacuum deletes horizon manifests FIRST,
+    // then bytes — kill it in between by dropping v1/v2 manifests by hand
+    Files.delete(java.nio.file.Paths.get(dir, "_commits", "v000001.json"))
+    Files.deleteIfExists(java.nio.file.Paths.get(dir, "_commits", ".v000001.json.crc"))
+    Files.delete(java.nio.file.Paths.get(dir, "_commits", "v000002.json"))
+    Files.deleteIfExists(java.nio.file.Paths.get(dir, "_commits", ".v000002.json.crc"))
+    // store is readable at every surviving surface
+    assert(spark.read.format("docstore").load(dir).count() === 110L)
+    assert(readVersionIds(dir, 3) === (1L to 110L))
+    assert(readVersionIds(dir, 4) === (1L to 110L))
+    // re-run completes the reclamation: the shards only v1/v2 referenced
+    // (the two overwrite shards) are now unreferenced and must go
+    val res = DocStoreMaintenance.vacuum(dir, retainVersions = 2)
+    assert(res.droppedVersions.isEmpty)
+    assert(res.deletedShards > 0 && res.freedBytes > 0L)
+    assert(retiredFiles(dir).size < before)
+    assert(readVersionIds(dir, 3) === (1L to 110L))
+  }
+
+  test("vacuum: refuses while a maintenance op is in flight (commit marker or fresh staging)") {
+    val dir = retentionStore()
+    val marker = java.nio.file.Paths.get(dir, "_compact_commit")
+    Files.write(marker, "deadbeef".getBytes("UTF-8"))
+    val e1 = intercept[IllegalStateException](DocStoreMaintenance.vacuum(dir, 1))
+    assert(e1.getMessage.contains("commit marker"), e1.getMessage)
+    Files.delete(marker)
+    Files.deleteIfExists(java.nio.file.Paths.get(dir, "._compact_commit.crc"))
+    val staging = java.nio.file.Paths.get(dir, ".compact-in-flight-test")
+    Files.createDirectory(staging)
+    val e2 = intercept[IllegalStateException](DocStoreMaintenance.vacuum(dir, 1))
+    assert(e2.getMessage.contains("phase 1"), e2.getMessage)
+    // an OLD staging dir is inert pre-commit garbage and must not block
+    Files.setLastModifiedTime(staging,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 16L * 60 * 1000))
+    val res = DocStoreMaintenance.vacuum(dir, 1)
+    assert(retiredFiles(dir).isEmpty)
+    assert(res.freedBytes > 0L)
+    assert(spark.read.format("docstore").load(dir).count() === 110L)
+  }
+
   test("round-trip identity on adversarial values (newlines, unicode, extremes)") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),

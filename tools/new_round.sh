@@ -16,8 +16,14 @@ cd "$(dirname "$0")/.."
 
 git show HEAD:bench_last.json > BENCH_BASELINE.json
 python3 - <<'EOF'
-import json
+import json, sys
 d = json.load(open("BENCH_BASELINE.json"))
+if "plans" in d and d["plans"] is None:
+    # Bench's r13 failure marker: the capture's own fingerprint pass
+    # FAILED. Refusing here keeps a broken record from becoming the
+    # gate baseline (which would report every query NEW next round).
+    sys.exit("REFUSED: capture carries plans:null — its fingerprint pass "
+             "failed; fix that and re-bench before refreshing the baseline")
 plans = d.get("plans")
 print(f"baseline refreshed: total={d['value']}s sf={d['sf']} "
       f"queries={len(d.get('queries', {}))} "
