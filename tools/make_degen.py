@@ -159,6 +159,38 @@ def main() -> None:
     for i in rows_by_user[tsu]:
         d["ts"][i] = None
         taken.add(i)
+    # r13: docstore-lens plants (the connector's absent⇄null document
+    # model, faced driver-side through the degen gate).
+    # (a) null key through upsert/erasure: a SECOND unattributed row
+    #     (user_id NULL) pinned to the event_id%8==1 slice, so it rides
+    #     s15's upsert DELTA — a replacing document whose null field must
+    #     write as the store's absent and read back null through
+    #     replace-by-key (the upsert KEY itself, event_id, is
+    #     contractually non-null and fails loudly; see the not-planted
+    #     note above) — AND s16's erasure, where a null-user document
+    #     must survive both the IN-list and the range delete_many
+    #     untouched (null matches neither predicate).
+    ki = next(i for i in range(n)
+              if i not in taken and d["event_id"][i] % 8 == 1
+              and d["value"][i] is not None and d["event_type"][i] is not None
+              and d["ts"][i] is not None and d["user_id"][i] is not None)
+    d["user_id"][ki] = None
+    taken.add(ki)
+    # (b) null clustering column through z-order: a 'view' row loses its
+    #     ts, so its hour — the second z-order dimension of s13 — is NULL
+    #     at WRITE time: zorderCluster must range-partition the null
+    #     z-value into a shard (whose zone map then carries a null-bearing
+    #     hr field) and the hr-BETWEEN scan must drop the row identically
+    #     on both engines. On a 'view' row so the purchase/click as-of
+    #     plants keep their r11 type pinning. (sf0.001's user_id domain is
+    #     0-14, so s13's 40-80 box is empty at this SF regardless — the
+    #     plant's coverage is the write/prune path, not the result set.)
+    zli = next(i for i in range(n)
+               if i not in taken and d["event_type"][i] == "view"
+               and d["user_id"][i] is not None
+               and d["ts"][i] is not None and d["value"][i] is not None)
+    d["ts"][zli] = None
+    taken.add(zli)
     pq.write_table(pa.table(d, schema=t.schema), f"{out}/events.parquet")
     print(f"events: value=NULL at event_id {d['event_id'][vi]}; "
           f"k-less props at row {pi}; props=NULL at row {ni}; "
@@ -167,7 +199,12 @@ def main() -> None:
           f"ts=NULL at rows {tis} (purchase event_id {d['event_id'][tis[0]]}, "
           f"click event_id {d['event_id'][tis[1]]}); "
           f"all-null-value type 'ghost' at rows {gis}; "
-          f"all-null-ts user {tsu} ({len(rows_by_user[tsu])} rows)")
+          f"all-null-ts user {tsu} ({len(rows_by_user[tsu])} rows); "
+          f"docstore null-key lens: user_id=NULL on upsert-delta row "
+          f"(event_id {d['event_id'][ki]} ≡ 1 mod 8, through s15 replace + "
+          f"s16 erasure); docstore z-order lens: ts=NULL on view row "
+          f"(event_id {d['event_id'][zli]}, user_id {d['user_id'][zli]} — "
+          f"null s13 clustering dimension at write)")
 
     t = pq.read_table(f"{out}/documents.parquet")
     d = t.to_pydict()

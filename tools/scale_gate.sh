@@ -36,8 +36,54 @@ restore() { if [[ "$RESTORE" == 1 ]]; then cp "$SAVED" bench_last.json; fi; rm -
 trap restore EXIT
 
 echo "=== scale gate: full Bench at x10 ($X10_DIR) ==="
+# Snapshot the COMMITTED prior x10 record before overwriting it: its
+# plans block is the x10 plan-drift baseline (r13 — fingerprints are
+# size-statistics dependent, so a broadcast-threshold flip that
+# manifests ONLY at x10, exactly the class AQE decides by runtime size,
+# is invisible to the sf0.1 PlanDrift gate).
+PREV_SCALE="$(mktemp)"
+git show HEAD:scale10_last.json > "$PREV_SCALE" 2>/dev/null || echo "{}" > "$PREV_SCALE"
 SPARK_GRAFT_SF_DIR="$X10_DIR" sbt -batch "runMain graft.Bench" | tail -3
 cp bench_last.json scale10_last.json
+
+# x10 plan-drift: diff the fresh fingerprints against the committed x10
+# record. Intentional flips: SCALE_PLANDRIFT_EXPECT="q1,q2" (the next
+# committed scale10_last.json absorbs them).
+python3 - "$PREV_SCALE" <<'EOF'
+import json, os, sys
+cur = json.load(open("scale10_last.json"))
+try:
+    prev = json.load(open(sys.argv[1]))
+except Exception:
+    prev = {}
+cp = cur.get("plans") or {}
+pp = prev.get("plans") or {}
+if cur.get("plan_drift") == "error" or not cp:
+    print("SCALE PLANDRIFT ERROR: this run's fingerprint pass failed (plans missing)")
+    sys.exit(1)
+if not pp:
+    print("SCALE PLANDRIFT RECORDING: no committed x10 plans block to diff "
+          "(first fingerprinted x10 capture — gates once this record is committed)")
+    sys.exit(0)
+if prev.get("sf") != cur.get("sf"):
+    print(f"SCALE PLANDRIFT SKIP: committed x10 record is for '{prev.get('sf')}', "
+          f"this run planned '{cur.get('sf')}' — no comparable record (custom x10 dir?)")
+    sys.exit(0)
+expected = set(filter(None, os.environ.get("SCALE_PLANDRIFT_EXPECT", "").split(",")))
+changed = {q: f"{pp[q]}->{v}" for q, v in sorted(cp.items())
+           if q in pp and pp[q] != v and q not in expected}
+new = [q for q in sorted(cp) if q not in pp]
+if new:
+    print(f"SCALE PLANDRIFT: {len(new)} new quer{'y' if len(new)==1 else 'ies'} "
+          f"(no x10 baseline entry): {', '.join(new)}")
+for q, d in changed.items():
+    print(f"SCALE DELTA {q}: {d} (undocumented x10 plan flip)")
+if changed:
+    print(f"SCALE PLANDRIFT {len(changed)} UNDOCUMENTED X10 DELTAS")
+    sys.exit(1)
+print(f"SCALE PLANDRIFT OK ({len(cp)} x10 fingerprints match the committed record)")
+EOF
+rm -f "$PREV_SCALE"
 
 python3 - "$BASE" <<'EOF'
 import json, sys
