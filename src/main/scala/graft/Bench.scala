@@ -135,10 +135,16 @@ object Bench {
     // would flag gt1_5x on the pass-1/2 min gets the SAME warmed
     // tie-break sample, so a flagged row in the emitted record always
     // carries a third-pass-backed number.
+    // Capped at the 24 worst ratios: on a machine-drift day (uniform
+    // shift, median far from 1.0) half the suite could cross 1.5x, and
+    // an unbounded rerun pass would double the bench wall-clock to
+    // adjudicate what the median already explains. 24 covers every
+    // real-regression count seen to date (r11-r12: one) with room.
     val disputedVsBaseline = names.filter { n =>
       !failed.contains(n) &&
         baselineRatio(n, math.min(pass1(n), pass2(n))).exists(_ > 1.5)
-    }
+    }.sortBy(n => -baselineRatio(n, math.min(pass1(n), pass2(n))).getOrElse(0.0))
+      .take(24)
     val disputed = (disputedInRound ++ disputedVsBaseline).distinct
     if (disputed.nonEmpty)
       System.err.println(s"[bench] warmup+third pass for ${disputed.size} disputed " +
@@ -179,7 +185,7 @@ object Bench {
       Seq(pass1(n), pass2(n), pass3.getOrElse(n, Double.MaxValue)).min
     val survivors = names.filter { n =>
       !failed.contains(n) && baselineRatio(n, minSoFar(n)).exists(_ > 1.5)
-    }
+    }.sortBy(n => -baselineRatio(n, minSoFar(n)).getOrElse(0.0)).take(24)
     if (survivors.nonEmpty)
       System.err.println(s"[bench] final warmed rerun for ${survivors.size} gt1_5x survivors: " +
         survivors.mkString(", "))
