@@ -71,8 +71,8 @@ def main():
         else:
             fam_members["UNCLASSIFIED"].append(q)
 
-    print("| family | n | x100 wall (s) | shuffle x10 → x100 (GB) | shuffle ratio | map/bounded | max per-query ratio |")
-    print("|---|---|---|---|---|---|---|")
+    print("| family | n | x100 wall (s) | shuffle x10 → x100 (GB) | shuffle ratio | map/bounded | flips | max per-query ratio |")
+    print("|---|---|---|---|---|---|---|---|")
     worst = []
     for name, _ in FAMILIES:
         qs = fam_members.get(name, [])
@@ -81,16 +81,26 @@ def main():
         wall = sum(x100[q][0] for q in qs if q in x100)
         s10 = sum(x10[q][1] for q in qs if q in x10)
         s100 = sum(x100[q][1] for q in qs if q in x100)
+        # Ratio floor: a query shuffling <20 MB at x10 has no meaningful
+        # denominator — when it shuffles real bytes at x100 that is the
+        # broadcast→shuffle THRESHOLD FLIP (AQE demoting a no-longer-small
+        # side), the designed degrade path, not superlinear work. Those
+        # are listed as 'flips' instead of polluting the ratio.
         ratios = {}
         nzero = 0
+        flips = []
         for q in qs:
             a = x10.get(q, (0, 0, 0, 0))[1]
             b = x100.get(q, (0, 0, 0, 0))[1]
-            if a < 0.005 and b < 0.005:
-                nzero += 1
-            elif a >= 0.005:
+            if a >= 0.02:
                 ratios[q] = b / a
-        fam_ratio = f"{s100 / s10:.1f}x" if s10 >= 0.005 else "—"
+            elif b >= 0.05:
+                flips.append(q)
+            else:
+                nzero += 1
+        rs10 = sum(x10[q][1] for q in ratios)
+        rs100 = sum(x100[q][1] for q in ratios)
+        fam_ratio = f"{rs100 / rs10:.1f}x" if rs10 >= 0.02 else "—"
         if ratios:
             mq = max(ratios, key=ratios.get)
             mx = f"{ratios[mq]:.1f}x ({mq})"
@@ -98,7 +108,11 @@ def main():
         else:
             mx = "—"
         print(f"| {name} | {len(qs)} | {wall:.1f} | {s10:.2f} → {s100:.2f} | "
-              f"{fam_ratio} | {nzero}/{len(qs)} | {mx} |")
+              f"{fam_ratio} | {nzero}/{len(qs)} | {len(flips)} | {mx} |")
+        for q in flips:
+            print(f"  FLIP {name}: {q} {x10.get(q,(0,0))[1]:.2f} -> "
+                  f"{x100.get(q,(0,0))[1]:.2f} GB (threshold-flip candidate — "
+                  f"verify the final plan demoted a broadcast, then it's the designed degrade)")
     print()
     worst.sort(reverse=True)
     for r, q in worst[:8]:
