@@ -86,6 +86,40 @@ class StreamingIngestSpec extends SparkSpec {
     assert(whole(107L) == delta.toMap.apply(107L))
   }
 
+  test("vacuum after a streaming ingest run bounds the per-trigger manifest log, store intact") {
+    // The retention model's streaming consequence: every trigger's upsert
+    // appends a full-shard-list version manifest (O(shards²) cumulative
+    // metadata on a long stream — the documented growth). vacuum is the
+    // answer, and it must not disturb the ingested store. Run in the
+    // stream's writer-free window (the single-maintenance-writer rule).
+    val dir = Files.createTempDirectory("graft_ingest_vac").toString
+    Seq((1L, baseA), (2L, baseB), (3L, baseC)).toDF("doc_id", "text")
+      .coalesce(1).write.format("docstore").mode("append").save(dir)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingAnalytics.streamingIngest(
+      mem.toDF().toDF("doc_id", "text"), dir, n = 5, threshold = 0.5, maxDf = 100)
+    try Seq(delta.slice(0, 2), delta.slice(2, 5), delta.slice(5, 7)).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    def readStore() = spark.read.format("docstore").load(dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def manifests() = new java.io.File(s"$dir/_commits").listFiles()
+      .count(_.getName.matches("v\\d+\\.json"))
+    val before = readStore()
+    assert(before.keySet == Set(1L, 2L, 3L, 101L, 107L))
+    val accrued = manifests()
+    assert(accrued > 1, s"per-trigger upserts must accrue version manifests, saw $accrued")
+    val res = graft.sources.docstore.DocStoreMaintenance.vacuum(dir, retainVersions = 1)
+    assert(res.droppedVersions.size == accrued - 1)
+    assert(manifests() == 1, "vacuum(1) must bound the manifest log to the horizon")
+    val retired = Option(new java.io.File(s"$dir/_retired").listFiles())
+      .map(_.count(!_.getName.startsWith("."))).getOrElse(0)
+    assert(retired == 0, "no retained version references a superseded shard after vacuum(1)")
+    assert(readStore() == before, "vacuum must not disturb the live store")
+  }
+
   test("driven by the real docstore change-stream source: same final store") {
     // The composed claim end-to-end: a SOURCE docstore collection's
     // change stream (batch appends surfacing as micro-batches) feeds
