@@ -71,7 +71,10 @@ object PlanDrift {
     basePlans match {
       case None =>
         base match {
-          case Some((label, _)) =>
+          // after a diagnosed misconfiguration the LENIENT records-only
+          // line already explains the state — a "no plans block yet"
+          // first-baseline message on top of it would be misleading
+          case Some((label, _)) if !misconfig =>
             println(s"PLANDRIFT RECORDING: baseline $label has no plans block yet — " +
               "fingerprints will gate once a record with plans is committed")
           case _ => ()

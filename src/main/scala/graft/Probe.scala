@@ -11,6 +11,32 @@ object Probe {
   private val hotMin: Double =
     scala.util.Try(sys.env.getOrElse("PROBE_HOT_MIN", "5").toDouble).getOrElse(5.0)
 
+  /** The scale-run OOM class: a JVM OutOfMemoryError anywhere in the cause
+    * chain, or Spark's memory-pressure errors surfaced as SparkException /
+    * SparkOutOfMemoryError with the AGGREGATE_OUT_OF_MEMORY /
+    * UNABLE_TO_ACQUIRE_MEMORY error classes (how a 16g-heap x1000 probe
+    * actually dies — wrapped, not as a raw OutOfMemoryError).
+    */
+  private def isOomClass(e: Throwable): Boolean = {
+    val seen = scala.collection.mutable.Set.empty[Throwable]
+    Iterator.iterate(e)(_.getCause).takeWhile(t => t != null && seen.add(t))
+      .exists { t =>
+        t.isInstanceOf[OutOfMemoryError] ||
+        t.getClass.getName.contains("SparkOutOfMemoryError") ||
+        Option(t.getMessage).exists(m =>
+          m.contains("AGGREGATE_OUT_OF_MEMORY") ||
+          m.contains("UNABLE_TO_ACQUIRE_MEMORY") ||
+          m.contains("Unable to acquire"))
+      }
+  }
+
+  private def rootMessage(e: Throwable): String = {
+    val seen = scala.collection.mutable.Set.empty[Throwable]
+    val root = Iterator.iterate(e)(_.getCause)
+      .takeWhile(t => t != null && seen.add(t)).toSeq.last
+    s"${root.getClass.getSimpleName}: ${Option(root.getMessage).getOrElse("").take(200)}"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -127,7 +153,24 @@ object Probe {
         override def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
       }
       if (sys.env.contains("PROBE_FINAL_PLAN")) spark.listenerManager.register(listener)
-      run(df)
+      // Scale-run OOM class (SCALE.md x1000p): local[32] hash aggregation
+      // at 32 concurrent tasks can exhaust the probe JVM's default 16g
+      // heap (AGGREGATE_OUT_OF_MEMORY / SparkOutOfMemoryError). Name the
+      // documented recipe instead of dying with a raw stack — the fix is
+      // an env var, not an operator defect.
+      try run(df)
+      catch {
+        case e: Throwable if isOomClass(e) =>
+          sampling = false
+          println(s"PROBE $name FAILED: out of memory in execution " +
+            s"(${rootMessage(e)}). This is the single-box memory wall " +
+            "documented in SCALE.md — rerun with SPARK_DRIVER_MEM=64g " +
+            "(build.sbt forks the probe JVM with -Xmx$SPARK_DRIVER_MEM, " +
+            "default 16g). A real cluster scales executor memory with the data.")
+          spark.sparkContext.removeSparkListener(spillListener)
+          spark.stop()
+          sys.exit(2)
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       sampling = false
       awaitStageQuiescence()

@@ -101,16 +101,23 @@ object Bpe {
       .select(col("word"), col("c").cast("long")).collect()
     val toks: Array[Array[String]] = new Array(rows.length)
     val cnts: Array[Long] = new Array(rows.length)
-    // Intern single-char tokens: words are ASCII-alphabetic, so every
-    // initial token is one of 52 shared strings — without this, the cap
-    // allocates ~10M one-char String objects (hundreds of MB transient).
+    // Intern single-char tokens: registered callers feed ASCII-alphabetic
+    // words, so every initial token is one of 52 shared strings — without
+    // this, the cap allocates ~10M one-char String objects (hundreds of MB
+    // transient). The pool only covers ASCII; this is a public API, so any
+    // char >= 128 falls back to a fresh one-char string instead of an
+    // out-of-bounds pool index.
     val charPool: Array[String] = Array.tabulate(128)(c => c.toChar.toString)
     var wi = 0
     while (wi < rows.length) {
       val w = rows(wi).getString(0)
       val arr = new Array[String](w.length)
       var ci = 0
-      while (ci < w.length) { arr(ci) = charPool(w.charAt(ci).toInt); ci += 1 }
+      while (ci < w.length) {
+        val c = w.charAt(ci)
+        arr(ci) = if (c < 128) charPool(c.toInt) else c.toString
+        ci += 1
+      }
       toks(wi) = arr
       cnts(wi) = rows(wi).getLong(1)
       wi += 1

@@ -243,10 +243,12 @@ object Similarity {
     // actually exceeds the cap pays the exact count that sizes m.
     // clamp: maxTrainRows is a caller-supplied Long, and (cap+1).toInt
     // silently overflows negative for cap >= Int.MaxValue (limit() would
-    // throw AnalysisException at runtime). At Int.MaxValue the probe
-    // can't distinguish over/under, so fall through to the exact count.
-    val probeN = math.min(maxTrainRows + 1, Int.MaxValue.toLong).toInt
-    val over = corpus.limit(probeN).count() > maxTrainRows
+    // throw AnalysisException at runtime). At that magnitude the limit
+    // probe saturates and can't distinguish over/under, so run the exact
+    // count instead of the probe — the cap stays honest for any Long.
+    val over =
+      if (maxTrainRows >= Int.MaxValue.toLong - 1) corpus.count() > maxTrainRows
+      else corpus.limit((maxTrainRows + 1).toInt).count() > maxTrainRows
     if (!over) corpus
     else {
       val n = corpus.count()

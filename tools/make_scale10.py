@@ -34,10 +34,58 @@ the replication artifact, not the operator (documented in SCALE.md):
   English (stopword/lang gates fail everything), so do NOT use it for
   gate/IR queries.
 
-Usage: python3 tools/make_scale10.py SRC DST [copies] [--tag-docs|--prefix-docs]
+Two more perturbation modes (r14), killing the remaining two clone
+artifacts the same way --prefix-docs killed the text one:
+
+--jitter-ts shifts every events.ts in replica i by a deterministic
+  per-replica stride of (base span + 7h) * i. Plain replication puts N
+  clones of every event at the IDENTICAL timestamp, so any time-window
+  self-join's TRUE output (st4_interval_join's 6h error->click window)
+  contains every cross-replica clone pair — N^2 growth that measures the
+  generator, not the operator. A small WITHIN-window jitter cannot fix
+  this (cross-replica pairs would still fall in the window, merely a
+  different slice of them); the realistic 10x model is "same event rate,
+  10x the collection period", which is exactly what a super-window stride
+  produces: replicas become temporally disjoint (the 7h slack exceeds the
+  6h join window, so the minimum cross-replica gap is > 6h), within-
+  replica structure is byte-preserved, output and truth scale LINEARLY.
+  Do not use for queries that aggregate by absolute date (the calendar
+  span grows Nx by construction — that IS the model).
+
+--perturb-embeddings applies a deterministic per-replica ORTHOGONAL
+  ROTATION to embeddings.embedding AND shifts embeddings.label per
+  replica (replica 0 keeps the base bytes).
+  Plain replication gives every vector N-1 exact clones at cosine 1.0,
+  so sim_near_dup's truth set (cosine >= 0.45 within label) grows
+  quadratically. Literal epsilon noise CANNOT fix this: adding
+  independent noise of relative magnitude a to clones leaves their
+  cosine at ~1/(1+a^2), so pushing clones below the 0.45 threshold
+  needs a ~ 1.1 — noise as large as the signal, which also rescales
+  every within-replica cosine c to ~c/(1+a^2) and destroys the base
+  truth set. A rotation is the construction with both properties at
+  once: within-replica cosines and norms are EXACTLY preserved (up to
+  float32 rounding), while cross-replica cosines of generically rotated
+  copies concentrate at 0 +- 1/sqrt(d) — far below any near-dup
+  threshold. One tail remains: with ~N^2/2 * blocks cross-replica pairs
+  compared, even a 0 +- 1/sqrt(64) cosine distribution leaves a few
+  3.6-sigma outliers above 0.45 (measured: 9 surviving cross pairs at
+  x3 on sf0.01) — a quadratically-growing term with a tiny constant.
+  The label shift closes it: label-blocked queries (sim_near_dup's
+  a.label = b.label) never COMPARE cross-replica pairs, which is the
+  real-world scale model anyway — more data means more categories of
+  the same size, not one category N times deeper. Rotation still
+  carries the unblocked queries (knn, LSH, k-means, semantic dedup),
+  where exact clones at cosine 1.0 are the artifact being killed.
+  Together: the embedding analogue of --prefix-docs — N disjoint
+  corpora, each with the base's dup structure, density constant, truth
+  LINEAR.
+
+Usage: python3 tools/make_scale10.py SRC DST [copies] [--tag-docs|--prefix-docs] [--jitter-ts] [--perturb-embeddings]
   e.g. python3 tools/make_scale10.py /root/testdata/sf0.1 /tmp/graft_sfx10
        python3 tools/make_scale10.py /root/testdata/sf0.1 /tmp/graft_sfx100t 100 --tag-docs
        python3 tools/make_scale10.py /root/testdata/sf0.1 /tmp/graft_sfx100p 100 --prefix-docs
+       python3 tools/make_scale10.py /root/testdata/sf0.1 /tmp/graft_sfx10j 10 --jitter-ts
+       python3 tools/make_scale10.py /root/testdata/sf0.1 /tmp/graft_sfx10e 10 --perturb-embeddings
 """
 import sys
 import pyarrow as pa
@@ -57,7 +105,53 @@ FACTS = {
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 
-def main(src, dst, copies=10, tag_docs=False, prefix_docs=False):
+def _ts_stride(col):
+    """Per-replica stride for --jitter-ts, in the ts column's own unit:
+    base span + 7h (> the widest self-join window in the registry, st4's
+    6h), so replicas are temporally disjoint for any windowed self-join
+    while the physical type is preserved byte-exact."""
+    typ = col.type
+    if not pa.types.is_timestamp(typ):
+        raise SystemExit(f"--jitter-ts: events.ts is {typ}, expected a "
+                         "timestamp type (driver testdata flipped encoding?)")
+    per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[typ.unit]
+    mm = pc.min_max(col)
+    span = mm["max"].cast(pa.int64()).as_py() - mm["min"].cast(pa.int64()).as_py()
+    return span + 7 * 3600 * per_sec
+
+
+def _rotation(dim, rep):
+    """Deterministic orthogonal matrix for replica `rep` (identity for 0):
+    QR of a seeded gaussian, sign-fixed so the factorization is unique."""
+    import numpy as np
+    if rep == 0:
+        return np.eye(dim)
+    rng = np.random.default_rng(941400 + rep)
+    q, r = np.linalg.qr(rng.standard_normal((dim, dim)))
+    return q * np.sign(np.diag(r))
+
+
+def _rotate_embeddings(r, rep):
+    import numpy as np
+    idx = r.schema.get_field_index("embedding")
+    col = r.column("embedding").combine_chunks()
+    rows = col.to_pylist()
+    dims = {len(v) for v in rows if v}
+    if not dims:
+        return r  # all null/empty (degen-style corpus): nothing to rotate
+    if len(dims) != 1:
+        raise SystemExit(f"--perturb-embeddings: mixed embedding dims {dims}")
+    dim = dims.pop()
+    qm = _rotation(dim, rep)
+    out = [None if v is None else ([] if len(v) == 0 else
+           (np.asarray(v, dtype=np.float64) @ qm).astype(np.float32).tolist())
+           for v in rows]
+    arr = pa.array(out, type=r.schema.field(idx).type)
+    return r.set_column(idx, r.schema.field(idx), arr)
+
+
+def main(src, dst, copies=10, tag_docs=False, prefix_docs=False,
+         jitter_ts=False, perturb_embeddings=False):
     import os
     os.makedirs(dst, exist_ok=True)
     for name in DIMS:
@@ -66,12 +160,26 @@ def main(src, dst, copies=10, tag_docs=False, prefix_docs=False):
         print(f"{name}: dim, {t.num_rows} rows (single copy)")
     for name, keys in FACTS.items():
         t = pq.read_table(f"{src}/{name}.parquet")
+        stride = _ts_stride(t.column("ts")) if jitter_ts and name == "events" else 0
         reps = []
         for i in range(copies):
             r = t
             for k in keys:
                 shifted = pc.add(r.column(k), pa.scalar(i * SHIFT, type=r.schema.field(k).type))
                 r = r.set_column(r.schema.get_field_index(k), r.schema.field(k), shifted)
+            if stride and i > 0:
+                idx = r.schema.get_field_index("ts")
+                typ = r.schema.field(idx).type
+                moved = pc.add(r.column("ts").cast(pa.int64()),
+                               pa.scalar(i * stride, type=pa.int64())).cast(typ)
+                r = r.set_column(idx, r.schema.field(idx), moved)
+            if perturb_embeddings and name == "embeddings" and i > 0:
+                r = _rotate_embeddings(r, i)
+                li = r.schema.get_field_index("label")
+                ltyp = r.schema.field(li).type
+                shifted_l = pc.add(r.column("label"),
+                                   pa.scalar(i * 1_000_000, type=ltyp))
+                r = r.set_column(li, r.schema.field(li), shifted_l)
             if tag_docs and name == "documents":
                 idx = r.schema.get_field_index("text")
                 tagged = pc.binary_join_element_wise(
@@ -97,4 +205,6 @@ if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     copies = int(args[2]) if len(args) > 2 else 10
     main(args[0], args[1], copies, tag_docs="--tag-docs" in sys.argv,
-         prefix_docs="--prefix-docs" in sys.argv)
+         prefix_docs="--prefix-docs" in sys.argv,
+         jitter_ts="--jitter-ts" in sys.argv,
+         perturb_embeddings="--perturb-embeddings" in sys.argv)

@@ -76,10 +76,17 @@ new = [q for q in sorted(cp) if q not in pp]
 if new:
     print(f"SCALE PLANDRIFT: {len(new)} new quer{'y' if len(new)==1 else 'ies'} "
           f"(no x10 baseline entry): {', '.join(new)}")
+# a query in the committed record but absent from this run was dropped
+# from (or failed out of) the registry — exactly what the gate exists to
+# catch; absorb intentional removals via SCALE_PLANDRIFT_EXPECT
+removed = [q for q in sorted(pp) if q not in cp and q not in expected]
+for q in removed:
+    print(f"SCALE REMOVED {q}: in committed x10 record, absent from this run")
 for q, d in changed.items():
     print(f"SCALE DELTA {q}: {d} (undocumented x10 plan flip)")
-if changed:
-    print(f"SCALE PLANDRIFT {len(changed)} UNDOCUMENTED X10 DELTAS")
+if changed or removed:
+    print(f"SCALE PLANDRIFT {len(changed)} UNDOCUMENTED X10 DELTAS, "
+          f"{len(removed)} REMOVED")
     sys.exit(1)
 print(f"SCALE PLANDRIFT OK ({len(cp)} x10 fingerprints match the committed record)")
 EOF
