@@ -370,9 +370,20 @@ private[docstore] object DocStore {
   def readManifest(dir: String, version: Int): Seq[String] = metadataLock.synchronized {
     val p = new Path(new Path(dir, CommitsDir), f"v$version%06d.json")
     val f = fs(p)
-    if (!f.exists(p))
+    if (!f.exists(p)) {
+      val avail = listVersions(dir)
+      // name the CAUSE, not just the absence: a version below the earliest
+      // retained manifest was dropped by vacuum's retention horizon (or an
+      // overwrite reset the log) — the reader must learn that loudly, never
+      // see an empty or partial snapshot in its place
+      val hint =
+        if (avail.nonEmpty && version >= 1 && version < avail.head)
+          s"; version $version is below the earliest retained manifest — it was dropped by " +
+            "vacuum(retainVersions) or an overwrite reset the log"
+        else ""
       throw new IllegalArgumentException(
-        s"docstore $dir has no version $version (available: ${listVersions(dir).mkString(", ")})")
+        s"docstore $dir has no version $version (available: ${avail.mkString(", ")})$hint")
+    }
     val txt =
       try {
         val in = f.open(p)

@@ -71,6 +71,88 @@ object DocStoreMaintenance {
     markerPath
   }
 
+  /** Heartbeat lease (r14): every maintenance op holds `_maint_lease`
+    * while it runs — op id + a heartbeat timestamp a daemon thread
+    * refreshes every [[LeaseTtlMs]]/5 — and deletes it on exit (success
+    * OR failure; a crash leaves it to go stale). [[vacuum]]'s in-flight
+    * guard reads it: live lease → refuse, stale/absent → proceed. This
+    * replaces the old staging-dir-mtime heuristic, whose window was
+    * wall-clock luck: a 100 TB phase-1 staging write with a long quiet
+    * gap between its last file create and its marker commit could be
+    * raced by vacuum despite the single-maintenance-writer contract.
+    * The heartbeat makes liveness mechanical — the only way a live op's
+    * lease reads stale is a process freeze longer than the TTL, the
+    * irreducible tradeoff of any lease protocol (documented here, TTL
+    * generous at 10 min vs a 2-min heartbeat).
+    *
+    * The lease does NOT arbitrate maintenance-vs-maintenance: acquiring
+    * overwrites unconditionally, because concurrent rewrite ops on one
+    * collection are already out of contract (single maintenance writer)
+    * and refusing here would turn every post-crash rerun into a manual
+    * TTL wait. It exists so the one reader that must be SAFE beside a
+    * live op — vacuum, which deletes bytes — has a mechanical signal.
+    */
+  private[graft] val LeaseFile = "_maint_lease"
+  private[graft] val LeaseTtlMs: Long = 10L * 60 * 1000
+  private[docstore] final case class Lease(opId: String, heartbeatMs: Long)
+
+  private def writeLeaseAtomic(f: FileSystem, dir: Path, opId: String): Unit = {
+    val tmp = new Path(dir, LeaseFile + ".inprogress")
+    val out = f.create(tmp, true)
+    try out.write(s"$opId\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally out.close()
+    val lp = new Path(dir, LeaseFile)
+    if (f.exists(lp)) f.delete(lp, false)
+    if (!f.rename(tmp, lp))
+      throw new java.io.IOException(s"lease rename failed: $tmp -> $lp")
+  }
+
+  private[docstore] def readLease(f: FileSystem, dir: Path): Option[Lease] = {
+    val lp = new Path(dir, LeaseFile)
+    if (!f.exists(lp)) None
+    else {
+      val in = f.open(lp)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      text.split("\n", 2) match {
+        case Array(id, hb) if hb.trim.nonEmpty && hb.trim.forall(_.isDigit) =>
+          Some(Lease(id, hb.trim.toLong))
+        // a malformed lease never blocks forever: treat as written at
+        // epoch 0 (= stale), so vacuum proceeds and the file is swept
+        case _ => Some(Lease("malformed", 0L))
+      }
+    }
+  }
+
+  /** Runs `body` holding the collection's heartbeat lease. */
+  private def withLease[T](path: String)(body: => T): T = {
+    val dir = new Path(path)
+    val f = DocStore.fs(dir)
+    val opId = UUID.randomUUID().toString
+    writeLeaseAtomic(f, dir, opId)
+    @volatile var running = true
+    val hb = new Thread(() => {
+      while (running) {
+        try Thread.sleep(LeaseTtlMs / 5) catch { case _: InterruptedException => }
+        if (running) {
+          // a heartbeat failure must not kill the op mid-rewrite; a missed
+          // beat only narrows the safety margin toward the TTL
+          try writeLeaseAtomic(f, dir, opId)
+          catch { case scala.util.control.NonFatal(_) => }
+        }
+      }
+    }, s"docstore-lease-$opId")
+    hb.setDaemon(true)
+    hb.start()
+    try body
+    finally {
+      running = false
+      hb.interrupt()
+      hb.join(2000)
+      try f.delete(new Path(dir, LeaseFile), false)
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+  }
+
   def compact(spark: SparkSession, path: String, targetShards: Int): Unit = {
     require(targetShards > 0, "targetShards must be positive")
     rewriteAll(spark, path, _.repartition(targetShards))
@@ -93,7 +175,7 @@ object DocStoreMaintenance {
   }
 
   private def rewriteAll(spark: SparkSession, path: String,
-                         transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+                         transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = withLease(path) {
     val dir = new Path(path)
     val f = DocStore.fs(dir)
 
@@ -198,7 +280,7 @@ object DocStoreMaintenance {
     * run reports exactly the documents IT removes; across a crash the
     * per-run counts sum to the original total.
     */
-  private def truncateAll(path: String): Long = {
+  private def truncateAll(path: String): Long = withLease(path) {
     recover(path)
     val stats = DocStore.readStats(path)
     val live = DocStore.listParts(path)
@@ -236,7 +318,7 @@ object DocStoreMaintenance {
   }
 
   private def rewriteWhere(spark: SparkSession, path: String, filters: Seq[Filter],
-                           sets: Map[String, Any], delete: Boolean): Long = {
+                           sets: Map[String, Any], delete: Boolean): Long = withLease(path) {
     val dir = new Path(path)
     val f = DocStore.fs(dir)
     recover(path)
@@ -307,7 +389,7 @@ object DocStoreMaintenance {
     * re-run on corrected data).
     */
   def upsert(spark: SparkSession, path: String, keyField: String,
-             incoming: org.apache.spark.sql.DataFrame): (Long, Long) = {
+             incoming: org.apache.spark.sql.DataFrame): (Long, Long) = withLease(path) {
     val dir = new Path(path)
     val f = DocStore.fs(dir)
     recover(path)
@@ -435,12 +517,14 @@ object DocStoreMaintenance {
     *
     * Refuses while another maintenance op is in flight: a commit marker
     * means a swap is mid-flight or crashed (roll it forward via any
-    * maintenance action first — they all recover() on entry), and a
-    * RECENT staging dir means a phase-1 prepare is actively writing
+    * maintenance action first — they all recover() on entry), and a LIVE
+    * heartbeat lease (see [[LeaseFile]]) means an op is actively running
     * (vacuum under the single-maintenance-writer contract must not run
-    * beside it). Staging dirs older than the in-flight window are inert
-    * pre-commit garbage and don't block (the next maintenance op's
-    * recover() sweeps them).
+    * beside it). A stale lease is a crashed op: its pre-commit staging
+    * dirs are inert garbage and don't block (the next maintenance op's
+    * recover() sweeps them). The lease replaced the r13 staging-mtime
+    * heuristic — liveness is now a refreshed heartbeat, not wall-clock
+    * distance from the last staged file write.
     */
   def vacuum(path: String, retainVersions: Int): VacuumResult = {
     require(retainVersions >= 1, "vacuum: retainVersions must be >= 1")
@@ -451,15 +535,18 @@ object DocStoreMaintenance {
         s"docstore vacuum: a maintenance commit marker is present at $path — a swap is in " +
           "flight or crashed past its commit point; run any maintenance action (e.g. compact) " +
           "to roll it forward, then vacuum")
-    val inFlightWindowMs = 15L * 60 * 1000
-    val now = System.currentTimeMillis()
-    f.listStatus(dir).filter(_.getPath.getName.startsWith(".compact-")).foreach { s =>
-      if (now - s.getModificationTime <= inFlightWindowMs)
+    readLease(f, dir).foreach { l =>
+      val age = System.currentTimeMillis() - l.heartbeatMs
+      if (age <= LeaseTtlMs)
         throw new IllegalStateException(
-          s"docstore vacuum: staging dir ${s.getPath.getName} at $path was modified " +
-            "within the in-flight window — a maintenance op appears to be in phase 1; " +
-            "vacuum shares the single-maintenance-writer contract, retry after it commits")
+          s"docstore vacuum: maintenance op ${l.opId} holds a live lease at $path " +
+            s"(heartbeat ${age / 1000}s ago, TTL ${LeaseTtlMs / 1000}s) — vacuum shares the " +
+            "single-maintenance-writer contract, retry after it completes")
+      // stale: the op crashed without cleanup — sweep its lease so the
+      // state is legible; its staging dirs stay for recover() to sweep
+      f.delete(new Path(dir, LeaseFile), false)
     }
+    withLease(path) {
     DocStore.metadataLock.synchronized {
       val versions = DocStore.listVersions(path)
       val retained = versions.takeRight(retainVersions)
@@ -484,6 +571,7 @@ object DocStoreMaintenance {
         }
       }
       VacuumResult(dropped, n, freed)
+    }
     }
   }
 

@@ -301,25 +301,88 @@ class DocStorePropSpec extends SparkSpec {
     assert(readVersionIds(dir, 3) === (1L to 110L))
   }
 
-  test("vacuum: refuses while a maintenance op is in flight (commit marker or fresh staging)") {
+  test("vacuum: refuses on a commit marker or a LIVE maintenance lease; stale lease proceeds") {
     val dir = retentionStore()
+    // completed maintenance ops (the deleteWhere + compact retentionStore
+    // ran) must have released their lease on exit
+    val lease = java.nio.file.Paths.get(dir, DocStoreMaintenance.LeaseFile)
+    assert(!Files.exists(lease), "a completed maintenance op left its lease behind")
     val marker = java.nio.file.Paths.get(dir, "_compact_commit")
     Files.write(marker, "deadbeef".getBytes("UTF-8"))
     val e1 = intercept[IllegalStateException](DocStoreMaintenance.vacuum(dir, 1))
     assert(e1.getMessage.contains("commit marker"), e1.getMessage)
     Files.delete(marker)
     Files.deleteIfExists(java.nio.file.Paths.get(dir, "._compact_commit.crc"))
+    // live lease (fresh heartbeat) → refusal naming the op — even though
+    // no staging dir has been written for "a while": liveness is the
+    // heartbeat, not wall-clock distance from the last staged file
+    Files.write(lease,
+      s"op-under-test\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+    val e2 = intercept[IllegalStateException](DocStoreMaintenance.vacuum(dir, 1))
+    assert(e2.getMessage.contains("live lease") && e2.getMessage.contains("op-under-test"),
+      e2.getMessage)
+    // crash between phases: the op died mid-phase-1 — its staging dir can
+    // be arbitrarily FRESH (the r13 mtime heuristic would still block on
+    // it for 15 minutes), but its heartbeat goes stale and that is the
+    // signal; the staging dir is inert pre-commit garbage
     val staging = java.nio.file.Paths.get(dir, ".compact-in-flight-test")
     Files.createDirectory(staging)
-    val e2 = intercept[IllegalStateException](DocStoreMaintenance.vacuum(dir, 1))
-    assert(e2.getMessage.contains("phase 1"), e2.getMessage)
-    // an OLD staging dir is inert pre-commit garbage and must not block
-    Files.setLastModifiedTime(staging,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 16L * 60 * 1000))
+    Files.write(lease,
+      s"op-under-test\n${System.currentTimeMillis() - DocStoreMaintenance.LeaseTtlMs - 1}"
+        .getBytes("UTF-8"))
     val res = DocStoreMaintenance.vacuum(dir, 1)
     assert(retiredFiles(dir).isEmpty)
     assert(res.freedBytes > 0L)
+    assert(!Files.exists(lease), "vacuum must sweep the stale lease and release its own")
     assert(spark.read.format("docstore").load(dir).count() === 110L)
+    // a malformed lease file (torn by a crashed writer's host, hand
+    // edits) reads as stale — it must never block vacuum forever
+    Files.write(lease, "garbage-without-heartbeat".getBytes("UTF-8"))
+    DocStoreMaintenance.vacuum(dir, 1)
+    assert(!Files.exists(lease))
+  }
+
+  test("maintenance ops hold a live heartbeat lease while they run") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_docstore_lease").toString
+    (1L to 50L).map(i => (i, s"doc$i")).toDF("id", "s")
+      .coalesce(1).write.format("docstore").mode("overwrite").save(dir)
+    // the observation rides IN the data: upsert evaluates the incoming
+    // batch inside its leased body, so a row computed from "does the
+    // lease exist right now" lands in the store as id=777 iff the lease
+    // was live at evaluation time (and -1 if not) — no racy polling
+    val leasePath = java.nio.file.Paths.get(dir, DocStoreMaintenance.LeaseFile).toString
+    val probe = spark.range(1).map { _ =>
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(leasePath))) 777L else -1L
+    }.toDF("id").withColumn("s", org.apache.spark.sql.functions.lit("probe"))
+    val (replaced, inserted) = DocStoreMaintenance.upsert(spark, dir, "id", probe)
+    assert((replaced, inserted) === (0L, 1L))
+    assert(spark.read.format("docstore").load(dir)
+      .filter(org.apache.spark.sql.functions.col("id") === 777L).count() === 1L,
+      "upsert's incoming batch evaluated WITHOUT a live lease on disk")
+    assert(!Files.exists(java.nio.file.Paths.get(dir, DocStoreMaintenance.LeaseFile)),
+      "lease must be released after the op")
+  }
+
+  test("read of a vacuumed version fails loudly, naming vacuum and the version — never empty/partial") {
+    val dir = retentionStore()
+    DocStoreMaintenance.vacuum(dir, retainVersions = 2) // drops v1, v2
+    Seq(1, 2).foreach { v =>
+      val e = intercept[Exception](readVersionIds(dir, v))
+      val msg = chainMsg(e)
+      assert(msg.contains(s"no version $v"), msg)
+      assert(msg.contains("dropped by vacuum"), s"error must name vacuum as the cause: $msg")
+      assert(msg.contains("earliest retained"), msg)
+    }
+    // a version that never existed is a plain unknown-version error, not
+    // blamed on vacuum
+    val eHigh = intercept[Exception](readVersionIds(dir, 99))
+    assert(chainMsg(eHigh).contains("no version 99") && !chainMsg(eHigh).contains("dropped by vacuum"),
+      chainMsg(eHigh))
+    // retained versions stay exact — the loud failure above is not a
+    // half-broken store
+    assert(readVersionIds(dir, 3) === (1L to 110L))
+    assert(readVersionIds(dir, 4) === (1L to 110L))
   }
 
   test("round-trip identity on adversarial values (newlines, unicode, extremes)") {

@@ -80,7 +80,14 @@ artifacts the same way --prefix-docs killed the text one:
   corpora, each with the base's dup structure, density constant, truth
   LINEAR.
 
-Usage: python3 tools/make_scale10.py SRC DST [copies] [--tag-docs|--prefix-docs] [--jitter-ts] [--perturb-embeddings]
+--hot-user=F reassigns a deterministic fraction F (e.g. 0.3) of every
+  events replica's rows to user_id 0 — the seeded hot-key corpus for the
+  skew story (SURVEY: "attacker IPs dominate groupBy(ip)"). Selection is
+  event_id % 100 < F*100, so it is replica-stable and reproducible; the
+  hot user then owns ~F of all events at any replication factor, which
+  is the adversarial shape joins/windows keyed on user_id must survive.
+
+Usage: python3 tools/make_scale10.py SRC DST [copies] [--tag-docs|--prefix-docs] [--jitter-ts] [--perturb-embeddings] [--hot-user=F]
   e.g. python3 tools/make_scale10.py /root/testdata/sf0.1 /tmp/graft_sfx10
        python3 tools/make_scale10.py /root/testdata/sf0.1 /tmp/graft_sfx100t 100 --tag-docs
        python3 tools/make_scale10.py /root/testdata/sf0.1 /tmp/graft_sfx100p 100 --prefix-docs
@@ -151,7 +158,7 @@ def _rotate_embeddings(r, rep):
 
 
 def main(src, dst, copies=10, tag_docs=False, prefix_docs=False,
-         jitter_ts=False, perturb_embeddings=False):
+         jitter_ts=False, perturb_embeddings=False, hot_user=0.0):
     import os
     os.makedirs(dst, exist_ok=True)
     for name in DIMS:
@@ -173,6 +180,16 @@ def main(src, dst, copies=10, tag_docs=False, prefix_docs=False,
                 moved = pc.add(r.column("ts").cast(pa.int64()),
                                pa.scalar(i * stride, type=pa.int64())).cast(typ)
                 r = r.set_column(idx, r.schema.field(idx), moved)
+            if hot_user > 0 and name == "events":
+                ui = r.schema.get_field_index("user_id")
+                utyp = r.schema.field(ui).type
+                eid = t.column("event_id")
+                rem = pc.subtract(eid, pc.multiply(
+                    pc.divide(eid, pa.scalar(100, type=pa.int64())),
+                    pa.scalar(100, type=pa.int64())))
+                hot = pc.less(rem, pa.scalar(int(round(hot_user * 100)), type=pa.int64()))
+                skewed = pc.if_else(hot, pa.scalar(0, type=utyp), r.column("user_id"))
+                r = r.set_column(ui, r.schema.field(ui), skewed)
             if perturb_embeddings and name == "embeddings" and i > 0:
                 r = _rotate_embeddings(r, i)
                 li = r.schema.get_field_index("label")
@@ -197,14 +214,24 @@ def main(src, dst, copies=10, tag_docs=False, prefix_docs=False,
                 r = r.set_column(idx, r.schema.field("text"), prefixed.cast(r.schema.field("text").type))
             reps.append(r)
         out = pa.concat_tables(reps)
-        pq.write_table(out, f"{dst}/{name}.parquet")
+        # the hot-user corpus exists to measure AQE's skew-join split, and
+        # that mechanism cuts a skewed reduce partition along MAP-OUTPUT
+        # boundaries: a single-row-group file scans as one mapper and the
+        # hot partition becomes one indivisible chunk AQE cannot split — a
+        # test-scale artifact (100 TB inputs have thousands of row groups/
+        # mappers), so give this corpus production-like granularity
+        kwargs = {"row_group_size": 65536} if hot_user > 0 else {}
+        pq.write_table(out, f"{dst}/{name}.parquet", **kwargs)
         print(f"{name}: {t.num_rows} -> {out.num_rows} rows")
 
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     copies = int(args[2]) if len(args) > 2 else 10
+    hot = next((float(a.split("=", 1)[1]) for a in sys.argv
+                if a.startswith("--hot-user=")), 0.0)
     main(args[0], args[1], copies, tag_docs="--tag-docs" in sys.argv,
          prefix_docs="--prefix-docs" in sys.argv,
          jitter_ts="--jitter-ts" in sys.argv,
-         perturb_embeddings="--perturb-embeddings" in sys.argv)
+         perturb_embeddings="--perturb-embeddings" in sys.argv,
+         hot_user=hot)
