@@ -1,0 +1,198 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input lens for the STREAMING twins (r14). The batch degen
+  * gate (ship_gate stage 4) runs Verify+DuckDB on a corpus with planted
+  * null event_type / null ts / null value / null-text docs / zero-norm
+  * embeddings — but the streaming parity suites run on clean fixtures,
+  * so a streaming-side null divergence (a watermark silently dropping a
+  * row the batch twin reports, a null key poisoning a mergeable buffer)
+  * would ship green. This main points four representative twins at the
+  * degen corpus itself, splits every stream mid-corpus so buffers must
+  * merge across micro-batches, and compares against the batch twin on
+  * the same rows. Exits 1 on any divergence.
+  *
+  * Null event times turn out to drop IDENTICALLY on both sides —
+  * window(ts) generates no row for a null timestamp in batch just as
+  * the stream never closes a window for one — and that agreement is
+  * pinned explicitly (a batch-side null-window group appearing later
+  * would otherwise hide behind the comparison's filter).
+  *
+  * Usage: runMain graft.StreamDegen [degenDir]   (default /tmp/graft_degen)
+  */
+object StreamDegen {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_degen")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    var failures = 0
+    def check(name: String, ok: Boolean, detail: => String): Unit = {
+      println(s"${if (ok) "PASS" else "FAIL"}  $name${if (ok) "" else s" — $detail"}")
+      if (!ok) failures += 1
+    }
+
+    // ---- 1. heavyHitterStream: MG candidates cover exact hitters ------
+    // keyed on user_id — a planted-null column (event_id 4) plus the
+    // all-null-ts user 0's rows; null keys enter the MG buffer and
+    // null-ts rows hit the streaming watermark path
+    {
+      val k = 4
+      // time-ordered feed (nulls first): the lens here is NULL handling,
+      // not lateness — unordered chunks would cross the 1h watermark and
+      // drop whole windows for a reason unrelated to the plants
+      val rows: Seq[(Timestamp, java.lang.Long)] = Tables.events(spark, dir)
+        .select(col("ts"), col("user_id")).orderBy(asc_nulls_first("ts")).collect()
+        .map(r => (r.getTimestamp(0),
+          if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))).toSeq
+      val mem = MemoryStream[(Timestamp, java.lang.Long)]
+      val sdf = graft.streaming.StreamingAnalytics.heavyHitterStream(
+        mem.toDF().toDF("ts", "key"), "ts", "key", k)
+      val q = sdf.writeStream.format("memory").queryName("degen_hh")
+        .outputMode("complete").start()
+      mem.addData(rows.take(rows.size / 2)); q.processAllAvailable()
+      mem.addData(rows.drop(rows.size / 2)); q.processAllAvailable()
+      q.stop()
+      val streamed: Map[Timestamp, Set[java.lang.Long]] = spark.table("degen_hh").collect().map { r =>
+        r.getTimestamp(0) ->
+          r.getSeq[Row](1).map(c => if (c.isNullAt(0)) null
+            else java.lang.Long.valueOf(c.getLong(0))).toSet
+      }.toMap
+      // exact per-window truth from the same rows. Null-ts rows have no
+      // window on either side of a STREAMING agg, and null KEYS are
+      // excluded by the operator's explicit contract (they'd otherwise
+      // fold into key 0 through the primitive input encoder — the first
+      // real catch of this gate, now documented at heavyHitterStream) —
+      // so the truth excludes them from hitters but the null-key rows
+      // still COUNT toward each window's total n, exactly as a null
+      // group would dilute shares in the batch a21's count(*)
+      val withTs = rows.filter(_._1 != null)
+      var covered = true
+      withTs.groupBy(_._1.getTime / 3600000L).foreach { case (h, g) =>
+        val winStart = new Timestamp(h * 3600000L)
+        val hitters = g.filter(_._2 != null)
+          .groupBy(_._2).filter { case (_, grp) => grp.size * k > g.size }.keySet
+        if (hitters.nonEmpty &&
+            (!streamed.contains(winStart) || !hitters.subsetOf(streamed(winStart))))
+          covered = false
+      }
+      check("heavyHitterStream: MG coverage on degen corpus (null keys excluded by contract)",
+        covered && streamed.values.forall(_.size <= k),
+        s"windows=${streamed.keySet.size}")
+    }
+
+    // ---- 2. psiDriftStream: streaming == batch minus null-window ------
+    {
+      val rows: Seq[(Timestamp, java.lang.Double)] = Tables.events(spark, dir)
+        .select(col("ts"), col("value")).orderBy(asc_nulls_first("ts")).collect()
+        .map(r => (r.getTimestamp(0),
+          if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))).toSeq
+      val baseline = Seq.fill(10)(0.1)
+      def run(df: DataFrame) = graft.streaming.StreamingAnalytics.psiDriftStream(
+        df.toDF("ts", "value"), "ts", "value", baseline, "1 hour")
+      val mem = MemoryStream[(Timestamp, java.lang.Double)]
+      val q = run(mem.toDF()).writeStream.format("memory")
+        .queryName("degen_psi").outputMode("complete").start()
+      mem.addData(rows.take(rows.size / 2)); q.processAllAvailable()
+      mem.addData(rows.drop(rows.size / 2)); q.processAllAvailable()
+      q.stop()
+      def key(r: Row) = (r.getTimestamp(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))
+      val streaming = spark.table("degen_psi").collect()
+        .filter(!_.isNullAt(0)).map(key).toSet
+      val batchAll = run(rows.toDF("ts", "value")).collect()
+      val batchNullWin = batchAll.filter(_.isNullAt(0))
+      val batch = batchAll.filterNot(_.isNullAt(0)).map(key).toSet
+      check("psiDriftStream: streaming == batch on degen corpus (null value rows)",
+        streaming == batch && streaming.nonEmpty,
+        s"stream=${streaming.size} batch=${batch.size} diff=${(streaming diff batch).take(2)} ${(batch diff streaming).take(2)}")
+      // pinned AGREEMENT, not divergence: window(ts) generates no row
+      // for a null event time on the batch side either, so the null-ts
+      // plants are excluded identically by both engines — if batch ever
+      // starts emitting a null-window group, the comparison above would
+      // hide it behind the filterNot, so pin it explicitly
+      check("psiDriftStream: null-ts rows drop identically on both sides",
+        batchNullWin.isEmpty,
+        s"batch emitted ${batchNullWin.length} null-window rows the stream cannot")
+    }
+
+    // ---- 3. cleanCorpusStream: gates+dedup parity on degen docs -------
+    // null text / empty text / whitespace text / null lang all flow
+    // through dedup's md5 hash (null hash groups) and the quality gates
+    {
+      val docs: Seq[(Long, Timestamp, String)] = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), new Timestamp(3600000L + r.getLong(0) * 60000L),
+          if (r.isNullAt(1)) null else r.getString(1))).toSeq
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val out = graft.streaming.StreamingAnalytics.cleanCorpusStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), "ts", "30 minutes")
+      val q = out.writeStream.format("memory").queryName("degen_clean")
+        .outputMode("append").start()
+      mem.addData(docs.take(docs.size / 2)); q.processAllAvailable()
+      mem.addData(docs.drop(docs.size / 2)); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("degen_clean").select("doc_id", "quality").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // batch twin: first copy per text (null-safe grouping — streaming
+      // dropDuplicates treats null hashes as one group) through the SAME
+      // shared gates
+      val firstCopies = docs.groupBy(d => Option(d._3)).map(_._2.minBy(_._1)).toSeq
+      val batch = QueriesExt.cleanGates(
+          firstCopies.toDF("doc_id", "ts", "text"), Seq("doc_id"))
+        .select("doc_id", "quality").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      check("cleanCorpusStream == batch gates on degen docs (null/empty/ws text)",
+        got == batch && batch.nonEmpty,
+        s"stream=${got.size} batch=${batch.size} diff=${(got.toSet diff batch.toSet).take(2)} ${(batch.toSet diff got.toSet).take(2)}")
+    }
+
+    // ---- 4. incrementalDedupStream: per-batch parity on degen docs ----
+    {
+      val all: Seq[(Long, String)] = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+      val base = all.filter(_._1 % 2 == 0).toDF("doc_id", "text")
+      val arrivals = all.filter(_._1 % 2 == 1)
+      val chunks = Seq(arrivals.take(arrivals.size / 2), arrivals.drop(arrivals.size / 2))
+      val mem = MemoryStream[(Long, String)]
+      val results = scala.collection.mutable.ArrayBuffer.empty[Map[Long, (String, Option[Long])]]
+      val q = graft.streaming.StreamingAnalytics.incrementalDedupStream(
+        mem.toDF().toDF("doc_id", "text"), base, n = 2, threshold = 0.5, maxDf = 100) {
+        out => results += out.collect()
+          .map(r => r.getLong(0) -> ((r.getString(1),
+            Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+      }
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      q.stop()
+      val nonEmpty = results.filter(_.nonEmpty).toSeq
+      val batchTwins = chunks.map { c =>
+        graft.functions.Dedup.incrementalStatus(
+            base, c.toDF("doc_id", "text"), "doc_id", "text", 2, 0.5, 100)
+          .collect().map(r => r.getLong(0) -> ((r.getString(1),
+            Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+      }
+      check("incrementalDedupStream == batch incrementalStatus per degen micro-batch",
+        nonEmpty == batchTwins,
+        s"stream batches=${nonEmpty.map(_.size)} batch=${batchTwins.map(_.size)}")
+    }
+
+    spark.stop()
+    println(if (failures == 0) "STREAMDEGEN OK" else s"STREAMDEGEN $failures FAILURES")
+    if (failures > 0) sys.exit(1)
+  }
+}

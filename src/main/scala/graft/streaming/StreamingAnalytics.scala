@@ -153,11 +153,21 @@ object StreamingAnalytics {
     * operations the batch query uses — asserted against exact per-window
     * counts in StreamingParitySpec. Like the batch `a21_heavy_hitters`,
     * consumers treat the output as a CANDIDATE set and verify exactly.
+    *
+    * NULL keys are excluded EXPLICITLY (r14, flushed by the streaming
+    * degen gate): the MisraGries Aggregator takes a primitive-Long input
+    * encoder, so a null key would otherwise fold silently into key 0 —
+    * corrupting an innocent bucket's counter instead of either counting
+    * or erroring. The batch a21 shape already cannot report a null
+    * hitter (its exact-verify inner join drops null keys), so the
+    * contract on both twins is the same: null is never a hitter;
+    * null-guard upstream if null keys are meaningful traffic.
     */
   def heavyHitterStream(events: DataFrame, tsCol: String, keyCol: String,
                         k: Int, windowLen: String = "1 hour",
                         watermark: String = "1 hour"): DataFrame =
     events
+      .filter(col(keyCol).isNotNull)
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen).as("w"))
       .agg(graft.functions.TopKAgg.misraGries(col(keyCol), k).as("candidates"))
