@@ -67,12 +67,14 @@ object SkewProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val tasks = new ConcurrentLinkedQueue[TaskRow]()
+    val lastTaskEndNs = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) tasks.add(TaskRow(te.stageId,
           m.shuffleReadMetrics.totalBytesRead,
           if (te.taskInfo == null) 0L else te.taskInfo.duration))
+        lastTaskEndNs.set(System.nanoTime())
       }
     })
 
@@ -97,11 +99,18 @@ object SkewProbe {
       }
       spark.listenerManager.register(ql)
       Bench.run(df)
-      // both listener buses are async; wait for the plan AND give the
-      // task-end events time to drain before reading the queue
+      // both listener buses are async; wait for the plan AND for
+      // TASK-EVENT QUIESCENCE (no task-end for 1 s, 10 s cap — Probe's
+      // awaitStageQuiescence pattern) before reading the queue. A fixed
+      // nap here once risked computing the spread WITHOUT the straggler:
+      // on a loaded VM the bus can deliver the hot task's end late, and
+      // the straggler is exactly the event these assertions need.
       var waited = 0
       while (plan == null && waited < 100) { Thread.sleep(100); waited += 1 }
-      Thread.sleep(1000)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline &&
+             System.nanoTime() - lastTaskEndNs.get() < 1000L * 1000 * 1000)
+        Thread.sleep(100)
       spark.listenerManager.unregister(ql)
       val byStage = tasks.asScala.toSeq.groupBy(_.stageId)
         .filter(_._2.map(_.shuffleReadBytes).sum > 0)

@@ -134,10 +134,15 @@ object StreamDegen {
     // null text / empty text / whitespace text / null lang all flow
     // through dedup's md5 hash (null hash groups) and the quality gates
     {
+      // fed in doc_id order from ONE upstream partition: shuffle preserves
+      // per-mapper order, so dropDuplicatesWithinWatermark's kept copy is
+      // deterministically the min-doc_id one — the batch twin's minBy.
+      // (An unordered feed would make "which duplicate survives" depend on
+      // collect() order, a gate-flake waiting for a parquet row reorder.)
       val docs: Seq[(Long, Timestamp, String)] = Tables.documents(spark, dir)
         .select(col("doc_id"), col("text")).collect()
         .map(r => (r.getLong(0), new Timestamp(3600000L + r.getLong(0) * 60000L),
-          if (r.isNullAt(1)) null else r.getString(1))).toSeq
+          if (r.isNullAt(1)) null else r.getString(1))).toSeq.sortBy(_._1)
       val mem = MemoryStream[(Long, Timestamp, String)]
       val out = graft.streaming.StreamingAnalytics.cleanCorpusStream(
         mem.toDF().toDF("doc_id", "ts", "text"), "ts", "30 minutes")
@@ -150,8 +155,17 @@ object StreamDegen {
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
       // batch twin: first copy per text (null-safe grouping — streaming
       // dropDuplicates treats null hashes as one group) through the SAME
-      // shared gates
+      // shared gates. This global keep-min model matches the stream ONLY
+      // because the corpus' duplicate pairs sit WITHIN the watermark
+      // horizon (make_degen plants them 2 doc_ids = 2 event-minutes
+      // apart vs the 30-minute delay) — dedupStream's bounded state
+      // re-emits a wider pair BY DESIGN, so a cross-horizon plant would
+      // redden this gate with no bug. The dupGroups guard below keeps
+      // the dedup half of the parity non-vacuous: before r14's plant the
+      // degen corpus had zero duplicate texts, so this check proved the
+      // gates but silently tested nothing about dedup.
       val firstCopies = docs.groupBy(d => Option(d._3)).map(_._2.minBy(_._1)).toSeq
+      val dupGroups = docs.size - firstCopies.size
       val batch = QueriesExt.cleanGates(
           firstCopies.toDF("doc_id", "ts", "text"), Seq("doc_id"))
         .select("doc_id", "quality").collect()
@@ -159,6 +173,9 @@ object StreamDegen {
       check("cleanCorpusStream == batch gates on degen docs (null/empty/ws text)",
         got == batch && batch.nonEmpty,
         s"stream=${got.size} batch=${batch.size} diff=${(got.toSet diff batch.toSet).take(2)} ${(batch.toSet diff got.toSet).take(2)}")
+      check("cleanCorpusStream parity exercised the dedup arm (corpus has dup texts)",
+        dupGroups >= 1,
+        s"$dupGroups duplicate rows in the degen corpus — re-run tools/make_degen.py")
     }
 
     // ---- 4. incrementalDedupStream: per-batch parity on degen docs ----

@@ -72,24 +72,42 @@ object DocStoreMaintenance {
   }
 
   /** Heartbeat lease (r14): every maintenance op holds `_maint_lease`
-    * while it runs — op id + a heartbeat timestamp a daemon thread
-    * refreshes every [[LeaseTtlMs]]/5 — and deletes it on exit (success
-    * OR failure; a crash leaves it to go stale). [[vacuum]]'s in-flight
-    * guard reads it: live lease → refuse, stale/absent → proceed. This
-    * replaces the old staging-dir-mtime heuristic, whose window was
-    * wall-clock luck: a 100 TB phase-1 staging write with a long quiet
-    * gap between its last file create and its marker commit could be
-    * raced by vacuum despite the single-maintenance-writer contract.
-    * The heartbeat makes liveness mechanical — the only way a live op's
-    * lease reads stale is a process freeze longer than the TTL, the
-    * irreducible tradeoff of any lease protocol (documented here, TTL
-    * generous at 10 min vs a 2-min heartbeat).
+    * while it runs and deletes it on exit (success OR failure; a crash
+    * leaves it to go stale). [[vacuum]]'s in-flight guard reads it: live
+    * lease → refuse, stale/absent → proceed. This replaces the old
+    * staging-dir-mtime heuristic, whose window was wall-clock luck: a
+    * 100 TB phase-1 staging write with a long quiet gap between its last
+    * file create and its marker commit could be raced by vacuum despite
+    * the single-maintenance-writer contract. The heartbeat makes liveness
+    * mechanical — the only way a live op's lease reads stale is a process
+    * freeze longer than the TTL, the irreducible tradeoff of any lease
+    * protocol (documented here, TTL generous at 10 min vs a 2-min
+    * heartbeat).
+    *
+    * The heartbeat is the lease file's MODIFICATION TIME, refreshed via
+    * `FileSystem.setTimes` by a daemon thread; the CONTENT (op id +
+    * acquire timestamp) is written once, atomically, at acquire and never
+    * rewritten. The first cut refreshed by rewriting the file
+    * (delete + rename), which reopened exactly the luck window the lease
+    * exists to close: a reader landing in the delete→rename gap saw NO
+    * lease and proceeded beside a live op, and an in-flight heartbeat
+    * rename could land after the release delete, resurrecting a lease for
+    * a completed op. With setTimes the file exists CONTINUOUSLY from
+    * acquire to release (no reader gap), and a racing heartbeat can only
+    * bump the mtime of a file the release is about to delete — never
+    * recreate it. setTimes takes the timestamp we pass
+    * (System.currentTimeMillis), so liveness math never depends on a
+    * remote filesystem's clock; rename preserves the staged file's mtime
+    * on HDFS and POSIX, so the acquire itself is beat zero.
     *
     * The lease does NOT arbitrate maintenance-vs-maintenance: acquiring
     * overwrites unconditionally, because concurrent rewrite ops on one
     * collection are already out of contract (single maintenance writer)
     * and refusing here would turn every post-crash rerun into a manual
-    * TTL wait. It exists so the one reader that must be SAFE beside a
+    * TTL wait. (Release IS ownership-checked — it deletes the file only
+    * if it still carries this op's id — so even an out-of-contract
+    * overlap can't have the first finisher strip the survivor's
+    * protection.) It exists so the one reader that must be SAFE beside a
     * live op — vacuum, which deletes bytes — has a mechanical signal.
     */
   private[graft] val LeaseFile = "_maint_lease"
@@ -109,16 +127,38 @@ object DocStoreMaintenance {
 
   private[docstore] def readLease(f: FileSystem, dir: Path): Option[Lease] = {
     val lp = new Path(dir, LeaseFile)
-    if (!f.exists(lp)) None
-    else {
-      val in = f.open(lp)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      text.split("\n", 2) match {
-        case Array(id, hb) if hb.trim.nonEmpty && hb.trim.forall(_.isDigit) =>
-          Some(Lease(id, hb.trim.toLong))
-        // a malformed lease never blocks forever: treat as written at
-        // epoch 0 (= stale), so vacuum proceeds and the file is swept
-        case _ => Some(Lease("malformed", 0L))
+    // status-then-open, each tolerating a concurrent release's delete:
+    // the lease protocol guarantees no absence GAP while an op is live,
+    // so a missing file here really means "no op holds the lease"
+    val statusOpt =
+      try Some(f.getFileStatus(lp))
+      catch { case _: java.io.FileNotFoundException => None }
+    statusOpt.flatMap { st =>
+      val textOpt =
+        try {
+          val in = f.open(lp)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+          finally in.close()
+        } catch {
+          case _: java.io.FileNotFoundException => None
+          // unreadable content (checksum mismatch after out-of-band
+          // edits, a torn block on a crashed host) joins the malformed
+          // class: a live op never rewrites the content, so this is
+          // tampering/corruption, and it must read STALE — never block
+          // vacuum forever, never be deletable by a release ownership
+          // check that can't prove it's its own
+          case _: java.io.IOException => Some("")
+        }
+      textOpt.map { text =>
+        text.split("\n", 2) match {
+          // liveness is the file's mtime (the setTimes heartbeat), not
+          // the acquire timestamp in the content
+          case Array(id, hb) if hb.trim.nonEmpty && hb.trim.forall(_.isDigit) =>
+            Lease(id, st.getModificationTime)
+          // a malformed lease never blocks forever: treat as written at
+          // epoch 0 (= stale), so vacuum proceeds and the file is swept
+          case _ => Lease("malformed", 0L)
+        }
       }
     }
   }
@@ -129,6 +169,7 @@ object DocStoreMaintenance {
     val f = DocStore.fs(dir)
     val opId = UUID.randomUUID().toString
     writeLeaseAtomic(f, dir, opId)
+    val lp = new Path(dir, LeaseFile)
     @volatile var running = true
     val hb = new Thread(() => {
       while (running) {
@@ -136,7 +177,7 @@ object DocStoreMaintenance {
         if (running) {
           // a heartbeat failure must not kill the op mid-rewrite; a missed
           // beat only narrows the safety margin toward the TTL
-          try writeLeaseAtomic(f, dir, opId)
+          try f.setTimes(lp, System.currentTimeMillis(), -1)
           catch { case scala.util.control.NonFatal(_) => }
         }
       }
@@ -148,8 +189,12 @@ object DocStoreMaintenance {
       running = false
       hb.interrupt()
       hb.join(2000)
-      try f.delete(new Path(dir, LeaseFile), false)
-      catch { case scala.util.control.NonFatal(_) => }
+      // ownership-checked release: delete only OUR lease. If an
+      // out-of-contract concurrent op overwrote it, its protection
+      // survives this op's exit instead of being stripped.
+      try {
+        if (readLease(f, dir).exists(_.opId == opId)) f.delete(lp, false)
+      } catch { case scala.util.control.NonFatal(_) => }
     }
   }
 

@@ -324,12 +324,17 @@ class DocStorePropSpec extends SparkSpec {
     // crash between phases: the op died mid-phase-1 — its staging dir can
     // be arbitrarily FRESH (the r13 mtime heuristic would still block on
     // it for 15 minutes), but its heartbeat goes stale and that is the
-    // signal; the staging dir is inert pre-commit garbage
+    // signal; the staging dir is inert pre-commit garbage. The heartbeat
+    // is the lease FILE's mtime (refreshed via setTimes by a live op —
+    // the content is written once at acquire), so a crashed op's lease
+    // is one whose mtime stopped advancing: plant that.
     val staging = java.nio.file.Paths.get(dir, ".compact-in-flight-test")
     Files.createDirectory(staging)
     Files.write(lease,
       s"op-under-test\n${System.currentTimeMillis() - DocStoreMaintenance.LeaseTtlMs - 1}"
         .getBytes("UTF-8"))
+    Files.setLastModifiedTime(lease, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - DocStoreMaintenance.LeaseTtlMs - 1))
     val res = DocStoreMaintenance.vacuum(dir, 1)
     assert(retiredFiles(dir).isEmpty)
     assert(res.freedBytes > 0L)
@@ -338,6 +343,17 @@ class DocStorePropSpec extends SparkSpec {
     // a malformed lease file (torn by a crashed writer's host, hand
     // edits) reads as stale — it must never block vacuum forever
     Files.write(lease, "garbage-without-heartbeat".getBytes("UTF-8"))
+    DocStoreMaintenance.vacuum(dir, 1)
+    assert(!Files.exists(lease))
+    // UNREADABLE content (a stale Hadoop .crc beside hand-edited bytes —
+    // the checksummed local FS throws on open) joins the malformed class:
+    // stale, swept, never an exception out of vacuum's guard
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hlp = new org.apache.hadoop.fs.Path(dir, DocStoreMaintenance.LeaseFile)
+    val os = hfs.create(hlp, true)
+    try os.write(s"op-x\n${System.currentTimeMillis()}".getBytes("UTF-8")) finally os.close()
+    Files.write(lease, "tampered-bytes-under-old-crc".getBytes("UTF-8"))
     DocStoreMaintenance.vacuum(dir, 1)
     assert(!Files.exists(lease))
   }
@@ -362,6 +378,44 @@ class DocStorePropSpec extends SparkSpec {
       "upsert's incoming batch evaluated WITHOUT a live lease on disk")
     assert(!Files.exists(java.nio.file.Paths.get(dir, DocStoreMaintenance.LeaseFile)),
       "lease must be released after the op")
+  }
+
+  test("lease release is ownership-checked: an op never strips a lease it no longer owns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_docstore_lease_own").toString
+    (1L to 50L).map(i => (i, s"doc$i")).toDF("id", "s")
+      .coalesce(1).write.format("docstore").mode("overwrite").save(dir)
+    // Same in-the-data trick as the liveness test, but the probe row
+    // OVERWRITES the running op's lease with a foreign one mid-body —
+    // the out-of-contract overlap shape. The op's exit must leave the
+    // foreign lease standing (deleting it would strip the other op's
+    // vacuum protection); only its owner (or a stale-sweeping vacuum)
+    // may remove it.
+    val leasePath = java.nio.file.Paths.get(dir, DocStoreMaintenance.LeaseFile).toString
+    val probe = spark.range(1).map { _ =>
+      // replace cleanly THROUGH the raw-file lens: the running op wrote
+      // the lease via the checksummed Hadoop local FS, so its stale .crc
+      // must go with it or the foreign content reads as corrupt
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(leasePath))
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        new java.io.File(leasePath).getParent, "." + DocStoreMaintenance.LeaseFile + ".crc"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(leasePath),
+        s"foreign-op\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+      888L
+    }.toDF("id").withColumn("s", org.apache.spark.sql.functions.lit("probe"))
+    DocStoreMaintenance.upsert(spark, dir, "id", probe)
+    val lease = java.nio.file.Paths.get(leasePath)
+    assert(Files.exists(lease), "release deleted a lease owned by another op")
+    assert(new String(Files.readAllBytes(lease), "UTF-8").startsWith("foreign-op"))
+    // the foreign lease is FRESH (its plant wrote a current mtime), so
+    // vacuum refuses on it — proving the surviving protection is real —
+    // then a stale version of it is sweepable as usual
+    val e = intercept[IllegalStateException](DocStoreMaintenance.vacuum(dir, 1))
+    assert(e.getMessage.contains("foreign-op"), e.getMessage)
+    Files.setLastModifiedTime(lease, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - DocStoreMaintenance.LeaseTtlMs - 1))
+    DocStoreMaintenance.vacuum(dir, 1)
+    assert(!Files.exists(lease))
   }
 
   test("read of a vacuumed version fails loudly, naming vacuum and the version — never empty/partial") {

@@ -213,10 +213,22 @@ def main() -> None:
     d["text"][7] = "   "
     d["lang"][9] = None
     d["source"][11] = None
+    # r14: an exact-duplicate TEXT pair at nearby doc_ids. Batch dedup
+    # carriers get a real cross-engine dup group, and StreamDegen's
+    # cleanCorpusStream parity check gets a dup the stream must actually
+    # drop — without this plant the corpus had zero duplicate texts, so
+    # the "dedup" half of that gate was vacuously green. The ids must sit
+    # CLOSE together: StreamDegen synthesizes event time as 1 min per
+    # doc_id against a 30-min watermark delay, and a pair wider than the
+    # horizon is one dedupStream's bounded state is DESIGNED to re-emit
+    # (that contract is the incremental-dedup family's, not this gate's).
+    d["text"][15] = d["text"][13]
     pq.write_table(pa.table(d, schema=t.schema), f"{out}/documents.parquet")
     print(f"documents: text=NULL at doc_id {d['doc_id'][3]}, "
           f"empty at {d['doc_id'][5]}, whitespace at {d['doc_id'][7]}; "
-          f"lang=NULL at {d['doc_id'][9]}, source=NULL at {d['doc_id'][11]}")
+          f"lang=NULL at {d['doc_id'][9]}, source=NULL at {d['doc_id'][11]}; "
+          f"exact-dup pair at doc_ids {d['doc_id'][13]}/{d['doc_id'][15]} "
+          f"(within StreamDegen's watermark horizon)")
 
     t = pq.read_table(f"{out}/embeddings.parquet")
     d = t.to_pydict()
