@@ -1045,9 +1045,32 @@ object PlanCheck {
       "carry join broadcasts the 30-row days side" ->
         (_.contains("BroadcastNestedLoopJoin")))
 
+    // g4 is aggregate-COLLECT-iterate (r14): the registered query's own
+    // plan must be nothing but the driver-computed ≤|k|-row local
+    // relation plus its sort — any FileScan/Exchange there means the
+    // event-scale work leaked back into the per-consumer plan. The
+    // data-sized job is the separately-exposed edge aggregate, gated on
+    // the properties that matter at 100 TB: a user_id-PARTITIONED window
+    // (never a global sort), a map-side partial count before the one
+    // (src,dst) exchange, and a pruned 3-column scan.
     check("g4_pagerank")(
-      "iterations read the cached edge table" -> (_.contains("InMemoryTableScan")),
-      "rank joins broadcast (vocabulary-sized sides)" -> (_.contains("BroadcastHashJoin")))
+      "result is the driver-iterated local relation" -> (_.contains("LocalTableScan")),
+      "no event-scale scan in the consumer plan" -> (p => !p.contains("FileScan")))
+    locally {
+      val p = Queries.g4Edges(spark, sfDir).queryExecution.executedPlan.toString
+      Seq[(String, String => Boolean)](
+        "window partitioned by user_id (no global sort)" ->
+          (_.contains("windowspecdefinition(user_id#")),
+        "map-side partial count before the (src,dst) exchange" ->
+          (_.contains("partial_count")),
+        "scan pruned to (event_id, user_id, props)" ->
+          (_.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,props:string>"))
+      ).foreach { case (what, pred) =>
+        val ok = pred(p)
+        if (!ok) failures += 1
+        println(s"${if (ok) "PASS" else "FAIL"}  g4_pagerank[edges]: $what")
+      }
+    }
 
     // tx_entropy is a map-only kernel pass: one entropy-stats evaluation
     // per row, no hash exchange anywhere (the per-(doc, char) groupBy

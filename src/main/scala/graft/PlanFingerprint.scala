@@ -97,7 +97,15 @@ object PlanFingerprint {
     * per-round scaffolding: once the new fingerprint is committed in the
     * baseline record, the entry is deleted.
     */
-  val expectedDeltas: Map[String, (String, String)] = Map.empty
+  val expectedDeltas: Map[String, (String, String)] = Map(
+    "g4_pagerank" -> ("rx1.srt1",
+      "r14 aggregate-collect-iterate rewrite: the 7-stage vocabulary-sized " +
+        "iteration chain (6 broadcast joins + 17 aggregates over <=|k|^2 " +
+        "rows, ~8 s of stage overhead at sf0.1) moved to the driver as a " +
+        "bounded model artifact like the k-means centroids; the consumer " +
+        "plan is now the <=|k|-row local relation + sort, and the one " +
+        "event-scale job (the edge aggregate) is gated via g4_pagerank[edges]")
+  )
 }
 
 /** Resolves the round-over-round drift BASELINE — the committed PRIOR

@@ -2495,16 +2495,26 @@ object Queries {
     * a24_markov_transitions summarizes — PageRank ranks its hubs. Three
     * damped iterations (d=0.85) in FIXED-POINT arithmetic: ranks are
     * bigints scaled by 2^20 and every per-edge contribution is
-    * floor-divided BEFORE the incoming sum, so the distributed reduction
-    * is order-free/partitioning-proof (the same determinism trick as
-    * tx_train_lr) and the oracle replays all three iterations as unrolled
-    * CTEs and hash-matches the exact ranks. Scale shape: the one
-    * data-sized job is the edge aggregation (a user_id window + one
-    * (src,dst) partial agg); iterations run on the VOCABULARY-sized edge
-    * table (≤|k|² rows) with broadcast rank joins — the standard
-    * aggregate-then-iterate design, so iteration cost is independent of
-    * the event count. |nodes| is driver-collected as a bounded model
-    * artifact (≤100), like the k-means centroid collects.
+    * floor-divided BEFORE the incoming sum, so the reduction is
+    * order-free (the same determinism trick as tx_train_lr) and the
+    * oracle replays all three iterations as unrolled CTEs and
+    * hash-matches the exact ranks.
+    *
+    * Scale shape — aggregate, COLLECT, iterate (r14): the one data-sized
+    * job is the edge aggregation (a user_id window + one (src,dst)
+    * partial agg — [[g4Edges]], plan-gated); its result is ≤|k|² rows for
+    * the ≤100-value k vocabulary REGARDLESS of corpus size, i.e. a
+    * bounded model artifact exactly like the k-means centroid collects,
+    * and the three iterations run on it driver-side. Through r13 the
+    * iterations were lazy vocabulary-sized Spark joins instead — correct,
+    * but the 7-stage chain (3 × (2 broadcast joins + an agg) + nodes
+    * distinct) cost ~8 s of pure stage/exchange overhead at sf0.1
+    * against ~2.4 s for the edge aggregation itself (Probe, r14), and at
+    * 1000 executors that overhead only grows: scheduling 7 barriers of
+    * 32-task stages to move ≤10⁴ rows is the anti-pattern the
+    * bounded-artifact collects exist to avoid. Long arithmetic on the
+    * driver is bit-identical to the distributed expressions, so the
+    * oracle hash is unchanged.
     */
   private val g4 = QueryDef("g4_pagerank",
     Some(s"""WITH ks AS (
@@ -2539,44 +2549,45 @@ object Queries {
             |SELECT node, cast(r as bigint) AS rank_fp
             |FROM r3 ORDER BY node""".stripMargin),
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val S = 1048576L
-      val ks = ev(s, d).select(col("user_id"), col("event_id"), kCol.as("k"))
-        .filter(col("k").isNotNull)
-      val byUser = Window.partitionBy("user_id").orderBy("event_id")
-      val edges = ks.withColumn("k_prev", lag(col("k"), 1).over(byUser))
-        .filter(col("k_prev").isNotNull && col("k_prev") =!= col("k"))
-        .groupBy(col("k_prev").as("src"), col("k").as("dst"))
-        .agg(count(lit(1)).as("w"))
-        .persist() // vocabulary-sized (≤|k|²); reread by all three iterations
-      val outw = edges.groupBy("src").agg(sum(col("w")).as("wout"))
-      val nodes = edges.select(col("src").as("node"))
-        .union(edges.select(col("dst"))).distinct()
-      // |nodes| enters as a LAZY broadcast 1-row aggregate (mirroring the
-      // oracle's scalar subquery), not a driver-side count(): query
-      // construction stays plan-only — no Spark job runs until the
-      // consumer acts (PlanCheck builds the plan without executing the
-      // event-scale edge aggregation).
-      val nDf = nodes.agg(count(lit(1)).as("n_nodes"))
-      var rank = nodes.crossJoin(broadcast(nDf))
-        .select(col("node"), expr(s"${S}L div n_nodes").as("r"))
+      // ONE event-scale job: the (src, dst, w) transition-edge aggregate,
+      // collected as the bounded model artifact the iterations run on
+      val edges = g4Edges(s, d).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val wout: Map[Int, Long] =
+        edges.groupBy(_._1).map { case (src, es) => src -> es.iterator.map(_._3).sum }
+      val nodes: Array[Int] = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val n = nodes.length.toLong
+      // exact Long arithmetic, floor division on non-negative values —
+      // bit-identical to the oracle's // at every step
+      var rank: Map[Int, Long] = nodes.iterator.map(nd => nd -> S / n).toMap
       for (_ <- 1 to 3) {
-        val contrib = edges
-          .join(rank.withColumnRenamed("node", "src"), "src")
-          .join(outw, "src")
-          .select(col("dst").as("node"), expr("(r * w) div wout").as("c"))
-          .groupBy("node").agg(sum(col("c")).as("s"))
-        rank = nodes.join(contrib, Seq("node"), "left").crossJoin(broadcast(nDf))
-          .select(col("node"),
-            (expr(s"(15L * ${S}L) div (100L * n_nodes)") +
-              expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+        val contrib = scala.collection.mutable.HashMap.empty[Int, Long]
+        edges.foreach { case (src, dst, w) =>
+          contrib.update(dst, contrib.getOrElse(dst, 0L) + (rank(src) * w) / wout(src))
+        }
+        rank = nodes.iterator.map(nd =>
+          nd -> ((15L * S) / (100L * n) + (85L * contrib.getOrElse(nd, 0L)) / 100L)).toMap
       }
-      // edges stays cached for the consumer's action (the iteration plan
-      // references it 7×); it is vocabulary-sized, so leaving it resident
-      // costs KBs — an eager materialize-then-unpersist here would add a
-      // full extra run of the iteration chain instead.
-      rank.select(col("node"), col("r").as("rank_fp")).orderBy("node")
+      import s.implicits._
+      nodes.toSeq.map(nd => (nd, rank(nd))).toDF("node", "rank_fp").orderBy("node")
     })
+
+  /** g4_pagerank's single data-sized job, exposed so PlanCheck can gate
+    * the EDGE plan (partitioned window, map-side partial agg, pruned
+    * scan) — the returned query's own plan is only the ≤|k|-row local
+    * relation the driver iterations produced.
+    */
+  private[graft] def g4Edges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    ev(s, d).select(col("user_id"), col("event_id"), kCol.as("k"))
+      .filter(col("k").isNotNull)
+      .withColumn("k_prev", lag(col("k"), 1).over(byUser))
+      .filter(col("k_prev").isNotNull && col("k_prev") =!= col("k"))
+      .groupBy(col("k_prev").as("src"), col("k").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
 
   /** A28 (rebuild extra): last-touch attribution — each purchase credited
     * to the same user's most recent click within a 3-day window, revenue
