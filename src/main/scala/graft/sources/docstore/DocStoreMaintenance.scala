@@ -104,11 +104,15 @@ object DocStoreMaintenance {
     * overwrites unconditionally, because concurrent rewrite ops on one
     * collection are already out of contract (single maintenance writer)
     * and refusing here would turn every post-crash rerun into a manual
-    * TTL wait. (Release IS ownership-checked — it deletes the file only
-    * if it still carries this op's id — so even an out-of-contract
-    * overlap can't have the first finisher strip the survivor's
-    * protection.) It exists so the one reader that must be SAFE beside a
-    * live op — vacuum, which deletes bytes — has a mechanical signal.
+    * TTL wait. (Release is ownership-checked — it deletes the file only
+    * if it still carries this op's id — which NARROWS an out-of-contract
+    * overlap's exposure to the read→delete instants of the release
+    * itself; a survivor whose acquire lands inside that window can still
+    * be stripped, the irreducible check-then-act residue of a filesystem
+    * with no compare-and-delete. In contract there is no second op, so
+    * the window is moot.) It exists so the one reader that must be SAFE
+    * beside a live op — vacuum, which deletes bytes — has a mechanical
+    * signal.
     */
   private[graft] val LeaseFile = "_maint_lease"
   private[graft] val LeaseTtlMs: Long = 10L * 60 * 1000
@@ -141,13 +145,16 @@ object DocStoreMaintenance {
           finally in.close()
         } catch {
           case _: java.io.FileNotFoundException => None
-          // unreadable content (checksum mismatch after out-of-band
-          // edits, a torn block on a crashed host) joins the malformed
+          // CHECKSUM-failing content (out-of-band edits under a stale
+          // .crc, a corrupt block on a crashed host) joins the malformed
           // class: a live op never rewrites the content, so this is
-          // tampering/corruption, and it must read STALE — never block
-          // vacuum forever, never be deletable by a release ownership
-          // check that can't prove it's its own
-          case _: java.io.IOException => Some("")
+          // provably tampering/corruption and must read STALE — never
+          // block vacuum forever. Any OTHER IOException (a transient
+          // read fault — datanode hiccup, connection reset) PROPAGATES:
+          // mapping it to stale would let vacuum treat a live op's
+          // unreadable-this-instant lease as crashed and delete bytes
+          // beside it; a guard that gates deletion fails loudly, not open.
+          case _: org.apache.hadoop.fs.ChecksumException => Some("")
         }
       textOpt.map { text =>
         text.split("\n", 2) match {
