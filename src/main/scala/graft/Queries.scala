@@ -2551,9 +2551,22 @@ object Queries {
     (s, d) => {
       val S = 1048576L
       // ONE event-scale job: the (src, dst, w) transition-edge aggregate,
-      // collected as the bounded model artifact the iterations run on
-      val edges = g4Edges(s, d).collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      // collected as the bounded model artifact the iterations run on.
+      // The bound is a CONTRACT (≤|k|² for the ≤100-value k vocabulary),
+      // so it's enforced mechanically: the limit probe caps what can
+      // reach the driver in the same single job, and a corpus whose k
+      // vocabulary violates the contract fails loudly instead of
+      // silently OOMing the driver. 2^20 edge rows ≈ 24 MB — two orders
+      // above the contract, far below driver memory.
+      val maxEdges = 1 << 20
+      val probed = g4Edges(s, d).limit(maxEdges + 1).collect()
+      if (probed.length > maxEdges)
+        throw new IllegalStateException(
+          s"g4_pagerank: transition-edge table exceeds $maxEdges rows — the k vocabulary " +
+            "is not bounded on this corpus, so the driver-side iteration contract " +
+            "(edges ≤ |k|² for a ≤100-value vocabulary) does not hold; use a " +
+            "distributed iterate for this graph")
+      val edges = probed.map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
       val wout: Map[Int, Long] =
         edges.groupBy(_._1).map { case (src, es) => src -> es.iterator.map(_._3).sum }
       val nodes: Array[Int] = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
