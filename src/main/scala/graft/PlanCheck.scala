@@ -35,15 +35,20 @@ object PlanCheck {
         System.err.println(s"[plancheck] $name plan construction failed: ${e.getMessage}")
         None
       })
-    def check(name: String)(asserts: (String, String => Boolean)*): Unit = {
-      val plan = planOf(name)
-      plan.filter(_ => sys.env.contains("DUMP_PLANS")).foreach(p => println(s"===== $name =====\n$p"))
+    // ONE assertion loop for registry plans (check) and auxiliary plans
+    // (checkAux) — shared so DUMP_PLANS, the FAIL accounting, and the row
+    // format can't drift between the two.
+    def runAsserts(label: String, plan: Option[String],
+                   asserts: Seq[(String, String => Boolean)]): Unit = {
+      plan.filter(_ => sys.env.contains("DUMP_PLANS")).foreach(p => println(s"===== $label =====\n$p"))
       asserts.foreach { case (what, pred) =>
         val ok = plan.exists(pred)
         if (!ok) failures += 1
-        println(s"${if (ok) "PASS" else "FAIL"}  $name: $what")
+        println(s"${if (ok) "PASS" else "FAIL"}  $label: $what")
       }
     }
+    def check(name: String)(asserts: (String, String => Boolean)*): Unit =
+      runAsserts(name, planOf(name), asserts)
 
     // Structural twin of check(): predicates see the physical-plan TREE,
     // for invariants the string dump cannot express. An Exchange line
@@ -1060,17 +1065,12 @@ object PlanCheck {
     // edge aggregate a driver-iterating query runs before its consumer
     // plan exists) — same r7 hardening: a failed construction prints
     // FAIL rows and moves on, never aborts the remaining gate.
-    def checkAux(label: String)(plan: => String)(asserts: (String, String => Boolean)*): Unit = {
-      val p = try Some(plan) catch { case e: Throwable =>
-        System.err.println(s"[plancheck] $label plan construction failed: ${e.getMessage}")
-        None
-      }
-      asserts.foreach { case (what, pred) =>
-        val ok = p.exists(pred)
-        if (!ok) failures += 1
-        println(s"${if (ok) "PASS" else "FAIL"}  $label: $what")
-      }
-    }
+    def checkAux(label: String)(plan: => String)(asserts: (String, String => Boolean)*): Unit =
+      runAsserts(label,
+        try Some(plan) catch { case e: Throwable =>
+          System.err.println(s"[plancheck] $label plan construction failed: ${e.getMessage}")
+          None
+        }, asserts)
     checkAux("g4_pagerank[edges]")(
       Queries.g4Edges(spark, sfDir).queryExecution.executedPlan.toString)(
       "window partitioned by user_id (no global sort)" ->

@@ -141,7 +141,24 @@ object Probe {
       lastStageEventNs.set(System.nanoTime())
       sampling = true
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      // Construction is INSIDE the OOM guard's reach too (r14): builders
+      // that run real jobs — g4's edge-aggregate collect, the Lloyd
+      // trainer collects — can hit the same memory wall before run()
+      // ever sees a DataFrame.
+      def oomExit(e: Throwable, where: String): Nothing = {
+        sampling = false
+        println(s"PROBE $name FAILED: out of memory in $where " +
+          s"(${rootMessage(e)}). This is the single-box memory wall " +
+          "documented in SCALE.md — rerun with SPARK_DRIVER_MEM=64g " +
+          "(build.sbt forks the probe JVM with -Xmx$SPARK_DRIVER_MEM, " +
+          "default 16g). A real cluster scales executor memory with the data.")
+        spark.sparkContext.removeSparkListener(spillListener)
+        spark.stop()
+        sys.exit(2)
+      }
+      val df =
+        try SparkEntry.queries(name)(spark, sfDir)
+        catch { case e: Throwable if isOomClass(e) => oomExit(e, "query construction") }
       // The POST-execution plan is the only place AQE's runtime decisions
       // (stage reuse, join demotions, skew splits) are visible — and the
       // noop write runs its OWN QueryExecution, so the df's never executes.
@@ -159,18 +176,7 @@ object Probe {
       // documented recipe instead of dying with a raw stack — the fix is
       // an env var, not an operator defect.
       try run(df)
-      catch {
-        case e: Throwable if isOomClass(e) =>
-          sampling = false
-          println(s"PROBE $name FAILED: out of memory in execution " +
-            s"(${rootMessage(e)}). This is the single-box memory wall " +
-            "documented in SCALE.md — rerun with SPARK_DRIVER_MEM=64g " +
-            "(build.sbt forks the probe JVM with -Xmx$SPARK_DRIVER_MEM, " +
-            "default 16g). A real cluster scales executor memory with the data.")
-          spark.sparkContext.removeSparkListener(spillListener)
-          spark.stop()
-          sys.exit(2)
-      }
+      catch { case e: Throwable if isOomClass(e) => oomExit(e, "execution") }
       val dt = (System.nanoTime() - t0) / 1e9
       sampling = false
       awaitStageQuiescence()

@@ -2515,6 +2515,14 @@ object Queries {
     * bounded-artifact collects exist to avoid. Long arithmetic on the
     * driver is bit-identical to the distributed expressions, so the
     * oracle hash is unchanged.
+    *
+    * Construction now runs the edge job, so every plan-gating session
+    * (PlanCheck, PlanFingerprint, PlanDrift) pays one edge aggregation
+    * to plan this query — a DELIBERATE trade, same as the Lloyd-collect
+    * builders: memoizing the collected edges per (session, dir) would
+    * shave those gate seconds but let Bench's second timed pass hit the
+    * memo and report ~0 s, corrupting the benchmark the gates exist to
+    * protect.
     */
   private val g4 = QueryDef("g4_pagerank",
     Some(s"""WITH ks AS (

@@ -124,9 +124,22 @@ object DocStoreMaintenance {
     try out.write(s"$opId\n${System.currentTimeMillis()}".getBytes("UTF-8"))
     finally out.close()
     val lp = new Path(dir, LeaseFile)
-    if (f.exists(lp)) f.delete(lp, false)
-    if (!f.rename(tmp, lp))
-      throw new java.io.IOException(s"lease rename failed: $tmp -> $lp")
+    // Acquire-over-a-stale-lease must not open an absence window either:
+    // FileContext.rename(OVERWRITE) replaces the destination atomically
+    // (HDFS and the local FS), so a reader racing a post-crash rerun's
+    // acquire sees old lease or new lease, never none. The FileSystem
+    // delete+rename fallback (some FS contexts don't resolve) keeps the
+    // old microsecond gap only where the atomic API is unavailable.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(lp.toUri, f.getConf)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(lp),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (f.exists(lp)) f.delete(lp, false)
+        if (!f.rename(tmp, lp))
+          throw new java.io.IOException(s"lease rename failed: $tmp -> $lp")
+    }
   }
 
   private[docstore] def readLease(f: FileSystem, dir: Path): Option[Lease] = {
@@ -179,13 +192,24 @@ object DocStoreMaintenance {
     val lp = new Path(dir, LeaseFile)
     @volatile var running = true
     val hb = new Thread(() => {
+      var misses = 0
       while (running) {
         try Thread.sleep(LeaseTtlMs / 5) catch { case _: InterruptedException => }
         if (running) {
           // a heartbeat failure must not kill the op mid-rewrite; a missed
-          // beat only narrows the safety margin toward the TTL
-          try f.setTimes(lp, System.currentTimeMillis(), -1)
-          catch { case scala.util.control.NonFatal(_) => }
+          // beat only narrows the safety margin toward the TTL — but a
+          // PERSISTENT failure (setTimes unsupported/denied on this FS)
+          // means the lease WILL read stale while the op still runs, so
+          // it is warned once, loudly, instead of swallowed forever
+          try { f.setTimes(lp, System.currentTimeMillis(), -1); misses = 0 }
+          catch { case scala.util.control.NonFatal(e) =>
+            misses += 1
+            if (misses == 3) System.err.println(
+              s"[docstore] lease heartbeat for op $opId has failed $misses times in a row " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage}) — if this persists past the " +
+                s"${LeaseTtlMs / 60000}-min TTL, vacuum will read this LIVE op's lease as stale; " +
+                "do not run vacuum beside it until it completes")
+          }
         }
       }
     }, s"docstore-lease-$opId")
