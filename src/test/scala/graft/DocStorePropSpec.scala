@@ -380,6 +380,33 @@ class DocStorePropSpec extends SparkSpec {
       "lease must be released after the op")
   }
 
+  test("maintenance acquires OVER a crashed op's stale lease (atomic replace) and releases normally") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_docstore_lease_stale").toString
+    (1L to 50L).map(i => (i, s"doc$i")).toDF("id", "s")
+      .coalesce(1).write.format("docstore").mode("overwrite").save(dir)
+    // a crashed op's leftover: stale content AND stale mtime
+    val lease = java.nio.file.Paths.get(dir, DocStoreMaintenance.LeaseFile)
+    Files.write(lease, s"crashed-op\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+    Files.setLastModifiedTime(lease, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - DocStoreMaintenance.LeaseTtlMs - 1))
+    // the rerun must NOT be blocked by the stale lease (no manual TTL
+    // wait), must replace it with its own, and must release on exit;
+    // the in-body probe proves the live lease is the RERUN's, not the
+    // crashed op's leftover
+    val leasePath = lease.toString
+    val probe = spark.range(1).map { _ =>
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(leasePath)), "UTF-8")
+      if (txt.startsWith("crashed-op")) -1L else 999L
+    }.toDF("id").withColumn("s", org.apache.spark.sql.functions.lit("probe"))
+    DocStoreMaintenance.upsert(spark, dir, "id", probe)
+    assert(spark.read.format("docstore").load(dir)
+      .filter(org.apache.spark.sql.functions.col("id") === 999L).count() === 1L,
+      "the running op's lease was still the crashed op's leftover")
+    assert(!Files.exists(lease), "lease must be released after the op")
+  }
+
   test("lease release is ownership-checked: an op never strips a lease it no longer owns") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_docstore_lease_own").toString
