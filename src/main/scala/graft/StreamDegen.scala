@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * embeddings — but the streaming parity suites run on clean fixtures,
   * so a streaming-side null divergence (a watermark silently dropping a
   * row the batch twin reports, a null key poisoning a mergeable buffer)
-  * would ship green. This main points four representative twins at the
+  * would ship green. This main points six representative twins at the
   * degen corpus itself, splits every stream mid-corpus so buffers must
   * merge across micro-batches, and compares against the batch twin on
   * the same rows. Exits 1 on any divergence.
@@ -206,6 +206,77 @@ object StreamDegen {
       check("incrementalDedupStream == batch incrementalStatus per degen micro-batch",
         nonEmpty == batchTwins,
         s"stream batches=${nonEmpty.map(_.size)} batch=${batchTwins.map(_.size)}")
+    }
+
+    // ---- 5. kmvDistinctStream: exact sketch parity on degen events ----
+    // null user_id keys must be SKIPPED by the nullable sketch (they'd
+    // otherwise sketch the xxhash seed as a phantom key) and null-ts
+    // rows must drop IDENTICALLY on both engines (window(ts) generates
+    // no row for a null timestamp in batch, the stream never assigns one
+    // a window) — both conventions checked against the batch twin,
+    // sketch contents included, across a mid-corpus micro-batch split.
+    {
+      val k = 16
+      val rows: Seq[(Timestamp, java.lang.Long)] = Tables.events(spark, dir)
+        .select(col("ts"), col("user_id")).orderBy(asc_nulls_first("ts")).collect()
+        .map(r => (r.getTimestamp(0),
+          if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))).toSeq
+      val mem = MemoryStream[(Timestamp, java.lang.Long)]
+      val sdf = graft.streaming.StreamingAnalytics.kmvDistinctStream(
+        mem.toDF().toDF("ts", "key"), "ts", "key", k)
+      val q = sdf.writeStream.format("memory").queryName("degen_kmv")
+        .outputMode("complete").start()
+      mem.addData(rows.take(rows.size / 2)); q.processAllAvailable()
+      mem.addData(rows.drop(rows.size / 2)); q.processAllAvailable()
+      q.stop()
+      def canon(df: DataFrame): Set[(Timestamp, Double, Seq[Long])] = df.collect()
+        .map(r => (r.getTimestamp(0), r.getDouble(1), r.getSeq[Long](2))).toSet
+      val streamed = canon(spark.table("degen_kmv"))
+      val batchAll = canon(graft.streaming.StreamingAnalytics.kmvDistinctStream(
+        rows.toDF("ts", "key"), "ts", "key", k))
+      check("kmvDistinctStream == batch on degen events (sketch-exact through state merges)",
+        streamed == batchAll && streamed.nonEmpty,
+        s"stream=${streamed.size} batch=${batchAll.size}")
+      // non-vacuity: the parity above only tests the null-ts and null-key
+      // conventions if the corpus actually plants them
+      check("kmvDistinctStream parity exercised null ts AND null keys (corpus plants present)",
+        rows.exists(_._1 == null) && rows.exists(r => r._1 != null && r._2 == null),
+        s"nullTs=${rows.count(_._1 == null)} nullKey=${rows.count(_._2 == null)}")
+    }
+
+    // ---- 6. exactDupStream: null-text hash convention + both arms -----
+    // base = doc_id % 3 != 2 of the degen corpus, stream = ALL docs, so
+    // the gate exercises exact_dup (incl. the r14 dup-pair plant and the
+    // null-text doc matching the base's null-text copy through the
+    // xxhash64(NULL)=seed convention) AND the "new" arm (the empty-text
+    // doc, id % 3 == 2, exists only stream-side).
+    {
+      val all: Seq[(Long, String)] = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+        .toSeq.sortBy(_._1)
+      val base = all.filter(_._1 % 3 != 2).toDF("doc_id", "text")
+      val mem = MemoryStream[(Long, String)]
+      val out = graft.streaming.StreamingAnalytics.exactDupStream(
+        mem.toDF().toDF("doc_id", "text"), base)
+      val q = out.writeStream.format("memory").queryName("degen_xd")
+        .outputMode("append").start()
+      mem.addData(all.take(all.size / 2)); q.processAllAvailable()
+      mem.addData(all.drop(all.size / 2)); q.processAllAvailable()
+      q.stop()
+      def canon(df: DataFrame): Map[Long, (String, Option[Long])] = df
+        .select("doc_id", "status", "match_id").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      val got = canon(spark.table("degen_xd"))
+      val batch = canon(graft.streaming.StreamingAnalytics.exactDupStream(
+        all.toDF("doc_id", "text"), base, cacheBase = false))
+      check("exactDupStream == batch on degen docs (null-text hash convention identical)",
+        got == batch && batch.nonEmpty,
+        s"stream=${got.size} batch=${batch.size} diff=${(got.toSet diff batch.toSet).take(2)}")
+      check("exactDupStream exercised BOTH arms on the degen corpus",
+        got.values.exists(_._1 == "exact_dup") && got.values.exists(_._1 == "new"),
+        s"statuses=${got.values.map(_._1).toSet}")
     }
 
     spark.stop()
