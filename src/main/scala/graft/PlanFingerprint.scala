@@ -81,9 +81,10 @@ object PlanFingerprint {
         "error"
       }
       // same per-query cache discipline as Bench's timed loop: builders
-      // that persist bounded artifacts (pagerank's edge cache, the
-      // connected-components localCheckpoint snapshots) must not
-      // accumulate blocks across a 146-query planning sweep
+      // that persist bounded artifacts (the connected-components
+      // localCheckpoint snapshots; pagerank's edge cache until its r14
+      // driver-iterate rewrite) must not accumulate blocks across a
+      // 146-query planning sweep
       noAqe.catalog.clearCache()
       noAqe.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> fp
