@@ -760,7 +760,7 @@ object Queries {
   /** A4/T2: frequency table (value_counts) ordered by count desc. */
   private val a4 = QueryDef("a4_frequency",
     Some("""SELECT event_type, count(*) AS cnt FROM events
-           |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin),
+           |GROUP BY event_type ORDER BY cnt DESC, event_type NULLS FIRST""".stripMargin),
     (s, d) => ev(s, d).groupBy("event_type").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("event_type")))
 
@@ -1150,7 +1150,7 @@ object Queries {
             |  floor(att * cast(100.0 as double) / (att + bot + legit) * 10 + 0.5) / 10 AS attacker_pct,
             |  floor(bot * cast(100.0 as double) / (att + bot + legit) * 10 + 0.5) / 10 AS bot_pct,
             |  floor(legit * cast(100.0 as double) / (att + bot + legit) * 10 + 0.5) / 10 AS authorized_pct
-            |FROM legitd ORDER BY suspicious_score DESC, user_id""".stripMargin),
+            |FROM legitd ORDER BY suspicious_score DESC, user_id NULLS FIRST""".stripMargin),
     (s, d) => entitySummary(ev(s, d)))
 
   /** The one-pass summary used by j2/j3 and `SparkEntry.entry`. */
@@ -1420,13 +1420,23 @@ object Queries {
     * end-to-end on real data. Key = log-scale user bucket
     * (`length(bin(user_id+1)) - 1`) — integer-exact on both engines, and
     * Zipf-ish by construction so hitters exist at every SF.
+    *
+    * NULL keys (null user_id) are excluded from HITTER candidacy by the
+    * same contract the streaming twin documents at `heavyHitterStream`:
+    * an unattributed pseudo-key isn't a reportable hitter, but its rows
+    * still count toward n and dilute every share (the oracle's WHERE
+    * key IS NOT NULL sits on the hitter filter, not on e). The Spark
+    * side can never emit one mechanically — the exact-verify equi-join
+    * drops null keys — and the r14 fuzz gate proved the oracle COULD
+    * once the null group grew past n/8, which is why the exclusion is
+    * now explicit.
     */
   private val a21 = QueryDef("a21_heavy_hitters",
     Some("""WITH e AS (SELECT cast(length(bin(user_id + 1)) - 1 AS bigint) AS key FROM events),
            |n AS (SELECT count(*) AS n FROM e),
            |c AS (SELECT key, count(*) AS cnt FROM e GROUP BY key)
            |SELECT key, cnt, floor(cnt * cast(1.0 as double) / n * 10000 + 0.5) / 10000 AS share
-           |FROM c, n WHERE cnt * 8 > n ORDER BY cnt DESC, key""".stripMargin),
+           |FROM c, n WHERE key IS NOT NULL AND cnt * 8 > n ORDER BY cnt DESC, key""".stripMargin),
     (s, d) => {
       val k = 8
       val key = (length(expr("bin(user_id + 1)")) - 1).cast("long").as("key")
@@ -1676,7 +1686,11 @@ object Queries {
     */
   private val a20 = QueryDef("a20_funnel",
     Some("""WITH v AS (SELECT user_id, min(cast(ts as timestamp)) AS t1 FROM events
-           |           WHERE event_type = 'view' GROUP BY user_id),
+           |           -- null users excluded by the funnel's entity
+           |           -- contract (stepTimes scaladoc); stages 2-3 then
+           |           -- drop them for free through the equi-joins
+           |           WHERE event_type = 'view' AND user_id IS NOT NULL
+           |           GROUP BY user_id),
            |c AS (SELECT e.user_id, min(cast(e.ts as timestamp)) AS t2 FROM events e
            |      JOIN v ON e.user_id = v.user_id
            |      WHERE e.event_type = 'click' AND cast(e.ts as timestamp) >= v.t1
@@ -1829,13 +1843,23 @@ object Queries {
     * TakeOrderedAndProject + broadcast probe, NOT a global ranking window
     * (which would single-partition the whole counts table — see
     * [[graft.analytics.SshAnalytics.topKWithOthers]]).
+    *
+    * The NULL name group is excluded from top-k CANDIDACY by contract
+    * (r14 fuzz find): an unattributed pseudo-entity isn't a nameable
+    * top-k slot, so its counts roll into Others on both engines. Without
+    * the exclusion the two sides disagreed the day the null group got
+    * big enough to rank: Spark's null-unsafe membership probe sent it to
+    * Others while the oracle's CASE rendered a NULL bucket.
     */
   private val t4 = QueryDef("t4_topk_others",
     Some("""WITH counts AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
-           |ranked AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, user_id) AS rn FROM counts)
+           |ranked AS (SELECT user_id, cnt, row_number() OVER (ORDER BY cnt DESC, user_id) AS rn
+           |           FROM counts WHERE user_id IS NOT NULL)
            |SELECT CASE WHEN rn <= 5 THEN cast(user_id as varchar) ELSE 'Others' END AS bucket,
            |       cast(sum(cnt) as bigint) AS cnt
-           |FROM ranked GROUP BY bucket ORDER BY bucket""".stripMargin),
+           |FROM (SELECT user_id, cnt, rn FROM ranked
+           |      UNION ALL SELECT user_id, cnt, NULL FROM counts WHERE user_id IS NULL)
+           |GROUP BY bucket ORDER BY bucket""".stripMargin),
     (s, d) => {
       val counts = ev(s, d).groupBy("user_id").agg(count(lit(1)).as("cnt"))
       graft.analytics.SshAnalytics.topKWithOthers(counts, "user_id", "cnt", 5)
@@ -1848,7 +1872,8 @@ object Queries {
     Some("""WITH counts AS (SELECT event_type, user_id, count(*) AS cnt
            |                FROM events GROUP BY event_type, user_id)
            |SELECT event_type, user_id, cnt,
-           |       row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rn,
+           |       row_number() OVER (PARTITION BY event_type
+           |                          ORDER BY cnt DESC, user_id NULLS FIRST) AS rn,
            |       rank() OVER (PARTITION BY event_type ORDER BY cnt DESC) AS rnk
            |FROM counts QUALIFY rn <= 5 ORDER BY event_type NULLS FIRST, rn""".stripMargin),
     (s, d) => {
@@ -2107,7 +2132,7 @@ object Queries {
     Some("""SELECT date_trunc('hour', cast(ts as timestamp)) AS window_start,
            |       event_type, count(*) AS cnt
            |FROM events WHERE ts IS NOT NULL
-           |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+           |GROUP BY 1, 2 ORDER BY window_start, event_type NULLS FIRST""".stripMargin),
     (s, d) => ev(s, d)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))

@@ -156,7 +156,24 @@ object SshAnalytics {
     * name asc); the counts table itself never moves to one node.
     */
   def topKWithOthers(counts: DataFrame, nameCol: String, countCol: String, k: Int): DataFrame = {
-    val topK = counts.orderBy(desc(countCol), col(nameCol)).limit(k)
+    // A NULL name never occupies a top-k slot (r14 fuzz find): it isn't a
+    // nameable entity, and letting it rank made the two sides of the
+    // cross-engine gate disagree once the null group grew large — the
+    // null-unsafe membership probe below sent it to Others regardless,
+    // while a rank-based oracle rendered a NULL bucket. Excluding it from
+    // CANDIDACY makes "rolls into Others" the contract on both engines.
+    // HOW it's excluded matters for the plan: a pre-rank isNotNull filter
+    // pushes through the aggregate to the scan, so the topK branch stops
+    // canonicalizing against the Others branch and events gets scanned
+    // TWICE (caught by PlanDrift, sc1->sc2). Ranking the null group LAST
+    // (isNull ascending leads the sort) keeps the aggregate subtree
+    // byte-identical on both branches — single scan, exchange reuse —
+    // and the post-LIMIT filter (which cannot push below the limit)
+    // drops the null group in the only case it can slip in: fewer than k
+    // real names exist.
+    val topK = counts
+      .orderBy(col(nameCol).isNull, desc(countCol), col(nameCol)).limit(k)
+      .filter(col(nameCol).isNotNull)
       .select(col(nameCol).as("_top_name"))
     counts.join(broadcast(topK), col(nameCol) === col("_top_name"), "left")
       .withColumn("bucket",

@@ -47,7 +47,14 @@ object Funnel {
                 typeCol: String, steps: Seq[String], window: Column): DataFrame = {
     require(steps.nonEmpty, "at least one funnel step")
     val w = Window.partitionBy(entityCol)
+    // A NULL entity is excluded by contract (r14 fuzz find): a funnel
+    // tracks ONE entity's journey, and grouping all unattributed events
+    // into a single null pseudo-entity fabricates journeys from unrelated
+    // rows (Spark's null groupBy-group "completed" steps the oracle's
+    // null-unsafe join chain never credited — both readings of an
+    // ill-posed question). Unattributed events are upstream's problem.
     val filtered = events
+      .filter(col(entityCol).isNotNull)
       .filter(col(typeCol).isin(steps.map(lit(_)): _*))
       .select(col(entityCol), col(tsCol), col(typeCol))
     val withSteps = steps.zipWithIndex.foldLeft(filtered) { case (df, (step, i)) =>
@@ -137,6 +144,10 @@ object Funnel {
     * state at active-in-window users × one tiny record, regardless of
     * stream length.
     */
+  /* The primitive-Long key means a caller converting a nullable
+   * DataFrame must drop null entities BEFORE the .as[] boundary — the
+   * encoder would fold them into key 0 (the heavyHitterStream catch),
+   * and the batch twin excludes null entities by contract (stepTimes). */
   def conversionStream(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, String)],
                        steps: Seq[String], windowMillis: Long,
                        watermarkDelay: String = "1 hour"):

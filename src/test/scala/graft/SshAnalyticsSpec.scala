@@ -58,4 +58,16 @@ class SshAnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == Map("a" -> 10L, "b" -> 8L, "c" -> 5L, "Others" -> 3L))
   }
+
+  test("topKWithOthers: a NULL name never takes a top-k slot — it rolls into Others") {
+    // the null group is the LARGEST count; without the candidacy
+    // exclusion it would claim a slot (and then fall to Others anyway
+    // through the null-unsafe membership probe, silently shrinking top-k
+    // to k-1 real names — the r14 fuzz-gate divergence)
+    val counts = Seq((null.asInstanceOf[String], 99L), ("a", 10L), ("b", 8L),
+      ("c", 5L), ("d", 2L)).toDF("name", "cnt")
+    val out = SshAnalytics.topKWithOthers(counts, "name", "cnt", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 10L, "b" -> 8L, "c" -> 5L, "Others" -> 101L))
+  }
 }

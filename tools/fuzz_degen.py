@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Randomized degenerate-corpus fuzzer (r14).
+
+make_degen.py plants one hand-picked instance of each failure-mode class;
+this fuzzer plants the SAME classes at seeded-random rows and densities,
+so the cross-engine gate faces the combinations the fixed plants never
+produce — several plants landing on one row, nulls clustered inside one
+user or type, a HEAVY mode that degenerates half a column, duplicate
+texts at arbitrary distances. Every run stays inside the documented
+plant contract (make_degen.py's "Deliberately NOT planted" list):
+
+  - no null documents.doc_id / embeddings.vec_id (loud keyed-entity
+    contracts, not alignment questions);
+  - no NaN/Inf in events.value (finite-or-NULL column contract — the
+    DuckDB decimal casts error outright, breaking the harness);
+  - events.value nulls only on event_id % 37 != 0 rows (the s19
+    corruption rule must classify the row identically on both engines);
+  - embedding degenerates (zero / NaN component / NULL / empty) only on
+    non-query vectors (vec_id >= 10), as make_degen plants them.
+
+Usage:   python3 tools/fuzz_degen.py <src_sf_dir> <out_dir> <seed>
+Gate:    sbt "runMain graft.Verify <out_dir> <dump>"
+         python3 tools/check_oracle.py <dump> <out_dir>
+Expect:  PASS=<all-with-oracle> FAIL=0 for EVERY seed — a failing seed is
+         a reproducible latent divergence (rerun with the same seed).
+One-command sweep over seeds 1..N:  bash tools/fuzz_gate.sh [N]
+"""
+import json
+import random
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def main() -> None:
+    if len(sys.argv) != 4:
+        sys.exit(__doc__)
+    src, out, seed = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    rng = random.Random(seed)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.copytree(src, out)
+    summary = []
+
+    def n_plants(n: int) -> int:
+        # usually a sprinkle (0.5-5% of rows), occasionally HEAVY (half
+        # the column) — the clustered-degeneracy regime the fixed plants
+        # never reach
+        frac = 0.5 if rng.random() < 0.15 else rng.uniform(0.005, 0.05)
+        return max(1, min(n, int(n * frac)))
+
+    # ---- events ----------------------------------------------------------
+    t = pq.read_table(f"{out}/events.parquet")
+    d = t.to_pydict()
+    n = len(d["event_id"])
+    idx = list(range(n))
+
+    rows = [i for i in rng.sample(idx, n_plants(n)) if d["event_id"][i] % 37 != 0]
+    for i in rows:
+        d["value"][i] = None
+    summary.append(f"value NULL x{len(rows)}")
+
+    kless = pnull = 0
+    for i in rng.sample(idx, n_plants(n)):
+        if d["props"][i] is None:
+            continue
+        if rng.random() < 0.5:
+            p = json.loads(d["props"][i])
+            p.pop("k", None)
+            d["props"][i] = json.dumps(p)
+            kless += 1
+        else:
+            d["props"][i] = None
+            pnull += 1
+    summary.append(f"props k-less x{kless} NULL x{pnull}")
+
+    for col in ("event_type", "user_id", "ts"):
+        rows = rng.sample(idx, n_plants(n))
+        for i in rows:
+            d[col][i] = None
+        summary.append(f"{col} NULL x{len(rows)}")
+
+    pq.write_table(pa.table(d, schema=t.schema), f"{out}/events.parquet")
+
+    # ---- documents -------------------------------------------------------
+    t = pq.read_table(f"{out}/documents.parquet")
+    d = t.to_pydict()
+    n = len(d["doc_id"])
+    idx = list(range(n))
+
+    degenerate_texts = [None, "", "   ", "\t\n"]
+    rows = rng.sample(idx, n_plants(n))
+    for i in rows:
+        d["text"][i] = rng.choice(degenerate_texts)
+    summary.append(f"text degenerate x{len(rows)}")
+
+    # exact-duplicate pairs at arbitrary distances (batch dedup carriers;
+    # the dedup TRUTH is recomputed by the oracle either way)
+    pairs = max(1, n_plants(n) // 4)
+    for _ in range(pairs):
+        a, b = rng.sample(idx, 2)
+        d["text"][b] = d["text"][a]
+    summary.append(f"dup pairs x{pairs}")
+
+    for col in ("lang", "source"):
+        rows = rng.sample(idx, n_plants(n))
+        for i in rows:
+            d[col][i] = None
+        summary.append(f"{col} NULL x{len(rows)}")
+
+    pq.write_table(pa.table(d, schema=t.schema), f"{out}/documents.parquet")
+
+    # ---- embeddings ------------------------------------------------------
+    t = pq.read_table(f"{out}/embeddings.parquet")
+    d = t.to_pydict()
+    n = len(d["vec_id"])
+    eligible = [i for i in range(n) if d["vec_id"][i] >= 10]
+
+    modes = ("zero", "nan", "null", "empty")
+    rows = rng.sample(eligible, min(len(eligible), n_plants(n)))
+    used = {m: 0 for m in modes}
+    for i in rows:
+        m = rng.choice(modes)
+        used[m] += 1
+        if m == "zero":
+            d["embedding"][i] = [0.0] * len(d["embedding"][i])
+        elif m == "nan":
+            v = list(d["embedding"][i])
+            v[rng.randrange(len(v))] = float("nan")
+            d["embedding"][i] = v
+        elif m == "null":
+            d["embedding"][i] = None
+        else:
+            d["embedding"][i] = []
+    summary.append("embedding " + " ".join(f"{m} x{c}" for m, c in used.items()))
+
+    pq.write_table(pa.table(d, schema=t.schema), f"{out}/embeddings.parquet")
+    print(f"fuzz_degen seed={seed}: " + "; ".join(summary))
+
+
+if __name__ == "__main__":
+    main()
