@@ -305,8 +305,25 @@ object Bench {
       "sim_ivf", "sim_pq", "tx_redact", "tx_pack", "tx_bpe_encode",
       "tx_train_lr", "ir_bm25", "pipe_clean_corpus", "st_sessionization",
       "mm_decode_features").filter(results.contains)
-    val hq = headline.map(k => s"\"" + k + "\":" + fmt(results(k))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$hq,"failed":$fj,"drift":$drift,"plan_drift":$planDrift,"full":"bench_last.json","sf":"$sfDir"}""")
+    // The stdout line carries as many per-query entries as FIT the
+    // driver's window (r15): the full 146-entry map needs ≥3.2 KB (the
+    // names alone are 2.2 KB), so embedding it whole would re-create the
+    // BENCH_r06 parsed:null failure — instead the headline families go
+    // first, then the remaining queries by descending cost (the rows a
+    // perf reader wants), greedily while the whole line stays under a
+    // 1800-char budget (window 2000, margin for sbt's epilogue). The
+    // complete map stays in the committed bench_last.json.
+    val ordered = headline ++ names.sortBy(n => -results(n).getOrElse(0.0))
+      .filterNot(headline.contains)
+    def lineFor(entries: Seq[String]): String = {
+      val q = entries.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$q,"failed":$fj,"drift":$drift,"plan_drift":$planDrift,"full":"bench_last.json","sf":"$sfDir"}"""
+    }
+    val chosen = ordered.foldLeft(Vector.empty[String]) { (acc, n) =>
+      val e = "\"" + n + "\":" + fmt(results(n))
+      if (lineFor(acc :+ e).length <= 1800) acc :+ e else acc
+    }
+    println(lineFor(chosen))
     spark.stop()
   }
 }

@@ -1071,14 +1071,22 @@ object PlanCheck {
           System.err.println(s"[plancheck] $label plan construction failed: ${e.getMessage}")
           None
         }, asserts)
+    // Gate the PROBED plan — g4Edges(...).limit(g4MaxEdges + 1) — because
+    // that is the shape g4_pagerank's construction actually executes; the
+    // bare aggregate's plan could stay green while the CollectLimit
+    // interaction (e.g. AQE demoting the partial agg under the limit)
+    // regressed the executed job unnoticed.
     checkAux("g4_pagerank[edges]")(
-      Queries.g4Edges(spark, sfDir).queryExecution.executedPlan.toString)(
+      Queries.g4Edges(spark, sfDir).limit(Queries.g4MaxEdges + 1)
+        .queryExecution.executedPlan.toString)(
       "window partitioned by user_id (no global sort)" ->
         (_.contains("windowspecdefinition(user_id#")),
       "map-side partial count before the (src,dst) exchange" ->
         (_.contains("partial_count")),
       "scan pruned to (event_id, user_id, props)" ->
-        (_.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,props:string>")))
+        (_.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,props:string>")),
+      "the edge-cap probe is a CollectLimit, not a global sort/exchange" ->
+        (_.contains("CollectLimit")))
 
     // tx_entropy is a map-only kernel pass: one entropy-stats evaluation
     // per row, no hash exchange anywhere (the per-(doc, char) groupBy

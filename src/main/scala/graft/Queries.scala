@@ -2591,7 +2591,7 @@ object Queries {
       // vocabulary violates the contract fails loudly instead of
       // silently OOMing the driver. 2^20 edge rows ≈ 24 MB — two orders
       // above the contract, far below driver memory.
-      val maxEdges = 1 << 20
+      val maxEdges = g4MaxEdges
       val probed = g4Edges(s, d).limit(maxEdges + 1).collect()
       if (probed.length > maxEdges)
         throw new IllegalStateException(
@@ -2624,6 +2624,12 @@ object Queries {
     * scan) — the returned query's own plan is only the ≤|k|-row local
     * relation the driver iterations produced.
     */
+  /** The driver-contract edge cap g4_pagerank probes with `limit(g4MaxEdges
+    * + 1)` — shared with PlanCheck so the gated plan is the PROBED shape
+    * the query actually executes (limit included), not the bare aggregate.
+    */
+  private[graft] val g4MaxEdges: Int = 1 << 20
+
   private[graft] def g4Edges(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("event_id")

@@ -23,11 +23,41 @@ import org.apache.spark.sql.functions._
   * pinned explicitly (a batch-side null-window group appearing later
   * would otherwise hide behind the comparison's filter).
   *
-  * Usage: runMain graft.StreamDegen [degenDir]   (default /tmp/graft_degen)
+  * A second argument seeds a RANDOM SPLIT SCHEDULE (r15): instead of the
+  * fixed mid-corpus halving, every lens feeds its rows as 2-5 micro-
+  * batches cut at seeded-random boundaries. The r14 fuzzer's lesson was
+  * that fixed plants miss position/density-dependent divergences, and
+  * streams add an axis the batch fuzzer never varies — WHERE the micro-
+  * batch boundary falls relative to a planted row (a dup pair split
+  * across batches, a null key alone in its own batch, an empty batch
+  * between two merges). Pair it with a fuzzed corpus for the full sweep:
+  *
+  *   python3 tools/fuzz_degen.py <src> /tmp/graft_fuzz <seed>
+  *   runMain graft.StreamDegen /tmp/graft_fuzz <seed>
+  *
+  * Usage: runMain graft.StreamDegen [degenDir] [splitSeed]
+  *        (default /tmp/graft_degen, fixed halving)
   */
 object StreamDegen {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_degen")
+    val splitRng: Option[scala.util.Random] =
+      args.lift(1).map(s => new scala.util.Random(s.toLong))
+    splitRng.foreach(_ => println(s"[streamdegen] seeded split schedule: seed=${args(1)}"))
+    /** The micro-batch schedule for one lens: seeded-random 2-5 chunks at
+      * random boundaries (possibly-empty chunks included — an empty
+      * micro-batch between merges is a legitimate runtime shape), or the
+      * original fixed halving when unseeded. Order-preserving either way
+      * (slices of the already-ordered feed): the lenses pin ORDER on
+      * purpose — lateness/watermark drops are a different axis with its
+      * own tests — so the schedule varies only where state must merge.
+      */
+    def feed[T](rows: Seq[T]): Seq[Seq[T]] = splitRng match {
+      case None => Seq(rows.take(rows.size / 2), rows.drop(rows.size / 2))
+      case Some(r) =>
+        val cuts = Seq.fill(1 + r.nextInt(4))(r.nextInt(rows.size + 1)).sorted
+        ((0 +: cuts) :+ rows.size).sliding(2).map { w => rows.slice(w.head, w.last) }.toSeq
+    }
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -64,8 +94,7 @@ object StreamDegen {
         mem.toDF().toDF("ts", "key"), "ts", "key", k)
       val q = sdf.writeStream.format("memory").queryName("degen_hh")
         .outputMode("complete").start()
-      mem.addData(rows.take(rows.size / 2)); q.processAllAvailable()
-      mem.addData(rows.drop(rows.size / 2)); q.processAllAvailable()
+      feed(rows).foreach { c => mem.addData(c); q.processAllAvailable() }
       q.stop()
       val streamed: Map[Timestamp, Set[java.lang.Long]] = spark.table("degen_hh").collect().map { r =>
         r.getTimestamp(0) ->
@@ -107,8 +136,7 @@ object StreamDegen {
       val mem = MemoryStream[(Timestamp, java.lang.Double)]
       val q = run(mem.toDF()).writeStream.format("memory")
         .queryName("degen_psi").outputMode("complete").start()
-      mem.addData(rows.take(rows.size / 2)); q.processAllAvailable()
-      mem.addData(rows.drop(rows.size / 2)); q.processAllAvailable()
+      feed(rows).foreach { c => mem.addData(c); q.processAllAvailable() }
       q.stop()
       def key(r: Row) = (r.getTimestamp(0), r.getInt(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4))
@@ -144,12 +172,22 @@ object StreamDegen {
         .map(r => (r.getLong(0), new Timestamp(3600000L + r.getLong(0) * 60000L),
           if (r.isNullAt(1)) null else r.getString(1))).toSeq.sortBy(_._1)
       val mem = MemoryStream[(Long, Timestamp, String)]
+      // The batch twin below is GLOBAL keep-min, which matches the stream
+      // only while every duplicate pair sits within the watermark horizon
+      // (see the comment there). make_degen plants pairs 2 minutes apart,
+      // within the fixed 30; the FUZZER plants them at arbitrary doc_id
+      // (= event-minute) distances, so under a seeded schedule the delay
+      // widens to cover the whole corpus span — a cross-horizon re-emit
+      // is dedupStream's documented bounded-state design, not the
+      // divergence this lens hunts (the seeded axis here is where the
+      // state MERGES fall, not the horizon).
+      val delay = if (splitRng.isDefined)
+        s"${docs.map(_._1).max - docs.map(_._1).min + 60} minutes" else "30 minutes"
       val out = graft.streaming.StreamingAnalytics.cleanCorpusStream(
-        mem.toDF().toDF("doc_id", "ts", "text"), "ts", "30 minutes")
+        mem.toDF().toDF("doc_id", "ts", "text"), "ts", delay)
       val q = out.writeStream.format("memory").queryName("degen_clean")
         .outputMode("append").start()
-      mem.addData(docs.take(docs.size / 2)); q.processAllAvailable()
-      mem.addData(docs.drop(docs.size / 2)); q.processAllAvailable()
+      feed(docs).foreach { c => mem.addData(c); q.processAllAvailable() }
       q.stop()
       val got = spark.table("degen_clean").select("doc_id", "quality").collect()
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -185,7 +223,7 @@ object StreamDegen {
         .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
       val base = all.filter(_._1 % 2 == 0).toDF("doc_id", "text")
       val arrivals = all.filter(_._1 % 2 == 1)
-      val chunks = Seq(arrivals.take(arrivals.size / 2), arrivals.drop(arrivals.size / 2))
+      val chunks = feed(arrivals)
       val mem = MemoryStream[(Long, String)]
       val results = scala.collection.mutable.ArrayBuffer.empty[Map[Long, (String, Option[Long])]]
       val q = graft.streaming.StreamingAnalytics.incrementalDedupStream(
@@ -197,7 +235,11 @@ object StreamDegen {
       chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
       q.stop()
       val nonEmpty = results.filter(_.nonEmpty).toSeq
-      val batchTwins = chunks.map { c =>
+      // empty-chunk symmetry under a seeded schedule: an empty micro-batch
+      // produces no stream output row and its batch twin is the empty map
+      // — both sides drop it (incrementalStatus emits one row per arrival,
+      // so a nonempty chunk can never be filtered on only one side)
+      val batchTwins = chunks.filter(_.nonEmpty).map { c =>
         graft.functions.Dedup.incrementalStatus(
             base, c.toDF("doc_id", "text"), "doc_id", "text", 2, 0.5, 100)
           .collect().map(r => r.getLong(0) -> ((r.getString(1),
@@ -226,8 +268,7 @@ object StreamDegen {
         mem.toDF().toDF("ts", "key"), "ts", "key", k)
       val q = sdf.writeStream.format("memory").queryName("degen_kmv")
         .outputMode("complete").start()
-      mem.addData(rows.take(rows.size / 2)); q.processAllAvailable()
-      mem.addData(rows.drop(rows.size / 2)); q.processAllAvailable()
+      feed(rows).foreach { c => mem.addData(c); q.processAllAvailable() }
       q.stop()
       def canon(df: DataFrame): Set[(Timestamp, Double, Seq[Long])] = df.collect()
         .map(r => (r.getTimestamp(0), r.getDouble(1), r.getSeq[Long](2))).toSet
@@ -238,10 +279,19 @@ object StreamDegen {
         streamed == batchAll && streamed.nonEmpty,
         s"stream=${streamed.size} batch=${batchAll.size}")
       // non-vacuity: the parity above only tests the null-ts and null-key
-      // conventions if the corpus actually plants them
-      check("kmvDistinctStream parity exercised null ts AND null keys (corpus plants present)",
-        rows.exists(_._1 == null) && rows.exists(r => r._1 != null && r._2 == null),
-        s"nullTs=${rows.count(_._1 == null)} nullKey=${rows.count(_._2 == null)}")
+      // conventions if the corpus actually plants them. make_degen
+      // GUARANTEES both plants, so unseeded runs enforce this; a fuzzed
+      // corpus plants the two columns independently, and a rare seed can
+      // land every null key on an already-null-ts row — vacuous for this
+      // lens but not a divergence, so seeded runs only note it.
+      val exercised =
+        rows.exists(_._1 == null) && rows.exists(r => r._1 != null && r._2 == null)
+      if (splitRng.isEmpty)
+        check("kmvDistinctStream parity exercised null ts AND null keys (corpus plants present)",
+          exercised,
+          s"nullTs=${rows.count(_._1 == null)} nullKey=${rows.count(_._2 == null)}")
+      else if (!exercised)
+        println("[streamdegen] note: this fuzz seed left the kmv null-key-with-ts case unexercised")
     }
 
     // ---- 6. exactDupStream: null-text hash convention + both arms -----
@@ -261,8 +311,7 @@ object StreamDegen {
         mem.toDF().toDF("doc_id", "text"), base)
       val q = out.writeStream.format("memory").queryName("degen_xd")
         .outputMode("append").start()
-      mem.addData(all.take(all.size / 2)); q.processAllAvailable()
-      mem.addData(all.drop(all.size / 2)); q.processAllAvailable()
+      feed(all).foreach { c => mem.addData(c); q.processAllAvailable() }
       q.stop()
       def canon(df: DataFrame): Map[Long, (String, Option[Long])] = df
         .select("doc_id", "status", "match_id").collect()

@@ -140,6 +140,17 @@ object DocStoreMaintenance {
         if (!f.rename(tmp, lp))
           throw new java.io.IOException(s"lease rename failed: $tmp -> $lp")
     }
+    // Beat zero on OUR clock: rename preserves whatever mtime the remote
+    // filesystem's clock stamped at create, while vacuum's staleness math
+    // and every subsequent heartbeat use local System.currentTimeMillis —
+    // with fs/namenode clock skew approaching the TTL, a freshly acquired
+    // lease could read stale for up to one heartbeat interval until the
+    // first setTimes beat lands. Stamp it explicitly so all beats,
+    // including the zeroth, are on the clock vacuum compares against.
+    // Best-effort: a failure here is the heartbeat thread's persistent-
+    // failure warning path, not an acquire failure.
+    try f.setTimes(lp, System.currentTimeMillis(), -1)
+    catch { case scala.util.control.NonFatal(_) => }
   }
 
   private[docstore] def readLease(f: FileSystem, dir: Path): Option[Lease] = {
@@ -151,34 +162,55 @@ object DocStoreMaintenance {
       try Some(f.getFileStatus(lp))
       catch { case _: java.io.FileNotFoundException => None }
     statusOpt.flatMap { st =>
-      val textOpt =
+      // "A live op never rewrites the content" is ALMOST true — the one
+      // exception is acquire-over-a-stale-lease, which DOES replace the
+      // content, and on checksummed filesystems (LocalFs/ChecksumFs) the
+      // rename moves the data file and its .crc as two non-atomic steps.
+      // A reader landing between them gets a ChecksumException for a
+      // lease that is LIVE; classifying that instant as stale would let
+      // vacuum sweep it and proceed beside the live op — the exact
+      // overlap the lease exists to prevent. So checksum failures RETRY
+      // briefly (the window is two file moves; milliseconds), and a
+      // PERSISTENT mismatch (out-of-band edits under a stale .crc, a
+      // corrupt block on a crashed host) reads as an unreadable lease
+      // whose liveness is the file's real mtime: a genuinely crashed
+      // op's corruption passes the TTL and is swept like any stale
+      // lease — corruption still never blocks vacuum forever — while a
+      // live op's fresh mtime keeps vacuum out. Any OTHER IOException
+      // (a transient read fault — datanode hiccup, connection reset)
+      // PROPAGATES: mapping it to stale would let vacuum treat a live
+      // op's unreadable-this-instant lease as crashed and delete bytes
+      // beside it; a guard that gates deletion fails loudly, not open.
+      def attempt(): Option[String] =
         try {
           val in = f.open(lp)
           try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
           finally in.close()
-        } catch {
-          case _: java.io.FileNotFoundException => None
-          // CHECKSUM-failing content (out-of-band edits under a stale
-          // .crc, a corrupt block on a crashed host) joins the malformed
-          // class: a live op never rewrites the content, so this is
-          // provably tampering/corruption and must read STALE — never
-          // block vacuum forever. Any OTHER IOException (a transient
-          // read fault — datanode hiccup, connection reset) PROPAGATES:
-          // mapping it to stale would let vacuum treat a live op's
-          // unreadable-this-instant lease as crashed and delete bytes
-          // beside it; a guard that gates deletion fails loudly, not open.
-          case _: org.apache.hadoop.fs.ChecksumException => Some("")
+        } catch { case _: java.io.FileNotFoundException => None }
+      val textOpt: Option[Either[Unit, String]] =
+        try attempt().map(Right(_))
+        catch {
+          case _: org.apache.hadoop.fs.ChecksumException =>
+            val retried =
+              try { Thread.sleep(50); attempt().map(Right(_)) }
+              catch { case _: org.apache.hadoop.fs.ChecksumException => Some(Left(())) }
+            retried
         }
-      textOpt.map { text =>
-        text.split("\n", 2) match {
-          // liveness is the file's mtime (the setTimes heartbeat), not
-          // the acquire timestamp in the content
-          case Array(id, hb) if hb.trim.nonEmpty && hb.trim.forall(_.isDigit) =>
-            Lease(id, st.getModificationTime)
-          // a malformed lease never blocks forever: treat as written at
-          // epoch 0 (= stale), so vacuum proceeds and the file is swept
-          case _ => Lease("malformed", 0L)
-        }
+      textOpt.map {
+        case Left(()) =>
+          // persistently checksum-failing: identity unreadable, liveness
+          // from the heartbeat mtime (see the retry rationale above)
+          Lease("unreadable-checksum", st.getModificationTime)
+        case Right(text) =>
+          text.split("\n", 2) match {
+            // liveness is the file's mtime (the setTimes heartbeat), not
+            // the acquire timestamp in the content
+            case Array(id, hb) if hb.trim.nonEmpty && hb.trim.forall(_.isDigit) =>
+              Lease(id, st.getModificationTime)
+            // a malformed lease never blocks forever: treat as written at
+            // epoch 0 (= stale), so vacuum proceeds and the file is swept
+            case _ => Lease("malformed", 0L)
+          }
       }
     }
   }

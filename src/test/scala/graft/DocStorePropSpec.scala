@@ -346,14 +346,24 @@ class DocStorePropSpec extends SparkSpec {
     DocStoreMaintenance.vacuum(dir, 1)
     assert(!Files.exists(lease))
     // UNREADABLE content (a stale Hadoop .crc beside hand-edited bytes —
-    // the checksummed local FS throws on open) joins the malformed class:
-    // stale, swept, never an exception out of vacuum's guard
+    // the checksummed local FS throws on open): identity is unreadable
+    // but liveness falls back to the file's real mtime, because acquire-
+    // over-a-stale-lease legitimately replaces the content and the
+    // rename's data/.crc moves are two steps on ChecksumFs — a reader in
+    // that instant must NOT read the just-acquired LIVE lease as stale.
+    // Fresh mtime → vacuum refuses; mtime past the TTL (a genuinely
+    // crashed/corrupt host) → stale, swept, never an exception — so
+    // corruption still never blocks vacuum forever.
     val hfs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hlp = new org.apache.hadoop.fs.Path(dir, DocStoreMaintenance.LeaseFile)
     val os = hfs.create(hlp, true)
     try os.write(s"op-x\n${System.currentTimeMillis()}".getBytes("UTF-8")) finally os.close()
     Files.write(lease, "tampered-bytes-under-old-crc".getBytes("UTF-8"))
+    val e3 = intercept[IllegalStateException](DocStoreMaintenance.vacuum(dir, 1))
+    assert(e3.getMessage.contains("unreadable-checksum"), e3.getMessage)
+    Files.setLastModifiedTime(lease, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - DocStoreMaintenance.LeaseTtlMs - 1))
     DocStoreMaintenance.vacuum(dir, 1)
     assert(!Files.exists(lease))
   }

@@ -96,12 +96,27 @@ def main() -> None:
     summary.append(f"text degenerate x{len(rows)}")
 
     # exact-duplicate pairs at arbitrary distances (batch dedup carriers;
-    # the dedup TRUTH is recomputed by the oracle either way)
-    pairs = max(1, n_plants(n) // 4)
-    for _ in range(pairs):
-        a, b = rng.sample(idx, 2)
+    # the dedup TRUTH is recomputed by the oracle either way). Copy
+    # sources are restricted to rows still holding a REAL text (the
+    # degenerate pass above may have blanked any row), and each planted
+    # row is used at most once — otherwise a pair could just clone a
+    # None/"" (no dup group planted) or overwrite an earlier plant, and
+    # the summary would overstate what actually landed. The count is
+    # taken from the pairs that actually planted, not the attempt budget.
+    degenerate_set = set(degenerate_texts)
+    real = [i for i in idx if d["text"][i] not in degenerate_set]
+    planted_pairs = 0
+    budget = max(1, n_plants(n) // 4)
+    taken = set()
+    for _ in range(budget):
+        avail = [i for i in real if i not in taken]
+        if len(avail) < 2:
+            break
+        a, b = rng.sample(avail, 2)
         d["text"][b] = d["text"][a]
-    summary.append(f"dup pairs x{pairs}")
+        taken.update((a, b))
+        planted_pairs += 1
+    summary.append(f"dup pairs x{planted_pairs}")
 
     for col in ("lang", "source"):
         rows = rng.sample(idx, n_plants(n))
