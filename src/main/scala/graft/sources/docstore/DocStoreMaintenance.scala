@@ -119,26 +119,65 @@ object DocStoreMaintenance {
   private[docstore] final case class Lease(opId: String, heartbeatMs: Long)
 
   private def writeLeaseAtomic(f: FileSystem, dir: Path, opId: String): Unit = {
-    val tmp = new Path(dir, LeaseFile + ".inprogress")
+    // The temp name carries the op id (r15): a FIXED ".inprogress" name
+    // was a cross-process collision — vacuum legitimately acquires in the
+    // gap between two ops' leases, and its rename of the shared temp
+    // yanked a concurrently-acquiring op's in-flight create out from
+    // under it (ChecksumFS FileNotFound mid-create; LeaseFuzzSpec's two-
+    // JVM storm hit it on the first seed). Unique temps never collide; a
+    // crash between create and rename leaks one, which recover() sweeps
+    // age-gated alongside the writer temps.
+    val tmp = new Path(dir, s"$LeaseFile.inprogress-$opId")
     val out = f.create(tmp, true)
     try out.write(s"$opId\n${System.currentTimeMillis()}".getBytes("UTF-8"))
     finally out.close()
     val lp = new Path(dir, LeaseFile)
-    // Acquire-over-a-stale-lease must not open an absence window either:
-    // FileContext.rename(OVERWRITE) replaces the destination atomically
-    // (HDFS and the local FS), so a reader racing a post-crash rerun's
-    // acquire sees old lease or new lease, never none. The FileSystem
-    // delete+rename fallback (some FS contexts don't resolve) keeps the
-    // old microsecond gap only where the atomic API is unavailable.
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(lp.toUri, f.getConf)
-      fc.rename(f.makeQualified(tmp), f.makeQualified(lp),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        if (f.exists(lp)) f.delete(lp, false)
-        if (!f.rename(tmp, lp))
-          throw new java.io.IOException(s"lease rename failed: $tmp -> $lp")
+    // Acquire-over-a-stale-lease goes through FileContext.rename
+    // (OVERWRITE) where available, so on filesystems implementing atomic
+    // replace (HDFS) a reader racing a post-crash rerun's acquire sees
+    // old lease or new lease, never none.
+    // Two r15 hardenings out of LeaseFuzzSpec's two-JVM storm. (1) The
+    // path must be QUALIFIED: the raw "/tmp/x" form has no scheme, so
+    // FileContext.getFileContext threw UnsupportedFileSystemException and
+    // the FileContext branch never actually engaged. (2) Even engaged,
+    // rename(OVERWRITE) is only truly atomic where the underlying FS
+    // implements it (HDFS) — AbstractFileSystem's default EMULATES
+    // overwrite as delete-then-rename, so on the local FS two racing
+    // acquires can interleave (A deletes dst, B renames in, A's rename
+    // dies on FileAlreadyExists). Racing acquires are last-writer-wins by
+    // this protocol's own semantics (acquire-over is unconditional), so a
+    // LOST rename race is retryable, not fatal: retry a few times on
+    // either branch. The emulation's microsecond no-lease gap only occurs
+    // replacing a STALE lease (in contract there is no live-lease
+    // overwrite), and a reader in that gap concludes exactly what the
+    // stale lease would have told it — no op holds the collection.
+    val qlp = f.makeQualified(lp)
+    val fcOpt =
+      try Some(org.apache.hadoop.fs.FileContext.getFileContext(qlp.toUri, f.getConf))
+      catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      try {
+        fcOpt match {
+          case Some(fc) =>
+            fc.rename(f.makeQualified(tmp), qlp,
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            done = true
+          case None =>
+            if (f.exists(lp)) f.delete(lp, false)
+            done = f.rename(tmp, lp)
+        }
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => done = false
+      }
+      if (!done) {
+        if (attempts >= 5)
+          throw new java.io.IOException(
+            s"lease rename failed after $attempts attempts: $tmp -> $lp")
+        Thread.sleep(10L * attempts)
+      }
     }
     // Beat zero on OUR clock: rename preserves whatever mtime the remote
     // filesystem's clock stamped at create, while vacuum's staleness math
@@ -863,7 +902,8 @@ object DocStoreMaintenance {
     val tmpMinAgeMs = 15L * 60 * 1000
     val now = System.currentTimeMillis()
     f.listStatus(dir)
-      .filter(s => s.getPath.getName.startsWith(".tmp-") &&
+      .filter(s => (s.getPath.getName.startsWith(".tmp-") ||
+          s.getPath.getName.startsWith(LeaseFile + ".inprogress")) &&
         now - s.getModificationTime > tmpMinAgeMs)
       .foreach(s => f.delete(s.getPath, false))
   }
