@@ -13,3 +13,8 @@ if [ ! -f "$DIR/events.parquet" ]; then
   python3 tools/make_scale10.py "$SRC" "$DIR" 10 --hot-user=0.3
 fi
 sbt -batch "runMain graft.SkewProbe $DIR"
+# r15: the STREAMING stateful path's skew numbers — per-task spread of
+# the flatMapGroupsWithState stage and the bounded-state contract under
+# the hot key, for conversionStream + scd2Stream (see SCALE.md
+# "Streaming skew"). Exits 1 on regression like SkewProbe.
+sbt -batch "runMain graft.StreamSkewProbe $DIR"
