@@ -205,7 +205,9 @@ object Bench {
     def num(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
     def fmt(v: Option[Double]): String = v.fold("null")(num)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val fj = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def failedJson(cap: Int): String =
+      failed.reverse.take(cap).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fj = failedJson(Int.MaxValue)
     val total = results.values.flatten.sum
     // A run with failures reports a total that covers only the survivors —
     // meaningless for round-over-round comparison. The flag makes that
@@ -221,7 +223,10 @@ object Bench {
     // is a regression. Since r13 the SAME ratios drive the tie-break
     // rerun passes above, so every gt1_5x entry emitted here is
     // rerun-backed (`rerun_samples` names its timed-sample count).
-    val drift: String = try {
+    // `cap` bounds the two per-query maps (gt1_5x, rerun_samples) for the
+    // STDOUT variant — see the line-budget note at the tail printer; the
+    // file record passes Int.MaxValue and stays complete.
+    def driftJson(cap: Int): String = try {
       baseline match {
         case None => "null"
         case Some((label, _)) =>
@@ -235,9 +240,9 @@ object Bench {
             val med =
               if (ratios.size % 2 == 1) ratios(ratios.size / 2)._2
               else (ratios(ratios.size / 2 - 1)._2 + ratios(ratios.size / 2)._2) / 2.0
-            val out = ratios.filter(_._2 > 1.5).sortBy(-_._2)
+            val out = ratios.filter(_._2 > 1.5).sortBy(-_._2).take(cap)
               .map { case (k, r) => "\"" + k + "\":" + num(r) }.mkString("{", ",", "}")
-            val rr = rerunSamples.toSeq.sortBy(_._1)
+            val rr = rerunSamples.toSeq.sortBy(_._1).take(cap)
               .map { case (k, s) => "\"" + k + "\":" + s }.mkString("{", ",", "}")
             s"""{"baseline":"$label","median_ratio":${num(med)},"n_compared":${ratios.size},"gt1_5x":$out,"rerun_samples":$rr}"""
           }
@@ -245,6 +250,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] drift triage failed: ${e.getMessage}"); "null"
     }
+    val drift = driftJson(Int.MaxValue)
     // Physical-plan fingerprints beside the timings (r12 verdict task 1):
     // deterministic no-AQE shape counts per query, diffed against the
     // committed baseline's `plans` block the same way the timings are.
@@ -266,7 +272,7 @@ object Bench {
       }
     val plansJson = fps.fold("null")(_.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}"))
-    val planDrift: String = fps match {
+    def planDriftJson(cap: Int): String = fps match {
       case None => "\"error\""
       case Some(m) => (for {
         (label, prev) <- baseline
@@ -281,10 +287,11 @@ object Bench {
               Some("\"" + q + "\":\"" + p + "->" + fp + "\"")
             case _ => None
           }
-        }.mkString("{", ",", "}")
+        }.take(cap).mkString("{", ",", "}")
         s"""{"baseline":"$label","changed":$changed}"""
       }).getOrElse("null")
     }
+    val planDrift = planDriftJson(Int.MaxValue)
     val fullLine =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$qs,"failed":$fj,"drift":$drift,"plan_drift":$planDrift,"plans":$plansJson,"sf":"$sfDir"}"""
     // Full per-query data goes to a committed file (the judge reads it);
@@ -312,12 +319,18 @@ object Bench {
     // first, then the remaining queries by descending cost (the rows a
     // perf reader wants), greedily while the whole line stays under a
     // 1800-char budget (window 2000, margin for sbt's epilogue). The
-    // complete map stays in the committed bench_last.json.
+    // OTHER variable-size fields are capped too — a failure-heavy or
+    // drift-heavy round could blow the window through failed/gt1_5x/
+    // rerun_samples/changed alone, with nothing left for the fold to
+    // shrink — so stdout carries the 10 worst of each. The complete
+    // record (all queries, all failures, full drift maps) stays in the
+    // committed bench_last.json.
     val ordered = headline ++ names.sortBy(n => -results(n).getOrElse(0.0))
       .filterNot(headline.contains)
+    val (fjOut, driftOut, planDriftOut) = (failedJson(10), driftJson(10), planDriftJson(10))
     def lineFor(entries: Seq[String]): String = {
       val q = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$q,"failed":$fj,"drift":$drift,"plan_drift":$planDrift,"full":"bench_last.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$q,"failed":$fjOut,"drift":$driftOut,"plan_drift":$planDriftOut,"full":"bench_last.json","sf":"$sfDir"}"""
     }
     val chosen = ordered.foldLeft(Vector.empty[String]) { (acc, n) =>
       val e = "\"" + n + "\":" + fmt(results(n))

@@ -2619,17 +2619,17 @@ object Queries {
       nodes.toSeq.map(nd => (nd, rank(nd))).toDF("node", "rank_fp").orderBy("node")
     })
 
-  /** g4_pagerank's single data-sized job, exposed so PlanCheck can gate
-    * the EDGE plan (partitioned window, map-side partial agg, pruned
-    * scan) — the returned query's own plan is only the ≤|k|-row local
-    * relation the driver iterations produced.
-    */
   /** The driver-contract edge cap g4_pagerank probes with `limit(g4MaxEdges
     * + 1)` — shared with PlanCheck so the gated plan is the PROBED shape
     * the query actually executes (limit included), not the bare aggregate.
     */
   private[graft] val g4MaxEdges: Int = 1 << 20
 
+  /** g4_pagerank's single data-sized job, exposed so PlanCheck can gate
+    * the EDGE plan (partitioned window, map-side partial agg, pruned
+    * scan) — the returned query's own plan is only the ≤|k|-row local
+    * relation the driver iterations produced.
+    */
   private[graft] def g4Edges(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("event_id")

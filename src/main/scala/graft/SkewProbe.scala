@@ -1,11 +1,7 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-
-import java.util.concurrent.ConcurrentLinkedQueue
-import scala.jdk.CollectionConverters._
 
 /** The skew story, MEASURED (r14 — SURVEY names "attacker IPs dominate
   * groupBy(ip)" as THE scale risk; until this probe the answer on file
@@ -36,9 +32,7 @@ import scala.jdk.CollectionConverters._
   * Usage: runMain graft.SkewProbe [skewCorpusDir]   (default /tmp/graft_skew10)
   */
 object SkewProbe {
-  final case class TaskRow(stageId: Int, shuffleReadBytes: Long, durMs: Long)
-  final case class Spread(maxOverMedian: Double, maxBytes: Long, tasks: Int,
-                          maxDurMs: Long, medianDurMs: Long, totalBytes: Long, plan: String)
+  import SkewMeter.Spread
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_skew10")
@@ -66,17 +60,7 @@ object SkewProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val tasks = new ConcurrentLinkedQueue[TaskRow]()
-    val lastTaskEndNs = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) tasks.add(TaskRow(te.stageId,
-          m.shuffleReadMetrics.totalBytesRead,
-          if (te.taskInfo == null) 0L else te.taskInfo.duration))
-        lastTaskEndNs.set(System.nanoTime())
-      }
-    })
+    val meter = new SkewMeter(spark)
 
     var failures = 0
     def check(name: String, ok: Boolean, detail: String): Unit = {
@@ -90,7 +74,7 @@ object SkewProbe {
       */
     def measure(adaptive: Boolean)(df: => DataFrame): Spread = {
       spark.conf.set("spark.sql.adaptive.enabled", adaptive.toString)
-      tasks.clear()
+      meter.clear()
       @volatile var plan: String = null
       val ql = new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
@@ -99,39 +83,19 @@ object SkewProbe {
       }
       spark.listenerManager.register(ql)
       Bench.run(df)
-      // both listener buses are async; wait for the plan AND for
-      // TASK-EVENT QUIESCENCE (no task-end for 1 s, 10 s cap — Probe's
-      // awaitStageQuiescence pattern) before reading the queue. A fixed
-      // nap here once risked computing the spread WITHOUT the straggler:
-      // on a loaded VM the bus can deliver the hot task's end late, and
-      // the straggler is exactly the event these assertions need.
+      // the query-execution bus is async too; wait for the plan, then
+      // SkewMeter.spread() applies the task-quiescence discipline
       var waited = 0
       while (plan == null && waited < 100) { Thread.sleep(100); waited += 1 }
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (System.nanoTime() < deadline &&
-             System.nanoTime() - lastTaskEndNs.get() < 1000L * 1000 * 1000)
-        Thread.sleep(100)
       spark.listenerManager.unregister(ql)
-      val byStage = tasks.asScala.toSeq.groupBy(_.stageId)
-        .filter(_._2.map(_.shuffleReadBytes).sum > 0)
-      if (byStage.isEmpty) Spread(1.0, 0L, 0, 0L, 0L, 0L, Option(plan).getOrElse(""))
-      else {
-        val (_, rows) = byStage.maxBy(_._2.map(_.shuffleReadBytes).sum)
-        val bytes = rows.map(_.shuffleReadBytes).sorted
-        val durs = rows.map(_.durMs).sorted
-        val median = math.max(1L, bytes(bytes.size / 2))
-        Spread(bytes.last.toDouble / median, bytes.last, bytes.size,
-          durs.last, math.max(1L, durs(durs.size / 2)), bytes.sum,
-          Option(plan).getOrElse(""))
-      }
+      meter.spread(Option(plan).getOrElse(""))
     }
 
     val ev = Tables.events(spark, dir)
     val total = ev.count()
     val hotShare = ev.filter(col("user_id") === 0L).count().toDouble / total
     println(f"corpus: $dir, hot user owns ${hotShare * 100}%.1f%% of $total%d events")
-    def fmt(s: Spread) =
-      f"max/median task shuffle-read ${s.maxOverMedian}%.1fx (max ${s.maxBytes / 1e6}%.2f MB over ${s.tasks}%d tasks), straggler ${s.maxDurMs}%d ms vs median ${s.medianDurMs}%d ms"
+    def fmt(s: Spread) = SkewMeter.fmt(s)
 
     // ---- 1. AQE skew-join split on a hot-key sort-merge join ------------
     // st4's shape at a 30s window (bounded matched-pair output on the hot

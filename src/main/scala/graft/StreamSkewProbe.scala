@@ -1,11 +1,7 @@
 package graft
 
 import java.sql.Timestamp
-import java.util.concurrent.ConcurrentLinkedQueue
 
-import scala.jdk.CollectionConverters._
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -39,10 +35,6 @@ import org.apache.spark.sql.functions._
   *        (default /tmp/graft_skew10 — build with tools/skew_gate.sh)
   */
 object StreamSkewProbe {
-  final case class TaskRow(stageId: Int, shuffleReadBytes: Long, durMs: Long)
-  final case class Spread(maxOverMedian: Double, maxBytes: Long, tasks: Int,
-                          maxDurMs: Long, medianDurMs: Long, totalBytes: Long)
-
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_skew10")
     val spark = SparkSession.builder()
@@ -58,50 +50,15 @@ object StreamSkewProbe {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-    val tasks = new ConcurrentLinkedQueue[TaskRow]()
-    val lastTaskEndNs = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) tasks.add(TaskRow(te.stageId,
-          m.shuffleReadMetrics.totalBytesRead,
-          if (te.taskInfo == null) 0L else te.taskInfo.duration))
-        lastTaskEndNs.set(System.nanoTime())
-      }
-    })
+    val meter = new SkewMeter(spark)
+    def spread(): SkewMeter.Spread = meter.spread()
+    def fmt(s: SkewMeter.Spread) = SkewMeter.fmt(s)
 
     var failures = 0
     def check(name: String, ok: Boolean, detail: String): Unit = {
       println(f"${if (ok) "PASS" else "FAIL"}  $name%-52s $detail")
       if (!ok) failures += 1
     }
-    def quiesce(): Unit = {
-      // same discipline as SkewProbe: the listener bus is async and the
-      // straggler's task-end is exactly the event these numbers need
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (System.nanoTime() < deadline &&
-             System.nanoTime() - lastTaskEndNs.get() < 1000L * 1000 * 1000)
-        Thread.sleep(100)
-    }
-    /** Heaviest shuffle-reading stage across the captured tasks — for a
-      * keyed streaming query, the stateful stage of its biggest batch.
-      */
-    def spread(): Spread = {
-      quiesce()
-      val byStage = tasks.asScala.toSeq.groupBy(_.stageId)
-        .filter(_._2.map(_.shuffleReadBytes).sum > 0)
-      if (byStage.isEmpty) Spread(1.0, 0L, 0, 0L, 0L, 0L)
-      else {
-        val (_, rows) = byStage.maxBy(_._2.map(_.shuffleReadBytes).sum)
-        val bytes = rows.map(_.shuffleReadBytes).sorted
-        val durs = rows.map(_.durMs).sorted
-        Spread(bytes.last.toDouble / math.max(1L, bytes(bytes.size / 2)),
-          bytes.last, bytes.size, durs.last, math.max(1L, durs(durs.size / 2)),
-          bytes.sum)
-      }
-    }
-    def fmt(s: Spread) =
-      f"max/median task shuffle-read ${s.maxOverMedian}%.1fx (max ${s.maxBytes / 1e6}%.2f MB of ${s.totalBytes / 1e6}%.2f MB over ${s.tasks}%d tasks), straggler ${s.maxDurMs}%d ms vs median ${s.medianDurMs}%d ms"
 
     val ev = Tables.events(spark, dir)
       .filter(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
@@ -120,7 +77,7 @@ object StreamSkewProbe {
       val mem = MemoryStream[(Long, Timestamp, String)]
       val out = graft.operators.Funnel.conversionStream(
         mem.toDS(), Seq("click", "purchase"), windowMillis = 7L * 24 * 3600 * 1000)
-      tasks.clear()
+      meter.clear()
       val q = out.writeStream.format("memory").queryName("skew_funnel")
         .outputMode("append").start()
       rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { c =>
@@ -149,7 +106,7 @@ object StreamSkewProbe {
         .orderBy("event_id").as[(Long, Long, Timestamp, String)].collect().toSeq
       val mem = MemoryStream[(Long, Long, Timestamp, String)]
       val out = graft.streaming.StreamingAnalytics.scd2Stream(mem.toDS())
-      tasks.clear()
+      meter.clear()
       val q = out.writeStream.format("memory").queryName("skew_scd2")
         .outputMode("append").start()
       rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { c =>

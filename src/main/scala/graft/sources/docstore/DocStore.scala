@@ -172,10 +172,75 @@ private[docstore] object DocStore {
 
   // The metadata helpers below (schema / stats / version manifests) each
   // take [[metadataLock]] INTERNALLY (reentrant, so locked call sites
-  // nest freely): the overwrite-in-place writes are not atomic at the
-  // file level, and a same-JVM lock-free reader racing a locked writer
-  // read back a TORN _schema.json (empty-DDL ParseException, caught by
-  // DocStoreConcurrencySpec's racing writers) before r11.
+  // nest freely): before r11 a same-JVM lock-free reader racing a locked
+  // writer read back a TORN _schema.json (empty-DDL ParseException,
+  // caught by DocStoreConcurrencySpec's racing writers).
+  //
+  // Since r15 every metadata WRITE is also atomic at the FILE level
+  // ([[writeFileAtomic]]): the old create(overwrite)-in-place writes
+  // truncated the destination first, so a PROCESS CRASH mid-write (not
+  // just a racing thread) left a torn/empty _stats.json or _schema.json
+  // that the loud read path then refused with a restore-by-hand recipe —
+  // LeaseFuzzSpec's kill -9 landed exactly there on its first full-suite
+  // run, turning a crash recover() must roll forward into manual
+  // surgery. Now a kill at any instant leaves the destination as a
+  // complete old or new version (plus at most an inert ".tmp-" file the
+  // maintenance recover() sweeps age-gated).
+
+  /** Write `bytes` to `p` atomically-in-effect: temp file in the same
+    * directory (".tmp-" prefix — invisible to shard/version listings),
+    * then rename over the destination. With `overwrite=false` the rename
+    * is a create-once CLAIM (version allocation): returns false and
+    * removes the temp when the destination already exists. The local
+    * FS's overwrite rename is delete+rename emulation (see the lease
+    * writer's note) — its microsecond absence window is invisible to
+    * in-JVM readers (they share [[metadataLock]] with the writer) and
+    * cross-process readers during maintenance are out of contract.
+    */
+  /** Remove `p`'s Hadoop local-FS checksum sidecar (".<name>.crc") if
+    * present. Checksummed local filesystems rename a file as TWO steps —
+    * data, then crc — so a crash between them leaves the NEW data under
+    * the OLD checksum, and every subsequent read dies on
+    * ChecksumException ("restore by hand") even though the content is a
+    * complete, valid version. Dropping the stale sidecar before the
+    * rename makes the worst crash state "valid data, no checksum"
+    * (which the FS reads unverified) instead of "valid data, wrong
+    * checksum" (unreadable). On filesystems without sidecars (HDFS,
+    * object stores) this is a no-op.
+    */
+  private[docstore] def dropCrcSidecar(f: org.apache.hadoop.fs.FileSystem, p: Path): Unit = {
+    val crc = new Path(p.getParent, s".${p.getName}.crc")
+    try { if (f.exists(crc)) f.delete(crc, false) }
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  private[docstore] def writeFileAtomic(p: Path, bytes: Array[Byte],
+                                        overwrite: Boolean = true): Boolean = {
+    val f = fs(p)
+    val tmp = new Path(p.getParent, s".tmp-meta-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    dropCrcSidecar(f, p)
+    if (overwrite) {
+      val q = f.makeQualified(p)
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(q.toUri, f.getConf)
+        fc.rename(f.makeQualified(tmp), q, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          if (f.exists(p)) f.delete(p, false)
+          if (!f.rename(tmp, p))
+            throw new java.io.IOException(s"atomic metadata write failed: $tmp -> $p")
+      }
+      true
+    } else {
+      val ok =
+        try f.rename(tmp, p)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      if (!ok) f.delete(tmp, false)
+      ok
+    }
+  }
 
   def readStoredSchema(dir: String): StructType = metadataLock.synchronized {
     val p = new Path(dir, SchemaFile)
@@ -207,10 +272,8 @@ private[docstore] object DocStore {
   }
 
   def writeStoredSchema(dir: String, schema: StructType): Unit = metadataLock.synchronized {
-    val p = new Path(dir, SchemaFile)
-    val f = fs(p)
-    val out = f.create(p, true)
-    try out.write(allNullable(schema).toDDL.getBytes("UTF-8")) finally out.close()
+    writeFileAtomic(new Path(dir, SchemaFile),
+      allNullable(schema).toDDL.getBytes("UTF-8"))
   }
 
   /** Serializes every commit's METADATA phase (stats + version manifest +
@@ -442,15 +505,19 @@ private[docstore] object DocStore {
       val arr = root.putArray("shards")
       listParts(dir).map(_.getName).foreach(arr.add)
       val p = new Path(cd, f"v$next%06d.json")
-      try {
-        val out = f.create(p, false)
-        try out.write(new ObjectMapper().writeValueAsString(root).getBytes("UTF-8"))
-        finally out.close()
-        done = true
-      } catch {
-        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          attempt += 1
-          if (attempt >= 64) throw e
+      // temp+rename (r15): the old direct create(overwrite=false) was an
+      // atomic CLAIM but not an atomic WRITE — a process crash between
+      // create and close left a truncated manifest that readManifest
+      // refuses with a repair-by-hand recipe. The rename keeps the claim
+      // semantics (fails when the version already exists → retry next
+      // number) while the content lands complete or not at all.
+      done = writeFileAtomic(p,
+        new ObjectMapper().writeValueAsString(root).getBytes("UTF-8"),
+        overwrite = false)
+      if (!done) {
+        attempt += 1
+        if (attempt >= 64) throw new java.io.IOException(
+          s"docstore version allocation lost $attempt straight races at $dir")
       }
     }
   }
@@ -777,10 +844,8 @@ private[docstore] object DocStore {
         }
       }
     }
-    val p = new Path(dir, StatsFile)
-    val out = fs(p).create(p, true)
-    try out.write(new ObjectMapper().writeValueAsString(root).getBytes("UTF-8"))
-    finally out.close()
+    writeFileAtomic(new Path(dir, StatsFile),
+      new ObjectMapper().writeValueAsString(root).getBytes("UTF-8"))
   }
 
   /** True when `filter` can be satisfied by SOME document in a shard with

@@ -65,6 +65,10 @@ object DocStoreMaintenance {
     val tmp = new Path(dir, Marker + ".inprogress")
     val out = f.create(tmp, true)
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    // checksummed local FS renames data then .crc — drop the stale
+    // sidecar first so a crash between the steps leaves a READABLE
+    // marker (valid data, no checksum), not an unreadable one
+    DocStore.dropCrcSidecar(f, markerPath)
     if (f.exists(markerPath)) f.delete(markerPath, false)
     if (!f.rename(tmp, markerPath))
       throw new java.io.IOException(s"marker rename failed: $tmp -> $markerPath")
@@ -128,9 +132,12 @@ object DocStoreMaintenance {
     // crash between create and rename leaks one, which recover() sweeps
     // age-gated alongside the writer temps.
     val tmp = new Path(dir, s"$LeaseFile.inprogress-$opId")
-    val out = f.create(tmp, true)
-    try out.write(s"$opId\n${System.currentTimeMillis()}".getBytes("UTF-8"))
-    finally out.close()
+    def stageTmp(): Unit = {
+      val out = f.create(tmp, true)
+      try out.write(s"$opId\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+      finally out.close()
+    }
+    stageTmp()
     val lp = new Path(dir, LeaseFile)
     // Acquire-over-a-stale-lease goes through FileContext.rename
     // (OVERWRITE) where available, so on filesystems implementing atomic
@@ -159,6 +166,10 @@ object DocStoreMaintenance {
     var done = false
     while (!done) {
       attempts += 1
+      // drop lp's stale .crc sidecar each attempt (see writeFileAtomic's
+      // note): shrinks readLease's checksum-retry window and keeps a
+      // crash between the FS's data/crc rename steps readable
+      DocStore.dropCrcSidecar(f, lp)
       try {
         fcOpt match {
           case Some(fc) =>
@@ -171,12 +182,24 @@ object DocStoreMaintenance {
         }
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => done = false
+        case _: java.io.FileNotFoundException =>
+          // ChecksumFs renames the DATA file then the .crc as two calls,
+          // and an interleaved racing acquire can fail a later step after
+          // our temp's data already moved — a retry then renames a
+          // CONSUMED temp and FNFs (LeaseFuzzSpec caught this escaping as
+          // a peer crash). If the lease now carries OUR op id, the
+          // acquire took effect despite the exception; otherwise restage
+          // below and retry.
+          done = readLease(f, dir).exists(_.opId == opId)
       }
       if (!done) {
         if (attempts >= 5)
           throw new java.io.IOException(
             s"lease rename failed after $attempts attempts: $tmp -> $lp")
         Thread.sleep(10L * attempts)
+        // a partially-successful attempt consumes the temp either way
+        // (its data file moved); restage so the next rename has a source
+        if (!f.exists(tmp)) stageTmp()
       }
     }
     // Beat zero on OUR clock: rename preserves whatever mtime the remote
@@ -904,6 +927,13 @@ object DocStoreMaintenance {
     f.listStatus(dir)
       .filter(s => (s.getPath.getName.startsWith(".tmp-") ||
           s.getPath.getName.startsWith(LeaseFile + ".inprogress")) &&
+        now - s.getModificationTime > tmpMinAgeMs)
+      .foreach(s => f.delete(s.getPath, false))
+    // manifest write temps (writeFileAtomic in the commits dir) leak the
+    // same way on a crash between create and rename — same aged sweep
+    val cd = new Path(dir, DocStore.CommitsDir)
+    if (f.exists(cd)) f.listStatus(cd)
+      .filter(s => s.getPath.getName.startsWith(".tmp-") &&
         now - s.getModificationTime > tmpMinAgeMs)
       .foreach(s => f.delete(s.getPath, false))
   }

@@ -47,17 +47,21 @@ class LeaseFuzzSpec extends SparkSpec {
     dir
   }
 
-  // mirror of build.sbt's jdk17AddOpens — the peer creates a SparkSession
-  // outside spark-submit, same as the test JVM
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar",
-  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+  // The peer creates a SparkSession outside spark-submit, so it needs the
+  // same --add-opens build.sbt gave THIS (forked) test JVM. Derived from
+  // the running JVM's own arguments rather than hand-mirroring
+  // jdk17AddOpens — a mirror would silently drift when the list changes
+  // and fail the fuzz for a reason unrelated to the lease protocol.
+  private val addOpens: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val in = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    in.zipWithIndex.flatMap {
+      case (a, i) if a == "--add-opens" => Seq(a) ++ in.lift(i + 1)
+      case (a, _) if a.startsWith("--add-opens=") => Seq(a)
+      case _ => Nil
+    }
+  }
 
   private final class Peer(dir: String, iters: Int) {
     private val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString

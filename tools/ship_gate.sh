@@ -55,11 +55,12 @@ if [[ "${GRAFT_NO_DEGEN:-0}" != "1" ]]; then
   # Stage 4c (r15): ONE rotating fuzz seed per gate run. The fuzzer is
   # the repo's highest-yield bug-finder (4 real cross-engine divergences
   # in its first 3 sweeps, commit 10c4168) and used to be a manual step
-  # someone had to remember. The seed rotates with the calendar day so
-  # every gate run explores a NEW corpus + split schedule while staying
+  # someone had to remember. The seed rotates HOURLY (day-granular would
+  # re-explore one corpus across a whole day's regates) so successive
+  # gate runs explore new corpora + split schedules while staying
   # reproducible (the seed is echoed; override with GRAFT_FUZZ_SEED).
   # Runs batch Verify+oracle AND the seeded streaming lens (~4 min).
-  FUZZ_SEED="${GRAFT_FUZZ_SEED:-$(date +%Y%m%d)}"
+  FUZZ_SEED="${GRAFT_FUZZ_SEED:-$(date +%Y%m%d%H)}"
   echo "=== ship gate 4c: rotating-seed degen fuzz (seed $FUZZ_SEED) ==="
   bash tools/fuzz_gate.sh 1 /root/testdata/sf0.001 "$FUZZ_SEED"
 fi
