@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
   * would ship green. This main points six representative twins at the
   * degen corpus itself, splits every stream mid-corpus so buffers must
   * merge across micro-batches, and compares against the batch twin on
-  * the same rows. Exits 1 on any divergence.
+  * the same rows. Exits 1 on any divergence. r15 adds two more lenses:
+  * attributionStream against the BATCH asOfJoin (a genuinely different
+  * implementation, with planted null event_types flowing through the
+  * fold's ignore arm) and ewmaStream against an exact recursive
+  * reference (planted null values must drop before the primitive-Double
+  * encoder can fold them to 0.0).
   *
   * Null event times turn out to drop IDENTICALLY on both sides —
   * window(ts) generates no row for a null timestamp in batch just as
@@ -326,6 +331,92 @@ object StreamDegen {
       check("exactDupStream exercised BOTH arms on the degen corpus",
         got.values.exists(_._1 == "exact_dup") && got.values.exists(_._1 == "new"),
         s"statuses=${got.values.map(_._1).toSet}")
+    }
+
+    // ---- 7. attributionStream: as-of fold vs the BATCH asOfJoin -------
+    // The strongest kind of twin: a different IMPLEMENTATION (union +
+    // sort-merge as-of vs keyed stream fold), not the same fold run twice.
+    // Null user_id and null ts drop on BOTH sides before the primitive-
+    // key encoder boundary (the heavyHitterStream null→0 fold class);
+    // null event_type rows FLOW into the fold and must be ignored by its
+    // type match — planted nulls exercise exactly that arm.
+    locally {
+      val winMicros = 3L * 24 * 3600 * 1000 * 1000
+      val rows: Seq[(Long, Long, Timestamp, String)] = Tables.events(spark, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          if (r.isNullAt(3)) null else r.getString(3))).toSeq
+      val mem = MemoryStream[(Long, Long, Timestamp, String)]
+      val sdf = graft.streaming.StreamingAnalytics.attributionStream(mem.toDS(), winMicros)
+      val q = sdf.writeStream.format("memory").queryName("degen_attr")
+        .outputMode("append").start()
+      feed(rows).foreach { c => mem.addData(c); q.processAllAvailable() }
+      q.stop()
+      val streaming: Map[Long, Option[Long]] = spark.table("degen_attr").collect()
+        .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      import org.apache.spark.sql.functions.{unix_micros, when}
+      val purchases = rows.filter(_._4 == "purchase").map(t => (t._1, t._2, t._3))
+        .toDF("user_id", "purchase_id", "pts")
+      val clicks = rows.filter(_._4 == "click").map(t => (t._1, t._3, t._2))
+        .toDF("user_id", "cts", "click_id")
+      val batch: Map[Long, Option[Long]] = graft.operators.TemporalJoins
+        .asOfJoin(purchases, clicks, "user_id", "pts", "cts", "click_id", Seq.empty)
+        .select(col("purchase_id"),
+          when(col("asof").isNotNull &&
+            unix_micros(col("pts")) - unix_micros(col("asof.cts")) <= winMicros,
+            col("asof.click_id")).as("click_id"))
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      check("attributionStream == batch asOfJoin on degen events (per-purchase credit)",
+        streaming == batch && streaming.nonEmpty,
+        s"stream=${streaming.size} batch=${batch.size} diff=${(streaming.toSet diff batch.toSet).take(2)} ${(batch.toSet diff streaming.toSet).take(2)}")
+      // non-vacuity holds by construction on make_degen's fixed plants; a
+      // fuzzed corpus plants the null columns independently, so a rare
+      // seed can land every null type on a dropped (null-user/null-ts)
+      // row — vacuous, not a divergence (lens 5's rule)
+      val nullTypeReached = rows.exists(_._4 == null)
+      if (splitRng.isEmpty)
+        check("attribution parity exercised null event_type rows flowing through the fold",
+          nullTypeReached,
+          "no null-type row reached the fold — corpus plant absent")
+      else if (!nullTypeReached)
+        println("[streamdegen] note: this fuzz seed left the attribution null-type arm unexercised")
+    }
+
+    // ---- 8. ewmaStream: exact recursive fold parity on degen values ----
+    // value carries planted NULLs: the primitive-Double encoder would
+    // fold them to 0.0 silently (the same class as the null key→0
+    // catch), so the operator's contract is null-value rows drop BEFORE
+    // the encoder boundary — enforced here on both sides, then the
+    // stream's cross-batch state merges must reproduce the full-history
+    // recursion bit-exactly.
+    locally {
+      val alpha = 0.25
+      val rows: Seq[(Long, Long, Double)] = Tables.events(spark, dir)
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val mem = MemoryStream[(Long, Long, Double)]
+      val sdf = graft.streaming.StreamingAnalytics.ewmaStream(mem.toDS(), alpha)
+      val q = sdf.writeStream.format("memory").queryName("degen_ewma")
+        .outputMode("append").start()
+      feed(rows).foreach { c => mem.addData(c); q.processAllAvailable() }
+      q.stop()
+      val streaming = spark.table("degen_ewma").collect()
+        .map(r => r.getLong(1) -> ((r.getDouble(3), r.getLong(4)))).toMap
+      // exact reference: per-key recursive fold in event_id order — the
+      // same order the stream folds (within-batch sort + in-order chunks)
+      val expected = rows.groupBy(_._1).flatMap { case (_, g) =>
+        g.sortBy(_._2).scanLeft((0L, 0.0, 0L)) { case ((_, e, n), (_, eid, x)) =>
+          (eid, if (n == 0) x else alpha * x + (1 - alpha) * e, n + 1)
+        }.tail.map { case (eid, e, n) => eid -> ((e, n)) }
+      }
+      check("ewmaStream == exact recursive reference on degen events (null values dropped pre-encoder)",
+        streaming.size == rows.size && expected.forall { case (k, v) => streaming.get(k).contains(v) },
+        s"stream=${streaming.size} rows=${rows.size} firstDiff=${expected.find { case (k, v) => !streaming.get(k).contains(v) }.take(1)}")
     }
 
     spark.stop()
