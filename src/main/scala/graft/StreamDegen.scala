@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * embeddings — but the streaming parity suites run on clean fixtures,
   * so a streaming-side null divergence (a watermark silently dropping a
   * row the batch twin reports, a null key poisoning a mergeable buffer)
-  * would ship green. This main points six representative twins at the
+  * would ship green. This main points eight representative twins at the
   * degen corpus itself, splits every stream mid-corpus so buffers must
   * merge across micro-batches, and compares against the batch twin on
   * the same rows. Exits 1 on any divergence. r15 adds two more lenses:
