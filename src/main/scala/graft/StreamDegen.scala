@@ -342,12 +342,23 @@ object StreamDegen {
     // type match — planted nulls exercise exactly that arm.
     locally {
       val winMicros = 3L * 24 * 3600 * 1000 * 1000
+      // Fed in the fold's OWN order — (event time, clicks before
+      // purchases, event_id) — the operator's documented in-order-stream
+      // contract. The fuzzer's ts-dup plants REORDER event time relative
+      // to event_id, and an event_id-ordered feed then delivers
+      // cross-batch LATE purchases, whose non-attribution is
+      // attributionStream's documented bounded-state boundary ("the
+      // batch asOfJoin is the order-perfect reconciliation for late
+      // data"), not a divergence — this lens's axis is TIES, which the
+      // contract-ordered feed still exercises fully (equal-ts rows can
+      // straddle any micro-batch boundary the seed picks).
       val rows: Seq[(Long, Long, Timestamp, String)] = Tables.events(spark, dir)
         .filter(col("user_id").isNotNull && col("ts").isNotNull)
         .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-        .orderBy("event_id").collect()
+        .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
           if (r.isNullAt(3)) null else r.getString(3))).toSeq
+        .sortBy(t => (graft.TimeUs.toUs(t._3), if (t._4 == "click") 0 else 1, t._2))
       val mem = MemoryStream[(Long, Long, Timestamp, String)]
       val sdf = graft.streaming.StreamingAnalytics.attributionStream(mem.toDS(), winMicros)
       val q = sdf.writeStream.format("memory").queryName("degen_attr")

@@ -81,6 +81,25 @@ def main() -> None:
             d[col][i] = None
         summary.append(f"{col} NULL x{len(rows)}")
 
+    # duplicate-TIMESTAMP pairs (r15): cross-row ts ties at arbitrary
+    # distances. The r14 fuzzer's biggest wins were unpinned orderings
+    # that needed a TIE to surface; natural corpora tie rarely, so plant
+    # ties deliberately — any query ordering by ts without a full
+    # deterministic tie-break diverges between engines here. Copy sources
+    # restricted to rows still holding a real ts; each row used once.
+    ts_real = [i for i in idx if d["ts"][i] is not None]
+    ts_pairs = 0
+    taken_ts = set()
+    for _ in range(max(1, n_plants(n) // 4)):
+        avail = [i for i in ts_real if i not in taken_ts]
+        if len(avail) < 2:
+            break
+        a, b = rng.sample(avail, 2)
+        d["ts"][b] = d["ts"][a]
+        taken_ts.update((a, b))
+        ts_pairs += 1
+    summary.append(f"ts dup pairs x{ts_pairs}")
+
     pq.write_table(pa.table(d, schema=t.schema), f"{out}/events.parquet")
 
     # ---- documents -------------------------------------------------------
@@ -149,6 +168,28 @@ def main() -> None:
         else:
             d["embedding"][i] = []
     summary.append("embedding " + " ".join(f"{m} x{c}" for m, c in used.items()))
+
+    # duplicate-EMBEDDING pairs (r15): identical vectors create exact
+    # distance/similarity TIES in the knn/ann/dedup family — any top-k or
+    # pair ranking without a deterministic id tie-break diverges here.
+    # Sources restricted to non-query (vec_id >= 10), still-real vectors
+    # (not degenerated above); each row used once.
+    def real_vec(i):
+        v = d["embedding"][i]
+        return (v is not None and len(v) > 0 and
+                not any(x != x for x in v) and any(x != 0.0 for x in v))
+    emb_real = [i for i in eligible if real_vec(i)]
+    emb_pairs = 0
+    taken_e = set()
+    for _ in range(max(1, n_plants(n) // 4)):
+        avail = [i for i in emb_real if i not in taken_e]
+        if len(avail) < 2:
+            break
+        a, b = rng.sample(avail, 2)
+        d["embedding"][b] = list(d["embedding"][a])
+        taken_e.update((a, b))
+        emb_pairs += 1
+    summary.append(f"embedding dup pairs x{emb_pairs}")
 
     pq.write_table(pa.table(d, schema=t.schema), f"{out}/embeddings.parquet")
     print(f"fuzz_degen seed={seed}: " + "; ".join(summary))
