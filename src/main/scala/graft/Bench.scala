@@ -322,21 +322,32 @@ object Bench {
     // OTHER variable-size fields are capped too — a failure-heavy or
     // drift-heavy round could blow the window through failed/gt1_5x/
     // rerun_samples/changed alone, with nothing left for the fold to
-    // shrink — so stdout carries the 10 worst of each. The complete
-    // record (all queries, all failures, full drift maps) stays in the
+    // shrink — so stdout carries up to the 10 worst of each, and (r16)
+    // the caps themselves participate in the length budget: entry SIZES
+    // are unbounded (query names + "fp->fp" fingerprint pairs), so ten
+    // entries of each could alone exceed the window. The cap shrinks
+    // 10→0 until the zero-queries skeleton fits; if even cap 0 does not
+    // fit, that is unfixable here and logged loudly. The complete record
+    // (all queries, all failures, full drift maps) stays in the
     // committed bench_last.json.
     val ordered = headline ++ names.sortBy(n => -results(n).getOrElse(0.0))
       .filterNot(headline.contains)
-    val (fjOut, driftOut, planDriftOut) = (failedJson(10), driftJson(10), planDriftJson(10))
-    def lineFor(entries: Seq[String]): String = {
+    def lineFor(entries: Seq[String], cap: Int): String = {
       val q = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$q,"failed":$fjOut,"drift":$driftOut,"plan_drift":$planDriftOut,"full":"bench_last.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$q,"failed":${failedJson(cap)},"drift":${driftJson(cap)},"plan_drift":${planDriftJson(cap)},"full":"bench_last.json","sf":"$sfDir"}"""
+    }
+    val blockCap = (10 to 0 by -1).find(c => lineFor(Vector.empty, c).length <= 1800).getOrElse {
+      System.err.println(
+        s"[bench] stdout skeleton exceeds the 1800-char budget even with all " +
+          s"variable blocks emptied (${lineFor(Vector.empty, 0).length} chars) — " +
+          "the driver window will truncate this line; read bench_last.json")
+      0
     }
     val chosen = ordered.foldLeft(Vector.empty[String]) { (acc, n) =>
       val e = "\"" + n + "\":" + fmt(results(n))
-      if (lineFor(acc :+ e).length <= 1800) acc :+ e else acc
+      if (lineFor(acc :+ e, blockCap).length <= 1800) acc :+ e else acc
     }
-    println(lineFor(chosen))
+    println(lineFor(chosen, blockCap))
     spark.stop()
   }
 }

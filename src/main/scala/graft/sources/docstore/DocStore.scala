@@ -196,6 +196,18 @@ private[docstore] object DocStore {
     * writer's note) — its microsecond absence window is invisible to
     * in-JVM readers (they share [[metadataLock]] with the writer) and
     * cross-process readers during maintenance are out of contract.
+    *
+    * The claim branch must NOT use FileSystem.rename (r16, advisory):
+    * RawLocalFileSystem.rename delegates to java.io.File.renameTo, which
+    * on POSIX silently REPLACES an existing destination — a lost version-
+    * allocation race would clobber the winner's already-committed
+    * manifest instead of failing. FileContext.rename with Rename.NONE
+    * checks the destination and throws FileAlreadyExistsException, so the
+    * loser correctly loses; the rare FileSystem fallback (schemeless
+    * in-memory FS in tests) guards with an exists() check. Nor may the
+    * claim branch touch the destination's .crc sidecar: a loser that
+    * drops it strips checksum verification from a committed version it
+    * never owned — the sidecar drop belongs to overwrite-in-place only.
     */
   /** Remove `p`'s Hadoop local-FS checksum sidecar (".<name>.crc") if
     * present. Checksummed local filesystems rename a file as TWO steps —
@@ -220,8 +232,8 @@ private[docstore] object DocStore {
     val tmp = new Path(p.getParent, s".tmp-meta-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(bytes) finally out.close()
-    dropCrcSidecar(f, p)
     if (overwrite) {
+      dropCrcSidecar(f, p)
       val q = f.makeQualified(p)
       try {
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(q.toUri, f.getConf)
@@ -234,10 +246,27 @@ private[docstore] object DocStore {
       }
       true
     } else {
+      val q = f.makeQualified(p)
       val ok =
-        try f.rename(tmp, p)
-        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
-      if (!ok) f.delete(tmp, false)
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(q.toUri, f.getConf)
+          fc.rename(f.makeQualified(tmp), q, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            // no FileContext for this scheme: exists-guarded FileSystem
+            // rename. The guard is check-then-act, but losing THIS race
+            // needs a committer to land between the two calls — and a
+            // destination appearing concurrently is still a lost claim,
+            // never a clobber-worthy one, because callers retry with the
+            // next version on false.
+            if (f.exists(p)) false
+            else
+              try f.rename(tmp, p)
+              catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+        }
+      if (!ok && f.exists(tmp)) f.delete(tmp, false)
       ok
     }
   }

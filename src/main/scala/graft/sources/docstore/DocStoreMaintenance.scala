@@ -209,10 +209,18 @@ object DocStoreMaintenance {
     // lease could read stale for up to one heartbeat interval until the
     // first setTimes beat lands. Stamp it explicitly so all beats,
     // including the zeroth, are on the clock vacuum compares against.
+    // Ownership-guarded (r16, advisory): an unconditional stamp after a
+    // concurrent acquire-over (out of contract, but the fuzz drives it)
+    // would freshen the OTHER op's lease — harmless while it is live, but
+    // it can resurrect a lease vacuum was about to classify stale. Same
+    // check the FNF retry uses; the re-read-to-stamp window is the
+    // unavoidable residue, vastly narrower than always-stamp.
     // Best-effort: a failure here is the heartbeat thread's persistent-
     // failure warning path, not an acquire failure.
-    try f.setTimes(lp, System.currentTimeMillis(), -1)
-    catch { case scala.util.control.NonFatal(_) => }
+    try {
+      if (readLease(f, dir).exists(_.opId == opId))
+        f.setTimes(lp, System.currentTimeMillis(), -1)
+    } catch { case scala.util.control.NonFatal(_) => }
   }
 
   private[docstore] def readLease(f: FileSystem, dir: Path): Option[Lease] = {

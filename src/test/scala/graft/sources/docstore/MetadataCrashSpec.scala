@@ -43,4 +43,40 @@ class MetadataCrashSpec extends SparkSpec {
     assert(DocStore.readStats(dir) === statsBefore,
       "writeStats over a stale-crc state must heal, not crash")
   }
+
+  test("a lost version claim leaves the winner's file and crc sidecar untouched") {
+    // r16 advisory pin: writeFileAtomic(overwrite=false) is a version-
+    // allocation CLAIM. The pre-fix FileSystem.rename path delegated to
+    // java.io.File.renameTo on the local FS, which silently REPLACES an
+    // existing destination — a lost race clobbered the winner's committed
+    // manifest. And the unconditional dropCrcSidecar stripped checksum
+    // verification from a file the loser never owned. Both must hold:
+    // lost claim → false, winner's bytes intact, winner's crc intact.
+    val dir = Files.createTempDirectory("graft_docstore_claim").toString
+    val hp = new org.apache.hadoop.fs.Path(dir, "v000001.json")
+    val winner = """{"owner":"winner"}""".getBytes("UTF-8")
+    assert(DocStore.writeFileAtomic(hp, winner, overwrite = false),
+      "first claim on a fresh destination must win")
+    val dataPath = java.nio.file.Paths.get(dir, "v000001.json")
+    val crcPath = java.nio.file.Paths.get(dir, ".v000001.json.crc")
+    assert(Files.exists(crcPath), "local FS write must leave a crc sidecar")
+    val crcBefore = Files.readAllBytes(crcPath).toSeq
+    val loser = """{"owner":"loser"}""".getBytes("UTF-8")
+    assert(!DocStore.writeFileAtomic(hp, loser, overwrite = false),
+      "a claim on an existing destination must lose")
+    assert(Files.readAllBytes(dataPath).toSeq === winner.toSeq,
+      "a lost claim must not clobber the committed file")
+    assert(Files.readAllBytes(crcPath).toSeq === crcBefore,
+      "a lost claim must not touch the committed file's crc sidecar")
+    // the loser's temp must not leak into the listing-visible namespace
+    val leftovers = Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+      .filterNot(p => p.endsWith("v000001.json") || p.endsWith(".v000001.json.crc"))
+      .filterNot(_.contains(".tmp-meta-")) // age-gated recover() sweeps these
+    assert(leftovers.isEmpty, s"unexpected files after a lost claim: ${leftovers.mkString(", ")}")
+    // and the winner still reads back verified (checksum intact)
+    val f = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = f.open(hp)
+    val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    assert(got === new String(winner, "UTF-8"))
+  }
 }
