@@ -14,6 +14,7 @@ object PlanCheck {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFileSystem") // no-fork chmod: see FastLocalFileSystem
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -48,6 +48,7 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-local") // shuffle scratch on tmpfs: file create/mmap on this VM disk costs ms
+      .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFileSystem") // no-fork chmod: see FastLocalFileSystem
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -42,6 +42,7 @@ object SkewProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFileSystem") // no-fork chmod: see FastLocalFileSystem
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // the probe's joins must be the shuffle joins skew can hit

@@ -226,6 +226,105 @@ private[docstore] object DocStore {
     catch { case scala.util.control.NonFatal(_) => () }
   }
 
+  /** Rename `tmp` onto `dst` with the strongest atomicity the platform
+    * offers, carrying the checksum sidecar along. Returns false only when
+    * `overwrite=false` and the destination already exists (a lost claim —
+    * the caller owns cleaning its temp).
+    *
+    * Local scheme (r16): java.nio directly — `Files.move(ATOMIC_MOVE,
+    * REPLACE_EXISTING)` is rename(2), a TRUE atomic replace (no
+    * delete+rename gap, unlike AbstractFileSystem's overwrite emulation),
+    * and `Files.createLink` is link(2), a TRUE atomic create-once claim
+    * (no check-then-act window, unlike FileContext's exists-then-rename).
+    * Stronger semantics AND ~10 forked processes cheaper per call: without
+    * libhadoop, every FileContext.rename forks ~8 `readlink` processes for
+    * link resolution (measured on this VM — the s16_docstore_erasure drift
+    * row), where java.nio forks none. The crc sidecar moves as a second
+    * step after the data, same order and crash window as ChecksumFs; a
+    * kill between the steps leaves "valid data, no checksum" (readable)
+    * because the overwrite path drops the stale destination sidecar first
+    * and a claim's destination never had one.
+    *
+    * Remote schemes fall back to FileContext.rename (HDFS implements
+    * OVERWRITE atomically server-side and NONE as an atomic claim), then
+    * to an exists-guarded FileSystem.rename where no FileContext exists.
+    */
+  private[docstore] def atomicRename(f: org.apache.hadoop.fs.FileSystem,
+                                     tmp: Path, dst: Path,
+                                     overwrite: Boolean): Boolean = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val qt = f.makeQualified(tmp)
+    val qd = f.makeQualified(dst)
+    if (qd.toUri.getScheme == "file") {
+      try {
+        val t = Paths.get(qt.toUri.getPath)
+        val d = Paths.get(qd.toUri.getPath)
+        val tCrc = t.resolveSibling(s".${t.getFileName}.crc")
+        val dCrc = d.resolveSibling(s".${d.getFileName}.crc")
+        if (overwrite) {
+          Files.move(t, d, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          if (Files.exists(tCrc))
+            Files.move(tCrc, dCrc, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+          return true
+        } else {
+          try {
+            Files.createLink(d, t) // link(2): atomically fails if d exists
+            try { if (Files.exists(tCrc)) Files.createLink(dCrc, tCrc) }
+            catch { case _: java.nio.file.FileAlreadyExistsException =>
+              // a dataless orphan sidecar (possible only after a crashed
+              // out-of-protocol delete) — ours is the valid one now
+              Files.move(tCrc, dCrc, StandardCopyOption.ATOMIC_MOVE,
+                StandardCopyOption.REPLACE_EXISTING)
+            }
+            Files.deleteIfExists(t)
+            Files.deleteIfExists(tCrc)
+            return true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => return false
+          }
+        }
+      } catch {
+        // no hard links / atomic moves on this mount: fall through to the
+        // Hadoop paths below
+        case _: UnsupportedOperationException =>
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+      }
+    }
+    if (overwrite) {
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(qd.toUri, f.getConf)
+        fc.rename(qt, qd, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          if (f.exists(dst)) f.delete(dst, false)
+          if (!f.rename(tmp, dst))
+            throw new java.io.IOException(s"atomic rename failed: $tmp -> $dst")
+      }
+      true
+    } else {
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(qd.toUri, f.getConf)
+        fc.rename(qt, qd, org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // no FileContext for this scheme: exists-guarded FileSystem
+          // rename. The guard is check-then-act, but losing THIS race
+          // needs a committer to land between the two calls — and a
+          // destination appearing concurrently is still a lost claim,
+          // never a clobber-worthy one, because callers retry with the
+          // next version on false.
+          if (f.exists(dst)) false
+          else
+            try f.rename(tmp, dst)
+            catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      }
+    }
+  }
+
   private[docstore] def writeFileAtomic(p: Path, bytes: Array[Byte],
                                         overwrite: Boolean = true): Boolean = {
     val f = fs(p)
@@ -234,38 +333,9 @@ private[docstore] object DocStore {
     try out.write(bytes) finally out.close()
     if (overwrite) {
       dropCrcSidecar(f, p)
-      val q = f.makeQualified(p)
-      try {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(q.toUri, f.getConf)
-        fc.rename(f.makeQualified(tmp), q, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      } catch {
-        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-          if (f.exists(p)) f.delete(p, false)
-          if (!f.rename(tmp, p))
-            throw new java.io.IOException(s"atomic metadata write failed: $tmp -> $p")
-      }
-      true
+      atomicRename(f, tmp, p, overwrite = true)
     } else {
-      val q = f.makeQualified(p)
-      val ok =
-        try {
-          val fc = org.apache.hadoop.fs.FileContext.getFileContext(q.toUri, f.getConf)
-          fc.rename(f.makeQualified(tmp), q, org.apache.hadoop.fs.Options.Rename.NONE)
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-            // no FileContext for this scheme: exists-guarded FileSystem
-            // rename. The guard is check-then-act, but losing THIS race
-            // needs a committer to land between the two calls — and a
-            // destination appearing concurrently is still a lost claim,
-            // never a clobber-worthy one, because callers retry with the
-            // next version on false.
-            if (f.exists(p)) false
-            else
-              try f.rename(tmp, p)
-              catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
-        }
+      val ok = atomicRename(f, tmp, p, overwrite = false)
       if (!ok && f.exists(tmp)) f.delete(tmp, false)
       ok
     }

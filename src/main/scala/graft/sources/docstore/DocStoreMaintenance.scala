@@ -139,29 +139,22 @@ object DocStoreMaintenance {
     }
     stageTmp()
     val lp = new Path(dir, LeaseFile)
-    // Acquire-over-a-stale-lease goes through FileContext.rename
-    // (OVERWRITE) where available, so on filesystems implementing atomic
-    // replace (HDFS) a reader racing a post-crash rerun's acquire sees
-    // old lease or new lease, never none.
-    // Two r15 hardenings out of LeaseFuzzSpec's two-JVM storm. (1) The
-    // path must be QUALIFIED: the raw "/tmp/x" form has no scheme, so
-    // FileContext.getFileContext threw UnsupportedFileSystemException and
-    // the FileContext branch never actually engaged. (2) Even engaged,
-    // rename(OVERWRITE) is only truly atomic where the underlying FS
-    // implements it (HDFS) — AbstractFileSystem's default EMULATES
-    // overwrite as delete-then-rename, so on the local FS two racing
-    // acquires can interleave (A deletes dst, B renames in, A's rename
-    // dies on FileAlreadyExists). Racing acquires are last-writer-wins by
-    // this protocol's own semantics (acquire-over is unconditional), so a
-    // LOST rename race is retryable, not fatal: retry a few times on
-    // either branch. The emulation's microsecond no-lease gap only occurs
-    // replacing a STALE lease (in contract there is no live-lease
-    // overwrite), and a reader in that gap concludes exactly what the
-    // stale lease would have told it — no op holds the collection.
-    val qlp = f.makeQualified(lp)
-    val fcOpt =
-      try Some(org.apache.hadoop.fs.FileContext.getFileContext(qlp.toUri, f.getConf))
-      catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+    // Acquire-over-a-stale-lease goes through [[DocStore.atomicRename]]
+    // (overwrite): on the local scheme that is rename(2) — a TRUE atomic
+    // replace, no no-lease gap at all — and on HDFS FileContext's
+    // server-side atomic OVERWRITE; a reader racing a post-crash rerun's
+    // acquire sees old lease or new lease, never none. Only the remaining
+    // fallback (remote scheme with no FileContext) emulates overwrite as
+    // delete-then-rename, where two racing acquires can interleave
+    // (A deletes dst, B renames in, A's rename dies on FileAlreadyExists).
+    // Racing acquires are last-writer-wins by this protocol's own
+    // semantics (acquire-over is unconditional), so a LOST rename race is
+    // retryable, not fatal: retry a few times on either branch. The
+    // emulation's microsecond no-lease gap only occurs replacing a STALE
+    // lease (in contract there is no live-lease overwrite), and a reader
+    // in that gap concludes exactly what the stale lease would have told
+    // it — no op holds the collection. (r15 lesson kept in force: paths
+    // into FileContext must be QUALIFIED — atomicRename qualifies both.)
     var attempts = 0
     var done = false
     while (!done) {
@@ -171,25 +164,19 @@ object DocStoreMaintenance {
       // crash between the FS's data/crc rename steps readable
       DocStore.dropCrcSidecar(f, lp)
       try {
-        fcOpt match {
-          case Some(fc) =>
-            fc.rename(f.makeQualified(tmp), qlp,
-              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-            done = true
-          case None =>
-            if (f.exists(lp)) f.delete(lp, false)
-            done = f.rename(tmp, lp)
-        }
+        done = DocStore.atomicRename(f, tmp, lp, overwrite = true)
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => done = false
-        case _: java.io.FileNotFoundException =>
+        case e if e.isInstanceOf[java.io.FileNotFoundException] ||
+                  e.isInstanceOf[java.nio.file.NoSuchFileException] =>
           // ChecksumFs renames the DATA file then the .crc as two calls,
           // and an interleaved racing acquire can fail a later step after
           // our temp's data already moved — a retry then renames a
           // CONSUMED temp and FNFs (LeaseFuzzSpec caught this escaping as
-          // a peer crash). If the lease now carries OUR op id, the
-          // acquire took effect despite the exception; otherwise restage
-          // below and retry.
+          // a peer crash; the nio fast path surfaces the same consumed-
+          // temp state as NoSuchFileException). If the lease now carries
+          // OUR op id, the acquire took effect despite the exception;
+          // otherwise restage below and retry.
           done = readLease(f, dir).exists(_.opId == opId)
       }
       if (!done) {

@@ -26,6 +26,7 @@ object LeaseFuzzPeer {
       .appName("graft-lease-fuzz-peer")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFileSystem") // no-fork chmod: see FastLocalFileSystem
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
