@@ -88,14 +88,14 @@ object Queries {
     Some("""SELECT CASE WHEN text LIKE '%spark%' THEN 'spark'
            |            WHEN text LIKE '%stream%' THEN 'stream'
            |            WHEN text LIKE '%window%' THEN 'window'
-           |            WHEN lower(text) LIKE '%join%' THEN 'join'
+           |            WHEN translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') LIKE '%join%' THEN 'join'
            |            ELSE 'other' END AS category, count(*) AS cnt
            |FROM documents GROUP BY category ORDER BY category""".stripMargin),
     (s, d) => docs(s, d)
       .select(when(col("text").contains("spark"), "spark")
         .when(col("text").contains("stream"), "stream")
         .when(col("text").contains("window"), "window")
-        .when(lower(col("text")).contains("join"), "join")
+        .when(graft.functions.TextFunctions.asciiLower(col("text")).contains("join"), "join")
         .otherwise("other").as("category"))
       .groupBy("category").agg(count(lit(1)).as("cnt"))
       .orderBy("category"))

@@ -23,9 +23,12 @@ object QueriesExt {
   // heuristics: tx_* oracles and the composed pipe_clean_corpus oracle
   // interpolate these, so a weight/marker change cannot drift them apart).
 
-  /** Tokens of lower(text) that are members of the given set. */
+  /** Tokens of the ASCII-folded text (the engine's tokenization case
+    * fold — [[graft.functions.TextFunctions.asciiLower]]; the translate
+    * below is its exact DuckDB spelling) that are members of the set.
+    */
   private def markerCountSql(markers: Seq[String]): String =
-    s"""len(list_filter(string_split_regex(lower(text), '\\s+'),
+    s"""len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'),
        |      t -> t IN (${markers.map(m => s"'$m'").mkString(",")})))""".stripMargin
 
   /** The three quality sub-expressions, single-sourced: [[qualitySql]]
@@ -281,7 +284,7 @@ object QueriesExt {
     */
   private val tx6 = QueryDef("tx_tfidf_topk",
     Some("""WITH terms AS (
-           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+           |  SELECT doc_id, unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS term
            |  FROM documents),
            |tf AS (
            |  SELECT doc_id, term, count(*) AS tf FROM terms
@@ -300,7 +303,7 @@ object QueriesExt {
     (s, d) => {
       val base = docs(s, d)
       val tf = base
-        .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+        .select(col("doc_id"), explode(TextFunctions.tokens(TextFunctions.asciiLower(col("text")))).as("term"))
         .filter(length(col("term")) > 0)
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -1769,8 +1772,12 @@ object QueriesExt {
     * replays the cap formula so a capped train run stays hash-checkable.
     */
   private def cappedTrainSql(cols: String = "*"): String =
+    // presence = non-null, non-empty, ALL-FINITE — the exact mirror of
+    // Similarity.presentVecs (see its r16 note: one Inf component poisons
+    // Lloyd training cross-engine)
     s"""vecs AS (SELECT * FROM embeddings
-       |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+       |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+       |    AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
        |t0 AS (SELECT $cols FROM vecs WHERE vec_id % 2 = 0),
        |tp AS (SELECT greatest(1, cast(ceil(count(*) /
        |  ${graft.functions.Similarity.MaxTrainRows}.0) AS bigint)) AS m FROM t0),
@@ -2058,7 +2065,11 @@ object QueriesExt {
 
   /** Binary-column features via expressions only (payload = UTF-8 bytes). */
   private val mm1 = QueryDef("mm_binary_features",
-    Some("""SELECT doc_id, octet_length(cast(text as blob)) AS n_bytes,
+    // encode(), not cast(text as blob) (r16, unicode fuzz find): DuckDB's
+    // VARCHAR->BLOB cast REJECTS non-ASCII bytes unless hex-escaped, while
+    // encode() is the UTF-8 byte serialization — the same bytes Spark's
+    // cast to binary produces.
+    Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
            |       md5(text) AS payload_md5
            |FROM documents ORDER BY doc_id""".stripMargin),
     (s, d) => docs(s, d).select(col("doc_id"),
@@ -2555,7 +2566,7 @@ object QueriesExt {
     */
   private val bm25RankedCtes =
     """WITH toks AS (
-           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+           |  SELECT doc_id, unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS term
            |  FROM documents),
            |terms AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
            |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
@@ -2621,7 +2632,7 @@ object QueriesExt {
       // and AQE reuses ONE shuffle stage.
       val terms = base.filter(col("doc_id").isNotNull)
         .select(col("doc_id"),
-          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+          explode(TextFunctions.tokens(TextFunctions.asciiLower(col("text")))).as("term"))
         .filter(length(col("term")) > 0)
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       // dl and n_terms derive from tf, NOT from terms: the tf exchange
@@ -2751,7 +2762,7 @@ object QueriesExt {
     */
   private val ir3 = QueryDef("tx_dsir_weights",
     Some("""WITH toks AS (
-           |  SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\s+')) AS term
+           |  SELECT doc_id, lang, unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS term
            |  FROM documents),
            |terms AS (SELECT doc_id, lang, term FROM toks WHERE length(term) > 0),
            |tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM terms GROUP BY 1, 2, 3),
@@ -2776,7 +2787,7 @@ object QueriesExt {
     (s, d) => {
       val terms = docs(s, d).filter(col("doc_id").isNotNull)
         .select(col("doc_id"), col("lang"),
-          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+          explode(TextFunctions.tokens(TextFunctions.asciiLower(col("text")))).as("term"))
         .filter(length(col("term")) > 0)
       val tf = terms.groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
       val stats = tf.groupBy("term").agg(
@@ -2963,7 +2974,7 @@ object QueriesExt {
       val base = docs(s, d)
       val terms = base.filter(col("doc_id").isNotNull)
         .select(col("doc_id"),
-          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+          explode(TextFunctions.tokens(TextFunctions.asciiLower(col("text")))).as("term"))
         .filter(length(col("term")) > 0)
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       // mining's idf needs ONLY n_docs — a zero-column count scan. Pulling

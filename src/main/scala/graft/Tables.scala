@@ -45,6 +45,16 @@ object Tables {
     * degenerate-corpus gate, round 10. A pipeline ingesting external
     * doubles must normalize NaN at ITS writer, where the row is already
     * being materialized anyway.
+    *
+    * The same writer contract covers SIGNED ZERO (r16, fuzz find):
+    * `value` is never -0.0. Spark normalizes -0.0 to +0.0 the moment a
+    * double becomes a grouping/join/window key (NormalizeFloatingNumbers)
+    * while DuckDB groups them as equal but emits whichever representative
+    * it saw first — so a -0.0 reaching a value-keyed aggregate (the w5/w7
+    * value histogram) prints differently per engine with identical
+    * semantics. The engine already canonicalizes zeros at its other
+    * boundary (docstore canonKey / cmpValues / Bloom.hashPair); external
+    * writers normalize at ingest for the same reason.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

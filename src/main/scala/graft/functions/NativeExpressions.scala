@@ -579,7 +579,11 @@ object NativeExpressions {
     * code-point ascending, matching DuckDB's `ORDER BY c` under binary
     * collation (ln is not correctly-rounded, so order must match — then
     * callers floor-round at 1e-4, the tx_surprisal discipline). Characters
-    * are UTF-16 code units; identical to code points on the BMP corpus.
+    * are Unicode CODE POINTS (r16): the earlier UTF-16 code-unit walk
+    * counted an astral-plane character as its two surrogates while
+    * DuckDB counted one code point — the first unicode fuzz plant caught
+    * the divergence on an emoji document (n_chars 31 vs 25). Iterating
+    * with codePointAt matches DuckDB exactly, BMP and astral alike.
     */
   case class CharEntropyStats(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -597,17 +601,17 @@ object NativeExpressions {
       var n = 0L
       var i = 0
       while (i < s.length) {
-        val c = s.charAt(i)
+        val c = s.codePointAt(i)
         val ws = c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
         if (!ws) {
           n += 1
           if (c < 128) ascii(c) += 1
           else {
             if (high == null) high = new java.util.TreeMap[Integer, Long]()
-            high.merge(Int.box(c.toInt), 1L, (a, b) => a + b)
+            high.merge(Int.box(c), 1L, (a, b) => a + b)
           }
         }
-        i += 1
+        i += Character.charCount(c)
       }
       var sum = 0.0
       var cp = 0

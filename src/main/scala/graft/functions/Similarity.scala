@@ -231,8 +231,21 @@ object Similarity {
     * seed window crashed the trainer's driver-side collect with an NPE.
     * Mirrored in the oracles' `vecs` CTE.
     */
+  /** A vector is PRESENT when non-null, non-empty, and every component is
+    * finite (r16, fuzz find): a single ±Inf component drives Lloyd
+    * centroid means to Inf/NaN, and from there every trained structure
+    * (IVF cells, PQ codebooks, kmeans stats, SemDeDup clusters) diverges
+    * between engines on NaN-ordering details. The scoring paths already
+    * excluded such vectors implicitly — an Inf-normed vector's cosine is
+    * always NaN, caught by the rankTopK NaN filter — so this guard only
+    * makes the trained family's exclusion EXPLICIT and identical on both
+    * engines (the oracle's `vecs` CTE carries the matching list_filter).
+    * Degenerate embeddings never train and never match, by contract.
+    */
   private def presentVecs(df: DataFrame): DataFrame =
-    df.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    df.filter(col("embedding").isNotNull && size(col("embedding")) > 0 &&
+      !exists(col("embedding"), x =>
+        isnan(x) || abs(x) === lit(Float.PositiveInfinity)))
 
   private def cappedTrain(corpus: DataFrame, maxTrainRows: Long): DataFrame = {
     // Cheap upper-bound probe before the exact count: CollectLimit reads

@@ -13,6 +13,24 @@ object TextFunctions {
   /** Whitespace tokens (split on runs of whitespace). */
   def tokens(text: Column): Column = split(text, "\\s+")
 
+  /** The engine's TOKENIZATION CASE FOLD: ASCII-only, via translate —
+    * NOT `lower()` (r16, unicode fuzz find). Unicode case mapping is not
+    * one function: the JVM applies FULL mappings ('İ' → "i̇", two code
+    * points; 'ΣΙΣΥΦΟΣ' gets a contextual final sigma) while utf8proc
+    * engines (DuckDB) apply SIMPLE per-code-point mappings ('İ' → 'i') —
+    * so lower()-keyed tokens diverge across engines, and across ICU/
+    * Unicode VERSIONS within one engine. A dedup/tf-idf key that changes
+    * when a library upgrades is corpus corruption at 100 TB scale; the
+    * reproducibility-first fold is ASCII-only (the convention of C4-style
+    * heuristic filters), identical everywhere, and equal to lower() on
+    * every ASCII corpus. Non-ASCII case variants stay distinct tokens BY
+    * CONTRACT. Applies to tokenizer/marker paths over documents.text;
+    * the reference's event-vocabulary folds (d8) keep true lower/upper —
+    * that vocabulary is machine-generated ASCII by table contract.
+    */
+  def asciiLower(text: Column): Column =
+    translate(text, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword proxy: word-chunks + digits + punctuation as separate
@@ -32,7 +50,7 @@ object TextFunctions {
     * evaluation).
     */
   def stopwordCount(text: Column): Column =
-    NativeExpressions.markerTokenCounts(lower(text), Seq(stopwords)).getItem(0)
+    NativeExpressions.markerTokenCounts(asciiLower(text), Seq(stopwords)).getItem(0)
 
   def alphaRatio(text: Column): Column =
     when(length(text) > 0,
@@ -70,10 +88,10 @@ object TextFunctions {
     * this once and extract, rather than calling [[langScore]] per language.
     */
   def langScores(text: Column): Column =
-    NativeExpressions.markerTokenCounts(lower(text), langOrder.map(langMarkers))
+    NativeExpressions.markerTokenCounts(asciiLower(text), langOrder.map(langMarkers))
 
   def langScore(text: Column, lang: String): Column =
-    NativeExpressions.markerTokenCounts(lower(text), Seq(langMarkers(lang))).getItem(0)
+    NativeExpressions.markerTokenCounts(asciiLower(text), Seq(langMarkers(lang))).getItem(0)
 
   /** Argmax with deterministic priority en > es > fr > de on ties, from
     * already-computed score columns (one kernel pass upstream).
