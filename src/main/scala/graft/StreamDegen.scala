@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * embeddings — but the streaming parity suites run on clean fixtures,
   * so a streaming-side null divergence (a watermark silently dropping a
   * row the batch twin reports, a null key poisoning a mergeable buffer)
-  * would ship green. This main points eight representative twins at the
+  * would ship green. This main points twelve twins (r16: every stateful fold,
+  * incl. scd2/funnel/upsert/ingest) at the
   * degen corpus itself, splits every stream mid-corpus so buffers must
   * merge across micro-batches, and compares against the batch twin on
   * the same rows. Exits 1 on any divergence. r15 adds two more lenses:
@@ -68,6 +69,7 @@ object StreamDegen {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFileSystem") // no-fork chmod: see FastLocalFileSystem
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -428,6 +430,260 @@ object StreamDegen {
       check("ewmaStream == exact recursive reference on degen events (null values dropped pre-encoder)",
         streaming.size == rows.size && expected.forall { case (k, v) => streaming.get(k).contains(v) },
         s"stream=${streaming.size} rows=${rows.size} firstDiff=${expected.find { case (k, v) => !streaming.get(k).contains(v) }.take(1)}")
+    }
+
+    // ---- 9. scd2Stream: chunk-aware contract model + batch j12 anchor --
+    // The two heaviest stateful folds (scd2, funnel) were the only twins
+    // the lens did not cover (r16 verdict task 4) — and they are exactly
+    // what the ts-dup plants stress: scd2's valid_from/valid_to are RUN
+    // MINIMA, so duplicated and non-monotone timestamps inside a run, and
+    // runs straddling seeded micro-batch boundaries, exercise the
+    // deferred-emission (`pending`) machinery. Null user_id / null ts
+    // rows drop pre-encoder (the established primitive-encoder class);
+    // null event_type FLOWS — the fold's null-safe run detection must
+    // match batch j12's IS DISTINCT FROM. Two-level check: (1) the stream
+    // equals an independent chunk-aware model of the documented contract
+    // under ANY schedule; (2) every closed run's settled fields
+    // (type, valid_from, n_events — final the moment the run closes)
+    // equal the REAL batch j12 on the identical filtered universe, and
+    // valid_to equals j12 for runs whose successor closed inside one
+    // micro-batch (the model marks them; a batch-end emission's valid_to
+    // is the successor's min SO FAR — j12 parity there is the documented
+    // bounded-state boundary, not a divergence).
+    locally {
+      val evDf = Tables.events(spark, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      val twinDir = "/tmp/graft_sd_scd2_twin"
+      evDf.write.mode("overwrite").parquet(s"$twinDir/events.parquet")
+      val rows: Seq[(Long, Long, Timestamp, String)] = evDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          if (r.isNullAt(3)) null else r.getString(3))).toSeq.sortBy(_._2)
+      val chunks = feed(rows)
+      val mem = MemoryStream[(Long, Long, Timestamp, String)]
+      val sdf = graft.streaming.StreamingAnalytics.scd2Stream(mem.toDS())
+      val q = sdf.writeStream.format("memory").queryName("degen_scd2")
+        .outputMode("append").start()
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      q.stop()
+      val streaming = spark.table("degen_scd2").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getString(2), r.getTimestamp(3), r.getTimestamp(4), r.getLong(5)))).toMap
+
+      // independent chunk-aware model of the fold's documented contract
+      case class R(tpe: String, minUs: Long, n: Long, version: Long)
+      val refOut = scala.collection.mutable.Map
+        .empty[(Long, Long), (String, Long, Long, Long)] // (tpe, fromUs, toUs, n)
+      val settled = scala.collection.mutable.Set.empty[(Long, Long)]
+      val curRef = scala.collection.mutable.Map.empty[Long, R]
+      for (chunk <- chunks) {
+        val pending = scala.collection.mutable.Map.empty[Long, R]
+        chunk.sortBy(_._2).foreach { case (u, _, ts, typ) =>
+          val tsUs = graft.TimeUs.toUs(ts)
+          curRef.get(u) match {
+            case Some(s) if s.tpe == typ =>
+              curRef(u) = s.copy(minUs = math.min(s.minUs, tsUs), n = s.n + 1)
+            case Some(s) =>
+              pending.get(u).foreach { p =>
+                refOut((u, p.version)) = ((p.tpe, p.minUs, s.minUs, p.n))
+                settled += ((u, p.version))
+              }
+              pending(u) = s
+              curRef(u) = R(typ, tsUs, 1L, s.version + 1)
+            case None =>
+              curRef(u) = R(typ, tsUs, 1L, 1L)
+          }
+        }
+        pending.foreach { case (u, p) =>
+          refOut((u, p.version)) = ((p.tpe, p.minUs, curRef(u).minUs, p.n))
+        }
+      }
+      val refAsTs = refOut.view.mapValues { case (tpe, f, t, n) =>
+        (tpe, graft.TimeUs.toTs(f), graft.TimeUs.toTs(t), n) }.toMap
+      check("scd2Stream == chunk-aware contract model on degen events (null types, ts dups)",
+        streaming == refAsTs && streaming.nonEmpty,
+        s"stream=${streaming.size} model=${refAsTs.size} " +
+          s"diff=${(streaming.toSet diff refAsTs.toSet).take(2)} ${(refAsTs.toSet diff streaming.toSet).take(2)}")
+      val batch = SparkEntry.queries("j12_scd2_history")(spark, twinDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getString(2), r.getTimestamp(3),
+            if (r.isNullAt(4)) null else r.getTimestamp(4), r.getLong(5), r.getBoolean(6)))).toMap
+      val closedBatch = batch.filter(!_._2._5)
+      val settledFieldsOk = streaming.forall { case (k, (tpe, from, to, n)) =>
+        closedBatch.get(k).exists { case (btpe, bfrom, bto, bn, _) =>
+          tpe == btpe && from == bfrom && n == bn &&
+            (!settled.contains(k) || to == bto)
+        }
+      }
+      check("scd2Stream closed runs anchor to batch j12 (keys, type, valid_from, n; valid_to when settled)",
+        streaming.keySet == closedBatch.keySet && settledFieldsOk,
+        s"stream=${streaming.keySet.size} j12closed=${closedBatch.keySet.size} settled=${settled.size}")
+    }
+
+    // ---- 10. conversionStream: greedy re-anchor model on degen events --
+    // The funnel fold's OUTPUT contract (greedy gap-window with inline
+    // expiry and re-anchor, conversion tombstones) is schedule-invariant
+    // for in-order feeds because expiry is event-time-driven — the
+    // between-batch timeout and the inline reset produce the same
+    // conversions. The batch stepTimes twin anchors at the FIRST step-1
+    // event only (no re-anchor), so on arbitrary corpora the honest
+    // reference is the contract model; FunnelSpec pins stepTimes parity
+    // on the shapes where the two coincide. Ties (duplicate ts) order by
+    // step position — the >= boundary the ts-dup plants exercise; null
+    // event types flow to the fold's step filter.
+    locally {
+      val steps = Seq("view", "click", "purchase")
+      val winMs = 24L * 3600 * 1000
+      val stepIdx = steps.zipWithIndex.reverse.toMap
+      val rows: Seq[(Long, Timestamp, String)] = Tables.events(spark, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_type")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1),
+          if (r.isNullAt(2)) null else r.getString(2))).toSeq
+        .sortBy(t => (graft.TimeUs.toUs(t._2),
+          t._3 match { case s if s != null && stepIdx.contains(s) => stepIdx(s); case _ => steps.size }))
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val sdf = graft.operators.Funnel.conversionStream(mem.toDS(), steps, winMs)
+      val q = sdf.writeStream.format("memory").queryName("degen_funnel")
+        .outputMode("append").start()
+      feed(rows).foreach { c => mem.addData(c); q.processAllAvailable() }
+      q.stop()
+      val streaming = spark.table("degen_funnel").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Timestamp](1).map(graft.TimeUs.toUs)).toSet
+      // contract model: per user, greedy fold with inline expiry +
+      // tombstone, in the fold's own (ts, step position) order
+      val winUs = winMs * 1000L
+      val conversions = scala.collection.mutable.Set.empty[(Long, Seq[Long])]
+      val stateRef = scala.collection.mutable.Map.empty[Long, (List[Long], Boolean)]
+      rows.filter(r => r._3 != null && stepIdx.contains(r._3)).foreach { case (u, ts, typ) =>
+        val t = graft.TimeUs.toUs(ts)
+        var (times, done) = stateRef.getOrElse(u, (Nil, false))
+        if (times.nonEmpty && t > times.last + winUs) { times = Nil; done = false }
+        val k = times.length
+        if (!done && typ == steps(k) &&
+            (k == 0 || (t >= times.last && t <= times.last + winUs))) {
+          times = times :+ t
+          if (times.length == steps.length) { done = true; conversions += (u -> times) }
+        }
+        stateRef(u) = (times, done)
+      }
+      check("conversionStream == greedy re-anchor contract model on degen events",
+        streaming == conversions.map { case (u, ts) => u -> ts.toSeq }.toSet,
+        s"stream=${streaming.size} model=${conversions.size} " +
+          s"diff=${(streaming diff conversions.toSet).take(2)} ${(conversions.toSet diff streaming).take(2)}")
+      check("conversionStream lens is non-vacuous (corpus produced conversions)",
+        streaming.nonEmpty, "no conversions on this corpus — widen the window")
+    }
+
+    // ---- 11. upsertStream: CDC merge vs last-writer contract model ----
+    // Degen axes: null keys dropped pre-merge (the poison-pill contract),
+    // duplicate seq values (the ts-dup plants) resolved by the documented
+    // whole-row-hash tie-break, null seqs ordering NULLS LAST under desc,
+    // and docstore shards carrying extreme user_id zone maps. The model
+    // replays the chunks through a scala-side fold using the SAME
+    // tie-break expression evaluated per chunk — an independent path from
+    // the stream's window + store machinery.
+    locally {
+      // seq = event-time in MICROSECONDS as BIGINT (the docstore value
+      // domain has no timestamp type — a CDC sequence is an integer
+      // anyway); the ts-dup plants become duplicate seqs
+      val changes: Seq[(Option[Long], Option[Long], String, Option[Double])] =
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+          .orderBy(asc_nulls_first("ts"), col("event_id")).collect()
+          .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+            if (r.isNullAt(1)) None else Some(graft.TimeUs.toUs(r.getTimestamp(1))),
+            if (r.isNullAt(2)) null else r.getString(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+      val storeDir = "/tmp/graft_sd_upsert_store"
+      org.apache.hadoop.fs.FileSystem.get(new org.apache.hadoop.conf.Configuration())
+        .delete(new org.apache.hadoop.fs.Path(storeDir), true)
+      val seed = changes.flatMap(_._1).distinct.sorted.take(5)
+        .map(u => (Some(u): Option[Long], None: Option[Long], "seed", Some(0.0): Option[Double]))
+      seed.toDF("user_id", "seq", "event_type", "value")
+        .coalesce(1).write.format("docstore").mode("overwrite").save(storeDir)
+      val chunks = feed(changes)
+      val mem = MemoryStream[(Option[Long], Option[Long], String, Option[Double])]
+      val q = graft.streaming.StreamingAnalytics.upsertStream(
+        mem.toDF().toDF("user_id", "seq", "event_type", "value"),
+        storeDir, keyCol = "user_id", seqCol = "seq")
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      q.stop()
+      // contract model: per chunk, per key, winner by (seq DESC NULLS
+      // LAST, tieBreak ASC) — the tie-break computed by the same
+      // expression the stream uses, then last-batch-wins into the store
+      val store = scala.collection.mutable.Map.empty[Long, (Option[Long], String, Option[Double])]
+      seed.foreach { case (Some(u), _, tpe, v) => store(u) = ((None, tpe, v)); case _ => () }
+      chunks.filter(_.nonEmpty).foreach { chunk =>
+        val df = chunk.toDF("user_id", "seq", "event_type", "value")
+        val tb = xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+        val picked = df.filter(col("user_id").isNotNull).withColumn("_tb", tb).collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            if (r.isNullAt(2)) null else r.getString(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            r.getLong(4)))
+          .groupBy(_._1).map { case (u, g) =>
+            val w = g.minBy(x => (x._2.isEmpty, x._2.map(-_).getOrElse(0L), x._5))
+            u -> ((w._2, w._3, w._4))
+          }
+        picked.foreach { case (u, v) => store(u) = v }
+      }
+      val back = spark.read.format("docstore").load(storeDir)
+        .select("user_id", "seq", "event_type", "value").collect()
+        .map(r => r.getLong(0) -> ((
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) null else r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      check("upsertStream final store == last-writer contract model on degen changes",
+        back == store.toMap && back.nonEmpty,
+        s"store=${back.size} model=${store.size} " +
+          s"diff=${(back.toSet diff store.toSet).take(2)} ${(store.toSet diff back.toSet).take(2)}")
+    }
+
+    // ---- 12. streamingIngest: end-to-end pipe vs per-chunk batch twin --
+    // The composed clean→dedup→upsert pipe on degen DOCUMENTS — null /
+    // empty / whitespace / unicode texts flow through the quality gates,
+    // shingle hashing, and the docstore's JSON shard encoding (the
+    // unicode plants specifically exercise escaping + casefold paths at
+    // the storage boundary). The twin replays the identical chunks
+    // through ingestBatch — the documented batch reference — into a
+    // second store: foreachBatch plumbing vs direct calls must converge
+    // to byte-identical admission decisions.
+    locally {
+      val docs: Seq[(Long, String)] = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+        .toSeq.sortBy(_._1)
+      val base = docs.filter(_._1 % 3 == 0)
+      val delta = docs.filterNot(_._1 % 3 == 0)
+      val chunks = feed(delta)
+      val f = org.apache.hadoop.fs.FileSystem.get(new org.apache.hadoop.conf.Configuration())
+      val dirs = Seq("/tmp/graft_sd_ingest_a", "/tmp/graft_sd_ingest_b")
+      dirs.foreach { p =>
+        f.delete(new org.apache.hadoop.fs.Path(p), true)
+        base.toDF("doc_id", "text").coalesce(1)
+          .write.format("docstore").mode("overwrite").save(p)
+      }
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingAnalytics.streamingIngest(
+        mem.toDF().toDF("doc_id", "text"), dirs.head, n = 5, threshold = 0.5, maxDf = 100)
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      q.stop()
+      chunks.filter(_.nonEmpty).foreach { c =>
+        graft.streaming.StreamingAnalytics.ingestBatch(
+          c.toDF("doc_id", "text"), dirs(1), n = 5, threshold = 0.5, maxDf = 100)
+      }
+      def read(p: String): Map[Long, String] =
+        spark.read.format("docstore").load(p).select("doc_id", "text").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+      val a = read(dirs.head)
+      val b = read(dirs(1))
+      check("streamingIngest == per-chunk batch ingest on degen docs (unicode/null texts through the full pipe)",
+        a == b && a.size >= base.size,
+        s"stream=${a.size} batch=${b.size} diff=${(a.toSet diff b.toSet).take(2)} ${(b.toSet diff a.toSet).take(2)}")
+      check("streamingIngest lens exercised admissions beyond the base",
+        a.size > base.size, s"nothing admitted from the delta (base=${base.size}, store=${a.size})")
     }
 
     spark.stop()

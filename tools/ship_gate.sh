@@ -46,7 +46,7 @@ if [[ "${GRAFT_NO_DEGEN:-0}" != "1" ]]; then
   python3 tools/check_oracle.py /tmp/graft_degen_out /tmp/graft_degen \
     | tail -1 | grep -q " FAIL=0 " || { echo "DEGEN GATE RED"; exit 1; }
   echo "DEGEN GATE GREEN"
-  # r14: the degen lens for the STREAMING twins — eight representative (r15)
+  # r14: the degen lens for the STREAMING twins — twelve (r16: every stateful fold)
   # streams fed the degen corpus itself across micro-batch splits,
   # parity-checked against their batch twins (graft.StreamDegen exits 1
   # on divergence; found the null-key->0 encoder fold on its first run)
