@@ -40,6 +40,12 @@ for seed in $(seq "$FIRST" $((FIRST + N - 1))); do
   # — WHERE the split falls relative to a planted row.
   sbt -batch "runMain graft.StreamDegen /tmp/graft_fuzz $seed" \
     || { echo "FUZZ GATE RED (streaming parity, seed $seed — rerun StreamDegen with this seed to repro)"; exit 1; }
+  # Docstore pruning lens (r16): rebuild a bloom+zone-mapped collection
+  # from the fuzzed events and assert prune decisions over DEGENERATE
+  # statistics (all-null zone maps, extreme-magnitude ids) match the
+  # brute filter — with pruning required to actually engage.
+  sbt -batch "runMain graft.DocStoreDegenProbe /tmp/graft_fuzz" \
+    || { echo "FUZZ GATE RED (docstore degen probe, seed $seed)"; exit 1; }
   echo "seed $seed GREEN"
 done
 echo "FUZZ GATE GREEN ($N seeds from $FIRST)"
