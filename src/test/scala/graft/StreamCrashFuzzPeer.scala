@@ -1,0 +1,99 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.SparkSession
+
+/** Forked-JVM worker for [[StreamCrashFuzzSpec]]: drives a REAL
+  * checkpointed streaming query — docstore change-stream source →
+  * docstore streaming sink — appending source batches and processing
+  * them one epoch at a time, and (when armed) kills ITSELF with
+  * `Runtime.halt` (no shutdown hooks, no cleanup — kill -9 semantics for
+  * file state) at a seeded deadline that is only allowed to fire while
+  * the STREAM is processing. The arm/disarm discipline is the point:
+  * source batch appends complete atomically from the fuzz's point of
+  * view (a halt inside one would test the BATCH path's crash windows —
+  * LeaseFuzzSpec's beat — and leave a torn source the restart could
+  * double-append), so every halt lands inside the sink's epoch
+  * lifecycle: shard write → epoch commit (replay cleanup + stats +
+  * manifest + schema merge) → checkpoint offset commit.
+  *
+  * args: srcDir tgtDir ckptDir seed halt(0|1) nBatches batchSize
+  * Prints "SRC i" after each completed source append and "DONE" on a
+  * clean finish. A restarted run derives its resume point from the
+  * source's own committed doc count (appends are all-or-nothing at the
+  * print, per the arming rule).
+  */
+object StreamCrashFuzzPeer {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, tgtDir, ckptDir, seedS, haltS, nBatchesS, batchS) = args
+    val seed = seedS.toLong
+    val halt = haltS == "1"
+    val nBatches = nBatchesS.toInt
+    val b = batchS.toInt
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-stream-crash-fuzz-peer")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFileSystem")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def appendBatch(i: Int): Unit = {
+      ((i.toLong * b) until ((i.toLong + 1) * b)).map(id => (id, s"doc-$id"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.format("docstore").mode("append").save(srcDir)
+      println(s"SRC $i"); System.out.flush()
+    }
+
+    // resume point from the source's committed count: appends only ever
+    // complete whole (halts are masked during them), so count is k*b
+    val existing =
+      try spark.read.format("docstore").load(srcDir).count()
+      catch { case _: Throwable => 0L }
+    var next = (existing / b).toInt
+    if (next == 0) { appendBatch(0); next = 1 } // source must exist pre-stream
+
+    val armed = new AtomicBoolean(false)
+    @volatile var deadlineNs = Long.MaxValue
+    if (halt) {
+      val rng = new scala.util.Random(seed)
+      deadlineNs = System.nanoTime() + (50L + rng.nextInt(3000)) * 1000000L
+      val killer = new Thread(() => {
+        while (true) {
+          Thread.sleep(2)
+          if (armed.get() && System.nanoTime() > deadlineNs)
+            Runtime.getRuntime.halt(137)
+        }
+      }, "halt-at-deadline")
+      killer.setDaemon(true)
+      killer.start()
+    }
+
+    val q = spark.readStream.format("docstore")
+      .schema("doc_id BIGINT, text STRING").load(srcDir)
+      .writeStream.format("docstore")
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append")
+      .start(tgtDir)
+    def process(): Unit = {
+      armed.set(true)
+      try q.processAllAvailable() finally armed.set(false)
+    }
+
+    process() // drain anything pending (the restart case replays here)
+    while (next < nBatches) {
+      appendBatch(next)
+      process()
+      next += 1
+    }
+    q.stop()
+    println("DONE"); System.out.flush()
+    spark.stop()
+    sys.exit(0)
+  }
+}

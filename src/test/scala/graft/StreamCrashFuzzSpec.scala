@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Cross-PROCESS crash fuzz for the docstore STREAMING commit path (r16
+  * verdict task 5 — the LeaseFuzzSpec technique pointed at the epoch
+  * machinery that had only ever been tested in-process). Each seed:
+  *
+  *   1. a forked peer JVM ([[StreamCrashFuzzPeer]]) runs a REAL
+  *      checkpointed query — docstore change-stream source → docstore
+  *      streaming sink — appending and processing source batches, and
+  *      kills itself with halt() (kill -9 file-state semantics) at a
+  *      seeded deadline masked to fire only inside stream processing:
+  *      between a task's shard write, the epoch commit's replay cleanup /
+  *      stats / manifest / schema writes, and the checkpoint offset
+  *      commit — exactly the windows DocStoreStreamingWrite's
+  *      idempotency claims cover;
+  *   2. a second peer with the same checkpoint restarts and finishes;
+  *   3. THIS JVM then asserts effective exactly-once end-to-end: the
+  *      target holds every source doc exactly once (a lost epoch shows
+  *      as missing ids, a doubled replay as duplicates), a FRESH
+  *      change-stream read of the target sees the same set (offset/
+  *      listing consistency), and every stats entry references a live
+  *      shard.
+  *
+  * Seeded and reproducible via GRAFT_STREAM_CRASH_SEED_BASE /
+  * GRAFT_STREAM_CRASH_SEEDS; kills are required to actually land in ≥1
+  * seed per run (exit 137), or the deadline range has drifted and the
+  * fuzz is vacuous.
+  */
+class StreamCrashFuzzSpec extends SparkSpec {
+
+  private val seedBase: Long = sys.env.get("GRAFT_STREAM_CRASH_SEED_BASE")
+    .map(_.toLong).getOrElse(20260816L)
+  private val nSeeds: Int = sys.env.get("GRAFT_STREAM_CRASH_SEEDS")
+    .map(_.toInt).getOrElse(3)
+  private val nBatches = 8
+  private val batchSize = 40
+
+  // same derivation as LeaseFuzzSpec: the peer builds a SparkSession
+  // outside spark-submit and needs this JVM's --add-opens verbatim
+  private val addOpens: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val in = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    in.zipWithIndex.flatMap {
+      case (a, i) if a == "--add-opens" => Seq(a) ++ in.lift(i + 1)
+      case (a, _) if a.startsWith("--add-opens=") => Seq(a)
+      case _ => Nil
+    }
+  }
+
+  private def runPeer(srcDir: String, tgtDir: String, ckptDir: String,
+                      seed: Long, halt: Boolean): (Int, String) = {
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.StreamCrashFuzzPeer", srcDir, tgtDir, ckptDir,
+      seed.toString, if (halt) "1" else "0", nBatches.toString, batchSize.toString)
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new java.lang.StringBuilder
+    val br = new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+    var line = br.readLine()
+    while (line != null) { out.append(line).append('\n'); line = br.readLine() }
+    val finished = p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) { p.destroyForcibly(); fail(s"peer hung (halt=$halt):\n$out") }
+    (p.exitValue(), out.toString)
+  }
+
+  test("kill -9 inside the epoch lifecycle: restart converges to exactly-once, offsets and stats consistent") {
+    var landedKills = 0
+    (0 until nSeeds).foreach { k =>
+      val seed = seedBase + k
+      val srcDir = Files.createTempDirectory(s"graft_scf_src_$k").toString
+      val tgtDir = Files.createTempDirectory(s"graft_scf_tgt_$k").toString + "/store"
+      val ckptDir = Files.createTempDirectory(s"graft_scf_ckpt_$k").toString + "/ckpt"
+      // wipe srcDir so the peer's first append creates the collection
+      new java.io.File(srcDir).delete()
+
+      val (rc1, out1) = runPeer(srcDir, tgtDir, ckptDir, seed, halt = true)
+      if (rc1 == 137) landedKills += 1
+      else assert(rc1 == 0 && out1.contains("DONE"),
+        s"seed $seed: halt run neither killed nor finished (rc=$rc1):\n${out1.takeRight(2000)}")
+
+      val (rc2, out2) = runPeer(srcDir, tgtDir, ckptDir, seed, halt = false)
+      assert(rc2 == 0 && out2.contains("DONE"),
+        s"seed $seed: restart run failed (rc=$rc2):\n${out2.takeRight(2000)}")
+
+      val expected = (0L until (nBatches.toLong * batchSize)).toSet
+      val got = spark.read.format("docstore").load(tgtDir)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(got.length == expected.size && got.toSet == expected,
+        s"seed $seed: target not exactly-once — ${got.length} rows, " +
+          s"${expected.size} expected; missing=${(expected diff got.toSet).take(5)} " +
+          s"dups=${got.groupBy(identity).filter(_._2.length > 1).keys.take(5)}")
+
+      // offset/listing consistency: a fresh change-stream over the target
+      // must surface the same exactly-once set from its live listing
+      val q = spark.readStream.format("docstore")
+        .schema("doc_id BIGINT, text STRING").load(tgtDir)
+        .writeStream.format("memory").queryName(s"scf_reread_$k")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val reread = spark.table(s"scf_reread_$k").select("doc_id")
+        .collect().map(_.getLong(0))
+      assert(reread.length == expected.size && reread.toSet == expected,
+        s"seed $seed: change-stream reread diverged (${reread.length} rows)")
+
+      // metadata integrity: every stats entry references a live shard
+      // (file-level check — the DocStore accessors are private[docstore])
+      val live = new java.io.File(tgtDir).listFiles().map(_.getName)
+        .filter(_.startsWith("part-")).toSet
+      val statsJson = new String(
+        Files.readAllBytes(Paths.get(tgtDir, "_stats.json")), "UTF-8")
+      val statKeys = """part-[^"]+""".r.findAllIn(statsJson).toSet
+      assert(statKeys.subsetOf(live),
+        s"seed $seed: stats reference dead shards: ${(statKeys diff live).take(5)}")
+    }
+    assert(landedKills >= 1,
+      s"no seed landed a kill in $nSeeds runs — deadline range is vacuous, tighten it")
+  }
+}
