@@ -29,6 +29,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.icu.caseMappings.enabled", "false") // ICU clinit costs minutes; JVM case mapping ≡ ICU on ASCII
       .config("spark.local.dir", "/dev/shm/spark-local") // shuffle scratch on tmpfs: file create/mmap on this VM disk costs ms
+      .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFileSystem") // no-fork chmod: see FastLocalFileSystem
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -199,6 +200,22 @@ object Bench {
             else Some(Seq(pass1(n), pass2(n), pass3.getOrElse(n, Double.MaxValue),
                           pass4.getOrElse(n, Double.MaxValue)).min))
     }: _*)
+    // Round-comparable total (r16, verdict task): `value` sums per-query
+    // MINs, which move ±20% between captures of identical code on this VM
+    // (100.6→115.5→122.5 s across three r14/r15 captures) — too noisy to
+    // gate regressions tighter than 1.5x per query. The rerun-median total
+    // sums each query's MEDIAN over all its timed samples (2 round-robin
+    // passes, plus the warmed tie-break/survivor passes where they ran):
+    // the median absorbs one stalled pass instead of letting it pick the
+    // other, so round-over-round total drift gates on THIS number, with
+    // `value` kept for continuity with prior rounds' records.
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val totalRerunMedian = names.filterNot(failed.contains).map { n =>
+      medianOf(Seq(pass1(n), pass2(n)) ++ pass3.get(n) ++ pass4.get(n))
+    }.sum
 
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     // (the BENCH_r06 parse-null class, but for every number in the line)
@@ -244,7 +261,15 @@ object Bench {
               .map { case (k, r) => "\"" + k + "\":" + num(r) }.mkString("{", ",", "}")
             val rr = rerunSamples.toSeq.sortBy(_._1).take(cap)
               .map { case (k, s) => "\"" + k + "\":" + s }.mkString("{", ",", "}")
-            s"""{"baseline":"$label","median_ratio":${num(med)},"n_compared":${ratios.size},"gt1_5x":$out,"rerun_samples":$rr}"""
+            // total-level gate on the rerun-median totals (r16): present
+            // only once the baseline record itself carries the field
+            val trmRatio = (for {
+              (_, prev) <- baseline
+              if Option(prev.get("sf")).exists(_.asText() == sfDir)
+              b <- Option(prev.get("total_rerun_median")).filterNot(_.isNull)
+              if b.asDouble() > 0.0
+            } yield num(totalRerunMedian / b.asDouble())).getOrElse("null")
+            s"""{"baseline":"$label","median_ratio":${num(med)},"n_compared":${ratios.size},"total_rerun_median_ratio":$trmRatio,"gt1_5x":$out,"rerun_samples":$rr}"""
           }
       }
     } catch { case e: Throwable =>
@@ -293,7 +318,7 @@ object Bench {
     }
     val planDrift = planDriftJson(Int.MaxValue)
     val fullLine =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$qs,"failed":$fj,"drift":$drift,"plan_drift":$planDrift,"plans":$plansJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"total_rerun_median":${num(totalRerunMedian)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$qs,"failed":$fj,"drift":$drift,"plan_drift":$planDrift,"plans":$plansJson,"sf":"$sfDir"}"""
     // Full per-query data goes to a committed file (the judge reads it);
     // stdout gets a COMPACT line instead. The driver keeps only the last
     // ~2000 chars of output, so the full 109-query line can never survive
@@ -334,7 +359,7 @@ object Bench {
       .filterNot(headline.contains)
     def lineFor(entries: Seq[String], cap: Int): String = {
       val q = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$q,"failed":${failedJson(cap)},"drift":${driftJson(cap)},"plan_drift":${planDriftJson(cap)},"full":"bench_last.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"total_rerun_median":${num(totalRerunMedian)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$q,"failed":${failedJson(cap)},"drift":${driftJson(cap)},"plan_drift":${planDriftJson(cap)},"full":"bench_last.json","sf":"$sfDir"}"""
     }
     val blockCap = (10 to 0 by -1).find(c => lineFor(Vector.empty, c).length <= 1800).getOrElse {
       System.err.println(
