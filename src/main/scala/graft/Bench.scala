@@ -357,22 +357,28 @@ object Bench {
     // committed bench_last.json.
     val ordered = headline ++ names.sortBy(n => -results(n).getOrElse(0.0))
       .filterNot(headline.contains)
-    def lineFor(entries: Seq[String], cap: Int): String = {
+    def lineWith(entries: Seq[String], fj2: String, dj: String, pdj: String): String = {
       val q = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total)},"total_rerun_median":${num(totalRerunMedian)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$q,"failed":${failedJson(cap)},"drift":${driftJson(cap)},"plan_drift":${planDriftJson(cap)},"full":"bench_last.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"total_rerun_median":${num(totalRerunMedian)},"unit":"sec","valid":$valid,"n_queries":${names.size},"queries":$q,"failed":$fj2,"drift":$dj,"plan_drift":$pdj,"full":"bench_last.json","sf":"$sfDir"}"""
     }
-    val blockCap = (10 to 0 by -1).find(c => lineFor(Vector.empty, c).length <= 1800).getOrElse {
+    def lineAtCap(entries: Seq[String], cap: Int): String =
+      lineWith(entries, failedJson(cap), driftJson(cap), planDriftJson(cap))
+    val blockCap = (10 to 0 by -1).find(c => lineAtCap(Vector.empty, c).length <= 1800).getOrElse {
       System.err.println(
         s"[bench] stdout skeleton exceeds the 1800-char budget even with all " +
-          s"variable blocks emptied (${lineFor(Vector.empty, 0).length} chars) — " +
+          s"variable blocks emptied (${lineAtCap(Vector.empty, 0).length} chars) — " +
           "the driver window will truncate this line; read bench_last.json")
       0
     }
+    // hoisted once at the chosen cap: the greedy fold below evaluates the
+    // line per candidate entry and must not rebuild the drift triage
+    // (ratio sort over all queries) ~150 times
+    val (fjOut, driftOut, planDriftOut) = (failedJson(blockCap), driftJson(blockCap), planDriftJson(blockCap))
     val chosen = ordered.foldLeft(Vector.empty[String]) { (acc, n) =>
       val e = "\"" + n + "\":" + fmt(results(n))
-      if (lineFor(acc :+ e, blockCap).length <= 1800) acc :+ e else acc
+      if (lineWith(acc :+ e, fjOut, driftOut, planDriftOut).length <= 1800) acc :+ e else acc
     }
-    println(lineFor(chosen, blockCap))
+    println(lineWith(chosen, fjOut, driftOut, planDriftOut))
     spark.stop()
   }
 }

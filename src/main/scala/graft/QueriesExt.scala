@@ -1777,7 +1777,7 @@ object QueriesExt {
     // Lloyd training cross-engine)
     s"""vecs AS (SELECT * FROM embeddings
        |  WHERE embedding IS NOT NULL AND len(embedding) > 0
-       |    AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+       |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
        |t0 AS (SELECT $cols FROM vecs WHERE vec_id % 2 = 0),
        |tp AS (SELECT greatest(1, cast(ceil(count(*) /
        |  ${graft.functions.Similarity.MaxTrainRows}.0) AS bigint)) AS m FROM t0),

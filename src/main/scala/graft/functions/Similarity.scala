@@ -243,9 +243,15 @@ object Similarity {
     * Degenerate embeddings never train and never match, by contract.
     */
   private def presentVecs(df: DataFrame): DataFrame =
+    // x.isNull leads DELIBERATELY (r16 review): without it a NULL
+    // component makes `exists` evaluate to NULL (excluded here only via
+    // three-valued logic) while DuckDB's list_filter silently DROPS
+    // null-predicate elements (included) — the explicit arm makes
+    // "null component => degenerate" a both-engine contract, mirrored in
+    // the oracle's `x IS NULL OR ...` list_filter predicate.
     df.filter(col("embedding").isNotNull && size(col("embedding")) > 0 &&
       !exists(col("embedding"), x =>
-        isnan(x) || abs(x) === lit(Float.PositiveInfinity)))
+        x.isNull || isnan(x) || abs(x) === lit(Float.PositiveInfinity)))
 
   private def cappedTrain(corpus: DataFrame, maxTrainRows: Long): DataFrame = {
     // Cheap upper-bound probe before the exact count: CollectLimit reads

@@ -227,9 +227,13 @@ private[docstore] object DocStore {
   }
 
   /** Rename `tmp` onto `dst` with the strongest atomicity the platform
-    * offers, carrying the checksum sidecar along. Returns false only when
+    * offers, carrying the checksum sidecar along. Returns false when
     * `overwrite=false` and the destination already exists (a lost claim —
-    * the caller owns cleaning its temp).
+    * the caller owns cleaning its temp), or when `overwrite=true` loses a
+    * racing rename on the no-FileContext fallback path (retryable: the
+    * lease writer's acquire loop depends on retry-on-false; r16 review
+    * fix — the earlier throw here escaped that loop's catch and aborted
+    * the whole op).
     *
     * Local scheme (r16): java.nio directly — `Files.move(ATOMIC_MOVE,
     * REPLACE_EXISTING)` is rename(2), a TRUE atomic replace (no
@@ -269,8 +273,13 @@ private[docstore] object DocStore {
               StandardCopyOption.REPLACE_EXISTING)
           return true
         } else {
+          try Files.createLink(d, t) // link(2): atomically fails if d exists
+          catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+          // data is claimed; the sidecar carry and temp cleanup are
+          // best-effort from here — a failure leaves "valid data, no
+          // checksum" (readable) plus an age-swept temp, never a state
+          // where the winning claim gets misreported as lost
           try {
-            Files.createLink(d, t) // link(2): atomically fails if d exists
             try { if (Files.exists(tCrc)) Files.createLink(dCrc, tCrc) }
             catch { case _: java.nio.file.FileAlreadyExistsException =>
               // a dataless orphan sidecar (possible only after a crashed
@@ -280,29 +289,35 @@ private[docstore] object DocStore {
             }
             Files.deleteIfExists(t)
             Files.deleteIfExists(tCrc)
-            return true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => return false
-          }
+          } catch { case scala.util.control.NonFatal(_) => () }
+          return true
         }
       } catch {
-        // no hard links / atomic moves on this mount: fall through to the
-        // Hadoop paths below
+        // A consumed temp is SEMANTIC (the lease writer's retry re-reads
+        // ownership on it) and must not be laundered into a fallback
+        // rename that would throw something else — propagate.
+        case e: java.nio.file.NoSuchFileException => throw e
+        // Everything else filesystem-shaped (no hard links on this mount:
+        // EPERM/ENOTSUP surface as FileSystemException, not
+        // UnsupportedOperationException; AtomicMoveNotSupported likewise)
+        // falls through to the Hadoop paths below, which r15 shipped on.
         case _: UnsupportedOperationException =>
-        case _: java.nio.file.AtomicMoveNotSupportedException =>
+        case _: java.nio.file.FileSystemException =>
       }
     }
     if (overwrite) {
       try {
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(qd.toUri, f.getConf)
         fc.rename(qt, qd, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
       } catch {
         case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // a false return is a retryable lost race, not an error: the
+          // lease writer's acquire loop depends on retry-on-false here
+          // (writeFileAtomic escalates false to IOException itself)
           if (f.exists(dst)) f.delete(dst, false)
-          if (!f.rename(tmp, dst))
-            throw new java.io.IOException(s"atomic rename failed: $tmp -> $dst")
+          f.rename(tmp, dst)
       }
-      true
     } else {
       try {
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(qd.toUri, f.getConf)
@@ -333,7 +348,12 @@ private[docstore] object DocStore {
     try out.write(bytes) finally out.close()
     if (overwrite) {
       dropCrcSidecar(f, p)
-      atomicRename(f, tmp, p, overwrite = true)
+      // single-writer context (metadataLock / the lease): a false here is
+      // not a racing committer but a real failure — loud, like the old
+      // in-place path
+      if (!atomicRename(f, tmp, p, overwrite = true))
+        throw new java.io.IOException(s"atomic metadata write failed: $tmp -> $p")
+      true
     } else {
       val ok = atomicRename(f, tmp, p, overwrite = false)
       if (!ok && f.exists(tmp)) f.delete(tmp, false)

@@ -69,7 +69,9 @@ class MetadataCrashSpec extends SparkSpec {
     assert(Files.readAllBytes(crcPath).toSeq === crcBefore,
       "a lost claim must not touch the committed file's crc sidecar")
     // the loser's temp must not leak into the listing-visible namespace
-    val leftovers = Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+    // (File.list, not Files.list: the stream variant holds a directory
+    // handle until closed)
+    val leftovers = new java.io.File(dir).list().toSeq
       .filterNot(p => p.endsWith("v000001.json") || p.endsWith(".v000001.json.crc"))
       .filterNot(_.contains(".tmp-meta-")) // age-gated recover() sweeps these
     assert(leftovers.isEmpty, s"unexpected files after a lost claim: ${leftovers.mkString(", ")}")

@@ -263,8 +263,11 @@ def main() -> None:
     # inf/huge (r16): an ±Inf or near-float32-max component drives dot
     # products and norms to ±Inf/NaN — IEEE doubles agree across engines,
     # but any score floor, tie-break, or NaN filter that treats them
-    # asymmetrically diverges here.
-    modes = ("zero", "nan", "null", "empty", "inf", "huge")
+    # asymmetrically diverges here. nullcomp (r16 review): a NULL element
+    # inside an otherwise-real vector — Spark's exists() three-values it
+    # while DuckDB's list_filter drops it, so the "null component =>
+    # degenerate" contract needs the plant to stay enforced.
+    modes = ("zero", "nan", "null", "empty", "inf", "huge", "nullcomp")
     rows = rng.sample(eligible, min(len(eligible), n_plants(n)))
     used = {m: 0 for m in modes}
     for i in rows:
@@ -285,6 +288,10 @@ def main() -> None:
         elif m == "huge":
             v = list(d["embedding"][i])
             v[rng.randrange(len(v))] = 3e38  # near float32 max; squares to +Inf
+            d["embedding"][i] = v
+        elif m == "nullcomp":
+            v = list(d["embedding"][i])
+            v[rng.randrange(len(v))] = None
             d["embedding"][i] = v
         else:
             d["embedding"][i] = []
