@@ -571,8 +571,16 @@ object StreamDegen {
         streaming == conversions.map { case (u, ts) => u -> ts.toSeq }.toSet,
         s"stream=${streaming.size} model=${conversions.size} " +
           s"diff=${(streaming diff conversions.toSet).take(2)} ${(conversions.toSet diff streaming).take(2)}")
-      check("conversionStream lens is non-vacuous (corpus produced conversions)",
-        streaming.nonEmpty, "no conversions on this corpus — widen the window")
+      // non-vacuity follows the kmv/attribution lens rule: make_degen's
+      // fixed plants guarantee completable chains, so the unseeded gate
+      // enforces it; a fuzz seed can legitimately null out enough
+      // ts/event_type (seed 9304: half of each) that NO chain completes —
+      // vacuous for this lens, not a divergence, so seeded runs only note
+      if (splitRng.isEmpty)
+        check("conversionStream lens is non-vacuous (corpus produced conversions)",
+          streaming.nonEmpty, "no conversions on this corpus — widen the window")
+      else if (streaming.isEmpty)
+        println("[streamdegen] note: this fuzz seed left the funnel lens without a completed conversion")
     }
 
     // ---- 11. upsertStream: CDC merge vs last-writer contract model ----
