@@ -25,7 +25,26 @@ import org.apache.spark.sql.SparkSession
   * print, per the arming rule).
   */
 object StreamCrashFuzzPeer {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    // any crash must NAME itself on stdout: the spec relays the tail of a
+    // failed restart's output, and an un-printed exception class turns a
+    // statistically-rare window (one red in the first 70 seeds) into an
+    // undiagnosable flake
+    try run(args)
+    catch {
+      case e: Throwable =>
+        println(s"PEER-ERROR: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
+        e.getStackTrace.take(12).foreach(f => println(s"PEER-ERROR-AT: $f"))
+        var c = e.getCause
+        while (c != null) {
+          println(s"PEER-ERROR-CAUSE: ${c.getClass.getName}: ${String.valueOf(c.getMessage).take(300)}")
+          c = c.getCause
+        }
+        System.out.flush()
+        sys.exit(1)
+    }
+
+  private def run(args: Array[String]): Unit = {
     val Array(srcDir, tgtDir, ckptDir, seedS, haltS, nBatchesS, batchS) = args
     val seed = seedS.toLong
     val halt = haltS == "1"

@@ -27,6 +27,17 @@ import java.nio.file.{Files, Paths}
   * GRAFT_STREAM_CRASH_SEEDS; kills are required to actually land in ≥1
   * seed per run (exit 137), or the deadline range has drifted and the
   * fuzz is vacuous.
+  *
+  * OPEN WATCH ITEM (r16): one restart run failed (exit 1) at seed base
+  * 20260904 in the first 20-seed batch, before the peer printed its own
+  * exceptions — the single-seed rerun and 110 further seeds across 11
+  * batches all passed, so the window is real but rare and timing-
+  * dependent (the seeded deadline fixes WHEN the halt arms, not which
+  * filesystem operation it lands inside). The peer now names any crash
+  * on stdout (PEER-ERROR lines) and the spec snapshots the target dir,
+  * commit log, and checkpoint offsets on a restart failure, so the next
+  * statistical hit carries its own diagnosis instead of reproducing
+  * this flake report.
   */
 class StreamCrashFuzzSpec extends SparkSpec {
 
@@ -85,8 +96,18 @@ class StreamCrashFuzzSpec extends SparkSpec {
         s"seed $seed: halt run neither killed nor finished (rc=$rc1):\n${out1.takeRight(2000)}")
 
       val (rc2, out2) = runPeer(srcDir, tgtDir, ckptDir, seed, halt = false)
-      assert(rc2 == 0 && out2.contains("DONE"),
-        s"seed $seed: restart run failed (rc=$rc2):\n${out2.takeRight(2000)}")
+      if (!(rc2 == 0 && out2.contains("DONE"))) {
+        // forensic snapshot before failing: the restart-crash window is
+        // statistically rare, so one hit must carry its own diagnosis
+        def ls(p: String): String =
+          Option(new java.io.File(p).list()).map(_.sorted.mkString(", ")).getOrElse("<absent>")
+        fail(s"seed $seed: restart run failed (rc=$rc2)\n" +
+          s"peer says:\n${out2.linesIterator.filter(l => l.startsWith("PEER-ERROR") || l.startsWith("SRC") || l.startsWith("DONE")).mkString("\n")}\n" +
+          s"target: ${ls(tgtDir)}\n" +
+          s"target commits: ${ls(s"$tgtDir/_commits")}\n" +
+          s"checkpoint offsets: ${ls(s"$ckptDir/offsets")} commits: ${ls(s"$ckptDir/commits")}\n" +
+          s"tail:\n${out2.takeRight(1500)}")
+      }
 
       val expected = (0L until (nBatches.toLong * batchSize)).toSet
       val got = spark.read.format("docstore").load(tgtDir)
