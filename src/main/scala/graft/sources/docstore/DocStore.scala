@@ -220,6 +220,25 @@ private[docstore] object DocStore {
     * checksum" (unreadable). On filesystems without sidecars (HDFS,
     * object stores) this is a no-op.
     */
+  /** Test-only knob (r17): forces atomicRename down the Hadoop
+    * FileContext / exists-guarded FileSystem fallback tiers even on the
+    * local scheme, so the cross-JVM crash-fuzz suites can storm the paths
+    * a real cluster's HDFS/object store would hit — the nio fast path
+    * otherwise shadows them in every local test. Read once per JVM: set
+    * -Dgraft.docstore.forceHadoopRename=true or GRAFT_FORCE_HADOOP_RENAME=1
+    * before first docstore use (the env var is inherited by forked fuzz
+    * peers automatically; never set in production sessions).
+    */
+  private[docstore] val forceHadoopRename: Boolean = {
+    val on = java.lang.Boolean.getBoolean("graft.docstore.forceHadoopRename") ||
+      sys.env.get("GRAFT_FORCE_HADOOP_RENAME").contains("1")
+    // self-announcing so (a) a fuzz run can PROVE the knob engaged (a
+    // vacuous forced-fallback sweep would silently re-test the nio path)
+    // and (b) accidental production engagement is visible
+    if (on) System.err.println("graft.docstore: FORCED Hadoop rename fallback (test knob)")
+    on
+  }
+
   private[docstore] def dropCrcSidecar(f: org.apache.hadoop.fs.FileSystem, p: Path): Unit = {
     val crc = new Path(p.getParent, s".${p.getName}.crc")
     try { if (f.exists(crc)) f.delete(crc, false) }
@@ -252,6 +271,19 @@ private[docstore] object DocStore {
     * Remote schemes fall back to FileContext.rename (HDFS implements
     * OVERWRITE atomically server-side and NONE as an atomic claim), then
     * to an exists-guarded FileSystem.rename where no FileContext exists.
+    *
+    * DURABILITY CONTRACT (r17): atomicity here is against PROCESS failure
+    * (kill -9 — the crash model StreamCrashFuzzSpec/LeaseFuzzSpec prove
+    * across real JVMs), not power loss. No fsync of the file or its parent
+    * directory is issued, so an OS/power crash can lose or reorder a
+    * rename the process already observed. That is deliberate: the intended
+    * deployment targets (HDFS, object stores) make the commit durable
+    * server-side at the rename/PUT, where a client-side fsync is
+    * meaningless — and on local runs (tests, single-node) the fs cache
+    * flush latency window is accepted rather than paying a per-commit
+    * fsync on every metadata write. A local deployment that needs
+    * power-loss durability should mount the store with appropriate
+    * journaling (data=ordered ext4 / ZFS) or add an external sync barrier.
     */
   private[docstore] def atomicRename(f: org.apache.hadoop.fs.FileSystem,
                                      tmp: Path, dst: Path,
@@ -259,7 +291,7 @@ private[docstore] object DocStore {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val qt = f.makeQualified(tmp)
     val qd = f.makeQualified(dst)
-    if (qd.toUri.getScheme == "file") {
+    if (qd.toUri.getScheme == "file" && !forceHadoopRename) {
       try {
         val t = Paths.get(qt.toUri.getPath)
         val d = Paths.get(qd.toUri.getPath)
@@ -268,9 +300,19 @@ private[docstore] object DocStore {
         if (overwrite) {
           Files.move(t, d, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
-          if (Files.exists(tCrc))
-            Files.move(tCrc, dCrc, StandardCopyOption.ATOMIC_MOVE,
-              StandardCopyOption.REPLACE_EXISTING)
+          // The data move IS the commit; the sidecar carry is best-effort
+          // from here (r16 review: a sidecar-move failure that reached the
+          // outer catch fell through to the Hadoop paths, which renamed an
+          // already-consumed temp and misreported a COMMITTED write as
+          // failed — or, worse, laundered a sidecar NoSuchFileException
+          // into the semantic consumed-temp rethrow). A failure leaves
+          // "valid data, no checksum" (readable): the caller dropped the
+          // stale destination sidecar before calling.
+          try {
+            if (Files.exists(tCrc))
+              Files.move(tCrc, dCrc, StandardCopyOption.ATOMIC_MOVE,
+                StandardCopyOption.REPLACE_EXISTING)
+          } catch { case scala.util.control.NonFatal(_) => () }
           return true
         } else {
           try Files.createLink(d, t) // link(2): atomically fails if d exists
@@ -319,6 +361,15 @@ private[docstore] object DocStore {
           f.rename(tmp, dst)
       }
     } else {
+      // An orphan destination sidecar (data absent — possible only after a
+      // crashed out-of-protocol delete) both poisons later checksummed
+      // reads AND makes ChecksumFs's crc carry throw a spurious
+      // FileAlreadyExists AFTER the data already renamed in. Drop it
+      // before claiming, as the nio branch does at link time (r16 review).
+      // Racing a concurrent winner here at worst deletes THEIR fresh
+      // sidecar — "valid data, no checksum" (readable), never corruption.
+      try { if (!f.exists(dst)) dropCrcSidecar(f, dst) }
+      catch { case scala.util.control.NonFatal(_) => () }
       try {
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(qd.toUri, f.getConf)
         fc.rename(qt, qd, org.apache.hadoop.fs.Options.Rename.NONE)

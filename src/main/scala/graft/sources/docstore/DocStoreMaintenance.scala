@@ -201,7 +201,17 @@ object DocStoreMaintenance {
     // would freshen the OTHER op's lease — harmless while it is live, but
     // it can resurrect a lease vacuum was about to classify stale. Same
     // check the FNF retry uses; the re-read-to-stamp window is the
-    // unavoidable residue, vastly narrower than always-stamp.
+    // unavoidable residue, vastly narrower than always-stamp. (r17
+    // adjudication: the residue — an acquire-over landing between
+    // readLease and setTimes, or the stamp racing the lease file's own
+    // two-step data/crc rename — is ACCEPTED. Freshening the other op's
+    // live lease by one beat merely delays a vacuum classification; it
+    // never grants ownership, which every mutation re-checks by opId. The
+    // airtight alternative, re-WRITING the lease with our opId so
+    // ownership and freshness update atomically, would turn every
+    // heartbeat into a full atomic-rename cycle and make the beat itself
+    // race acquire-over renames — strictly more moving parts for a
+    // residue the fuzz has never converted into a safety violation.)
     // Best-effort: a failure here is the heartbeat thread's persistent-
     // failure warning path, not an acquire failure.
     try {

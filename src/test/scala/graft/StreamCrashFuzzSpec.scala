@@ -70,14 +70,30 @@ class StreamCrashFuzzSpec extends SparkSpec {
       "graft.StreamCrashFuzzPeer", srcDir, tgtDir, ckptDir,
       seed.toString, if (halt) "1" else "0", nBatches.toString, batchSize.toString)
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    // Drain on a separate thread so waitFor's timeout bounds the PROCESS
+    // lifetime (r16 review: draining to EOF on the calling thread first
+    // meant a wedged peer — alive, pipe open, silent — blocked the suite
+    // forever and the hung branch was unreachable).
     val out = new java.lang.StringBuilder
-    val br = new java.io.BufferedReader(
-      new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
-    var line = br.readLine()
-    while (line != null) { out.append(line).append('\n'); line = br.readLine() }
+    val pump = new Thread(() => {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+      var line = try br.readLine() catch { case _: java.io.IOException => null }
+      while (line != null) {
+        out.synchronized { out.append(line).append('\n'); () }
+        line = try br.readLine() catch { case _: java.io.IOException => null }
+      }
+    }, "stream-crash-fuzz-peer-pump")
+    pump.setDaemon(true)
+    pump.start()
     val finished = p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
-    if (!finished) { p.destroyForcibly(); fail(s"peer hung (halt=$halt):\n$out") }
-    (p.exitValue(), out.toString)
+    if (!finished) {
+      p.destroyForcibly()
+      p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+      fail(s"peer hung (halt=$halt):\n${out.synchronized(out.toString)}")
+    }
+    pump.join(10000) // let the pipe drain to EOF before reading the buffer
+    (p.exitValue(), out.synchronized(out.toString))
   }
 
   test("kill -9 inside the epoch lifecycle: restart converges to exactly-once, offsets and stats consistent") {
