@@ -2348,6 +2348,17 @@ object Queries {
     * (banded DP, early-exit above 2) — for every kept pair it equals the
     * unbounded distance the oracle computes, but non-matches cost
     * O(len·k) instead of O(len²).
+    *
+    * DOMAIN CONTRACT (r17, pinned like TextFunctions.asciiLower's): this
+    * query's name columns are ASCII BY CONTRACT. The two engines' edit
+    * distances agree ONLY there — Spark's levenshtein counts CODE-POINT
+    * edits while DuckDB's counts BYTE edits (measured: 'é'→'e' is 1 in
+    * Spark, 2 in DuckDB; any non-ASCII char multiplies its edit cost by
+    * its UTF-8 byte length). The probe synthesis (digit transposition on
+    * TPC-H c_name, ASCII by generator spec) keeps every input inside the
+    * agreeing domain; UnicodeDomainSpec asserts both the divergence and
+    * the testdata domain, so a corpus change that injects non-ASCII names
+    * fails a gate instead of silently flipping nearest matches.
     */
   private val j13 = QueryDef("j13_fuzzy_join",
     Some("""WITH probes AS (
