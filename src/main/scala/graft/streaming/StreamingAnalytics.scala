@@ -485,6 +485,13 @@ object StreamingAnalytics {
     // re-classifies its docs as exact dups of the copies the failed
     // attempt upserted and admits nothing new (the exactly-once shape
     // StreamingIngestSpec's restart case demonstrates, not just argues).
+    // hard-crash restart recovery: a kill -9 inside the FIRST offsets
+    // write leaves Spark's own rename-temp in the checkpoint, which
+    // Spark 4.x's new-checkpoint emptiness check then refuses to start
+    // over (fail-stop, no data at risk) — sweep that scrap before start.
+    // Safe here by the same single-owner contract the checkpoint itself
+    // carries. See CheckpointRecovery's scaladoc for the full window.
+    checkpointDir.foreach(c => CheckpointRecovery.dropOrphanRenameTemps(docs.sparkSession, c))
     val w = docs.writeStream.outputMode("append")
     checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>

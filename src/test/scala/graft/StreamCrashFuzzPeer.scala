@@ -93,6 +93,15 @@ object StreamCrashFuzzPeer {
       killer.start()
     }
 
+    // the documented hard-kill restart recipe: sweep Spark's own orphaned
+    // rename-temps from the checkpoint's metadata logs before starting —
+    // a halt inside the FIRST offsets write otherwise trips Spark 4.x's
+    // new-checkpoint emptiness check on restart (the r16 "unexplained
+    // red", seed 20260912: STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY
+    // over a lone .0.<uuid>.tmp — see CheckpointRecovery's scaladoc)
+    graft.streaming.CheckpointRecovery.dropOrphanRenameTemps(spark, ckptDir)
+      .foreach(n => println(s"RECOVERED $n"))
+
     val q = spark.readStream.format("docstore")
       .schema("doc_id BIGINT, text STRING").load(srcDir)
       .writeStream.format("docstore")

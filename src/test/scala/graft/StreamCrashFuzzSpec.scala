@@ -28,16 +28,23 @@ import java.nio.file.{Files, Paths}
   * seed per run (exit 137), or the deadline range has drifted and the
   * fuzz is vacuous.
   *
-  * OPEN WATCH ITEM (r16): one restart run failed (exit 1) at seed base
-  * 20260904 in the first 20-seed batch, before the peer printed its own
-  * exceptions — the single-seed rerun and 110 further seeds across 11
-  * batches all passed, so the window is real but rare and timing-
-  * dependent (the seeded deadline fixes WHEN the halt arms, not which
-  * filesystem operation it lands inside). The peer now names any crash
-  * on stdout (PEER-ERROR lines) and the spec snapshots the target dir,
-  * commit log, and checkpoint offsets on a restart failure, so the next
-  * statistical hit carries its own diagnosis instead of reproducing
-  * this flake report.
+  * CLOSED (r17) — the r16 "one unexplained restart red" is diagnosed,
+  * pinned, and fixed. The bulk hunt (tools/stream_crash_hunt.sh) re-hit
+  * it at seed 20260912 (inside the original red batch's base 20260904)
+  * with the r16 self-diagnosis capturing everything: the halt landed
+  * INSIDE Spark's very first offsets write, leaving the checkpoint's
+  * offsets/ dir holding only HDFSMetadataLog's rename-temp
+  * (`.0.<uuid>.tmp` + crc; target and commit log absent — nothing was
+  * committed). On restart, offsetLog.getLatest() correctly ignores the
+  * temp and treats the query as NEW, but Spark 4.x's
+  * verifyNewCheckpointDirectory raw-lists offsets/state/commits and
+  * throws STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY over Spark's own
+  * crash scrap — a fail-stop startup refusal, never data loss.
+  * Fix: graft.streaming.CheckpointRecovery.dropOrphanRenameTemps, run
+  * by the peer (and streamingIngest) before start — the documented
+  * hard-kill restart recipe. CheckpointRecoverySpec pins the window
+  * deterministically (planted temp → refusal without recovery, clean
+  * start with it); this fuzz keeps proving the end-to-end path.
   */
 class StreamCrashFuzzSpec extends SparkSpec {
 
