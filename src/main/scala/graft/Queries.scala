@@ -801,9 +801,16 @@ object Queries {
     * can't hash array cells).
     */
   private val a9 = QueryDef("a9_entity_aggregates",
+    // types contract (r17, fuzz seed 2026081705): a group whose
+    // event_types are ALL NULL has types = '' — the empty rendering of an
+    // empty distinct set (pandas ','.join(sorted(set(dropna))) == '').
+    // Spark's collect_set already drops nulls to []; DuckDB's list() is a
+    // null-skipping AGGREGATE that returns NULL over zero non-null rows,
+    // so the oracle needs the explicit coalesce (same guard j1's error_ks
+    // and a17's map already carry).
     Some(s"""SELECT user_id,
             |  count(DISTINCT $kSql) AS distinct_ks,
-            |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
+            |  coalesce(array_to_string(list_sort(list_distinct(list(event_type))), ','), '') AS types,
             |  cast(min(ts) as timestamp) AS first_seen,
             |  cast(max(ts) as timestamp) AS last_seen
             |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin),
