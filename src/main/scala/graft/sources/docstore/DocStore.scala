@@ -368,8 +368,12 @@ private[docstore] object DocStore {
       // before claiming, as the nio branch does at link time (r16 review).
       // Racing a concurrent winner here at worst deletes THEIR fresh
       // sidecar — "valid data, no checksum" (readable), never corruption.
-      try { if (!f.exists(dst)) dropCrcSidecar(f, dst) }
-      catch { case scala.util.control.NonFatal(_) => () }
+      // Checksummed filesystems only (r17 review): on HDFS/object stores
+      // sidecars cannot exist, and the guard would cost two getFileStatus
+      // RPCs on EVERY versioned claim commit.
+      if (f.isInstanceOf[org.apache.hadoop.fs.ChecksumFileSystem])
+        try { if (!f.exists(dst)) dropCrcSidecar(f, dst) }
+        catch { case scala.util.control.NonFatal(_) => () }
       try {
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(qd.toUri, f.getConf)
         fc.rename(qt, qd, org.apache.hadoop.fs.Options.Rename.NONE)

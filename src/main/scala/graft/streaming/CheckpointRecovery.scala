@@ -64,21 +64,27 @@ object CheckpointRecovery {
     * — the same single-owner contract Spark requires of the dir itself.
     */
   def dropOrphanRenameTemps(spark: SparkSession, checkpointDir: String): Seq[String] = {
-    val root = new Path(checkpointDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    Seq("offsets", "commits").flatMap { sub =>
-      val dir = new Path(root, sub)
-      if (!fs.exists(dir)) Nil
-      else
-        fs.listStatus(dir).toSeq
-          .filter(st => st.isFile && isRenameTemp(st.getPath.getName))
-          .flatMap { st =>
-            // delete(data) on a checksummed fs also drops the sidecar; a
-            // failure here is left for Spark to report on start — never
-            // throw from recovery
-            try { fs.delete(st.getPath, false); Some(s"$sub/${st.getPath.getName}") }
-            catch { case scala.util.control.NonFatal(_) => None }
-          }
-    }
+    // best-effort END TO END, not just per delete: recovery must never be
+    // the reason a query fails to start. Anything this sweep cannot do
+    // (dir vanishing under a tmp-cleaner between exists and list, a
+    // transient remote-store fault, ...) is left for Spark to surface
+    // with its own, clearer error on start.
+    def sweep(fs: org.apache.hadoop.fs.FileSystem, sub: String, dir: Path): Seq[String] =
+      try {
+        if (!fs.exists(dir)) Nil
+        else
+          fs.listStatus(dir).toSeq
+            .filter(st => st.isFile && isRenameTemp(st.getPath.getName))
+            .flatMap { st =>
+              // delete(data) on a checksummed fs also drops the sidecar
+              try { fs.delete(st.getPath, false); Some(s"$sub/${st.getPath.getName}") }
+              catch { case scala.util.control.NonFatal(_) => None }
+            }
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    try {
+      val root = new Path(checkpointDir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      Seq("offsets", "commits").flatMap(sub => sweep(fs, sub, new Path(root, sub)))
+    } catch { case scala.util.control.NonFatal(_) => Nil }
   }
 }

@@ -28,8 +28,6 @@ import org.apache.spark.sql.functions._
   */
 class UnicodeDomainSpec extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.001"
-
   private def lev(a: String, b: String): Int = {
     import spark.implicits._
     Seq((a, b)).toDF("a", "b").select(levenshtein(col("a"), col("b"))).head().getInt(0)
@@ -56,13 +54,24 @@ class UnicodeDomainSpec extends SparkSpec {
   }
 
   test("j13's input domain is ASCII on the driver testdata (the contract that makes the engines agree)") {
-    val nonAscii = spark.read.parquet(s"$dir/customer.parquet")
-      .select(col("c_custkey"), col("c_name"))
-      .filter(not(col("c_name").rlike("^[\\x00-\\x7F]*$")))
-    val offenders = nonAscii.limit(5).collect()
-    assert(offenders.isEmpty,
-      s"customer.c_name must be pure ASCII for j13's cross-engine levenshtein to be well-defined; " +
-        s"found: ${offenders.mkString(", ")} — renegotiate the j13 domain contract (Queries.scala j13 scaladoc)")
+    // ALL generated scale factors, not just the smallest (r17 review): the
+    // oracle gate drives sf0.01 and the bench sf0.1, so a regeneration
+    // that injects non-ASCII names only there must fail HERE, not flip
+    // j13's nearest matches silently.
+    val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(sf => s"/root/testdata/$sf/customer.parquet")
+      .filter(p => new java.io.File(p).exists())
+    assert(sfDirs.nonEmpty, "no driver testdata found to check the domain against")
+    sfDirs.foreach { p =>
+      val offenders = spark.read.parquet(p)
+        .select(col("c_custkey"), col("c_name"))
+        .filter(not(col("c_name").rlike("^[\\x00-\\x7F]*$")))
+        .limit(5).collect()
+      assert(offenders.isEmpty,
+        s"customer.c_name in $p must be pure ASCII for j13's cross-engine levenshtein to be " +
+          s"well-defined; found: ${offenders.mkString(", ")} — renegotiate the j13 domain " +
+          "contract (Queries.scala j13 scaladoc)")
+    }
   }
 
   test("tokenizer whitespace is ASCII-only on both engines: NBSP/U+2028/U+3000 are NOT token separators") {

@@ -8,9 +8,10 @@
 #
 #   bash tools/stream_crash_hunt.sh <classpath-file> <base> <batches> [batch=25] [logdir=/tmp/scf_hunt]
 set -uo pipefail
+CP_FILE="$(readlink -f "$1")" # resolve against the INVOKER's cwd, before the cd
 cd "$(dirname "$0")/.."
-CP_FILE="$1"; BASE="$2"; BATCHES="$3"; BATCH="${4:-25}"; LOGDIR="${5:-/tmp/scf_hunt}"
-CP="$(cat "$CP_FILE")"
+BASE="$2"; BATCHES="$3"; BATCH="${4:-25}"; LOGDIR="${5:-/tmp/scf_hunt}"
+CP="$(cat "$CP_FILE")" || { echo "cannot read classpath file $CP_FILE" >&2; exit 2; }
 mkdir -p "$LOGDIR"
 ADD_OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 for ((i=0; i<BATCHES; i++)); do
