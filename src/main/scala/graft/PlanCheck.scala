@@ -192,6 +192,33 @@ object PlanCheck {
       "no shuffle carries document text (keys OR payload)" ->
         (p => !shuffledColumns(p).contains("text")))
 
+    // The index-served twin adds the steady-state contract on top: the
+    // base corpus's text is NEVER read at classification time — every
+    // base access is a scan of precomputed ShingleIndex parquet (the
+    // per-trigger cost that must not grow as re-tokenization at 100 TB).
+    // The ONE documents scan reading `text` is the delta slice.
+    check("dd_incremental_indexed")(
+      "no sort-merge join anywhere" -> (p => !p.contains("SortMergeJoin")),
+      "classification is served from index parquet" ->
+        (_.contains("graft_shidx")))
+    checkTree("dd_incremental_indexed")(
+      "no shuffle carries document text (keys OR payload)" ->
+        (p => !shuffledColumns(p).contains("text")),
+      "every documents scan reading text sits under a broadcast (delta only)" ->
+        (p => {
+          import org.apache.spark.sql.execution.FileSourceScanExec
+          def textScans(t: org.apache.spark.sql.execution.SparkPlan) = t.collect {
+            case s: FileSourceScanExec
+                if s.relation.location.rootPaths.exists(_.toString.contains("documents"))
+                  && s.output.exists(_.name == "text") => s
+          }
+          val all = textScans(p)
+          val underBroadcast = broadcastSubtreePlans(p).flatMap(textScans).toSet
+          // the delta re-tokenize is real, and the base never contributes
+          // a non-broadcast text scan — the indexed steady-state shape
+          all.nonEmpty && all.forall(underBroadcast)
+        }))
+
     // Retrieval: document metadata must join AFTER ranking — the tiny
     // ranked top-k broadcasts into the documents scan, and the documents
     // side is never broadcast or shuffled.
@@ -346,7 +373,13 @@ object PlanCheck {
     //    keyed by query_id — the query set is a 3-row literal table, so
     //    the exploded side is ≤ #queries × k pairs (a keyed aggregate the
     //    global-agg exemption deliberately does not cover).
-    val blindExplodeAllow = Set("dd_incremental", "sim_ivf", "ir_prf_expansion")
+    //  - dd_incremental_indexed: same bounded-delta contract as
+    //    dd_incremental — the ONLY explode in the whole plan is the
+    //    delta's capped shingle set (the base side reads precomputed
+    //    ShingleIndex parquet and never explodes), and that delta
+    //    broadcast is the design: every index touch is a map-only scan.
+    val blindExplodeAllow =
+      Set("dd_incremental", "dd_incremental_indexed", "sim_ivf", "ir_prf_expansion")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(blindExplodeAllow)
       .foreach { q =>
@@ -372,6 +405,16 @@ object PlanCheck {
         val bs = blindExplodePlans(p)
         bs.nonEmpty && bs.forall(subtreeHasExpr(_) {
           // the delta IS the pmod(doc_id, …) slice of the corpus
+          case m: org.apache.spark.sql.catalyst.expressions.Pmod =>
+            m.references.exists(_.name == "doc_id")
+        })
+      }))
+    checkTree("dd_incremental_indexed")(
+      "explode broadcasts only the contract-bounded delta side" -> (p => {
+        val bs = blindExplodePlans(p)
+        bs.nonEmpty && bs.forall(subtreeHasExpr(_) {
+          // the delta IS the pmod(doc_id, …) slice of the corpus; the
+          // base side is ShingleIndex parquet with no Generate at all
           case m: org.apache.spark.sql.catalyst.expressions.Pmod =>
             m.references.exists(_.name == "doc_id")
         })

@@ -1480,6 +1480,29 @@ object QueriesExt {
         .orderBy("doc_id")
     })
 
+  /** dd_incremental served by the PERSISTENT shingle index
+    * ([[graft.functions.ShingleIndex]]) instead of a per-delta re-derive
+    * of the base's shingle universe — the streaming-ingest steady state,
+    * where per-trigger cost must not grow with the store. Same oracle as
+    * dd_incremental (the index is semantically invisible); the run
+    * rebuilds the index from the base each invocation so the carrier
+    * stays hermetic, then classifies via index frames only — the base
+    * `text` column is never read at classification time.
+    */
+  private val dd9 = QueryDef("dd_incremental_indexed",
+    dd7.oracle,
+    (s, d) => {
+      val all = docs(s, d)
+      val base = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val delta = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      val idxDir = s"/tmp/graft_shidx_${Integer.toHexString(d.hashCode)}"
+      graft.functions.ShingleIndex.rebuild(base, "doc_id", "text", 5, idxDir)
+      graft.functions.ShingleIndex.incrementalStatusIndexed(
+        graft.functions.ShingleIndex.read(s, idxDir), delta,
+        "doc_id", "text", threshold = 0.5, maxDf = 100)
+        .orderBy("doc_id")
+    })
+
   // ---- similarity search -------------------------------------------------
 
   /** Identical left-fold dot product on both engines → bit-equal cosines.
@@ -3012,7 +3035,7 @@ object QueriesExt {
 
   val all: Seq[QueryDef] = Seq(
     tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21,
-    dd1, dd2, dd3, dd4, dd5, dd6, dd7, dd8,
+    dd1, dd2, dd3, dd4, dd5, dd6, dd7, dd8, dd9,
     sm1, sm2, sm2r, sm2rad, sm2m, sm3, sm4, sm5, sm6, sm7, sm8, sm9,
     mm1, mm2, mm3, pl1, pl2, pl3, pl4, ir1, ir2, ir3, ir4, ir5, tx22, tx23, tx24, tx25)
 }

@@ -1,0 +1,340 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.docstore.MetaIO
+
+/** Persistent incremental shingle index for streaming/incremental dedup.
+  *
+  * [[Dedup.incrementalStatus]] classifies a delta against a base corpus by
+  * re-deriving the base's entire shingle universe every call: it reads the
+  * full base `text` column, re-tokenizes it, re-explodes the shingles, and
+  * re-aggregates the document-frequency table — per micro-batch, forever.
+  * That is the one per-trigger cost in [[graft.streaming.StreamingAnalytics
+  * .streamingIngest]] that grows with the STORE instead of the batch (its
+  * scaladoc has carried "a long-running deployment would maintain that
+  * index incrementally" as the known next step since the operator landed).
+  * At 100 TB the re-derive is disqualifying: every trigger re-reads and
+  * re-tokenizes the corpus's heaviest column.
+  *
+  * This module maintains that derived state as a segment-structured
+  * columnar index beside the store, so a trigger touches only slim
+  * precomputed tables:
+  *
+  *   - `postings`  (base_id, shingle)       — the inverted index, uncapped
+  *     (df evolves, so a shingle capped away today may be needed tomorrow;
+  *     the hot filter is applied at READ time against the merged df);
+  *   - `stats`     (base_id, th, n_total)   — 64-bit content hash for the
+  *     exact arm (the base text column is never read again) and the doc's
+  *     total distinct-shingle count;
+  *   - `df`        (shingle, df)            — per-segment PARTIAL counts;
+  *     segment-disjoint docs make partials sum-mergeable, so the hot set
+  *     is a groupBy-sum over slim partials, never a re-explode of text.
+  *
+  * Classification parity ([[incrementalStatusIndexed]]) is EXACT vs the
+  * re-derive path — same hash arm, same capped-universe jaccard, same
+  * rounding and tie-breaks (ShingleIndexSpec asserts frame equality).
+  * The one algebraic wrinkle is the capped per-doc size under an EVOLVING
+  * hot set: `size_b` = stored `n_total` minus the doc's currently-hot
+  * shingle count — and sizes are only ever consumed for CANDIDATE docs,
+  * so the correction is a broadcast-bounded join, not an index aggregate.
+  *
+  * Commit protocol (the docstore's marker discipline, reused): segment
+  * data is written under `seg_<id>/`, then a `_seg_<id>.json` marker is
+  * claimed via the crash-hardened create-once atomic rename
+  * ([[graft.sources.docstore.MetaIO.writeFileAtomic]]). Readers consult
+  * markers only, so a crash mid-write leaves an ignored orphan dir, and a
+  * REPLAYED streaming batch (same deterministic batchId → same segment id)
+  * detects the existing marker and appends nothing — the index append is
+  * idempotent exactly where Structured Streaming replays.
+  *
+  * Compaction ([[compact]]) folds committed segments into one (summing df
+  * partials) under the same marker protocol, bounding the per-trigger
+  * segment-union width; like [[graft.sources.docstore.DocStoreMaintenance]]
+  * it assumes the single-maintenance-writer contract.
+  *
+  * 100 TB shape: per-trigger work is (a) a groupBy-sum over df partials
+  * (distinct shingles, orders of magnitude below exploded text volume, and
+  * bounded by compaction), and (b) two map-only broadcast-join scans of
+  * the 2-column postings parquet — no base text read, no tokenization, no
+  * corpus-sized shuffle. Bucketing postings by shingle would make the scan
+  * prunable too; this layout keeps the dependency-free parquet shape.
+  *
+  * Contract: the index mirrors an append-only doc set (the ingest
+  * contract — novel doc_ids; revision streams belong in upsertStream).
+  * [[graft.streaming.StreamingAnalytics.streamingIngest]] enforces the
+  * novel-id guard per trigger before classifying against the index.
+  */
+object ShingleIndex {
+
+  /** The index's three live frames plus the shingle width it was built
+    * with (classification must tokenize the delta identically).
+    */
+  case class Frames(postings: DataFrame, stats: DataFrame,
+                    dfPartials: DataFrame, n: Int)
+
+  private val MetaFile = "_index_meta.json"
+  private def segMarker(id: String) = s"_seg_$id.json"
+  private def segDir(id: String) = s"seg_$id"
+  private def compactMarker(k: Int) = f"_compact_$k%06d.json"
+  private def compactDir(k: Int) = f"cseg_$k%06d"
+
+  private def th(c: Column): Column = when(c.isNotNull, xxhash64(c))
+
+  /** Derive one segment's three frames from raw docs. `stats` keeps one
+    * row per doc (n_total = 0 for null/short texts); `postings` drops
+    * shingle-less docs with the same plain `explode` the re-derive path
+    * uses.
+    */
+  private[graft] def segmentFrames(docs: DataFrame, idCol: String,
+                                   textCol: String, n: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val shingles = array_distinct(TextFunctions.wordShingles(col(textCol), n))
+    val stats = docs.select(col(idCol).as("base_id"),
+      th(col(textCol)).as("th"),
+      coalesce(size(shingles).cast("long"), lit(0L)).as("n_total"))
+    val postings = docs.select(col(idCol).as("base_id"),
+      explode(shingles).as("shingle"))
+    val dfPartial = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+    (postings, stats, dfPartial)
+  }
+
+  private def writeSegmentData(docs: DataFrame, idCol: String,
+                               textCol: String, n: Int, seg: Path): Unit = {
+    val (postings, stats, dfPartial) = segmentFrames(docs, idCol, textCol, n)
+    postings.write.mode("overwrite").parquet(new Path(seg, "postings").toString)
+    stats.write.mode("overwrite").parquet(new Path(seg, "stats").toString)
+    dfPartial.write.mode("overwrite").parquet(new Path(seg, "df").toString)
+  }
+
+  private def mapper = new ObjectMapper()
+
+  private def readMetaN(indexDir: String): Int = {
+    val p = new Path(indexDir, MetaFile)
+    val f = MetaIO.fs(p)
+    require(f.exists(p),
+      s"shingle index at $indexDir has no $MetaFile — bootstrap first")
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    mapper.readTree(txt).get("n").asInt()
+  }
+
+  /** True when `indexDir` holds a bootstrapped index. */
+  def exists(indexDir: String): Boolean = {
+    val p = new Path(indexDir, MetaFile)
+    MetaIO.fs(p).exists(p)
+  }
+
+  /** Create the index at `indexDir` from the current base corpus (which
+    * may be empty — an empty store bootstraps an empty index). Refuses a
+    * dir that already holds an index: a stale index silently diverging
+    * from its store is the one unrecoverable state, so rebuilds must be
+    * explicit (delete, then bootstrap).
+    */
+  def bootstrap(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                indexDir: String): Unit = {
+    val metaP = new Path(indexDir, MetaFile)
+    val f = MetaIO.fs(metaP)
+    require(!f.exists(metaP),
+      s"shingle index already exists at $indexDir — delete it to rebuild")
+    writeSegmentData(docs, idCol, textCol, n, new Path(indexDir, segDir("boot")))
+    val meta = mapper.createObjectNode()
+    meta.put("version", 1); meta.put("n", n)
+    MetaIO.writeFileAtomic(metaP, mapper.writeValueAsString(meta).getBytes("UTF-8"))
+    MetaIO.writeFileAtomic(new Path(indexDir, segMarker("boot")),
+      "{}".getBytes("UTF-8"), overwrite = false)
+    ()
+  }
+
+  /** Delete any index at `indexDir` and bootstrap fresh — the explicit
+    * rebuild [[bootstrap]]'s refusal points at.
+    */
+  def rebuild(docs: DataFrame, idCol: String, textCol: String, n: Int,
+              indexDir: String): Unit = {
+    val dir = new Path(indexDir)
+    val f = MetaIO.fs(dir)
+    if (f.exists(dir)) f.delete(dir, true)
+    bootstrap(docs, idCol, textCol, n, indexDir)
+  }
+
+  /** Append one committed segment of docs under id `segId` (for streaming:
+    * the deterministic batchId, zero-padded by the caller). Idempotent:
+    * returns false without touching data when the segment is already
+    * committed — a replayed micro-batch re-offers the same id and is
+    * thereby a no-op. A crashed prior attempt's uncommitted scrap under
+    * the same id is swept and rewritten.
+    */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+             indexDir: String, segId: String): Boolean = {
+    val n = readMetaN(indexDir)
+    val marker = new Path(indexDir, segMarker(segId))
+    val f = MetaIO.fs(marker)
+    if (f.exists(marker)) return false
+    val seg = new Path(indexDir, segDir(segId))
+    if (f.exists(seg)) f.delete(seg, true)
+    writeSegmentData(docs, idCol, textCol, n, seg)
+    val ok = MetaIO.writeFileAtomic(marker, "{}".getBytes("UTF-8"), overwrite = false)
+    if (!ok) f.delete(seg, true) // lost a (contract-breaking) claim race
+    ok
+  }
+
+  /** Marker names present, split into (segment markers, compact markers
+    * with their seq).
+    */
+  private def listMarkers(indexDir: String): (Seq[String], Seq[(Int, String)]) = {
+    val dir = new Path(indexDir)
+    val f = MetaIO.fs(dir)
+    val names = f.listStatus(dir).map(_.getPath.getName).toSeq
+    val segs = names.filter(x => x.startsWith("_seg_") && x.endsWith(".json"))
+    val compacts = names.collect {
+      case m if m.startsWith("_compact_") && m.endsWith(".json") =>
+        (m.stripPrefix("_compact_").stripSuffix(".json").toInt, m)
+    }
+    (segs, compacts)
+  }
+
+  /** Live data dirs = the newest compaction's dir plus every segment
+    * marker it does not cover (compaction always covers everything
+    * current, so older compacts are strictly subsumed).
+    */
+  private def liveDirs(indexDir: String): Seq[Path] = {
+    val (segs, compacts) = listMarkers(indexDir)
+    if (compacts.isEmpty) {
+      segs.map(m => new Path(indexDir,
+        segDir(m.stripPrefix("_seg_").stripSuffix(".json"))))
+    } else {
+      val (k, km) = compacts.maxBy(_._1)
+      val covered = {
+        val p = new Path(indexDir, km)
+        val in = MetaIO.fs(p).open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+        val arr = mapper.readTree(txt).get("covers")
+        (0 until arr.size()).map(arr.get(_).asText()).toSet
+      }
+      new Path(indexDir, compactDir(k)) +:
+        segs.filterNot(covered).map(m => new Path(indexDir,
+          segDir(m.stripPrefix("_seg_").stripSuffix(".json"))))
+    }
+  }
+
+  /** Open the index's live frames (committed segments only). */
+  def read(spark: SparkSession, indexDir: String): Frames = {
+    val n = readMetaN(indexDir)
+    val dirs = liveDirs(indexDir)
+    require(dirs.nonEmpty, s"shingle index at $indexDir has no committed segments")
+    def union(sub: String) =
+      spark.read.parquet(dirs.map(d => new Path(d, sub).toString): _*)
+    Frames(union("postings"), union("stats"), union("df"), n)
+  }
+
+  /** Fold all committed segments into one, summing df partials — bounds
+    * the per-trigger union width for a long-running ingest. Marker-first
+    * like every other commit here: a crash before the compact marker
+    * leaves an ignored orphan, a crash after it leaves covered dirs that
+    * this (completed) pass or the next one deletes. Single maintenance
+    * writer, as for [[graft.sources.docstore.DocStoreMaintenance]].
+    */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val (segs, compacts) = listMarkers(indexDir)
+    val live = liveDirs(indexDir)
+    if (live.size <= 1) return
+    val frames = read(spark, indexDir)
+    val k = (compacts.map(_._1) :+ 0).max + 1
+    val dst = new Path(indexDir, compactDir(k))
+    frames.postings.write.mode("overwrite").parquet(new Path(dst, "postings").toString)
+    frames.stats.write.mode("overwrite").parquet(new Path(dst, "stats").toString)
+    frames.dfPartials.groupBy("shingle").agg(sum("df").as("df"))
+      .write.mode("overwrite").parquet(new Path(dst, "df").toString)
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("covers")
+    (segs ++ compacts.map(_._2)).foreach(m => arr.add(m))
+    val committed = MetaIO.writeFileAtomic(new Path(indexDir, compactMarker(k)),
+      mapper.writeValueAsString(node).getBytes("UTF-8"), overwrite = false)
+    require(committed, s"shingle index compact lost its marker claim at $indexDir " +
+      "— a second maintenance writer is running (out of contract)")
+    // post-commit cleanup: covered data dirs and markers; readers only
+    // consult the (already-committed) newest compact, so partial cleanup
+    // after a crash is inert clutter the next compact removes
+    val f = MetaIO.fs(dst)
+    (segs ++ compacts.map(_._2)).foreach { m =>
+      val dataDir =
+        if (m.startsWith("_seg_"))
+          segDir(m.stripPrefix("_seg_").stripSuffix(".json"))
+        else compactDir(m.stripPrefix("_compact_").stripSuffix(".json").toInt)
+      f.delete(new Path(indexDir, dataDir), true)
+      f.delete(new Path(indexDir, m), false)
+    }
+  }
+
+  /** [[Dedup.incrementalStatus]] against the INDEX instead of the base
+    * corpus — exact parity (same arms, same capped universe, same
+    * rounding/tie-breaks), with the base text never read and no base
+    * tokenization. The delta is the contract-bounded side (the
+    * streamingIngest micro-batch / incremental-snapshot shape), so every
+    * delta-derived frame broadcasts — each index touch is a map-only
+    * scan, and sizes are corrected to the current hot set only for the
+    * bounded candidate doc set.
+    */
+  def incrementalStatusIndexed(idx: Frames, delta: DataFrame, idCol: String,
+                               textCol: String, threshold: Double,
+                               maxDf: Long): DataFrame = {
+    val n = idx.n
+    val dh = delta.select(col(idCol).as("doc_id"), th(col(textCol)).as("th"))
+    val exactM = idx.stats.select(col("base_id"), col("th"))
+      .join(broadcast(dh), "th")
+      .groupBy("doc_id").agg(min("base_id").as("exact_match"))
+
+    // current hot set: merged df over partials, strictly above the cap
+    val hot = idx.dfPartials.groupBy("shingle").agg(sum("df").as("df"))
+      .filter(col("df") > maxDf).select("shingle")
+
+    val deltaShU = delta.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("shingle"))
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
+    val deltaSizes = deltaShU.groupBy("doc_id").agg(count(lit(1)).as("size_d"))
+
+    // postings store hot shingles too, but deltaShU already excludes
+    // them, so this equals the re-derive path's baseIdx ⋈ deltaShU
+    val common = idx.postings.join(broadcast(deltaShU), "shingle")
+      .groupBy("doc_id", "base_id").agg(count(lit(1)).as("common"))
+
+    // size_b under the CURRENT hot set, candidates only:
+    // n_total − |doc's shingles ∩ hot|
+    val candIds = common.select("base_id").distinct()
+    val hotCnt = idx.postings.join(broadcast(candIds), "base_id")
+      .join(broadcast(hot), "shingle")
+      .groupBy("base_id").agg(count(lit(1)).as("hot_cnt"))
+    val baseSizes = idx.stats.join(broadcast(candIds), "base_id")
+      .join(broadcast(hotCnt), Seq("base_id"), "left")
+      .select(col("base_id"),
+        (col("n_total") - coalesce(col("hot_cnt"), lit(0L))).as("size_b"))
+
+    val rawJ = col("common").cast("double") * 1.0 /
+      (col("size_d") + col("size_b") - col("common"))
+    val best = Window.partitionBy("doc_id").orderBy(desc("j"), col("base_id"))
+    val nearM = baseSizes
+      .join(broadcast(common.join(broadcast(deltaSizes), "doc_id")), "base_id")
+      .filter(rawJ >= threshold)
+      .withColumn("j", rawJ)
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("base_id").as("near_match"),
+        Rounding.round4(col("j")).as("near_jaccard"))
+
+    delta.select(col(idCol).as("doc_id"))
+      .join(broadcast(exactM), Seq("doc_id"), "left")
+      .join(broadcast(nearM), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"),
+        when(col("exact_match").isNull, col("near_jaccard")).as("jaccard"))
+  }
+}

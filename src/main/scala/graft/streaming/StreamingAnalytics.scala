@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ingest.LogParser
 
@@ -477,7 +477,8 @@ object StreamingAnalytics {
   def streamingIngest(docs: DataFrame, storePath: String,
                       n: Int = 5, threshold: Double = 0.5, maxDf: Long = 100,
                       maxBatchPairs: Int = 2000000,
-                      checkpointDir: Option[String] = None)
+                      checkpointDir: Option[String] = None,
+                      indexDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // checkpointDir enables kill/restart recovery: offsets commit AFTER
     // the foreachBatch body, so a crash between the docstore upsert and
@@ -492,10 +493,29 @@ object StreamingAnalytics {
     // Safe here by the same single-owner contract the checkpoint itself
     // carries. See CheckpointRecovery's scaladoc for the full window.
     checkpointDir.foreach(c => CheckpointRecovery.dropOrphanRenameTemps(docs.sparkSession, c))
+    // indexDir: classify against the persistent shingle index instead of
+    // re-deriving the store's shingle universe per trigger (the one
+    // store-sized per-trigger cost — see [[graft.functions.ShingleIndex]]).
+    // First use bootstraps from the CURRENT store so index and store start
+    // aligned; thereafter each batch's admitted docs append one segment
+    // keyed by the deterministic batchId, making the append replay-proof.
+    indexDir.foreach { idx =>
+      if (!graft.functions.ShingleIndex.exists(idx)) {
+        val store = docs.sparkSession.read.format("docstore").load(storePath)
+          .select("doc_id", "text")
+        graft.functions.ShingleIndex.bootstrap(store, "doc_id", "text", n, idx)
+      }
+    }
     val w = docs.writeStream.outputMode("append")
     checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        ingestBatch(batch.toDF(), storePath, n, threshold, maxDf, maxBatchPairs)
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        indexDir match {
+          case Some(idx) =>
+            ingestBatchIndexed(batch.toDF(), storePath, idx, f"b$batchId%09d",
+              n, threshold, maxDf, maxBatchPairs)
+          case None =>
+            ingestBatch(batch.toDF(), storePath, n, threshold, maxDf, maxBatchPairs)
+        }
     }.start()
   }
 
@@ -522,21 +542,7 @@ object StreamingAnalytics {
     // is persisted here and unpersisted through its own Dataset handle.
     var fresh: DataFrame = null
     try {
-      // Robustness guard: the ingest contract is doc_id-unique deltas
-      // (a crawl snapshot), but a malformed batch carrying two texts for
-      // one doc_id must not crash the stream via upsert's duplicate-key
-      // require. Collapse to one row per doc_id, deterministically (min
-      // content hash) — NOT last-writer-wins: a true revision stream
-      // carries a sequence column and belongs in [[upsertStream]].
-      graft.operators.Guards.requireNoCollision(batch, "ingestBatch: batch", Seq("_rn"))
-      val oneRow = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(xxhash64(col("text")))
-      val unique = batch.withColumn("_rn", row_number().over(oneRow))
-        .filter(col("_rn") === 1).drop("_rn")
-      val gated = graft.QueriesExt.cleanGates(unique, Seq("doc_id", "text"))
-      val canon = graft.functions.Dedup.exact(gated, "doc_id", "text")
-        .filter(col("canonical_id") === col("doc_id")).select("doc_id")
-      val kept = gated.join(canon, "doc_id")
+      val kept = prepBatch(batch)
       val store = spark.read.format("docstore").load(storePath).select("doc_id", "text")
       // fresh is consumed by THREE actions (pair collect, upsert's key
       // collect, upsert's write) — persist it so cleanGates + the
@@ -551,36 +557,116 @@ object StreamingAnalytics {
             deltaBroadcastLimit = Long.MaxValue)
           .filter(col("status") === "new").select("doc_id"),
         "doc_id").persist()
-      // Greedy sequential admission over the batch's near-dup pair graph:
-      // pairs sorted by the larger id — when (a, b) is visited every pair
-      // ending below b is final, so a's admitted/dropped status is settled.
-      val pairs = graft.functions.Dedup.ngramJaccardPairs(fresh, "doc_id", "text",
-          n, threshold, maxDf, cacheIndex = false)
-        // min() guards the +1 against Int overflow: the require message
-        // tells operators to raise maxBatchPairs deliberately, and
-        // Int.MaxValue must mean "unbounded", not limit(-2147483648)
-        .select("doc_a", "doc_b")
-        .limit((math.min(maxBatchPairs.toLong, Int.MaxValue - 1L) + 1L).toInt)
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      require(pairs.length <= maxBatchPairs,
-        s"ingestBatch: within-batch near-dup pair graph exceeds maxBatchPairs=" +
-          s"$maxBatchPairs — greedy admission needs the full graph on the " +
-          "driver, which the ingest-batch contract bounds. Split the batch " +
-          "(smaller maxFilesPerTrigger / maxOffsetsPerTrigger on the source, " +
-          "or chunk a batch backfill) or raise maxBatchPairs deliberately.")
-      val droppedIds = scala.collection.mutable.Set[Long]()
-      pairs.sortBy(_._2).foreach { case (a, b) => if (!droppedIds(a)) droppedIds += b }
-      val admitted =
-        if (droppedIds.isEmpty) fresh
-        else {
-          import spark.implicits._
-          fresh.join(droppedIds.toSeq.toDF("doc_id"), Seq("doc_id"), "left_anti")
-        }
+      val admitted = greedyAdmit(spark, fresh, n, threshold, maxDf, maxBatchPairs)
       graft.sources.docstore.DocStoreMaintenance.upsert(spark, storePath, "doc_id", admitted)
     } finally {
       if (fresh != null) fresh.unpersist(blocking = false)
     }
     ()
+  }
+
+  /** [[ingestBatch]] with classification served by the persistent
+    * [[graft.functions.ShingleIndex]] instead of a per-trigger re-derive
+    * of the store's shingle universe — the store's `text` column is never
+    * read. Same prep, same greedy within-batch admission, same upsert;
+    * then the admitted docs append one index segment keyed by `segId`
+    * (the deterministic batchId), whose marker-claim commit makes the
+    * append a no-op on checkpoint replay.
+    *
+    * Crash alignment with the store: upsert happens BEFORE the segment
+    * commit, so a crash between them replays the batch against an index
+    * that lacks those docs — they classify `new` again, re-upsert
+    * idempotently, and the append commits first-time. A crash after the
+    * segment commit replays against an index that HAS them — each doc
+    * exact-dups to its own store copy and the batch admits nothing. Either
+    * way store and index converge to the same aligned state.
+    *
+    * Novel-id guard: an id already indexed but arriving with new content
+    * would make upsert REPLACE the store doc while the append-only index
+    * still carries the old shingles — silent divergence. Such rows
+    * (classified non-dup yet id-present) fail the trigger loudly toward
+    * [[upsertStream]], which owns revision semantics.
+    */
+  private[graft] def ingestBatchIndexed(batch: DataFrame, storePath: String,
+                                        indexDir: String, segId: String,
+                                        n: Int, threshold: Double, maxDf: Long,
+                                        maxBatchPairs: Int = 2000000): Unit = {
+    val spark = batch.sparkSession
+    var fresh: DataFrame = null
+    try {
+      val kept = prepBatch(batch)
+      val idx = graft.functions.ShingleIndex.read(spark, indexDir)
+      fresh = kept.join(
+        graft.functions.ShingleIndex
+          .incrementalStatusIndexed(idx, kept, "doc_id", "text", threshold, maxDf)
+          .filter(col("status") === "new").select("doc_id"),
+        "doc_id").persist()
+      val clash = idx.stats
+        .join(broadcast(fresh.select(col("doc_id").as("base_id"))), "base_id")
+        .limit(1).count()
+      require(clash == 0L,
+        "ingestBatchIndexed: a batch doc's id already exists in the shingle " +
+          "index with different content — the append-only index cannot track " +
+          "an upsert-replace. Revision streams belong in upsertStream; " +
+          "rebuild the index if the store was mutated out-of-band.")
+      val admitted = greedyAdmit(spark, fresh, n, threshold, maxDf, maxBatchPairs)
+      graft.sources.docstore.DocStoreMaintenance.upsert(spark, storePath, "doc_id", admitted)
+      graft.functions.ShingleIndex.append(admitted, "doc_id", "text", indexDir, segId)
+    } finally {
+      if (fresh != null) fresh.unpersist(blocking = false)
+    }
+    ()
+  }
+
+  /** Shared per-trigger prep: collapse malformed multi-text ids, clean
+    * gates, within-batch exact self-dedup (keep min doc_id).
+    */
+  private def prepBatch(batch: DataFrame): DataFrame = {
+    // Robustness guard: the ingest contract is doc_id-unique deltas
+    // (a crawl snapshot), but a malformed batch carrying two texts for
+    // one doc_id must not crash the stream via upsert's duplicate-key
+    // require. Collapse to one row per doc_id, deterministically (min
+    // content hash) — NOT last-writer-wins: a true revision stream
+    // carries a sequence column and belongs in [[upsertStream]].
+    graft.operators.Guards.requireNoCollision(batch, "ingestBatch: batch", Seq("_rn"))
+    val oneRow = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(xxhash64(col("text")))
+    val unique = batch.withColumn("_rn", row_number().over(oneRow))
+      .filter(col("_rn") === 1).drop("_rn")
+    val gated = graft.QueriesExt.cleanGates(unique, Seq("doc_id", "text"))
+    val canon = graft.functions.Dedup.exact(gated, "doc_id", "text")
+      .filter(col("canonical_id") === col("doc_id")).select("doc_id")
+    gated.join(canon, "doc_id")
+  }
+
+  /** Greedy sequential admission over the batch's near-dup pair graph:
+    * pairs sorted by the larger id — when (a, b) is visited every pair
+    * ending below b is final, so a's admitted/dropped status is settled.
+    */
+  private def greedyAdmit(spark: SparkSession, fresh: DataFrame,
+                          n: Int, threshold: Double, maxDf: Long,
+                          maxBatchPairs: Int): DataFrame = {
+    val pairs = graft.functions.Dedup.ngramJaccardPairs(fresh, "doc_id", "text",
+        n, threshold, maxDf, cacheIndex = false)
+      // min() guards the +1 against Int overflow: the require message
+      // tells operators to raise maxBatchPairs deliberately, and
+      // Int.MaxValue must mean "unbounded", not limit(-2147483648)
+      .select("doc_a", "doc_b")
+      .limit((math.min(maxBatchPairs.toLong, Int.MaxValue - 1L) + 1L).toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(pairs.length <= maxBatchPairs,
+      s"ingestBatch: within-batch near-dup pair graph exceeds maxBatchPairs=" +
+        s"$maxBatchPairs — greedy admission needs the full graph on the " +
+        "driver, which the ingest-batch contract bounds. Split the batch " +
+        "(smaller maxFilesPerTrigger / maxOffsetsPerTrigger on the source, " +
+        "or chunk a batch backfill) or raise maxBatchPairs deliberately.")
+    val droppedIds = scala.collection.mutable.Set[Long]()
+    pairs.sortBy(_._2).foreach { case (a, b) => if (!droppedIds(a)) droppedIds += b }
+    if (droppedIds.isEmpty) fresh
+    else {
+      import spark.implicits._
+      fresh.join(droppedIds.toSeq.toDF("doc_id"), Seq("doc_id"), "left_anti")
+    }
   }
 
   /** Stream-stream interval join: each left row matched to right rows with

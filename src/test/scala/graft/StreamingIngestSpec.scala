@@ -243,6 +243,105 @@ class StreamingIngestSpec extends SparkSpec {
     assert(got == expected, s"restarted store diverged: ${got.keySet} vs ${expected.keySet}")
   }
 
+  // ---- persistent shingle index wiring (ShingleIndex) --------------------
+
+  private def runSplitIndexed(batches: Seq[Seq[(Long, String)]])
+      : (Map[Long, String], String) = {
+    val dir = Files.createTempDirectory("graft_ingest_idx_store").toString
+    val idx = Files.createTempDirectory("graft_ingest_idx_idx").toString + "/idx"
+    Seq((1L, baseA), (2L, baseB), (3L, baseC)).toDF("doc_id", "text")
+      .coalesce(1).write.format("docstore").mode("append").save(dir)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingAnalytics.streamingIngest(
+      mem.toDF().toDF("doc_id", "text"), dir, n = 5, threshold = 0.5,
+      maxDf = 100, indexDir = Some(idx))
+    try batches.foreach { b =>
+      mem.addData(b)
+      q.processAllAvailable()
+    } finally q.stop()
+    (spark.read.format("docstore").load(dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap, idx)
+  }
+
+  private def indexIds(idx: String): Set[Long] =
+    graft.functions.ShingleIndex.read(spark, idx).stats
+      .select("base_id").collect().map(_.getLong(0)).toSet
+
+  test("indexed ingest: same final store as the re-derive path, index tracks store") {
+    val expected = runSplit(Seq(delta)) // re-derive reference
+    val (whole, idxW) = runSplitIndexed(Seq(delta))
+    val (three, idxT) = runSplitIndexed(
+      Seq(delta.slice(0, 2), delta.slice(2, 5), delta.slice(5, 7)))
+    assert(whole == expected, "indexed single-batch run diverged from re-derive")
+    assert(three == expected, "indexed 3-way split diverged from re-derive")
+    // the index mirrors the store exactly — the alignment invariant the
+    // whole design rests on
+    assert(indexIds(idxW) == whole.keySet)
+    assert(indexIds(idxT) == three.keySet)
+  }
+
+  test("indexed checkpoint restart: replay against BOTH index crash windows converges") {
+    val expected = runSplit(Seq(delta)) // uninterrupted re-derive reference
+
+    val src = Files.createTempDirectory("graft_ingest_irsrc").toString
+    val dir = Files.createTempDirectory("graft_ingest_irtgt").toString
+    val ckpt = Files.createTempDirectory("graft_ingest_irckpt").toString
+    val idx = Files.createTempDirectory("graft_ingest_iridx").toString + "/idx"
+    Seq((1L, baseA), (2L, baseB), (3L, baseC)).toDF("doc_id", "text")
+      .coalesce(1).write.format("docstore").mode("append").save(dir)
+    delta.slice(0, 3).toDF("doc_id", "text").coalesce(1)
+      .write.format("docstore").mode("overwrite").save(src)
+
+    def start() = StreamingAnalytics.streamingIngest(
+      spark.readStream.format("docstore").schema("doc_id BIGINT, text STRING").load(src),
+      dir, n = 5, threshold = 0.5, maxDf = 100,
+      checkpointDir = Some(ckpt), indexDir = Some(idx))
+
+    def dropLastEngineCommit(): Unit = {
+      val commits = new java.io.File(s"$ckpt/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      assert(commits.nonEmpty)
+      assert(commits.last.delete())
+      val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+      if (crc.exists()) assert(crc.delete())
+    }
+
+    // window A: crash AFTER the index segment committed but before the
+    // engine's offset commit — the replay classifies every doc as an
+    // exact dup of its own store copy and must be a full no-op
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    dropLastEngineCommit()
+
+    // window B on the NEXT batch: crash after the upsert but BEFORE the
+    // index segment marker — simulate by removing the marker so only
+    // uncommitted scrap remains; the replay re-admits idempotently and
+    // commits the segment first-time
+    delta.slice(3, 7).toDF("doc_id", "text").coalesce(1)
+      .write.format("docstore").mode("append").save(src)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    dropLastEngineCommit()
+    val markers = new java.io.File(idx).listFiles()
+      .filter(_.getName.matches("_seg_b\\d+\\.json"))
+      .sortBy(_.getName)
+    assert(markers.nonEmpty)
+    assert(markers.last.delete(), "failed to remove the index segment marker")
+    val mcrc = new java.io.File(idx, s".${markers.last.getName}.crc")
+    if (mcrc.exists()) assert(mcrc.delete())
+
+    val q3 = start() // replays the last batch through both windows
+    try q3.processAllAvailable() finally q3.stop()
+
+    val got = spark.read.format("docstore").load(dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected, s"restarted store diverged: ${got.keySet} vs ${expected.keySet}")
+    assert(indexIds(idx) == expected.keySet, "index diverged from store after replays")
+  }
+
   private def xxhash64Lt(a: String, b: String): Boolean = {
     import org.apache.spark.sql.functions.{lit, xxhash64}
     val r = Seq(1).toDF("x")
