@@ -667,7 +667,10 @@ object StreamDegen {
       val delta = docs.filterNot(_._1 % 3 == 0)
       val chunks = feed(delta)
       val f = org.apache.hadoop.fs.FileSystem.get(new org.apache.hadoop.conf.Configuration())
-      val dirs = Seq("/tmp/graft_sd_ingest_a", "/tmp/graft_sd_ingest_b")
+      val dirs = Seq("/tmp/graft_sd_ingest_a", "/tmp/graft_sd_ingest_b",
+        "/tmp/graft_sd_ingest_c")
+      val idxDir = "/tmp/graft_sd_ingest_idx"
+      f.delete(new org.apache.hadoop.fs.Path(idxDir), true)
       dirs.foreach { p =>
         f.delete(new org.apache.hadoop.fs.Path(p), true)
         base.toDF("doc_id", "text").coalesce(1)
@@ -682,14 +685,31 @@ object StreamDegen {
         graft.streaming.StreamingAnalytics.ingestBatch(
           c.toDF("doc_id", "text"), dirs(1), n = 5, threshold = 0.5, maxDf = 100)
       }
+      // third run: classification served by the persistent shingle index,
+      // with an aggressive compaction cadence so degen texts (unicode /
+      // null / whitespace) also storm segment fold + marker commits
+      val memI = MemoryStream[(Long, String)]
+      val qI = graft.streaming.StreamingAnalytics.streamingIngest(
+        memI.toDF().toDF("doc_id", "text"), dirs(2), n = 5, threshold = 0.5,
+        maxDf = 100, indexDir = Some(idxDir), indexCompactEvery = 2)
+      chunks.foreach { c => memI.addData(c); qI.processAllAvailable() }
+      qI.stop()
       def read(p: String): Map[Long, String] =
         spark.read.format("docstore").load(p).select("doc_id", "text").collect()
           .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
       val a = read(dirs.head)
       val b = read(dirs(1))
+      val c = read(dirs(2))
       check("streamingIngest == per-chunk batch ingest on degen docs (unicode/null texts through the full pipe)",
         a == b && a.size >= base.size,
         s"stream=${a.size} batch=${b.size} diff=${(a.toSet diff b.toSet).take(2)} ${(b.toSet diff a.toSet).take(2)}")
+      check("index-served streamingIngest == re-derive streamingIngest on degen docs",
+        c == a,
+        s"indexed=${c.size} rederive=${a.size} diff=${(c.toSet diff a.toSet).take(2)} ${(a.toSet diff c.toSet).take(2)}")
+      check("shingle index stayed aligned with its store on degen docs",
+        graft.functions.ShingleIndex.read(spark, idxDir).stats
+          .select("base_id").collect().map(_.getLong(0)).toSet == c.keySet,
+        "index ids diverged from store ids")
       check("streamingIngest lens exercised admissions beyond the base",
         a.size > base.size, s"nothing admitted from the delta (base=${base.size}, store=${a.size})")
     }

@@ -223,6 +223,9 @@ object ShingleIndex {
     }
   }
 
+  /** Number of live (committed) segments — the compaction trigger. */
+  def liveSegmentCount(indexDir: String): Int = liveDirs(indexDir).size
+
   /** Open the index's live frames (committed segments only). */
   def read(spark: SparkSession, indexDir: String): Frames = {
     val n = readMetaN(indexDir)
@@ -270,7 +273,26 @@ object ShingleIndex {
       f.delete(new Path(indexDir, dataDir), true)
       f.delete(new Path(indexDir, m), false)
     }
+    // age-gated orphan sweep (the docstore recover() discipline): a data
+    // dir with NO marker is a crashed append whose segId never re-offered
+    // — invisible to readers but paying storage forever. The age gate
+    // keeps a CONCURRENT in-flight append (out of contract, but cheap to
+    // tolerate) from losing its still-uncommitted data.
+    val markerFor = (listMarkers(indexDir) match {
+      case (s, c) => s.map(m => segDir(m.stripPrefix("_seg_").stripSuffix(".json"))) ++
+        c.map(kc => compactDir(kc._1))
+    }).toSet
+    val cutoff = System.currentTimeMillis() - OrphanSweepAgeMs
+    f.listStatus(new Path(indexDir)).foreach { st =>
+      val nm = st.getPath.getName
+      if ((nm.startsWith("seg_") || nm.startsWith("cseg_")) &&
+          !markerFor(nm) && st.getModificationTime < cutoff)
+        f.delete(st.getPath, true)
+    }
   }
+
+  /** Orphan data dirs younger than this survive [[compact]]'s sweep. */
+  private[graft] val OrphanSweepAgeMs: Long = 60L * 60 * 1000
 
   /** [[Dedup.incrementalStatus]] against the INDEX instead of the base
     * corpus — exact parity (same arms, same capped universe, same

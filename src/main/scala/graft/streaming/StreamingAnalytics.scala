@@ -478,7 +478,8 @@ object StreamingAnalytics {
                       n: Int = 5, threshold: Double = 0.5, maxDf: Long = 100,
                       maxBatchPairs: Int = 2000000,
                       checkpointDir: Option[String] = None,
-                      indexDir: Option[String] = None)
+                      indexDir: Option[String] = None,
+                      indexCompactEvery: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // checkpointDir enables kill/restart recovery: offsets commit AFTER
     // the foreachBatch body, so a crash between the docstore upsert and
@@ -512,7 +513,7 @@ object StreamingAnalytics {
         indexDir match {
           case Some(idx) =>
             ingestBatchIndexed(batch.toDF(), storePath, idx, f"b$batchId%09d",
-              n, threshold, maxDf, maxBatchPairs)
+              n, threshold, maxDf, maxBatchPairs, indexCompactEvery)
           case None =>
             ingestBatch(batch.toDF(), storePath, n, threshold, maxDf, maxBatchPairs)
         }
@@ -590,7 +591,8 @@ object StreamingAnalytics {
   private[graft] def ingestBatchIndexed(batch: DataFrame, storePath: String,
                                         indexDir: String, segId: String,
                                         n: Int, threshold: Double, maxDf: Long,
-                                        maxBatchPairs: Int = 2000000): Unit = {
+                                        maxBatchPairs: Int = 2000000,
+                                        indexCompactEvery: Int = 64): Unit = {
     val spark = batch.sparkSession
     var fresh: DataFrame = null
     try {
@@ -612,6 +614,13 @@ object StreamingAnalytics {
       val admitted = greedyAdmit(spark, fresh, n, threshold, maxDf, maxBatchPairs)
       graft.sources.docstore.DocStoreMaintenance.upsert(spark, storePath, "doc_id", admitted)
       graft.functions.ShingleIndex.append(admitted, "doc_id", "text", indexDir, segId)
+      // bound the per-trigger segment-union width on a long-running
+      // stream: fold segments once their count crosses the threshold.
+      // Safe inline — the foreachBatch body IS the single maintenance
+      // writer for this index (one trigger at a time).
+      if (indexCompactEvery > 0 &&
+          graft.functions.ShingleIndex.liveSegmentCount(indexDir) >= indexCompactEvery)
+        graft.functions.ShingleIndex.compact(spark, indexDir)
     } finally {
       if (fresh != null) fresh.unpersist(blocking = false)
     }

@@ -245,7 +245,8 @@ class StreamingIngestSpec extends SparkSpec {
 
   // ---- persistent shingle index wiring (ShingleIndex) --------------------
 
-  private def runSplitIndexed(batches: Seq[Seq[(Long, String)]])
+  private def runSplitIndexed(batches: Seq[Seq[(Long, String)]],
+                              compactEvery: Int = 64)
       : (Map[Long, String], String) = {
     val dir = Files.createTempDirectory("graft_ingest_idx_store").toString
     val idx = Files.createTempDirectory("graft_ingest_idx_idx").toString + "/idx"
@@ -255,7 +256,7 @@ class StreamingIngestSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String)]
     val q = StreamingAnalytics.streamingIngest(
       mem.toDF().toDF("doc_id", "text"), dir, n = 5, threshold = 0.5,
-      maxDf = 100, indexDir = Some(idx))
+      maxDf = 100, indexDir = Some(idx), indexCompactEvery = compactEvery)
     try batches.foreach { b =>
       mem.addData(b)
       q.processAllAvailable()
@@ -280,6 +281,20 @@ class StreamingIngestSpec extends SparkSpec {
     // whole design rests on
     assert(indexIds(idxW) == whole.keySet)
     assert(indexIds(idxT) == three.keySet)
+  }
+
+  test("in-stream auto-compaction folds segments without changing the store or index") {
+    val expected = runSplit(Seq(delta))
+    val (got, idx) = runSplitIndexed(
+      Seq(delta.slice(0, 2), delta.slice(2, 5), delta.slice(5, 7)),
+      compactEvery = 2)
+    assert(got == expected, "auto-compacted indexed run diverged")
+    assert(indexIds(idx) == expected.keySet)
+    val names = new java.io.File(idx).listFiles().map(_.getName)
+    assert(names.exists(_.startsWith("_compact_")),
+      s"compaction threshold 2 over 3 triggers must have fired: ${names.toSeq.sorted}")
+    assert(graft.functions.ShingleIndex.liveSegmentCount(idx) < 4,
+      "segment count must stay bounded by the compaction cadence")
   }
 
   test("indexed checkpoint restart: replay against BOTH index crash windows converges") {
