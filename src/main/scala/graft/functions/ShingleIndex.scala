@@ -142,12 +142,18 @@ object ShingleIndex {
     val f = MetaIO.fs(metaP)
     require(!f.exists(metaP),
       s"shingle index already exists at $indexDir — delete it to rebuild")
+    // commit order matters under a hard kill: the META file is the
+    // bootstrap's commit point (exists() gates re-bootstrap), so it must
+    // land LAST — data, then boot marker, then meta. A crash before the
+    // meta re-runs bootstrap, which rewrites identical data and tolerates
+    // the already-claimed marker; meta-first would leave an "existing"
+    // index with zero committed segments — a permanent startup refusal.
     writeSegmentData(docs, idCol, textCol, n, new Path(indexDir, segDir("boot")))
+    MetaIO.writeFileAtomic(new Path(indexDir, segMarker("boot")),
+      "{}".getBytes("UTF-8"), overwrite = false)
     val meta = mapper.createObjectNode()
     meta.put("version", 1); meta.put("n", n)
     MetaIO.writeFileAtomic(metaP, mapper.writeValueAsString(meta).getBytes("UTF-8"))
-    MetaIO.writeFileAtomic(new Path(indexDir, segMarker("boot")),
-      "{}".getBytes("UTF-8"), overwrite = false)
     ()
   }
 

@@ -45,7 +45,12 @@ object StreamCrashFuzzPeer {
     }
 
   private def run(args: Array[String]): Unit = {
-    val Array(srcDir, tgtDir, ckptDir, seedS, haltS, nBatchesS, batchS) = args
+    val Array(srcDir, tgtDir, ckptDir, seedS, haltS, nBatchesS, batchS) = args.take(7)
+    // optional 8th arg: "sink" (default — the docstore streaming sink) or
+    // "ingest" (the full streamingIngest pipe with the persistent shingle
+    // index: classify → upsert → segment append → auto-compact, so halts
+    // land inside the INDEX commit machinery too)
+    val mode = args.lift(7).getOrElse("sink")
     val seed = seedS.toLong
     val halt = haltS == "1"
     val nBatches = nBatchesS.toInt
@@ -62,8 +67,19 @@ object StreamCrashFuzzPeer {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    // ingest-mode docs must SURVIVE cleanGates deterministically (the
+    // StreamingIngestSpec shape: half stopwords) and be pairwise below
+    // the near-dup threshold, so the expected admitted set is ALL ids.
+    // The shared 24-token preamble is deliberate: its shingles' df
+    // crosses the maxDf=100 cap mid-stream, so the index's evolving
+    // hot-set machinery is under the kills too (it never flips an
+    // admission — shared-shingle jaccard tops out ~0.14 either way).
+    def ingestText(id: Long): String =
+      (0 until 12).map(j => s"the c$j").mkString(" ") + " " +
+        (0 until 40).map(j => s"the d${id}x$j").mkString(" ")
     def appendBatch(i: Int): Unit = {
-      ((i.toLong * b) until ((i.toLong + 1) * b)).map(id => (id, s"doc-$id"))
+      ((i.toLong * b) until ((i.toLong + 1) * b))
+        .map(id => (id, if (mode == "ingest") ingestText(id) else s"doc-$id"))
         .toDF("doc_id", "text")
         .coalesce(1).write.format("docstore").mode("append").save(srcDir)
       println(s"SRC $i"); System.out.flush()
@@ -78,15 +94,24 @@ object StreamCrashFuzzPeer {
     if (next == 0) { appendBatch(0); next = 1 } // source must exist pre-stream
 
     val armed = new AtomicBoolean(false)
-    @volatile var deadlineNs = Long.MaxValue
     if (halt) {
       val rng = new scala.util.Random(seed)
-      deadlineNs = System.nanoTime() + (50L + rng.nextInt(3000)) * 1000000L
+      // the seeded delay is anchored at the FIRST arming, not process
+      // start: startup (session init + the unarmed first source append)
+      // costs many times the delay range, so a startup-anchored deadline
+      // nearly always expired before arming and every kill collapsed
+      // onto the first armed instant — the seed spread now actually
+      // lands across the armed region (bootstrap, epochs, compactions)
+      val delayNs = (50L + rng.nextInt(3000)) * 1000000L
+      val armedAtNs = new java.util.concurrent.atomic.AtomicLong(0L)
       val killer = new Thread(() => {
         while (true) {
           Thread.sleep(2)
-          if (armed.get() && System.nanoTime() > deadlineNs)
-            Runtime.getRuntime.halt(137)
+          if (armed.get()) {
+            armedAtNs.compareAndSet(0L, System.nanoTime())
+            if (System.nanoTime() > armedAtNs.get() + delayNs)
+              Runtime.getRuntime.halt(137)
+          }
         }
       }, "halt-at-deadline")
       killer.setDaemon(true)
@@ -102,12 +127,34 @@ object StreamCrashFuzzPeer {
     graft.streaming.CheckpointRecovery.dropOrphanRenameTemps(spark, ckptDir)
       .foreach(n => println(s"RECOVERED $n"))
 
-    val q = spark.readStream.format("docstore")
+    // ingest mode reads the target store on every trigger (and bootstraps
+    // the index from it) — the collection must exist before the stream
+    if (mode == "ingest" && !new java.io.File(tgtDir).exists())
+      Seq.empty[(Long, String)].toDF("doc_id", "text")
+        .write.format("docstore").mode("overwrite").save(tgtDir)
+
+    val stream = spark.readStream.format("docstore")
       .schema("doc_id BIGINT, text STRING").load(srcDir)
-      .writeStream.format("docstore")
-      .option("checkpointLocation", ckptDir)
-      .outputMode("append")
-      .start(tgtDir)
+    // query construction is armed too: in ingest mode it contains the
+    // index BOOTSTRAP and checkpoint recovery — crash windows of their
+    // own, and no source append is in flight there
+    armed.set(true)
+    val q =
+      try {
+        if (mode == "ingest")
+          // the full pipe, index-served, with an aggressive compaction
+          // cadence so segment folds sit inside the kill window as often
+          // as appends do. The target store must pre-exist for the
+          // first-trigger store read + index bootstrap.
+          graft.streaming.StreamingAnalytics.streamingIngest(
+            stream, tgtDir, n = 5, threshold = 0.5, maxDf = 100,
+            checkpointDir = Some(ckptDir), indexDir = Some(s"${tgtDir}_idx"),
+            indexCompactEvery = 3)
+        else stream.writeStream.format("docstore")
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append")
+          .start(tgtDir)
+      } finally armed.set(false)
     def process(): Unit = {
       armed.set(true)
       try q.processAllAvailable() finally armed.set(false)

@@ -69,13 +69,15 @@ class StreamCrashFuzzSpec extends SparkSpec {
   }
 
   private def runPeer(srcDir: String, tgtDir: String, ckptDir: String,
-                      seed: Long, halt: Boolean): (Int, String) = {
+                      seed: Long, halt: Boolean,
+                      mode: String = "sink"): (Int, String) = {
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx2g", "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
       "graft.StreamCrashFuzzPeer", srcDir, tgtDir, ckptDir,
-      seed.toString, if (halt) "1" else "0", nBatches.toString, batchSize.toString)
+      seed.toString, if (halt) "1" else "0", nBatches.toString, batchSize.toString,
+      mode)
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     // Drain on a separate thread so waitFor's timeout bounds the PROCESS
     // lifetime (r16 review: draining to EOF on the calling thread first
@@ -164,5 +166,62 @@ class StreamCrashFuzzSpec extends SparkSpec {
     }
     assert(landedKills >= 1,
       s"no seed landed a kill in $nSeeds runs — deadline range is vacuous, tighten it")
+  }
+
+  test("kill -9 inside the INDEXED ingest lifecycle: restart converges, index aligned with store") {
+    // r17: the same cross-JVM treatment pointed at the shingle index's
+    // commit machinery — halts land inside classify → upsert → segment
+    // append (marker claim) → auto-compact (every 3 triggers) → offset
+    // commit, plus the index bootstrap on the very first start. After a
+    // clean restart the store must hold every source doc exactly once
+    // (the peer's corpus is gate-passing, pairwise-below-threshold, so
+    // the deterministic admitted set is ALL ids) and the index's stats
+    // ids must equal the store ids — the alignment invariant a torn
+    // append/compact would break.
+    var landedKills = 0
+    (0 until nSeeds).foreach { k =>
+      val seed = seedBase + 7000 + k // disjoint deadline stream from the sink test
+      val srcDir = Files.createTempDirectory(s"graft_scfi_src_$k").toString
+      val tgtDir = Files.createTempDirectory(s"graft_scfi_tgt_$k").toString + "/store"
+      val ckptDir = Files.createTempDirectory(s"graft_scfi_ckpt_$k").toString + "/ckpt"
+      new java.io.File(srcDir).delete()
+
+      val (rc1, out1) = runPeer(srcDir, tgtDir, ckptDir, seed, halt = true, mode = "ingest")
+      if (rc1 == 137) landedKills += 1
+      else assert(rc1 == 0 && out1.contains("DONE"),
+        s"seed $seed: halt run neither killed nor finished (rc=$rc1):\n${out1.takeRight(2000)}")
+
+      val (rc2, out2) = runPeer(srcDir, tgtDir, ckptDir, seed, halt = false, mode = "ingest")
+      if (!(rc2 == 0 && out2.contains("DONE"))) {
+        def ls(p: String): String =
+          Option(new java.io.File(p).list()).map(_.sorted.mkString(", ")).getOrElse("<absent>")
+        fail(s"seed $seed: indexed-ingest restart failed (rc=$rc2)\n" +
+          s"peer says:\n${out2.linesIterator.filter(l => l.startsWith("PEER-ERROR") || l.startsWith("SRC") || l.startsWith("DONE")).mkString("\n")}\n" +
+          s"target: ${ls(tgtDir)}\n" +
+          s"index: ${ls(s"${tgtDir}_idx")}\n" +
+          s"checkpoint offsets: ${ls(s"$ckptDir/offsets")} commits: ${ls(s"$ckptDir/commits")}\n" +
+          s"tail:\n${out2.takeRight(1500)}")
+      }
+
+      val expected = (0L until (nBatches.toLong * batchSize)).toSet
+      val got = spark.read.format("docstore").load(tgtDir)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(got.length == expected.size && got.toSet == expected,
+        s"seed $seed: ingest target not exactly-once — ${got.length} rows, " +
+          s"${expected.size} expected; missing=${(expected diff got.toSet).take(5)} " +
+          s"dups=${got.groupBy(identity).filter(_._2.length > 1).keys.take(5)}")
+
+      val idxIds = graft.functions.ShingleIndex.read(spark, s"${tgtDir}_idx")
+        .stats.select("base_id").collect().map(_.getLong(0))
+      assert(idxIds.length == expected.size && idxIds.toSet == expected,
+        s"seed $seed: index misaligned — ${idxIds.length} stats rows; " +
+          s"missing=${(expected diff idxIds.toSet).take(5)} " +
+          s"dups=${idxIds.groupBy(identity).filter(_._2.length > 1).keys.take(5)}")
+      // compaction really ran under fire and kept the union bounded
+      assert(graft.functions.ShingleIndex.liveSegmentCount(s"${tgtDir}_idx") <= nBatches,
+        s"seed $seed: segment count unbounded")
+    }
+    assert(landedKills >= 1,
+      s"no seed landed a kill in $nSeeds ingest runs — deadline range is vacuous")
   }
 }
