@@ -594,6 +594,16 @@ object StreamingAnalytics {
                                         maxBatchPairs: Int = 2000000,
                                         indexCompactEvery: Int = 64): Unit = {
     val spark = batch.sparkSession
+    // compaction runs BEFORE this trigger's index read, never after it:
+    // folding at trigger end would delete covered segment dirs while the
+    // trigger's (persisted, but evictable) frames can still lazily
+    // recompute from them — a self-inflicted FileNotFound under memory
+    // pressure. At trigger start nothing references the old layout. Safe
+    // inline — the foreachBatch body IS the single maintenance writer
+    // for this index (one trigger at a time).
+    if (indexCompactEvery > 0 &&
+        graft.functions.ShingleIndex.liveSegmentCount(indexDir) >= indexCompactEvery)
+      graft.functions.ShingleIndex.compact(spark, indexDir)
     var fresh: DataFrame = null
     try {
       val kept = prepBatch(batch)
@@ -614,13 +624,6 @@ object StreamingAnalytics {
       val admitted = greedyAdmit(spark, fresh, n, threshold, maxDf, maxBatchPairs)
       graft.sources.docstore.DocStoreMaintenance.upsert(spark, storePath, "doc_id", admitted)
       graft.functions.ShingleIndex.append(admitted, "doc_id", "text", indexDir, segId)
-      // bound the per-trigger segment-union width on a long-running
-      // stream: fold segments once their count crosses the threshold.
-      // Safe inline — the foreachBatch body IS the single maintenance
-      // writer for this index (one trigger at a time).
-      if (indexCompactEvery > 0 &&
-          graft.functions.ShingleIndex.liveSegmentCount(indexDir) >= indexCompactEvery)
-        graft.functions.ShingleIndex.compact(spark, indexDir)
     } finally {
       if (fresh != null) fresh.unpersist(blocking = false)
     }
