@@ -99,6 +99,13 @@ object PlanFingerprint {
     * baseline record, the entry is deleted.
     */
   val expectedDeltas: Map[String, (String, String)] = Map(
+    "w6_gap_fill" -> ("sc1.hx2.rx1.agg2.win1.srt2.gen1",
+      "r17 gap-fill rewrite (optimization guide §2.4): the sparse per-" +
+        "(user, hour) counts already determine the dense grid, so a lead() " +
+        "window + sequence-explode replaces the separate bounds aggregate " +
+        "and the grid-side broadcast left join — one events scan and two " +
+        "aggregates fewer (sc2→sc1, agg4→agg2, bx1.bhj1 gone), zeros carry " +
+        "the preceding row's running total so no extra window appears"),
     "g4_pagerank" -> ("rx1.srt1",
       "r14 aggregate-collect-iterate rewrite: the 7-stage vocabulary-sized " +
         "iteration chain (6 broadcast joins + 17 aggregates over <=|k|^2 " +

@@ -1746,7 +1746,7 @@ object Queries {
     * driver-visible hash mismatch rather than a `no_oracle` null row.
     */
   private[graft] def a18Raw(s: SparkSession, d: String): DataFrame = {
-      // Two pitfalls engineered around, both measured at sf0.1:
+      // Three pitfalls engineered around, all measured at sf0.1:
       // (1) the sketches and the exact distinct MUST NOT share one agg — a
       // distinct aggregate in the same Aggregate triggers the Expand
       // rewrite, whose partial aggregation keys on (event_type, value),
@@ -1754,14 +1754,26 @@ object Queries {
       // buffers through the shuffle (gigabytes at scale). Split, the
       // sketch agg has 5 groups with map-side merge and the exact agg
       // shuffles narrow pairs; the 5-row results broadcast-join together.
-      // (2) rsd is 0.01, not arbitrarily tight: Spark's HLL agg buffer is
-      // one attribute PER 64-bit word (2^p registers), so per-row cost
-      // grows with precision — rsd 0.005 (p=16, ~6k buffer attributes per
-      // sketch) measured 10+ s where 0.01 (p=14) measures ~2.7 s.
+      // (2) precision is lgK=14 (rsd ≈ 0.81%), not arbitrarily tight: the
+      // 5σ bound below needs rsd ≲ 1%, and register count doubles per lgK.
+      // (3, r17) the sketch is DataSketches hll_sketch_agg, NOT Spark's
+      // approx_count_distinct: the HLL++ agg materializes one buffer
+      // ATTRIBUTE per 64-bit register word (p=14 → ~1.5k attributes per
+      // sketch, ~3k-column aggregate rows), which defeats whole-stage
+      // codegen (spark.sql.codegen.maxFields=100) and measured 2.9-4.3 s
+      // at sf0.1; the DataSketches agg carries ONE binary buffer per
+      // sketch through a narrow ObjectHashAggregate (measured ~4× faster,
+      // and the shuffled partial is the same constant-size-per-group
+      // mergeable either way). Estimates stay inside the 5σ contract
+      // (lgK=14 ⇒ rse ≈ 1.04/√2¹⁴ ≈ 0.81%); coalesce(·, 0) pins the
+      // all-null-input group to 0 like HLL++ (an empty sketch must
+      // compare equal to the exact side's 0, not NULL the verdict).
       val e = ev(s, d)
+      def sk(c: String): Column =
+        coalesce(hll_sketch_estimate(hll_sketch_agg(col(c), lit(14))), lit(0L))
       val approx = e.groupBy("event_type").agg(
-        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        approx_count_distinct(col("event_id"), 0.01).as("approx_events"),
+        sk("user_id").as("approx_users"),
+        sk("event_id").as("approx_events"),
         count(lit(1)).as("total"))
       val exact = e.groupBy("event_type").agg(
         count_distinct(col("user_id")).as("exact_users"),
@@ -2015,19 +2027,40 @@ object Queries {
            |FROM grid g LEFT JOIN c ON c.user_id = g.user_id AND c.h = g.h
            |ORDER BY g.user_id NULLS FIRST, hour""".stripMargin),
     (s, d) => {
+      // r17 shape: ONE pass instead of two-scans + grid join. The sparse
+      // (user, hour) counts already determine the whole output: a lead()
+      // window gives each sparse hour its successor, and exploding
+      // sequence(h, nxt−1h) materializes exactly the [min, max] grid —
+      // zeros carry the PRECEDING row's running total, so cum_cnt needs
+      // no post-explode window. Replaces {2 events scans, 2 aggregates,
+      // broadcast left join} with {1 scan, 1 aggregate}; the lead/cum
+      // window rides the same user-partitioned exchange the old cum
+      // window needed anyway.
       import org.apache.spark.sql.expressions.Window
-      val e = ev(s, d).select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
-      val grid = e.groupBy("user_id")
-        .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      val counts = ev(s, d)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        // null hours never join the oracle's grid (c.h = g.h) — and never
+        // enter its bounds (min/max skip nulls); drop them before the agg
+        .filter(col("h").isNotNull)
+        .groupBy(col("user_id"), col("h"))
+        .agg(count(lit(1)).as("raw_cnt"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+      val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // oracle semantics pin the NULL-user grid rows to cnt 0 (its LEFT
+      // JOIN is on user EQUALITY, which a null user never satisfies)
+      val eff = when(col("user_id").isNull, lit(0L)).otherwise(col("raw_cnt"))
+      counts
+        .withColumn("cnt0", eff)
+        .withColumn("cum_cnt", sum(col("cnt0")).over(wcum))
+        .withColumn("nxt", lead(col("h"), 1).over(w))
         .select(col("user_id"),
-          explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hour"))
-      val counts = e.groupBy(col("user_id"), col("h").as("hour"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("user_id").orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(counts, Seq("user_id", "hour"), "left")
-        .na.fill(0L, Seq("cnt"))
-        .withColumn("cum_cnt", sum(col("cnt")).over(w))
+          explode(sequence(col("h"),
+            coalesce(col("nxt") - expr("interval 1 hour"), col("h")),
+            expr("interval 1 hour"))).as("hour"),
+          col("h"), col("cnt0"), col("cum_cnt"))
+        .select(col("user_id"), col("hour"),
+          when(col("hour") === col("h"), col("cnt0")).otherwise(lit(0L)).as("cnt"),
+          col("cum_cnt"))
         .orderBy("user_id", "hour")
     })
 

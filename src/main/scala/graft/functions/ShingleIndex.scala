@@ -105,10 +105,21 @@ object ShingleIndex {
 
   private def writeSegmentData(docs: DataFrame, idCol: String,
                                textCol: String, n: Int, seg: Path): Unit = {
-    val (postings, stats, dfPartial) = segmentFrames(docs, idCol, textCol, n)
-    postings.write.mode("overwrite").parquet(new Path(seg, "postings").toString)
+    val (postings, stats, _) = segmentFrames(docs, idCol, textCol, n)
+    val postingsPath = new Path(seg, "postings").toString
+    postings.write.mode("overwrite").parquet(postingsPath)
     stats.write.mode("overwrite").parquet(new Path(seg, "stats").toString)
-    dfPartial.write.mode("overwrite").parquet(new Path(seg, "df").toString)
+    // df partial from the JUST-WRITTEN postings parquet, not a third
+    // derivation from text (r17): each separate write action re-executes
+    // its subtree, so deriving df from `postings` re-reads and
+    // re-tokenizes the whole segment's text column — the heaviest kernel
+    // in the pass, paid three times per segment (stats' size(), the
+    // postings explode, and the df re-derive). Aggregating the slim
+    // 2-column parquet instead costs one narrow scan and zero tokenize.
+    // Same rows by construction: df := postings.groupBy(shingle).count.
+    docs.sparkSession.read.parquet(postingsPath)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(new Path(seg, "df").toString)
   }
 
   private def mapper = new ObjectMapper()
