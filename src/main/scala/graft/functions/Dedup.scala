@@ -65,15 +65,21 @@ object Dedup {
     }
   }
 
-  /** Doc → exploded distinct word-n-gram shingles, df-capped.
-    * The ABSOLUTE cap `maxDf` drops shingles appearing in more than maxDf
-    * docs — it bounds the inverted-index bucket size, which is what keeps
-    * the self-join sub-quadratic: a bucket of df docs costs df² pairs, so
-    * the per-shingle join cost is capped at maxDf² regardless of corpus
-    * size. `maxDfFraction` (optional) RELAXES the cap to
-    * `max(maxDf, fraction·|corpus|)`; use it only when shingles are so
-    * non-discriminative that an absolute cap drops the true-pair signal —
-    * and know the price: a fractional cap's bucket cost grows as
+  /** N-gram Jaccard near-dup pairs via inverted-index self-join.
+    * Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold, doc_a < doc_b.
+    *
+    * The df cap: the ABSOLUTE cap `maxDf` drops shingles appearing in more
+    * than maxDf docs — it bounds the inverted-index bucket size, which is
+    * what keeps the self-join sub-quadratic: a bucket of df docs costs df²
+    * pairs, so the per-shingle join cost is capped at maxDf² regardless of
+    * corpus size. The cap runs as a map-side-aggregated df table +
+    * broadcast LEFT ANTI join of the HOT shingle set (a per-shingle WINDOW
+    * would shuffle and sort the ENTIRE exploded index just to drop the hot
+    * tail); the hot set is small by construction — it IS the boilerplate
+    * tail the cap exists to remove. `maxDfFraction` (optional) RELAXES the
+    * cap to `max(maxDf, fraction·|corpus|)`; use it only when shingles are
+    * so non-discriminative that an absolute cap drops the true-pair signal
+    * — and know the price: a fractional cap's bucket cost grows as
     * (fraction·N)², reintroducing the quadratic blowup at scale (measured
     * here: bigram shingles + 0.2·N cap at sf0.1 computed 10.3M candidate
     * pairs and 15.7 s where 5-gram shingles + absolute cap 100 computed
@@ -82,32 +88,6 @@ object Dedup {
     * grows exponentially in n, so df collapses), not a bigger cap. The
     * corpus size, when used, arrives as a broadcast 1-row cross join,
     * never a driver collect.
-    */
-  def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, maxDf: Long, maxDfFraction: Double = 0.0): DataFrame = {
-    val exploded = docs
-      .select(col(idCol).as("doc"),
-        explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("shingle"))
-    // Cap via a map-side-aggregated df table + broadcast LEFT ANTI join of
-    // the HOT shingle set — the shape incrementalStatus always used. The
-    // previous per-shingle WINDOW shuffled and sorted the ENTIRE exploded
-    // index just to drop the hot tail; the df aggregate shuffles only
-    // (shingle, partial-count) pairs and the anti join is map-only. The
-    // hot set (df above the cap) is small by construction — it IS the
-    // boilerplate tail the cap exists to remove.
-    val dfTab = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val hot =
-      if (maxDfFraction > 0) {
-        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-        dfTab.crossJoin(broadcast(nDocs))
-          .filter(col("df") > greatest(lit(maxDf), col("n_docs") * maxDfFraction))
-          .select("shingle")
-      } else dfTab.filter(col("df") > maxDf).select("shingle")
-    exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
-  }
-
-  /** N-gram Jaccard near-dup pairs via inverted-index self-join.
-    * Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold, doc_a < doc_b.
     */
   /** The jaccard assembly + threshold shared by every exact-verification
     * path ([[ngramJaccardPairs]]'s full pair join and
@@ -130,6 +110,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** (doc, sh) — per-doc DISTINCT shingle arrays, the slim pre-explode
+    * form every shingle consumer derives from. Cached by the batch
+    * callers (r17): tokenization (WordShingles over the full text column)
+    * is the heaviest per-row kernel in the family, and each downstream
+    * consumer that re-evaluates the subtree re-tokenizes the corpus —
+    * materializing the arrays once turns every re-evaluation into a
+    * cheap explode of cached rows. Intra-query only (computed from the
+    * inputs on every invocation; Spark spills it if large).
+    */
+  private def shingleArrays(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double, maxDf: Long = 100,
                         maxDfFraction: Double = 0.0,
@@ -139,7 +133,18 @@ object Dedup {
     // uncache, so a long-running stream would accumulate one pinned plan
     // per trigger. Uncached, the index subtree is re-evaluated per
     // consumer within the one action — the right trade for micro-batches.
-    val idx0 = shingleIndex(docs, idCol, textCol, n, maxDf, maxDfFraction)
+    val sh0 = shingleArrays(docs, idCol, textCol, n)
+    val sh = if (cacheIndex) sh0.cache() else sh0
+    val exploded = sh.select(col("doc"), explode(col("sh")).as("shingle"))
+    val dfTab = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val hot =
+      if (maxDfFraction > 0) {
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        dfTab.crossJoin(broadcast(nDocs))
+          .filter(col("df") > greatest(lit(maxDf), col("n_docs") * maxDfFraction))
+          .select("shingle")
+      } else dfTab.filter(col("df") > maxDf).select("shingle")
+    val idx0 = exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
     val idx = if (cacheIndex) idx0.cache() else idx0
     val sizes = idx.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
 
@@ -275,10 +280,21 @@ object Dedup {
   def minhashLshVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                               shingleN: Int = 5, k: Int = 32, bands: Int = 16,
                               threshold: Double = 0.5, maxDf: Long = 100): DataFrame = {
-    val cands = bandedCandidates(
-      minhashSigs(docs, idCol, textCol, shingleN, k), k, bands).cache()
+    // ONE tokenization (r17): the cached (doc, sh) arrays feed the minhash
+    // signatures, the df table, AND the capped index — previously each of
+    // the three re-tokenized the corpus from text. Signatures are
+    // bit-identical: the kernel's per-position min is insensitive to
+    // duplicates, so distinct arrays hash to the same signature as the
+    // raw shingle stream, and empty-array docs drop exactly as before.
+    val sh = shingleArrays(docs, idCol, textCol, shingleN).cache()
+    val sigs = sh.filter(size(col("sh")) > 0)
+      .select(col("doc"), minhashSignature(col("sh"), k).as("sig"))
+    val cands = bandedCandidates(sigs, k, bands).cache()
 
-    val idx = shingleIndex(docs, idCol, textCol, shingleN, maxDf)
+    val exploded = sh.select(col("doc"), explode(col("sh")).as("shingle"))
+    val dfTab = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val hot = dfTab.filter(col("df") > maxDf).select("shingle")
+    val idx = exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
     val candDocs = cands.select(col("doc_a").as("doc"))
       .union(cands.select(col("doc_b").as("doc"))).distinct()
     val idxC = idx.join(candDocs, Seq("doc"), "left_semi").cache()
