@@ -988,12 +988,19 @@ object QueriesExt {
       val iters = 5
       val lr = 0.5
       val nTok = TextFunctions.tokenCount(col("text")).cast("double")
+      // cached (r17): every gradient iteration re-executed this projection,
+      // i.e. 5 full corpus scans through THREE text kernels (tokenCount,
+      // stopwordCount, alphaRatio). The feature frame is 4 doubles per doc;
+      // materializing it once makes each iteration a cheap aggregate over
+      // cached rows. Intra-query only — computed from the inputs on every
+      // invocation; the floats (and so the trajectory) are unchanged.
       val feat = docs(s, d).select(
         least(nTok / lit(100.0), lit(1.0)).as("f1"),
         when(nTok > 0, TextFunctions.stopwordCount(col("text")) / nTok)
           .otherwise(lit(0.0)).as("f2"),
         TextFunctions.alphaRatio(col("text")).as("f3"),
         when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+        .cache()
       var w = Array(0.0, 0.0, 0.0, 0.0)
       val traj = Seq.newBuilder[(Long, Double, Double, Double, Double, Long, Long, Long, Long)]
       for (t <- 1 to iters) {

@@ -462,11 +462,23 @@ object Similarity {
     val q = queries0.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .withColumn("qn", l2Norm(col("qe")))
 
-    // ADC: left-assoc Σ_j of per-subspace codegen'd dot products.
+    // ADC lookup tables, built ONCE PER QUERY on the broadcast side (r17):
+    // lut_j[c] = dot(qe[j·sub+1 : (j+1)·sub], codebook_j[c]) — the classic
+    // PQ ADC table. The scoring row below then pays m array lookups
+    // instead of m slice allocations + m dot folds (the slice churn was
+    // the probe's hottest executor frame). Bit-identical: each table entry
+    // is the SAME DotProduct fold over the SAME floats the inline form
+    // computed, and the Σ_j stays the same left-assoc double chain.
+    val qLut = q.select(col("query_id") +: col("qn") +: (0 until m).map { j =>
+      array((0 until codesPerSub).map(c =>
+        dot(slice(col("qe"), j * sub + 1, sub),
+          typedLit(codebooks(j)(c).toSeq))): _*).as(s"lut$j")
+    }: _*)
+
+    // ADC: left-assoc Σ_j of per-(query, subspace, code) table lookups.
     val adcDot = (0 until m).map(j =>
-      dot(slice(col("qe"), j * sub + 1, sub),
-        element_at(typedLit(codebooks(j).map(_.toSeq).toSeq), col(s"c$j") + 1))).reduce(_ + _)
-    val scored = codes.crossJoin(broadcast(q))
+      element_at(col(s"lut$j"), col(s"c$j") + 1)).reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(qLut))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         safeCos(adcDot, col("qn"), col("rnorm")).as("adc_cos"))

@@ -1864,7 +1864,6 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
                                        gzip: Boolean = false,
                                        bloomFields: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
-  private val mapper = new ObjectMapper()
   private val uuid = UUID.randomUUID().toString
   private val tmp = new Path(dir, s".tmp-$partitionId-$taskId-$uuid")
   // Streaming shards carry their epoch tag (the idempotent-replay key);
@@ -1876,6 +1875,13 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
     case None => s"part-q${jobTag.getOrElse("x")}-$partitionId-$taskId-$uuid$ext"
   })
   private var out: java.io.BufferedWriter = _
+  // Streaming JsonGenerator over `out` (r17): the ObjectNode +
+  // writeValueAsString form built a tree and an intermediate String per
+  // document; the generator writes the SAME bytes (Jackson's serializer
+  // for ObjectNode is this generator API — same escaping, same number
+  // rendering, fields in the same schema order, '\n' after every doc)
+  // straight into the shard stream.
+  private var gen: com.fasterxml.jackson.core.JsonGenerator = _
   private var wrote = false
   // zone-map accumulators, one slot per field
   private val mins = new Array[Any](schema.length)
@@ -1915,21 +1921,29 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
     val raw: java.io.OutputStream = f.create(tmp, true)
     val stream = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
     out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(stream, "UTF-8"))
+    gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
+    // root-value separator off: the explicit writeRaw('\n') after each
+    // document IS the separator (and the trailing newline), byte-equal to
+    // the previous per-line form
+    gen.setRootValueSeparator(null)
   }
+
+  // closing the generator flushes it and closes `out` (AUTO_CLOSE_TARGET)
+  private def closeOut(): Unit = if (gen != null) gen.close() else if (out != null) out.close()
 
   override def write(row: InternalRow): Unit = {
     ensureOpen()
-    val doc: ObjectNode = JsonNodeFactory.instance.objectNode()
+    gen.writeStartObject()
     var i = 0
     while (i < schema.length) {
       if (!row.isNullAt(i)) {
         val fld = schema.fields(i)
         val ext: Any = fld.dataType match {
-          case StringType => val s = row.getUTF8String(i).toString; doc.put(fld.name, s); s
-          case IntegerType => val v = row.getInt(i); doc.put(fld.name, v); v
-          case LongType => val v = row.getLong(i); doc.put(fld.name, v); v
-          case DoubleType => val v = row.getDouble(i); doc.put(fld.name, v); v
-          case BooleanType => val v = row.getBoolean(i); doc.put(fld.name, v); v
+          case StringType => val s = row.getUTF8String(i).toString; gen.writeStringField(fld.name, s); s
+          case IntegerType => val v = row.getInt(i); gen.writeNumberField(fld.name, v); v
+          case LongType => val v = row.getLong(i); gen.writeNumberField(fld.name, v); v
+          case DoubleType => val v = row.getDouble(i); gen.writeNumberField(fld.name, v); v
+          case BooleanType => val v = row.getBoolean(i); gen.writeBooleanField(fld.name, v); v
           case other => throw new IllegalStateException(s"unreachable: $other")
         }
         if (nonNull(i) == 0 || DocStore.cmpValues(ext, mins(i)).exists(_ < 0)) mins(i) = ext
@@ -1941,8 +1955,8 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
       i += 1
     }
     rows += 1
-    out.write(mapper.writeValueAsString(doc))
-    out.write('\n')
+    gen.writeEndObject()
+    gen.writeRaw('\n')
     wrote = true
   }
 
@@ -1956,7 +1970,7 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
     }.toMap)
 
   override def commit(): WriterCommitMessage = {
-    if (out != null) out.close()
+    closeOut()
     if (wrote) {
       // Hadoop FileSystem signals rename failure by RETURNING false — an
       // unchecked rename would report a committed shard that doesn't exist.
@@ -1970,7 +1984,7 @@ private[docstore] class DocStoreWriter(dir: String, schema: StructType,
   }
 
   override def abort(): Unit = {
-    if (out != null) { out.close(); DocStore.fs(tmp).delete(tmp, false) }
+    if (out != null) { closeOut(); DocStore.fs(tmp).delete(tmp, false) }
   }
   override def close(): Unit = ()
 }
