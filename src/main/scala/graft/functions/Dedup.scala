@@ -516,11 +516,20 @@ object Dedup {
     // contract-bounded: the stats job (a full re-tokenization of an
     // uncached delta, every trigger, forever) would cost more than the
     // risk it retires there, and `small` is then true by definition.
+    // ONE delta scan + tokenization (r17): the stats probe, the text-hash
+    // projection, the shingle explode, and the final id frame previously
+    // each re-read (and the first and third re-tokenized) the delta. The
+    // slim (doc_id, th, sh) frame is computed once; cached for batch
+    // callers, uncached for per-trigger streaming callers exactly like
+    // the index (cacheIndex gates both).
+    val dSlim0 = delta.select(col(idCol).as("doc_id"),
+      when(col(textCol).isNotNull, xxhash64(col(textCol))).as("th"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+    val dSlim = if (cacheIndex) dSlim0.cache() else dSlim0
     val small = deltaBroadcastLimit == Long.MaxValue || {
-      val stats = delta.agg(
+      val stats = dSlim.agg(
         count(lit(1)).as("rows"),
-        coalesce(sum(size(array_distinct(
-          TextFunctions.wordShingles(col(textCol), n)))), lit(0L)).as("sh")).head()
+        coalesce(sum(size(col("sh"))), lit(0L)).as("sh")).head()
       stats.getLong(0) <= deltaBroadcastLimit &&
         stats.getLong(1) <= shingleBroadcastLimit
     }
@@ -539,28 +548,28 @@ object Dedup {
     // delta doc is 'new', matching SQL `base.text = delta.text` semantics
     // (the near-dup arm already agrees: no shingles → no candidates).
     def th(c: Column): Column = when(c.isNotNull, xxhash64(c))
-    val bh = base.select(col(idCol).as("base_id"), th(col(textCol)).as("th"))
-    val dh0 = delta.select(col(idCol).as("doc_id"), th(col(textCol)).as("th"))
+    // ONE base scan + tokenization (r17): the slim (base_id, th, sh) frame
+    // serves the exact-hash join AND all shingle consumers; the cached
+    // form holds per-doc ARRAYS — strictly smaller than the previously
+    // cached exploded index, which each consumer now derives with a cheap
+    // explode of cached rows. Spark spills it if large;
+    // cacheIndex=false for per-trigger callers (see ngramJaccardPairs).
+    val bSlim0 = base.select(col(idCol).as("base_id"), th(col(textCol)).as("th"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+    val bSlim = if (cacheIndex) bSlim0.cache() else bSlim0
+    val bh = bSlim.select(col("base_id"), col("th"))
+    val dh0 = dSlim.select(col("doc_id"), col("th"))
     // the one delta projection with no natural stage boundary: give it the
     // join's own shuffle as a boundary (reused, not extra) so AQE sizes it
     val dh = if (small || !aqe) dh0 else dh0.repartition(col("th"))
     val exactM = bh.join(bcD(dh), "th")
       .groupBy("doc_id").agg(min("base_id").as("exact_match"))
 
-    def shingled(df: DataFrame, idAs: String): DataFrame =
-      df.select(col(idCol).as(idAs),
-        explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("shingle"))
-
-    // cached: the index feeds the df table, the sizes, and the candidate
-    // join — without it the base text re-explodes once per consumer (the
-    // same tradeoff ngramJaccardPairs makes; Spark spills it if large).
-    // cacheIndex=false for per-trigger callers (see ngramJaccardPairs).
-    val baseSh0 = shingled(base, "base_id")
-    val baseSh = if (cacheIndex) baseSh0.cache() else baseSh0
+    val baseSh = bSlim.select(col("base_id"), explode(col("sh")).as("shingle"))
     val dfTab = baseSh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val hot = dfTab.filter(col("df") > maxDf).select("shingle")
     val baseIdx = baseSh.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val deltaShU = shingled(delta, "doc_id")
+    val deltaShU = dSlim.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .join(broadcast(hot), Seq("shingle"), "left_anti")
 
     val baseSizes = baseIdx.groupBy("base_id").agg(count(lit(1)).as("size_b"))
@@ -592,7 +601,7 @@ object Dedup {
       .select(col("doc_id"), col("base_id").as("near_match"),
         Rounding.round4(col("j")).as("near_jaccard"))
 
-    delta.select(col(idCol).as("doc_id"))
+    dSlim.select(col("doc_id"))
       .join(bcD(exactM), Seq("doc_id"), "left")
       .join(bcD(nearM), Seq("doc_id"), "left")
       .select(col("doc_id"),

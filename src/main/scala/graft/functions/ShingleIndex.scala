@@ -105,21 +105,30 @@ object ShingleIndex {
 
   private def writeSegmentData(docs: DataFrame, idCol: String,
                                textCol: String, n: Int, seg: Path): Unit = {
-    val (postings, stats, _) = segmentFrames(docs, idCol, textCol, n)
-    val postingsPath = new Path(seg, "postings").toString
-    postings.write.mode("overwrite").parquet(postingsPath)
-    stats.write.mode("overwrite").parquet(new Path(seg, "stats").toString)
-    // df partial from the JUST-WRITTEN postings parquet, not a third
-    // derivation from text (r17): each separate write action re-executes
-    // its subtree, so deriving df from `postings` re-reads and
-    // re-tokenizes the whole segment's text column — the heaviest kernel
-    // in the pass, paid three times per segment (stats' size(), the
-    // postings explode, and the df re-derive). Aggregating the slim
-    // 2-column parquet instead costs one narrow scan and zero tokenize.
-    // Same rows by construction: df := postings.groupBy(shingle).count.
-    docs.sparkSession.read.parquet(postingsPath)
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(new Path(seg, "df").toString)
+    // ONE tokenization per segment (r17, second cut): each write action
+    // re-executes its subtree, so the stats write (size()) and the
+    // postings write (explode()) each re-ran WordShingles over the
+    // segment's full text column. A cached slim (base_id, th, sh) frame
+    // tokenizes once; both writes derive from it with narrow projections,
+    // and the df partial aggregates the just-written 2-column postings
+    // parquet (zero tokenize, r17 first cut). The cache is unpersisted
+    // before returning — a per-trigger streaming append must not
+    // accumulate pinned plans (the ngramJaccardPairs lesson); Spark
+    // spills it if a batch segment is large.
+    val base = docs.select(col(idCol).as("base_id"), th(col(textCol)).as("th"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+      .cache()
+    try {
+      val postingsPath = new Path(seg, "postings").toString
+      base.select(col("base_id"), explode(col("sh")).as("shingle"))
+        .write.mode("overwrite").parquet(postingsPath)
+      base.select(col("base_id"), col("th"),
+          coalesce(size(col("sh")).cast("long"), lit(0L)).as("n_total"))
+        .write.mode("overwrite").parquet(new Path(seg, "stats").toString)
+      docs.sparkSession.read.parquet(postingsPath)
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(new Path(seg, "df").toString)
+    } finally base.unpersist(false)
   }
 
   private def mapper = new ObjectMapper()

@@ -697,14 +697,30 @@ object Similarity {
     */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               shortlistFactor: Int = 8): DataFrame = {
-    def elem(i: Int): Column = get(col("embedding"), lit(i))
     def finite(c: Column): Column = when(!isnan(c), c)
-    val statsAggs: Seq[Column] =
-      (0 until dim).map(i => coalesce(min(finite(elem(i))).cast("double"), lit(0.0)).as(s"mn$i")) ++
-        (0 until dim).map(i => coalesce(max(finite(elem(i))).cast("double"), lit(0.0)).as(s"mx$i"))
-    val r = corpus.agg(statsAggs.head, statsAggs.tail: _*).collect()(0)
-    val mins = Array.tabulate(dim)(i => r.getDouble(i))
-    val scales = Array.tabulate(dim)(i => (r.getDouble(dim + i) - mins(i)) / 255.0)
+    // Per-dimension min/max via posexplode + a 64-group aggregate (r17):
+    // the previous single-row form carried 2·dim aggregate buffer fields
+    // (128 at dim=64), past spark.sql.codegen.maxFields — the whole stats
+    // pass ran as an interpreted row-at-a-time aggregate (the a18 sketch-
+    // buffer lesson in miniature; measured ~0.5 s of the query at sf0.1).
+    // Exploded, the aggregate is 2 buffer fields per group, codegen'd,
+    // with map-side partials — the shuffle is 64 rows. Value-identical:
+    // same min/max over the same finite floats per dimension; a dimension
+    // with no finite values keeps (0, 0) whether the group aggregates
+    // all-null (coalesce) or never forms (array default) — and positions
+    // past `dim` (longer embeddings) are dropped here exactly as the
+    // elem(i) loop never read them.
+    val mins = Array.fill(dim)(0.0)
+    val maxs = Array.fill(dim)(0.0)
+    corpus.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .filter(col("i") < dim)
+      .groupBy("i").agg(
+        coalesce(min(finite(col("x"))).cast("double"), lit(0.0)).as("mn"),
+        coalesce(max(finite(col("x"))).cast("double"), lit(0.0)).as("mx"))
+      .collect().foreach { r =>
+        mins(r.getInt(0)) = r.getDouble(1); maxs(r.getInt(0)) = r.getDouble(2)
+      }
+    val scales = Array.tabulate(dim)(i => (maxs(i) - mins(i)) / 255.0)
     val minsLit = typedLit(mins.toSeq)
     val scalesLit = typedLit(scales.toSeq)
 
