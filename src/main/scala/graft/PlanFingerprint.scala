@@ -99,20 +99,20 @@ object PlanFingerprint {
     * baseline record, the entry is deleted.
     */
   val expectedDeltas: Map[String, (String, String)] = Map(
-    "w6_gap_fill" -> ("sc1.hx2.rx1.agg2.win1.srt2.gen1",
-      "r17 gap-fill rewrite (optimization guide §2.4): the sparse per-" +
-        "(user, hour) counts already determine the dense grid, so a lead() " +
-        "window + sequence-explode replaces the separate bounds aggregate " +
-        "and the grid-side broadcast left join — one events scan and two " +
-        "aggregates fewer (sc2→sc1, agg4→agg2, bx1.bhj1 gone), zeros carry " +
-        "the preceding row's running total so no extra window appears"),
-    "g4_pagerank" -> ("rx1.srt1",
-      "r14 aggregate-collect-iterate rewrite: the 7-stage vocabulary-sized " +
-        "iteration chain (6 broadcast joins + 17 aggregates over <=|k|^2 " +
-        "rows, ~8 s of stage overhead at sf0.1) moved to the driver as a " +
-        "bounded model artifact like the k-means centroids; the consumer " +
-        "plan is now the <=|k|-row local relation + sort, and the one " +
-        "event-scale job (the edge aggregate) is gated via g4_pagerank[edges]")
+    // (the r17 w6_gap_fill and r14 g4_pagerank entries were absorbed by
+    // the r18 round-start baseline refresh and deleted per the rule above)
+    "dd_substring_dup" -> ("sc1.hx2.rx2.agg2.win1.srt2.gen1",
+      "r18 Guards.spread before the shingle kernel (optimization guide " +
+        "§2.5 unsplittable-input): the one-split documents scan tokenized " +
+        "the whole corpus in a single task; a scale-adaptive round-robin " +
+        "spread of the (doc_id, text) projection precedes the kernel " +
+        "(rx1→rx2), identity at cluster-width split counts"),
+    "dd_substring_spans" -> ("sc1.hx3.rx2.bx1.rex1.bhj1.agg6.win1.srt2.gen2",
+      "r18 Guards.spread before the shingle kernel (guide §2.5), same as " +
+        "dd_substring_dup — and the spread exchange makes the df and " +
+        "dup-position subtrees canonicalize onto ONE exchange, so the " +
+        "corpus now scans and tokenizes once instead of twice " +
+        "(sc2→sc1, +rex1)")
   )
 }
 

@@ -1294,8 +1294,10 @@ object QueriesExt {
            |FROM df GROUP BY doc ORDER BY doc_id""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val sh = docs(s, d).select(col("doc_id"),
-        explode(array_distinct(TextFunctions.wordShingles(col("text"), 5))).as("shingle"))
+      // spread before the tokenize kernel (Guards.spread): one-split scan
+      val sh = graft.operators.Guards.spread(docs(s, d).select("doc_id", "text"))
+        .select(col("doc_id"),
+          explode(array_distinct(TextFunctions.wordShingles(col("text"), 5))).as("shingle"))
       val withDf = sh.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       withDf.groupBy("doc_id").agg(
           count(lit(1)).as("n_shingles"),

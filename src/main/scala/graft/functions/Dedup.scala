@@ -121,8 +121,12 @@ object Dedup {
     */
   private def shingleArrays(docs: DataFrame, idCol: String, textCol: String,
                             n: Int): DataFrame =
-    docs.select(col(idCol).as("doc"),
-      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+    // spread BEFORE the kernel: a one-split corpus file would tokenize —
+    // and feed every cache consumer — on a single core (Guards.spread;
+    // identity when the scan already has cluster-width splits)
+    graft.operators.Guards.spread(docs.select(col(idCol).as("doc"), col(textCol)))
+      .select(col("doc"),
+        array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double, maxDf: Long = 100,
@@ -204,7 +208,8 @@ object Dedup {
   /** MinHash signatures (doc, sig) for LSH banding. */
   private def minhashSigs(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int, k: Int): DataFrame =
-    docs.select(col(idCol).as("doc"),
+    graft.operators.Guards.spread(docs.select(col(idCol).as("doc"), col(textCol)))
+      .select(col("doc"),
         TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc"), minhashSignature(col("sh"), k).as("sig"))
@@ -389,7 +394,9 @@ object Dedup {
       shiftright(col("sig"), lo).bitwiseAND((1L << (hi - lo)) - 1L)
     }
     val sigExpr = if (md5Sig) simhashMd5(col(textCol)) else simhash(col(textCol))
-    val sigs = docs.select(col(idCol).as("doc"), sigExpr.as("sig")).cache()
+    val sigs = graft.operators.Guards.spread(
+        docs.select(col(idCol).as("doc"), col(textCol)))
+      .select(col("doc"), sigExpr.as("sig")).cache()
     val keys = subsets.zipWithIndex.map { case (sub, sid) =>
       // one 64-bit key per subset: fold the subset id + block values
       // through xxhash64 so the join key stays a single long regardless
@@ -439,7 +446,9 @@ object Dedup {
     */
   def substringSpans(docs: DataFrame, idCol: String, textCol: String,
                      n: Int, minTokens: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc"),
+    val sh = graft.operators.Guards.spread(
+        docs.select(col(idCol).as("doc"), col(textCol)))
+      .select(col("doc"),
         posexplode(TextFunctions.wordShingles(col(textCol), n)).as(Seq("pos", "shingle")))
       .select(col("doc"), col("pos").cast("long").as("pos"), col("shingle"))
     val df = sh.select("doc", "shingle").distinct()
@@ -522,9 +531,11 @@ object Dedup {
     // slim (doc_id, th, sh) frame is computed once; cached for batch
     // callers, uncached for per-trigger streaming callers exactly like
     // the index (cacheIndex gates both).
-    val dSlim0 = delta.select(col(idCol).as("doc_id"),
-      when(col(textCol).isNotNull, xxhash64(col(textCol))).as("th"),
-      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+    val dSlim0 = graft.operators.Guards.spread(
+        delta.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"),
+        when(col(textCol).isNotNull, xxhash64(col(textCol))).as("th"),
+        array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
     val dSlim = if (cacheIndex) dSlim0.cache() else dSlim0
     val small = deltaBroadcastLimit == Long.MaxValue || {
       val stats = dSlim.agg(
@@ -554,8 +565,10 @@ object Dedup {
     // cached exploded index, which each consumer now derives with a cheap
     // explode of cached rows. Spark spills it if large;
     // cacheIndex=false for per-trigger callers (see ngramJaccardPairs).
-    val bSlim0 = base.select(col(idCol).as("base_id"), th(col(textCol)).as("th"),
-      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+    val bSlim0 = graft.operators.Guards.spread(
+        base.select(col(idCol).as("base_id"), col(textCol)))
+      .select(col("base_id"), th(col(textCol)).as("th"),
+        array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
     val bSlim = if (cacheIndex) bSlim0.cache() else bSlim0
     val bh = bSlim.select(col("base_id"), col("th"))
     val dh0 = dSlim.select(col("doc_id"), col("th"))

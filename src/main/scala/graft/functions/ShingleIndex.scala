@@ -115,8 +115,13 @@ object ShingleIndex {
     // before returning — a per-trigger streaming append must not
     // accumulate pinned plans (the ngramJaccardPairs lesson); Spark
     // spills it if a batch segment is large.
-    val base = docs.select(col(idCol).as("base_id"), th(col(textCol)).as("th"),
-      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+    // spread BEFORE the kernel (Guards.spread): a one-split segment input
+    // would tokenize and write on a single core; identity when the input
+    // already carries cluster-width splits
+    val base = graft.operators.Guards.spread(
+        docs.select(col(idCol).as("base_id"), col(textCol)))
+      .select(col("base_id"), th(col(textCol)).as("th"),
+        array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
       .cache()
     try {
       val postingsPath = new Path(seg, "postings").toString

