@@ -101,11 +101,32 @@ object PlanCheck {
       }
     // any node in the subtree carries an expression matching `pred`
     // (FilterExec conditions AND scan pushed dataFilters both surface
-    // through QueryPlan.expressions)
+    // through QueryPlan.expressions). Descends into CACHED plans: an
+    // InMemoryTableScan is a collect() leaf, and when the r17 slim-frame
+    // caches landed, the pinned expressions (the delta's pmod slice)
+    // moved INSIDE the cached plan — the pin silently stopped seeing
+    // them (inherited r18 find: dd_incremental's allowlist pin was
+    // red at the r17 HEAD).
     def subtreeHasExpr(n: org.apache.spark.sql.execution.SparkPlan)(
-        pred: PartialFunction[org.apache.spark.sql.catalyst.expressions.Expression, Boolean]): Boolean =
-      n.collect { case x => x.expressions }.flatten
-        .exists(_.exists(e => pred.lift(e).getOrElse(false)))
+        pred: PartialFunction[org.apache.spark.sql.catalyst.expressions.Expression, Boolean]): Boolean = {
+      // A cached plan materialized by an AQE session is an
+      // AdaptiveSparkPlanExec shell whose inner nodes (and their
+      // QueryStageExec wrappers) are collect() leaves too — unwrap both,
+      // or the pin's visibility depends on WHICH session touched the
+      // cache first.
+      def exprs(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+        p.collect {
+          case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            im.expressions ++ exprs(im.relation.cachedPlan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.expressions ++ exprs(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            qs.expressions ++ exprs(qs.plan)
+          case x => x.expressions
+        }.flatten
+      exprs(n).exists(_.exists(e => pred.lift(e).getOrElse(false)))
+    }
 
     // Column names riding any hash-shuffle exchange (keys AND payload).
     def shuffledColumns(p: org.apache.spark.sql.execution.SparkPlan): Set[String] = p.collect {

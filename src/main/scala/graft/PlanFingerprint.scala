@@ -112,7 +112,31 @@ object PlanFingerprint {
         "dd_substring_dup — and the spread exchange makes the df and " +
         "dup-position subtrees canonicalize onto ONE exchange, so the " +
         "corpus now scans and tokenizes once instead of twice " +
-        "(sc2→sc1, +rex1)")
+        "(sc2→sc1, +rex1)"),
+    "ir_bm25" -> ("sc2.hx6.rx4.bx6.rex3.bhj4.bnl2.agg19.srt1.gen2",
+      "r18 Guards.spread in the shared bm25Terms tokenize (guide §2.5 " +
+        "unsplittable input): +rx1, the one-split scan's tokenize now " +
+        "runs cluster-wide; identity at cluster-width split counts"),
+    "ir_rrf_fusion" -> ("sc4.hx11.rx4.bx7.rex3.bhj4.smj1.bnl3.agg19.win3.srt9.gen2",
+      "r18 Guards.spread in the shared bm25Terms tokenize (guide §2.5): " +
+        "+rx1, same as ir_bm25"),
+    "ir_prf_expansion" -> ("sc2.hx15.rx4.bx14.rex13.bhj13.bnl4.agg41.win2.srt4.gen3.uni2",
+      "r18 Guards.spread in the shared bm25Terms tokenize (guide §2.5): " +
+        "+rx1 — both passes and the miner still canonicalize onto ONE " +
+        "tokenization (the AQE-off reuse gate holds)"),
+    "tx_dsir_weights" -> ("sc1.hx3.rx3.bx2.rex2.bhj1.bnl1.agg10.srt1.gen1",
+      "r18 Guards.spread before the tokenize kernel (guide §2.5): +rx1"),
+    "tx_tfidf_topk" -> ("sc2.hx4.rx3.bx2.rex1.bhj1.bnl1.agg8.win1.srt3.gen2",
+      "r18 Guards.spread before the tokenize kernel (guide §2.5): +rx1 — " +
+        "and the tf/n_docs subtrees now reuse one exchange (sc3→sc2, " +
+        "+rex1)"),
+    "tx_surprisal" -> ("sc2.hx2.rx4.bx2.rex1.bhj1.bnl1.agg7.srt1.gen2",
+      "r18 Guards.spread before the posexplode tokenize (guide §2.5): " +
+        "+rx2, the unigram-count and join-probe evaluations of the token " +
+        "subtree each gain the spread exchange"),
+    "tx_backoff_surprisal" -> ("sc2.hx3.rx4.bx2.rex2.bhj2.bnl1.agg7.win1.srt2.gen2",
+      "r18 Guards.spread before the pair-explode and unigram tokenizes " +
+        "(guide §2.5): +rx2")
   )
 }
 

@@ -302,7 +302,7 @@ object QueriesExt {
            |ORDER BY doc_id, tfidf DESC, term""".stripMargin),
     (s, d) => {
       val base = docs(s, d)
-      val tf = base
+      val tf = graft.operators.Guards.spread(base.select("doc_id", "text"))
         .select(col("doc_id"), explode(TextFunctions.tokens(TextFunctions.asciiLower(col("text")))).as("term"))
         .filter(length(col("term")) > 0)
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -889,8 +889,9 @@ object QueriesExt {
             |  floor(s / n_tok * 10000 + 0.5) / 10000 AS mean_surprisal
             |FROM d ORDER BY doc_id""".stripMargin),
     (s, d) => {
-      val t = docs(s, d).select(col("doc_id"),
-        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
+      val t = graft.operators.Guards.spread(docs(s, d).select("doc_id", "text"))
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
       val ug = t.groupBy("t").agg(count(lit(1)).as("cnt"))
       val tot = ug.agg(sum("cnt").cast("double").as("total"))
       t.join(broadcast(ug), "t")
@@ -2529,12 +2530,14 @@ object QueriesExt {
       // repartition, splitting the exchange). Shuffle volume is the same
       // one (a, b)-keyed exchange of the pairs the join's probe side
       // needed anyway; the bg aggregate's second exchange disappears.
-      val pairs = base.select(col("doc_id"),
-        posexplode(NativeExpressions.adjacentPairs(TextFunctions.tokens(col("text"))))
-          .as(Seq("pos", "pr")))
+      val pairs = graft.operators.Guards.spread(base.select("doc_id", "text"))
+        .select(col("doc_id"),
+          posexplode(NativeExpressions.adjacentPairs(TextFunctions.tokens(col("text"))))
+            .as(Seq("pos", "pr")))
         .select(col("doc_id"), col("pos"), col("pr.a").as("a"), col("pr.b").as("b"))
       val inModel = pmod(col("doc_id"), lit(7)) =!= 0
-      val ug = base.filter(inModel)
+      val ug = graft.operators.Guards.spread(
+          base.filter(inModel).select("doc_id", "text"))
         .select(explode(TextFunctions.tokens(col("text"))).as("t"))
         .groupBy("t").agg(count(lit(1)).as("cnt"))
       val tot = ug.agg(sum("cnt").cast("double").as("total"))
@@ -2652,20 +2655,32 @@ object QueriesExt {
     * and identical construction here means the corpus-tokenization subtrees
     * of both passes canonicalize equal and share one shuffle stage.
     */
+  /** The corpus tokenization EVERY BM25 consumer derives from — the two
+    * PRF passes and the feedback miner construct this identically, so
+    * their subtrees canonicalize equal and AQE materializes ONE physical
+    * tokenization per query.
+    *
+    * The explicit isNotNull matters for plan shape, not semantics (the
+    * corpus has no null doc_ids, and the downstream inner joins would
+    * drop them anyway): the si/dl branches get isnotnull(doc_id)
+    * INFERRED from their joins while dft/stats do not, which splits the
+    * otherwise-identical tokenize+partial-agg exchange into two
+    * non-matching subtrees and forces a second corpus tokenization.
+    * With the filter at the base all four branches canonicalize equal
+    * and AQE reuses ONE shuffle stage. The pre-kernel Guards.spread
+    * (r18, guide §2.5) parallelizes the one-split scan's tokenize;
+    * identity at cluster-width split counts.
+    */
+  private def bm25Terms(base: DataFrame): DataFrame =
+    graft.operators.Guards.spread(
+        base.filter(col("doc_id").isNotNull).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(TextFunctions.asciiLower(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+
   private def bm25TopKFor(s: SparkSession, d: String, qt: DataFrame, k: Int): DataFrame = {
       val base = docs(s, d)
-      // The explicit isNotNull matters for plan shape, not semantics (the
-      // corpus has no null doc_ids, and the downstream inner joins would
-      // drop them anyway): the si/dl branches get isnotnull(doc_id)
-      // INFERRED from their joins while dft/stats do not, which splits the
-      // otherwise-identical tokenize+partial-agg exchange into two
-      // non-matching subtrees and forces a second corpus tokenization.
-      // With the filter at the base all four branches canonicalize equal
-      // and AQE reuses ONE shuffle stage.
-      val terms = base.filter(col("doc_id").isNotNull)
-        .select(col("doc_id"),
-          explode(TextFunctions.tokens(TextFunctions.asciiLower(col("text")))).as("term"))
-        .filter(length(col("term")) > 0)
+      val terms = bm25Terms(base)
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       // dl and n_terms derive from tf, NOT from terms: the tf exchange
       // subtree is then byte-identical across all three consumers (si, dl,
@@ -2817,7 +2832,9 @@ object QueriesExt {
            |       cast(ci as double) / 10000 / cast(n_tok as double) AS log_w_per_tok
            |FROM pd ORDER BY doc_id""".stripMargin),
     (s, d) => {
-      val terms = docs(s, d).filter(col("doc_id").isNotNull)
+      val terms = graft.operators.Guards.spread(
+          docs(s, d).filter(col("doc_id").isNotNull)
+            .select(col("doc_id"), col("lang"), col("text")))
         .select(col("doc_id"), col("lang"),
           explode(TextFunctions.tokens(TextFunctions.asciiLower(col("text")))).as("term"))
         .filter(length(col("term")) > 0)
@@ -3001,13 +3018,11 @@ object QueriesExt {
       import org.apache.spark.sql.expressions.Window
       val qt = defaultQt(s)
       val fb = bm25TopKFor(s, d, qt, k = 3).select(col("query_id"), col("doc_id"))
-      // identical construction to bm25TopKFor's internals → same canonical
-      // subtrees, one physical tokenization across the passes
+      // identical construction to bm25TopKFor's internals (one shared
+      // bm25Terms) → same canonical subtrees, one physical tokenization
+      // across the passes
       val base = docs(s, d)
-      val terms = base.filter(col("doc_id").isNotNull)
-        .select(col("doc_id"),
-          explode(TextFunctions.tokens(TextFunctions.asciiLower(col("text")))).as("term"))
-        .filter(length(col("term")) > 0)
+      val terms = bm25Terms(base)
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       // mining's idf needs ONLY n_docs — a zero-column count scan. Pulling
       // the full (n_docs, n_terms) stats row here would drag a pruned copy
