@@ -136,7 +136,107 @@ object PlanFingerprint {
         "subtree each gain the spread exchange"),
     "tx_backoff_surprisal" -> ("sc2.hx3.rx4.bx2.rex2.bhj2.bnl1.agg7.win1.srt2.gen2",
       "r18 Guards.spread before the pair-explode and unigram tokenizes " +
-        "(guide §2.5): +rx2")
+        "(guide §2.5): +rx2"),
+    "pipe_clean_corpus" -> ("sc3.hx1.rx2.bx2.bhj2.agg2.srt1",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "pipe_incremental_report" -> ("sc1.hx2.rx2.agg4.srt1",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "pipe_training_batch" -> ("sc3.hx2.rx2.bx2.bhj2.agg2.win1.srt2.gen1",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "tx_bpe_encode" -> ("sc1.hx1.rx2.bx1.bhj1.agg2.srt1.gen1",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "tx_calibration" -> ("sc2.hx1.rx4.bx1.bnl1.agg4.srt1",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "tx_chunk" -> ("sc1.rx2.srt1.gen1",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "tx_classify" -> ("sc1.rx2.srt1",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "tx_curriculum" -> ("sc1.hx1.rx2.win1.srt2",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "tx_decontaminate" -> ("sc1.hx2.rx2.agg2.win1.srt2.gen1",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "tx_entropy" -> ("sc1.rx2.srt1",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "tx_eval_auc" -> ("sc1.hx1.rx2.agg4.win1.srt1",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "tx_fingerprint" -> ("sc1.rx2.srt1",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "tx_lang_id" -> ("sc1.rx2.srt1",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "tx_length_buckets" -> ("sc1.hx1.rx2.agg2.srt1",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "tx_pack" -> ("sc1.hx1.rx2.win1.srt2",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "tx_quality_features" -> ("sc1.rx2.srt1",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "tx_quality_score" -> ("sc1.rx2.srt1",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "tx_repetition" -> ("sc1.rx2.srt1",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "tx_source_cap" -> ("sc1.hx1.rx2.agg2.srt1.gen1",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts"),
+    "tx_token_counts" -> ("sc1.rx2.srt1",
+      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+        "unsplittable input): the added round-robin exchange(s) spread " +
+        "the one-split scan's per-row kernel cluster-wide; identity at " +
+        "cluster-width split counts")
   )
 }
 

@@ -18,6 +18,16 @@ object QueriesExt {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+  /** [[docs]] spread to cluster width before a per-row text kernel
+    * (Guards.spread — identity when the scan already carries cluster-width
+    * splits). Catalyst pushes column pruning and filters BELOW the
+    * round-robin exchange, so scans stay pruned and pushed-down; use at
+    * any query entry whose next step is a heavy kernel over `text`
+    * (guide §2.5 — the one-split testdata file otherwise runs every
+    * kernel on one core).
+    */
+  private def docsSpread(s: SparkSession, d: String) =
+    graft.operators.Guards.spread(docs(s, d))
 
   // ---- shared DuckDB fragments (single source of truth for the text
   // heuristics: tx_* oracles and the composed pipe_clean_corpus oracle
@@ -131,7 +141,7 @@ object QueriesExt {
            |  len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS n_bpeish,
            |  n_chars
            |FROM documents ORDER BY doc_id""".stripMargin),
-    (s, d) => docs(s, d).select(col("doc_id"),
+    (s, d) => docsSpread(s, d).select(col("doc_id"),
       TextFunctions.tokenCount(col("text")).as("n_tokens"),
       TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"),
       col("n_chars"))
@@ -146,7 +156,7 @@ object QueriesExt {
            |       THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * cast(1.0 as double) / length(text)
            |       ELSE 0.0 END AS alpha_ratio
            |FROM documents ORDER BY doc_id""".stripMargin),
-    (s, d) => docs(s, d).select(col("doc_id"),
+    (s, d) => docsSpread(s, d).select(col("doc_id"),
       TextFunctions.stopwordCount(col("text")).as("stopword_cnt"),
       // the shared guarded helper: an empty doc is 0.0, not an ANSI
       // divide-by-zero (Spark) vs NaN (DuckDB) divergence
@@ -161,7 +171,7 @@ object QueriesExt {
             |SELECT doc_id, lang, en_score, es_score, fr_score, de_score,
             |  $predictedSql AS predicted
             |FROM scored ORDER BY doc_id""".stripMargin),
-    (s, d) => docs(s, d)
+    (s, d) => docsSpread(s, d)
       // ONE tokenization kernel pass per row; the per-language scores and
       // the argmax are array extracts over the materialized counts (the
       // two-step select keeps Catalyst from inlining the kernel 12×).
@@ -180,7 +190,7 @@ object QueriesExt {
   private val tx5 = QueryDef("tx_quality_score",
     Some(s"""SELECT doc_id, $qualitySql AS quality
             |FROM documents ORDER BY doc_id""".stripMargin),
-    (s, d) => docs(s, d).select(col("doc_id"),
+    (s, d) => docsSpread(s, d).select(col("doc_id"),
       TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id"))
 
@@ -204,7 +214,7 @@ object QueriesExt {
       // kernel expression in both the projection and the window sort key
       // would tokenize+score every document twice (the one-kernel-pass
       // discipline of tx_lang_id)
-      docs(s, d)
+      docsSpread(s, d)
         .select(col("doc_id"), col("lang"),
           TextFunctions.qualityScore(col("text")).as("quality"))
         .select(col("doc_id"), col("lang"), col("quality"),
@@ -240,7 +250,7 @@ object QueriesExt {
            |  END AS entropy
            |FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
            |ORDER BY doc_id""".stripMargin),
-    (s, d) => docs(s, d)
+    (s, d) => docsSpread(s, d)
       .select(col("doc_id"), NativeExpressions.charEntropyStats(col("text")).as("st"))
       // empty/all-whitespace docs: one row with n_chars=0 and NULL entropy
       // (Spark's ln(0) is null and null-propagates through the rounding) —
@@ -271,7 +281,7 @@ object QueriesExt {
            |      list_transform(string_split(text, ''), x -> cast(ascii(x) as bigint))),
            |      (a, b) -> (a * 31 + b) % 1000000007) END AS fingerprint
            |FROM documents ORDER BY doc_id""".stripMargin),
-    (s, d) => docs(s, d).select(col("doc_id"),
+    (s, d) => docsSpread(s, d).select(col("doc_id"),
       TextFunctions.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id"))
 
@@ -368,7 +378,7 @@ object QueriesExt {
       // Shuffle volume is identical to the join's probe side — one
       // shingle-keyed exchange of the exploded index — and the bench
       // side's second exchange disappears entirely.
-      val sh = docs(s, d).select(col("doc_id"),
+      val sh = docsSpread(s, d).select(col("doc_id"),
         explode(array_distinct(TextFunctions.wordShingles(col("text"), 3))).as("shingle"))
       // per-doc shingles are DISTINCT (array_distinct above), so the
       // per-doc hit count is a plain count over the flagged rows
@@ -494,7 +504,7 @@ object QueriesExt {
             |  array_to_string(w[start:start+${ChunkLen - 1}], ' ') AS chunk,
             |  chunk_tokens
             |FROM chunks ORDER BY doc_id, start""".stripMargin),
-    (s, d) => chunkCore(docs(s, d))
+    (s, d) => chunkCore(docsSpread(s, d))
       .select(col("doc_id"), col("chunk_idx"), col("start"),
         array_join(slice(col("w"), col("start").cast("int"), lit(ChunkLen)), " ").as("chunk"),
         col("chunk_tokens"))
@@ -525,7 +535,7 @@ object QueriesExt {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, d).select(col("doc_id"), col("lang"),
+      docsSpread(s, d).select(col("doc_id"), col("lang"),
         pmod(col("doc_id"), lit(8)).as("shard"),
         TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
         .withColumn("cum_tok", sum("n_tok").over(w))
@@ -601,7 +611,7 @@ object QueriesExt {
             |  (dup_word_frac <= $DupWordMax AND top_bigram_frac <= $TopBigramMax) AS keep
             |FROM f ORDER BY doc_id""".stripMargin),
     (s, d) => {
-      docs(s, d)
+      docsSpread(s, d)
         .select(col("doc_id"),
           graft.functions.NativeExpressions.repetitionStats(col("text")).as("st"))
         .select(col("doc_id"),
@@ -688,7 +698,7 @@ object QueriesExt {
            |WHERE rn <= 20 ORDER BY source NULLS FIRST, rnk""".stripMargin),
     (s, d) => {
       val pri = pmod(pmod(col("doc_id"), lit(1048576L)) * 982451653L, lit(1048576L))
-      docs(s, d)
+      docsSpread(s, d)
         .select(col("source"), pri.as("pri"), col("doc_id"))
         .groupBy("source")
         .agg(graft.functions.TopKAgg.bottomKPairs(col("pri"), col("doc_id"), 20).as("kept"))
@@ -837,7 +847,7 @@ object QueriesExt {
       val dict = broadcast(
         s.createDataFrame(vocab.map { case (w, t) => (w, t.length.toLong) })
           .toDF("word", "ns"))
-      docs(s, d)
+      docsSpread(s, d)
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
         .filter(col("word").rlike("^[A-Za-z]+$"))
         .join(dict, "word")
@@ -995,7 +1005,7 @@ object QueriesExt {
       // materializing it once makes each iteration a cheap aggregate over
       // cached rows. Intra-query only — computed from the inputs on every
       // invocation; the floats (and so the trajectory) are unchanged.
-      val feat = docs(s, d).select(
+      val feat = docsSpread(s, d).select(
         least(nTok / lit(100.0), lit(1.0)).as("f1"),
         when(nTok > 0, TextFunctions.stopwordCount(col("text")) / nTok)
           .otherwise(lit(0.0)).as("f2"),
@@ -1072,7 +1082,7 @@ object QueriesExt {
            |  sum_w >= 0 AS keep
            |FROM h ORDER BY doc_id""".stripMargin),
     (s, d) => {
-      docs(s, d)
+      docsSpread(s, d)
         .select(col("doc_id"), TextFunctions.classifierFeatures(col("text")).as("st"))
         // NULL text ⇒ zero features on BOTH sides: the kernel null-
         // propagates its struct, while the oracle's coalesce(list_sum, 0)
@@ -1122,7 +1132,7 @@ object QueriesExt {
       // doc scores s=0 on both engines instead of landing in a NULL score
       // group only on the Spark side (which would shift every cumulative
       // rank in the AUC histogram).
-      val scored = docs(s, d).select(
+      val scored = docsSpread(s, d).select(
         coalesce(TextFunctions.classifierFeatures(col("text")).getField("sum_w"),
           lit(0L)).as("s"),
         when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("pos"))
@@ -1158,7 +1168,7 @@ object QueriesExt {
     (s, d) => {
       // same null-text ⇒ s=0 alignment as tx_classify/tx_eval_auc (the
       // oracle's coalesce(list_sum, 0) puts the doc in a real bin).
-      val scored = docs(s, d).select(
+      val scored = docsSpread(s, d).select(
         coalesce(TextFunctions.classifierFeatures(col("text")).getField("sum_w"),
           lit(0L)).as("s"),
         when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("pos"))
@@ -1192,7 +1202,7 @@ object QueriesExt {
       val bucket = LengthBuckets.foldRight(
         lit(LengthBuckets.last * 2): Column)((b, acc) =>
         when(col("n_tok") <= b, b).otherwise(acc))
-      docs(s, d)
+      docsSpread(s, d)
         .select(TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
         .withColumn("bucket", bucket.cast("long"))
         .groupBy("bucket")
@@ -2240,7 +2250,8 @@ object QueriesExt {
       val base = docs(s, d)
       val keepIds = Dedup.exact(base, "doc_id", "text")
         .filter(col("doc_id") === col("canonical_id")).select("doc_id")
-      cleanGates(base.join(keepIds, "doc_id"), Seq("doc_id"))
+      cleanGates(graft.operators.Guards.spread(
+          base.join(keepIds, "doc_id")), Seq("doc_id"))
         .orderBy("doc_id")
     })
 
@@ -2289,7 +2300,8 @@ object QueriesExt {
       val base = docs(s, d)
       val keepIds = Dedup.exact(base, "doc_id", "text")
         .filter(col("doc_id") === col("canonical_id")).select("doc_id")
-      val clean = cleanGates(base.join(keepIds, "doc_id"), Seq("doc_id", "text"))
+      val clean = cleanGates(graft.operators.Guards.spread(
+        base.join(keepIds, "doc_id")), Seq("doc_id", "text"))
       val chunks = chunkCore(clean)
         .select(col("doc_id"), col("chunk_idx"),
           (col("doc_id") % 8).as("shard"), col("chunk_tokens"))
@@ -2412,7 +2424,7 @@ object QueriesExt {
             |            / cast(s.ms[64] AS double) END AS est_distinct_texts
             |FROM cnt c LEFT JOIN sk s ON c.source IS NOT DISTINCT FROM s.source
             |ORDER BY c.source NULLS FIRST""".stripMargin),
-    (s, d) => mergeReport(reportPartials(docs(s, d), pmod(col("doc_id"), lit(4)))))
+    (s, d) => mergeReport(reportPartials(docsSpread(s, d), pmod(col("doc_id"), lit(4)))))
 
   /** Corpus curation report — the "data card" the reference's dashboard is
     * for logs, applied to the training corpus: per-source document and

@@ -67,7 +67,10 @@ object Bpe {
     * bytes.)
     */
   def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(col(textCol), "\\s+")).as("word"))
+    // spread before the split/regex kernels: a one-split corpus file would
+    // tokenize on one core (Guards.spread; identity at cluster width)
+    graft.operators.Guards.spread(docs.select(col(textCol)))
+      .select(explode(split(col(textCol), "\\s+")).as("word"))
       .filter(col("word").rlike("^[A-Za-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("c"))
 
