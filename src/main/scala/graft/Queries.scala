@@ -2435,8 +2435,13 @@ object Queries {
         .select(col("c_custkey").as("probe_id"),
           concat(substring(col("c_name"), 1, 16), substring(col("c_name"), 18, 1),
             substring(col("c_name"), 17, 1)).as("probe_name"))
+      // spread the stream side before the Levenshtein kernel: the one-split
+      // customer file otherwise evaluates every blocked pair's edit
+      // distance in a single task (834 ms of the query at sf0.1 —
+      // Guards.spread, identity at cluster-width split counts)
       val joined = probes.withColumn("blk", substring(col("probe_name"), 10, 7))
-        .join(cust.withColumn("blk", substring(col("c_name"), 10, 7)), Seq("blk"))
+        .join(graft.operators.Guards.spread(cust)
+          .withColumn("blk", substring(col("c_name"), 10, 7)), Seq("blk"))
         .withColumn("dist", levenshtein(col("probe_name"), col("c_name"), 2))
         .filter(col("dist") >= 0)
       val byProbe = Window.partitionBy("probe_id").orderBy(col("dist"), col("c_custkey"))

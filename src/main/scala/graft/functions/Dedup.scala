@@ -284,17 +284,27 @@ object Dedup {
     */
   def minhashLshVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                               shingleN: Int = 5, k: Int = 32, bands: Int = 16,
-                              threshold: Double = 0.5, maxDf: Long = 100): DataFrame = {
+                              threshold: Double = 0.5, maxDf: Long = 100,
+                              cacheIndex: Boolean = true): DataFrame = {
+    // cacheIndex=false for PER-TRIGGER callers, exactly as in
+    // ngramJaccardPairs/incrementalStatus (r17 advisory): each .cache()
+    // here registers a CacheManager entry the caller cannot reach to
+    // uncache — three per invocation (sh, cands, idxC) — so a long-running
+    // stream calling this per trigger would accumulate pinned plans.
+    // No per-trigger caller exists today (the batch dd_minhash_lsh carrier
+    // is the only one); the flag makes the contract mechanical instead of
+    // documentary.
+    def cached(df: DataFrame): DataFrame = if (cacheIndex) df.cache() else df
     // ONE tokenization (r17): the cached (doc, sh) arrays feed the minhash
     // signatures, the df table, AND the capped index — previously each of
     // the three re-tokenized the corpus from text. Signatures are
     // bit-identical: the kernel's per-position min is insensitive to
     // duplicates, so distinct arrays hash to the same signature as the
     // raw shingle stream, and empty-array docs drop exactly as before.
-    val sh = shingleArrays(docs, idCol, textCol, shingleN).cache()
+    val sh = cached(shingleArrays(docs, idCol, textCol, shingleN))
     val sigs = sh.filter(size(col("sh")) > 0)
       .select(col("doc"), minhashSignature(col("sh"), k).as("sig"))
-    val cands = bandedCandidates(sigs, k, bands).cache()
+    val cands = cached(bandedCandidates(sigs, k, bands))
 
     val exploded = sh.select(col("doc"), explode(col("sh")).as("shingle"))
     val dfTab = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -302,7 +312,7 @@ object Dedup {
     val idx = exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
     val candDocs = cands.select(col("doc_a").as("doc"))
       .union(cands.select(col("doc_b").as("doc"))).distinct()
-    val idxC = idx.join(candDocs, Seq("doc"), "left_semi").cache()
+    val idxC = cached(idx.join(candDocs, Seq("doc"), "left_semi"))
     val sizes = idxC.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
     val common = cands
       .join(idxC.select(col("doc").as("doc_a"), col("shingle")), Seq("doc_a"))

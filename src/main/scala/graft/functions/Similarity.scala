@@ -87,7 +87,11 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .withColumn("qn", l2Norm(col("qe")))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    // spread before the scoring kernel (Guards.spread — identity at
+    // cluster-width split counts): a one-split corpus file would score
+    // every (query, vector) pair on one core (guide §2.5)
+    val c = graft.operators.Guards.spread(
+        corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")))
       .withColumn("nn", l2Norm(col("ne")))
     val pairs = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -345,7 +349,8 @@ object Similarity {
       else corpus0
     val cents = ivfCentroids(trainSet, nCentroids, lloydIters)
 
-    val c = corpus0.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val c = graft.operators.Guards.spread(
+        corpus0.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")))
       .withColumn("cell",
         element_at(NativeExpressions.nearestCentroids(col("ne"), cents, 1), 1))
       .withColumn("nn", l2Norm(col("ne")))
@@ -451,7 +456,7 @@ object Similarity {
       codebooks.map(_.map(_.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
 
     // Encode: one map-only pass; embedding column does not survive it.
-    val codes = corpus0.select(
+    val codes = graft.operators.Guards.spread(corpus0).select(
       col("vec_id").as("neighbor_id") +:
         (0 until m).map(j => element_at(
           NativeExpressions.nearestCentroids(
@@ -554,7 +559,8 @@ object Similarity {
     val cents = ivfCentroids(trainSet, nCentroids, lloydIters)
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
 
-    corpus0.select(col("vec_id"), col("embedding"),
+    graft.operators.Guards.spread(corpus0)
+      .select(col("vec_id"), col("embedding"),
         element_at(NativeExpressions.nearestCentroids(col("embedding"), cents, 1), 1).as("cell"))
       .withColumn("ce", element_at(centsLit, col("cell") + 1))
       // safeCos, not a bare division: one zero-norm member would kill the
@@ -592,7 +598,8 @@ object Similarity {
       if (trainModulus > 1) corpus0.filter(pmod(col("vec_id"), lit(trainModulus)) === 0)
       else corpus0
     val cents = ivfCentroids(trainSet, nCentroids, lloydIters)
-    val v = corpus0.select(col("vec_id"), col("embedding"),
+    val v = graft.operators.Guards.spread(corpus0)
+      .select(col("vec_id"), col("embedding"),
         element_at(NativeExpressions.nearestCentroids(col("embedding"), cents, 1), 1).as("cell"))
       .withColumn("nrm", l2Norm(col("embedding")))
     val pruned = v.as("a").join(v.as("b"),
@@ -742,7 +749,7 @@ object Similarity {
       when(x.isNotNull && !isnan(x), (mn + code * sc).cast("float"))
     })
 
-    val codes = corpus
+    val codes = graft.operators.Guards.spread(corpus)
       .select(col("vec_id").as("neighbor_id"), recon.as("re"))
       .withColumn("rnorm", l2Norm(col("re")))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -763,7 +770,8 @@ object Similarity {
     * dot product.
     */
   def nearDupPairs(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame = {
-    val v = vectors.select(col("vec_id"), col(blockCol), col("embedding"))
+    val v = graft.operators.Guards.spread(
+        vectors.select(col("vec_id"), col(blockCol), col("embedding")))
       .withColumn("nrm", l2Norm(col("embedding")))
     v.as("a").join(v.as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.vec_id") < col("b.vec_id"))
