@@ -117,9 +117,9 @@ object PlanFingerprint {
       "r18 Guards.spread in the shared bm25Terms tokenize (guide §2.5 " +
         "unsplittable input): +rx1, the one-split scan's tokenize now " +
         "runs cluster-wide; identity at cluster-width split counts"),
-    "ir_rrf_fusion" -> ("sc4.hx11.rx5.bx7.rex3.bhj4.smj1.bnl3.agg19.win3.srt9.gen2",
-      "r18 Guards.spread in the shared bm25Terms tokenize AND the dense " +
-        "side's bruteForceTopK corpus scoring (guide §2.5): +rx2"),
+    "ir_rrf_fusion" -> ("sc4.hx11.rx4.bx7.rex3.bhj4.smj1.bnl3.agg19.win3.srt9.gen2",
+      "r18 Guards.spread in the shared bm25Terms tokenize (guide §2.5): " +
+        "+rx1, same as ir_bm25"),
     "ir_prf_expansion" -> ("sc2.hx15.rx4.bx14.rex13.bhj13.bnl4.agg41.win2.srt4.gen3.uni2",
       "r18 Guards.spread in the shared bm25Terms tokenize (guide §2.5): " +
         "+rx1 — both passes and the miner still canonicalize onto ONE " +
@@ -147,22 +147,12 @@ object PlanFingerprint {
         "unsplittable input): the added round-robin exchange(s) spread " +
         "the one-split scan's per-row kernel cluster-wide; identity at " +
         "cluster-width split counts"),
-    "pipe_training_batch" -> ("sc3.hx2.rx2.bx2.bhj2.agg2.win1.srt2.gen1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
     "tx_bpe_encode" -> ("sc1.hx1.rx2.bx1.bhj1.agg2.srt1.gen1",
       "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
         "unsplittable input): the added round-robin exchange(s) spread " +
         "the one-split scan's per-row kernel cluster-wide; identity at " +
         "cluster-width split counts"),
     "tx_calibration" -> ("sc2.hx1.rx4.bx1.bnl1.agg4.srt1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
-    "tx_chunk" -> ("sc1.rx2.srt1.gen1",
       "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
         "unsplittable input): the added round-robin exchange(s) spread " +
         "the one-split scan's per-row kernel cluster-wide; identity at " +
@@ -192,22 +182,12 @@ object PlanFingerprint {
         "unsplittable input): the added round-robin exchange(s) spread " +
         "the one-split scan's per-row kernel cluster-wide; identity at " +
         "cluster-width split counts"),
-    "tx_fingerprint" -> ("sc1.rx2.srt1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
     "tx_lang_id" -> ("sc1.rx2.srt1",
       "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
         "unsplittable input): the added round-robin exchange(s) spread " +
         "the one-split scan's per-row kernel cluster-wide; identity at " +
         "cluster-width split counts"),
     "tx_length_buckets" -> ("sc1.hx1.rx2.agg2.srt1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
-    "tx_pack" -> ("sc1.hx1.rx2.win1.srt2",
       "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
         "unsplittable input): the added round-robin exchange(s) spread " +
         "the one-split scan's per-row kernel cluster-wide; identity at " +
@@ -232,24 +212,16 @@ object PlanFingerprint {
         "unsplittable input): the added round-robin exchange(s) spread " +
         "the one-split scan's per-row kernel cluster-wide; identity at " +
         "cluster-width split counts"),
-    "ir_ndcg_eval" -> ("sc6.hx5.rx2.bx5.bhj4.bnl1.agg6.win2.srt5.gen1",
-      "r18 Guards.spread before the per-row kernel (guide \u00a72.5): +rx1 via bruteForceTopK's corpus-side spread"),
     "j13_fuzzy_join" -> ("sc2.hx1.rx2.bx1.bhj1.win1.srt3",
       "r18 Guards.spread before the per-row kernel (guide \u00a72.5): +rx1 — the blocked Levenshtein join's stream side spreads before the kernel (834 ms single-task before)"),
     "sim_ivf" -> ("sc2.hx2.rx2.bx1.bhj1.win2.srt5.gen1",
       "r18 Guards.spread before the per-row kernel (guide \u00a72.5): +rx1 via the cell-assignment scan's spread"),
     "sim_kmeans" -> ("sc1.hx1.rx2.agg2.srt1",
       "r18 Guards.spread before the per-row kernel (guide \u00a72.5): +rx1 via the assignment scan's spread"),
-    "sim_knn_brute" -> ("sc2.hx2.rx2.bx1.bnl1.win2.srt5",
-      "r18 Guards.spread before the per-row kernel (guide \u00a72.5): +rx1 via bruteForceTopK's corpus-side spread"),
-    "sim_mmr" -> ("sc3.hx3.rx2.bx2.bhj1.bnl1.agg2.win2.srt5.gen1",
-      "r18 Guards.spread before the per-row kernel (guide \u00a72.5): +rx1 via bruteForceTopK's corpus-side spread"),
     "sim_near_dup" -> ("sc1.rx2.bx1.rex1.bhj1.srt1",
       "r18 Guards.spread before the per-row kernel (guide \u00a72.5): +rx1 — and the spread makes the self-join's two scan subtrees reuse ONE exchange (sc2->sc1, +rex1)"),
     "sim_pq" -> ("sc4.hx3.rx2.bx3.bhj2.bnl1.win3.srt7",
       "r18 Guards.spread before the per-row kernel (guide \u00a72.5): +rx1 via the PQ encode scan's spread"),
-    "sim_retrieve" -> ("sc3.hx2.rx2.bx2.bhj1.bnl1.win2.srt5",
-      "r18 Guards.spread before the per-row kernel (guide \u00a72.5): +rx1 via bruteForceTopK's corpus-side spread"),
     "sim_semantic_dedup" -> ("sc2.hx2.rx3.bx1.rex1.bhj1.smj1.agg2.srt3",
       "r18 Guards.spread before the per-row kernel (guide \u00a72.5): +rx2 — and the assignment subtrees reuse ONE exchange (sc3->sc2, +rex1)"),
     "sim_sq8" -> ("sc4.hx3.rx2.bx3.bhj2.bnl1.win3.srt7",

@@ -281,7 +281,7 @@ object QueriesExt {
            |      list_transform(string_split(text, ''), x -> cast(ascii(x) as bigint))),
            |      (a, b) -> (a * 31 + b) % 1000000007) END AS fingerprint
            |FROM documents ORDER BY doc_id""".stripMargin),
-    (s, d) => docsSpread(s, d).select(col("doc_id"),
+    (s, d) => docs(s, d).select(col("doc_id"),
       TextFunctions.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id"))
 
@@ -504,7 +504,7 @@ object QueriesExt {
             |  array_to_string(w[start:start+${ChunkLen - 1}], ' ') AS chunk,
             |  chunk_tokens
             |FROM chunks ORDER BY doc_id, start""".stripMargin),
-    (s, d) => chunkCore(docsSpread(s, d))
+    (s, d) => chunkCore(docs(s, d))
       .select(col("doc_id"), col("chunk_idx"), col("start"),
         array_join(slice(col("w"), col("start").cast("int"), lit(ChunkLen)), " ").as("chunk"),
         col("chunk_tokens"))
@@ -535,7 +535,7 @@ object QueriesExt {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docsSpread(s, d).select(col("doc_id"), col("lang"),
+      docs(s, d).select(col("doc_id"), col("lang"),
         pmod(col("doc_id"), lit(8)).as("shard"),
         TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
         .withColumn("cum_tok", sum("n_tok").over(w))
@@ -1014,7 +1014,12 @@ object QueriesExt {
         .cache()
       var w = Array(0.0, 0.0, 0.0, 0.0)
       val traj = Seq.newBuilder[(Long, Double, Double, Double, Double, Long, Long, Long, Long)]
-      for (t <- 1 to iters) {
+      // try/finally unpersist (r17 advisory): every gradient sum below is
+      // an EAGER .head() — after the loop the cached plan would otherwise
+      // stay pinned in the session forever (the returned trajectory is a
+      // driver-local table that never reads feat again). Matches the
+      // ShingleIndex.writeSegmentData discipline.
+      try for (t <- 1 to iters) {
         val z = ((lit(w(0)) * lit(1.0) + lit(w(1)) * col("f1"))
           + lit(w(2)) * col("f2")) + lit(w(3)) * col("f3")
         val p = (lit(1.0) / (lit(1.0) + exp(-z))).as("p")
@@ -1030,7 +1035,7 @@ object QueriesExt {
         val n = r.getLong(4)
         w = Array.tabulate(4)(dd => w(dd) - lr * ((g(dd) / 1048576.0) / n))
         traj += ((t.toLong, w(0), w(1), w(2), w(3), g(0), g(1), g(2), g(3)))
-      }
+      } finally feat.unpersist(false)
       traj.result().toDF("iter", "w0", "w1", "w2", "w3", "g0", "g1", "g2", "g3")
         .orderBy("iter")
     })
@@ -2300,8 +2305,7 @@ object QueriesExt {
       val base = docs(s, d)
       val keepIds = Dedup.exact(base, "doc_id", "text")
         .filter(col("doc_id") === col("canonical_id")).select("doc_id")
-      val clean = cleanGates(graft.operators.Guards.spread(
-        base.join(keepIds, "doc_id")), Seq("doc_id", "text"))
+      val clean = cleanGates(base.join(keepIds, "doc_id"), Seq("doc_id", "text"))
       val chunks = chunkCore(clean)
         .select(col("doc_id"), col("chunk_idx"),
           (col("doc_id") % 8).as("shard"), col("chunk_tokens"))

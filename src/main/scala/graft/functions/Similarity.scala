@@ -90,8 +90,7 @@ object Similarity {
     // spread before the scoring kernel (Guards.spread — identity at
     // cluster-width split counts): a one-split corpus file would score
     // every (query, vector) pair on one core (guide §2.5)
-    val c = graft.operators.Guards.spread(
-        corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
       .withColumn("nn", l2Norm(col("ne")))
     val pairs = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
