@@ -60,8 +60,18 @@ object Graphs {
     * queries: another query's `cache()` landing in the snapshot window
     * would be claimed here and wrongly unpersisted later.
     */
-  private def checkpointTracked(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
-    val out = df.localCheckpoint()
+  /** LAZY variant (r18): `localCheckpoint(eager = false)` defers the
+    * materialization into the CALLER's next action instead of running a
+    * dedicated job — the CC loop pairs it with a full-scan `count()` on
+    * the checkpointed frame, so each round pays ONE job (materialize +
+    * convergence signal) where the eager form paid two (checkpoint job,
+    * then the changed-row probe). The triggering action must compute ALL
+    * partitions (Spark's documented lazy-checkpoint contract — a
+    * short-circuiting limit/isEmpty would truncate lineage with only the
+    * touched partitions persisted); `count()` does.
+    */
+  private def checkpointTracked(df: DataFrame, eager: Boolean = true): (DataFrame, Seq[RDD[_]]) = {
+    val out = df.localCheckpoint(eager)
     val blocks = out.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => Seq(lr.rdd)
       case other =>
@@ -114,14 +124,16 @@ object Graphs {
         .join(labels.select(col("node").as("dst"), col("component").as("nbr")), "dst")
         .select(col("src").as("node"), col("nbr"))
         .groupBy("node").agg(min("nbr").as("nbr_min"))
+      // LAZY checkpoint + full-scan count: one job materializes the
+      // round's labels AND answers convergence (r18 — the eager form ran
+      // a dedicated checkpoint job, then a second probe job per round).
       val (next, nextBlocks) = checkpointTracked(
         labels.join(nbrMin, "node")
           .select(col("node"),
             least(col("component"), col("nbr_min")).as("component"),
-            (col("nbr_min") < col("component")).as("changed")))
-      // Reads the blocks just materialized above — short-circuits on the
-      // first changed row, no shuffle, no recomputation.
-      converged = next.filter(col("changed")).limit(1).isEmpty
+            (col("nbr_min") < col("component")).as("changed")),
+        eager = false)
+      converged = next.filter(col("changed")).count() == 0
       labelBlocks.foreach(_.unpersist(blocking = false))
       labelBlocks = nextBlocks
       labels = next.select("node", "component")
@@ -171,6 +183,7 @@ object Graphs {
       // Path-halving: follow the own-parent pointer one extra hop. This is
       // the star-collapsing step that makes rounds logarithmic.
       val grand = parents.select(col("node").as("p1"), col("parent").as("gp"))
+      // same lazy-checkpoint + one-job convergence as connectedComponents
       val (next, nextBlocks) = checkpointTracked(
         parents.join(nbrMin, Seq("node"), "left")
           .join(grand, col("parent") === col("p1"), "left")
@@ -178,8 +191,9 @@ object Graphs {
             least(col("parent"), coalesce(col("nbr_min"), col("parent")),
               coalesce(col("gp"), col("parent"))).as("parent"),
             (least(coalesce(col("nbr_min"), col("parent")),
-              coalesce(col("gp"), col("parent"))) < col("parent")).as("changed")))
-      converged = next.filter(col("changed")).limit(1).isEmpty
+              coalesce(col("gp"), col("parent"))) < col("parent")).as("changed")),
+        eager = false)
+      converged = next.filter(col("changed")).count() == 0
       parentBlocks.foreach(_.unpersist(blocking = false))
       parentBlocks = nextBlocks
       parents = next.select("node", "parent")
