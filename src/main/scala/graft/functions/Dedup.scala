@@ -139,6 +139,14 @@ object Dedup {
     // consumer within the one action — the right trade for micro-batches.
     val sh0 = shingleArrays(docs, idCol, textCol, n)
     val sh = if (cacheIndex) sh0.cache() else sh0
+    // WARM the cache before consumers race it (r18): AQE launches the
+    // independent consumer stages concurrently, and every stage that
+    // arrives before the blocks exist recomputes the full tokenization —
+    // measured as 3× duplicate ~0.2-0.5 s stages per query. One eager
+    // count() materializes the blocks once; every consumer then reads
+    // them. Batch callers only (a per-trigger stream skips the cache AND
+    // the warm-up pass).
+    if (cacheIndex) sh.count()
     val exploded = sh.select(col("doc"), explode(col("sh")).as("shingle"))
     val dfTab = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
     val hot =
@@ -302,6 +310,11 @@ object Dedup {
     // duplicates, so distinct arrays hash to the same signature as the
     // raw shingle stream, and empty-array docs drop exactly as before.
     val sh = cached(shingleArrays(docs, idCol, textCol, shingleN))
+    // cache warm-up before concurrent consumers race it (see
+    // ngramJaccardPairs); cands/idxC are NOT warmed — their consumers
+    // chain sequentially enough that an extra eager job measured as a
+    // wash here
+    if (cacheIndex) sh.count()
     val sigs = sh.filter(size(col("sh")) > 0)
       .select(col("doc"), minhashSignature(col("sh"), k).as("sig"))
     val cands = cached(bandedCandidates(sigs, k, bands))
@@ -580,6 +593,11 @@ object Dedup {
       .select(col("base_id"), th(col(textCol)).as("th"),
         array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
     val bSlim = if (cacheIndex) bSlim0.cache() else bSlim0
+    // warm before the exact-arm, df, index and sizes branches race the
+    // cache concurrently under AQE (dSlim is already materialized by the
+    // `small` stats probe above) — measured 3× duplicate ~0.5 s base
+    // tokenize stages without this (r18)
+    if (cacheIndex) bSlim.count()
     val bh = bSlim.select(col("base_id"), col("th"))
     val dh0 = dSlim.select(col("doc_id"), col("th"))
     // the one delta projection with no natural stage boundary: give it the
