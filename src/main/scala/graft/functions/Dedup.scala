@@ -593,11 +593,11 @@ object Dedup {
       .select(col("base_id"), th(col(textCol)).as("th"),
         array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
     val bSlim = if (cacheIndex) bSlim0.cache() else bSlim0
-    // warm before the exact-arm, df, index and sizes branches race the
-    // cache concurrently under AQE (dSlim is already materialized by the
-    // `small` stats probe above) — measured 3× duplicate ~0.5 s base
-    // tokenize stages without this (r18)
-    if (cacheIndex) bSlim.count()
+    // NOT warmed (unlike ngramJaccardPairs' sh): the consumer races here
+    // recompute the base tokenize in PARALLEL stages, and the A/B showed
+    // the extra eager count() job costs more wall-clock than the
+    // duplicated-but-concurrent compute it removes (1.99 vs 1.77 s warm
+    // min at sf0.1)
     val bh = bSlim.select(col("base_id"), col("th"))
     val dh0 = dSlim.select(col("doc_id"), col("th"))
     // the one delta projection with no natural stage boundary: give it the
