@@ -98,6 +98,14 @@ object PlanFingerprint {
     * per-round scaffolding: once the new fingerprint is committed in the
     * baseline record, the entry is deleted.
     */
+  /** The shared reason text for the r18 one-split-scan spreads (review
+    * find: the literal was copy-pasted per entry). */
+  private val SpreadDelta: String =
+    "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
+      "unsplittable input): the added round-robin exchange(s) spread " +
+      "the one-split scan's per-row kernel cluster-wide; identity at " +
+      "cluster-width split counts"
+
   val expectedDeltas: Map[String, (String, String)] = Map(
     // (the r17 w6_gap_fill and r14 g4_pagerank entries were absorbed by
     // the r18 round-start baseline refresh and deleted per the rule above)
@@ -138,80 +146,35 @@ object PlanFingerprint {
       "r18 Guards.spread before the pair-explode and unigram tokenizes " +
         "(guide §2.5): +rx2"),
     "pipe_clean_corpus" -> ("sc3.hx1.rx2.bx2.bhj2.agg2.srt1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
+      SpreadDelta),
     "pipe_incremental_report" -> ("sc1.hx2.rx2.agg4.srt1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
+      SpreadDelta),
     "tx_bpe_encode" -> ("sc1.hx1.rx2.bx1.bhj1.agg2.srt1.gen1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
+      SpreadDelta),
     "tx_calibration" -> ("sc2.hx1.rx4.bx1.bnl1.agg4.srt1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
+      SpreadDelta),
     "tx_classify" -> ("sc1.rx2.srt1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
+      SpreadDelta),
     "tx_curriculum" -> ("sc1.hx1.rx2.win1.srt2",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
+      SpreadDelta),
     "tx_decontaminate" -> ("sc1.hx2.rx2.agg2.win1.srt2.gen1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
+      SpreadDelta),
     "tx_entropy" -> ("sc1.rx2.srt1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
+      SpreadDelta),
     "tx_eval_auc" -> ("sc1.hx1.rx2.agg4.win1.srt1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
+      SpreadDelta),
     "tx_lang_id" -> ("sc1.rx2.srt1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
+      SpreadDelta),
     "tx_length_buckets" -> ("sc1.hx1.rx2.agg2.srt1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
+      SpreadDelta),
     "tx_quality_features" -> ("sc1.rx2.srt1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
+      SpreadDelta),
     "tx_quality_score" -> ("sc1.rx2.srt1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
+      SpreadDelta),
     "tx_repetition" -> ("sc1.rx2.srt1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
+      SpreadDelta),
     "tx_source_cap" -> ("sc1.hx1.rx2.agg2.srt1.gen1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts"),
+      SpreadDelta),
     "j13_fuzzy_join" -> ("sc2.hx1.rx2.bx1.bhj1.win1.srt3",
       "r18 Guards.spread before the per-row kernel (guide \u00a72.5): +rx1 — the blocked Levenshtein join's stream side spreads before the kernel (834 ms single-task before)"),
     "sim_ivf" -> ("sc2.hx2.rx2.bx1.bhj1.win2.srt5.gen1",
@@ -227,10 +190,7 @@ object PlanFingerprint {
     "sim_sq8" -> ("sc4.hx3.rx2.bx3.bhj2.bnl1.win3.srt7",
       "r18 Guards.spread before the per-row kernel (guide \u00a72.5): +rx1 via the SQ8 encode scan's spread"),
     "tx_token_counts" -> ("sc1.rx2.srt1",
-      "r18 Guards.spread before the text kernel (guide \u00a72.5 " +
-        "unsplittable input): the added round-robin exchange(s) spread " +
-        "the one-split scan's per-row kernel cluster-wide; identity at " +
-        "cluster-width split counts")
+      SpreadDelta)
   )
 }
 

@@ -2255,8 +2255,12 @@ object QueriesExt {
       val base = docs(s, d)
       val keepIds = Dedup.exact(base, "doc_id", "text")
         .filter(col("doc_id") === col("canonical_id")).select("doc_id")
-      cleanGates(graft.operators.Guards.spread(
-          base.join(keepIds, "doc_id")), Seq("doc_id"))
+      // spread the SCAN side before the join (the join output inherits
+      // the stream side's partitioning under a broadcast join, and
+      // Guards.spread deliberately refuses post-join plans — its
+      // partition probe would execute the dedup subtree)
+      cleanGates(graft.operators.Guards.spread(base.select("doc_id", "text"))
+          .join(keepIds, "doc_id"), Seq("doc_id"))
         .orderBy("doc_id")
     })
 

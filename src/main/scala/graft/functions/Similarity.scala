@@ -87,9 +87,11 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .withColumn("qn", l2Norm(col("qe")))
-    // spread before the scoring kernel (Guards.spread — identity at
-    // cluster-width split counts): a one-split corpus file would score
-    // every (query, vector) pair on one core (guide §2.5)
+    // DELIBERATELY not spread (r18 A/B): the dot-product kernel over this
+    // corpus is too light to pay for a round-robin exchange — with
+    // Guards.spread here sim_knn_brute measured 0.66 s vs 0.46 s warm
+    // (and sim_retrieve/sim_mmr/ir_ndcg_eval ride this function). The
+    // one-split serialization is accepted for the scoring pass.
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
       .withColumn("nn", l2Norm(col("ne")))
     val pairs = c.crossJoin(broadcast(q))

@@ -64,7 +64,29 @@ private[graft] object Guards {
     * row placement.
     */
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // SCAN-ROOTED plans only (r18 review find): the partition probe
+    // below (`df.rdd`) MATERIALIZES upstream query stages under AQE —
+    // Dataset.rdd resolves the adaptive plan, which executes every
+    // shuffle in it. A plan that is just projections/filters over a leaf
+    // has no stages to run, so its probe is free — and those are exactly
+    // the plans a one-split scan can under-parallelize. Anything deeper
+    // (joins, aggregates, windows) got or will get its parallelism from
+    // its own exchanges; return it untouched rather than execute it
+    // twice. Callers that want a complex input spread must spread the
+    // scan-rooted side BEFORE composing (see pipe_clean_corpus).
+    def scanRooted(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+        case n @ (_: org.apache.spark.sql.catalyst.plans.logical.Project |
+                  _: org.apache.spark.sql.catalyst.plans.logical.Filter |
+                  _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias) =>
+          n.children.forall(scanRooted)
+        case _ => false
+      }
+    if (!scanRooted(df.queryExecution.analyzed)) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
   }
 }
